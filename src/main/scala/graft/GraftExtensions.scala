@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.WrapDelta
+
+/** Session extensions registering graft's native Catalyst functions.
+  * Install with `SparkSession.builder().withExtensions(new GraftExtensions)`
+  * or `--conf spark.sql.extensions=graft.GraftExtensions` on a cluster.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("wrap_delta"),
+      new ExpressionInfo(classOf[WrapDelta].getCanonicalName, "wrap_delta"),
+      (children: Seq[Expression]) => WrapDelta(children(0), children(1), children(2))))
+  }
+}

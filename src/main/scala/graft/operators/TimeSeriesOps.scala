@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The reference TSDB's soul as reusable DataFrame transforms
+  * (SURVEY.md §2 C). All operate on the long/narrow measurements view
+  * (series key = (user_id, event_type), exact-integer mirrors `ts_us` /
+  * `cents` / `wrapped` — see [[graft.Tables.measurements]]).
+  *
+  * Scale notes (100 TB):
+  *  - every per-series op uses one window spec (partition by series,
+  *    order by ts) → a single hash-partition exchange that Spark reuses
+  *    across lag/rate/heartbeat columns; with a series-bucketed layout
+  *    the exchange disappears entirely.
+  *  - downsampling is a partial+final hash aggregate (map-side combine
+  *    runs before the shuffle — bytes on the wire scale with
+  *    series×slots, not rows).
+  *  - the slot grid for gap-fill is generated, not materialized: a
+  *    `sequence`+`explode` over a one-row relation, broadcast to the
+  *    data side.
+  */
+object TimeSeriesOps {
+
+  /** Per-series event-time window — THE ordering spec of the engine. */
+  val seriesWindow =
+    Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+
+  /** Quantize epoch-µs to step-aligned epoch-second slots
+    * [pub: tsdb/util.py calculate_slot — unverified, SURVEY.md §0].
+    * Integer division keeps the math exact in both engines. */
+  def slotSec(stepSec: Long): Column =
+    expr(s"(ts_us div ${stepSec * 1000000L}) * $stepSec")
+
+  /** Counter → wrap-corrected delta + rate columns.
+    * Uses the native `wrap_delta` Catalyst expression when registered
+    * (via [[graft.GraftExtensions]]); falls back to the equivalent
+    * built-in arithmetic otherwise. Adds:
+    * `prev_wrapped, prev_ts_us, delta_cents, dt_us, rate`. */
+  def withRate(spark: SparkSession, m: DataFrame): DataFrame = {
+    val cap = Tables.WrapCap
+    val wrapDelta: Column =
+      if (spark.catalog.functionExists("wrap_delta"))
+        expr(s"wrap_delta(prev_wrapped, wrapped, ${cap}L)")
+      else ((col("wrapped") - col("prev_wrapped")) % cap + cap) % cap
+    m.withColumn("prev_wrapped", lag("wrapped", 1).over(seriesWindow))
+      .withColumn("prev_ts_us", lag("ts_us", 1).over(seriesWindow))
+      .withColumn("dt_us", col("ts_us") - col("prev_ts_us"))
+      .withColumn("delta_cents", wrapDelta)
+      .withColumn("rate",
+        when(col("dt_us") > 0,
+          col("delta_cents").cast("double") / lit(100.0) /
+            (col("dt_us").cast("double") / lit(1000000.0))))
+  }
+
+  /** Heartbeat invalidation: a gap larger than `heartbeatSec` means the
+    * poller was down — the bin is invalid (NULL), never interpolated
+    * [pub: tsdb/aggregator.py heartbeat check — unverified]. */
+  def withHeartbeat(df: DataFrame, heartbeatSec: Long): DataFrame =
+    df.withColumn("valid", col("dt_us") <= heartbeatSec * 1000000L)
+      .withColumn("rate_hb", when(col("valid"), col("rate")))
+
+  /** Consolidate to `stepSec` bins: exact integer sum + count per
+    * (series, slot); cf projections (avg/min/max/delta) derive from
+    * these downstream so every engine computes identical doubles. */
+  def downsample(m: DataFrame, stepSec: Long): DataFrame =
+    m.groupBy(col("user_id"), col("event_type"), slotSec(stepSec).as("slot_ts"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+
+  /** Dense slot grid over [beginSec, endSec) × distinct series, LEFT
+    * JOIN'd to the downsampled data: one row per slot, NULL where no
+    * valid samples — the API's value-per-slot contract. */
+  def gapFill(spark: SparkSession, m: DataFrame,
+              beginSec: Long, endSec: Long, stepSec: Long): DataFrame = {
+    val slots = spark.range(1).select(
+      explode(sequence(lit(beginSec), lit(endSec - stepSec), lit(stepSec))).as("slot_ts"))
+    val series = m.select("user_id", "event_type").distinct()
+    val agg = downsample(m, stepSec)
+    series.crossJoin(slots)
+      .join(agg, Seq("user_id", "event_type", "slot_ts"), "left")
+  }
+
+  /** Latest valid sample per series — TSDBVar MAX_TIMESTAMP metadata. */
+  def lastValue(m: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    m.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+}

@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.operators.TimeSeriesOps
+import graft.Tables.MeasurementsSql
+
+/** SURVEY.md §2 A–C: scans, filters, projections, and the time-series
+  * core (the reference-defining semantics). Every oracle is written
+  * textually parallel to the Spark expression (SURVEY.md §7.4):
+  * integer math until the final projection, identical IEEE double
+  * arithmetic both sides, total ORDER BY on unique keys.
+  */
+object TsQueries {
+
+  private val Step6 = 21600L          // 6 h consolidation step (seconds)
+  private val Day = 86400L
+  private val HbUs = 21600L * 1000000L // heartbeat: 6 h in µs
+  private val GridB = 1704067200L     // 2024-01-01T00:00:00Z
+  private val GridE = 1706659200L     // 2024-01-31T00:00:00Z
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- A. scans / sources --------------------------------------------
+    QueryDef("q_scan_parquet",
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber") { (s, d) =>
+      Tables.lineitem(s, d).orderBy("l_orderkey", "l_linenumber")
+    },
+
+    QueryDef("q_scan_pruned",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    QueryDef("q_source_json",
+      """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")
+    },
+
+    // ---- B. filter / project ------------------------------------------
+    QueryDef("q_filter_time_range",
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+        |FROM events
+        |WHERE epoch_us(ts) >= 1704844800000000 AND epoch_us(ts) < 1705708800000000
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .filter(col("ts_us") >= 1704844800000000L && col("ts_us") < 1705708800000000L)
+        .orderBy("event_id")
+    },
+
+    QueryDef("q_filter_series_path",
+      """SELECT event_id, epoch_us(ts) AS ts_us, value FROM events
+        |WHERE user_id = 7 AND event_type = 'click'
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("user_id") === 7 && col("event_type") === "click")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+        .orderBy("event_id")
+    },
+
+    QueryDef("q_project_arith",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |       (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |       AS DECIMAL(18,4)) AS revenue
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).selectExpr("l_orderkey", "l_linenumber",
+          """CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+            |     (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+            |     AS DECIMAL(18,4)) AS revenue""".stripMargin)
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    QueryDef("q_case_expr",
+      """SELECT o_orderkey,
+        |  CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open'
+        |       ELSE 'pending' END AS status_label,
+        |  CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS is_urgent
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).selectExpr("o_orderkey",
+          """CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open'
+            |     ELSE 'pending' END AS status_label""".stripMargin,
+          "CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS is_urgent")
+        .orderBy("o_orderkey")
+    },
+
+    // ---- C. time-series core ------------------------------------------
+    QueryDef("q_ts_slot_align",
+      MeasurementsSql +
+      """
+        |SELECT event_id, ts_us, (ts_us // 21600000000) * 21600 AS slot_ts
+        |FROM m ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.measurements(s, d)
+        .select(col("event_id"), col("ts_us"), TimeSeriesOps.slotSec(Step6).as("slot_ts"))
+        .orderBy("event_id")
+    },
+
+    QueryDef("q_ts_rate_counter",
+      MeasurementsSql +
+      """,
+        |r AS (
+        |  SELECT event_id, ts_us, wrapped,
+        |         lag(wrapped) OVER w AS prev_wrapped,
+        |         lag(ts_us) OVER w AS prev_ts_us
+        |  FROM m WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
+        |)
+        |SELECT event_id,
+        |  ((wrapped - prev_wrapped) % 1000000 + 1000000) % 1000000 AS delta_cents,
+        |  ts_us - prev_ts_us AS dt_us,
+        |  CASE WHEN ts_us - prev_ts_us > 0 THEN
+        |    (CAST(((wrapped - prev_wrapped) % 1000000 + 1000000) % 1000000 AS DOUBLE) / 100.0)
+        |    / (CAST(ts_us - prev_ts_us AS DOUBLE) / 1000000.0) END AS rate
+        |FROM r ORDER BY event_id""".stripMargin) { (s, d) =>
+      TimeSeriesOps.withRate(s, Tables.measurements(s, d))
+        .select("event_id", "delta_cents", "dt_us", "rate")
+        .orderBy("event_id")
+    },
+
+    QueryDef("q_ts_heartbeat",
+      MeasurementsSql +
+      """,
+        |r AS (
+        |  SELECT event_id, ts_us, wrapped,
+        |         lag(wrapped) OVER w AS prev_wrapped,
+        |         lag(ts_us) OVER w AS prev_ts_us
+        |  FROM m WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
+        |)
+        |SELECT event_id, (ts_us - prev_ts_us) <= 21600000000 AS valid,
+        |  CASE WHEN (ts_us - prev_ts_us) <= 21600000000 THEN
+        |    CASE WHEN ts_us - prev_ts_us > 0 THEN
+        |      (CAST(((wrapped - prev_wrapped) % 1000000 + 1000000) % 1000000 AS DOUBLE) / 100.0)
+        |      / (CAST(ts_us - prev_ts_us AS DOUBLE) / 1000000.0) END END AS rate_hb
+        |FROM r ORDER BY event_id""".stripMargin) { (s, d) =>
+      TimeSeriesOps.withHeartbeat(
+          TimeSeriesOps.withRate(s, Tables.measurements(s, d)), Step6)
+        .select("event_id", "valid", "rate_hb")
+        .orderBy("event_id")
+    },
+
+    QueryDef("q_ts_downsample_avg",
+      MeasurementsSql +
+      """
+        |SELECT user_id, event_type, (ts_us // 21600000000) * 21600 AS slot_ts,
+        |  count(*) AS n,
+        |  CAST(sum(cents) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE) AS avg_val
+        |FROM m GROUP BY 1, 2, 3
+        |ORDER BY user_id, event_type, slot_ts""".stripMargin) { (s, d) =>
+      TimeSeriesOps.downsample(Tables.measurements(s, d), Step6)
+        .select(col("user_id"), col("event_type"), col("slot_ts"), col("n"),
+          (col("sum_cents").cast("double") / lit(100.0) / col("n").cast("double")).as("avg_val"))
+        .orderBy("user_id", "event_type", "slot_ts")
+    },
+
+    QueryDef("q_ts_downsample_minmax",
+      MeasurementsSql +
+      """
+        |SELECT user_id, event_type, (ts_us // 21600000000) * 21600 AS slot_ts,
+        |  CAST(min(cents) AS DOUBLE) / 100.0 AS min_val,
+        |  CAST(max(cents) AS DOUBLE) / 100.0 AS max_val
+        |FROM m GROUP BY 1, 2, 3
+        |ORDER BY user_id, event_type, slot_ts""".stripMargin) { (s, d) =>
+      TimeSeriesOps.downsample(Tables.measurements(s, d), Step6)
+        .select(col("user_id"), col("event_type"), col("slot_ts"),
+          (col("min_cents").cast("double") / lit(100.0)).as("min_val"),
+          (col("max_cents").cast("double") / lit(100.0)).as("max_val"))
+        .orderBy("user_id", "event_type", "slot_ts")
+    },
+
+    QueryDef("q_ts_delta_sum",
+      MeasurementsSql +
+      """,
+        |r AS (
+        |  SELECT user_id, event_type, ts_us, wrapped,
+        |         lag(wrapped) OVER w AS prev_wrapped,
+        |         lag(ts_us) OVER w AS prev_ts_us
+        |  FROM m WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
+        |)
+        |SELECT user_id, event_type, (ts_us // 21600000000) * 21600 AS slot_ts,
+        |  sum(((wrapped - prev_wrapped) % 1000000 + 1000000) % 1000000) AS sum_delta_cents,
+        |  CAST(sum(((wrapped - prev_wrapped) % 1000000 + 1000000) % 1000000) AS DOUBLE) / 100.0 AS delta_val
+        |FROM r
+        |WHERE prev_ts_us IS NOT NULL AND (ts_us - prev_ts_us) <= 21600000000
+        |GROUP BY 1, 2, 3
+        |ORDER BY user_id, event_type, slot_ts""".stripMargin) { (s, d) =>
+      TimeSeriesOps.withRate(s, Tables.measurements(s, d))
+        .filter(col("prev_ts_us").isNotNull && col("dt_us") <= HbUs)
+        .groupBy(col("user_id"), col("event_type"), TimeSeriesOps.slotSec(Step6).as("slot_ts"))
+        .agg(sum("delta_cents").as("sum_delta_cents"))
+        .withColumn("delta_val", col("sum_delta_cents").cast("double") / lit(100.0))
+        .orderBy("user_id", "event_type", "slot_ts")
+    },
+
+    QueryDef("q_ts_multires",
+      MeasurementsSql +
+      """,
+        |h AS (
+        |  SELECT user_id, event_type, (ts_us // 21600000000) * 21600 AS slot_ts,
+        |         count(*) AS n, sum(cents) AS sum_cents
+        |  FROM m GROUP BY 1, 2, 3
+        |)
+        |SELECT user_id, event_type, (slot_ts // 86400) * 86400 AS day_ts,
+        |  sum(n) AS n,
+        |  CAST(sum(sum_cents) AS DOUBLE) / 100.0 / CAST(sum(n) AS DOUBLE) AS avg_val
+        |FROM h GROUP BY 1, 2, 3
+        |ORDER BY user_id, event_type, day_ts""".stripMargin) { (s, d) =>
+      // coarser level computed FROM the finer level, not from raw rows —
+      // the reference's aggregate-from-aggregate cascade
+      TimeSeriesOps.downsample(Tables.measurements(s, d), Step6)
+        .groupBy(col("user_id"), col("event_type"),
+          (expr(s"slot_ts div $Day") * Day).as("day_ts"))
+        .agg(sum("n").as("n"), sum("sum_cents").as("sum_cents"))
+        .select(col("user_id"), col("event_type"), col("day_ts"), col("n"),
+          (col("sum_cents").cast("double") / lit(100.0) / col("n").cast("double")).as("avg_val"))
+        .orderBy("user_id", "event_type", "day_ts")
+    },
+
+    QueryDef("q_ts_gap_fill",
+      MeasurementsSql +
+      """,
+        |h AS (
+        |  SELECT user_id, event_type, (ts_us // 21600000000) * 21600 AS slot_ts,
+        |         count(*) AS n, sum(cents) AS sum_cents
+        |  FROM m GROUP BY 1, 2, 3
+        |)
+        |SELECT s.user_id, s.event_type, g.slot_ts,
+        |  coalesce(h.n, 0) AS n,
+        |  CAST(h.sum_cents AS DOUBLE) / 100.0 AS slot_val
+        |FROM (SELECT DISTINCT user_id, event_type FROM m) s
+        |CROSS JOIN range(1704067200, 1706659200, 21600) g(slot_ts)
+        |LEFT JOIN h ON h.user_id = s.user_id AND h.event_type = s.event_type
+        |           AND h.slot_ts = g.slot_ts
+        |ORDER BY s.user_id, s.event_type, g.slot_ts""".stripMargin) { (s, d) =>
+      TimeSeriesOps.gapFill(s, Tables.measurements(s, d), GridB, GridE, Step6)
+        .select(col("user_id"), col("event_type"), col("slot_ts"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          (col("sum_cents").cast("double") / lit(100.0)).as("slot_val"))
+        .orderBy("user_id", "event_type", "slot_ts")
+    },
+
+    QueryDef("q_ts_last_value",
+      MeasurementsSql +
+      """,
+        |r AS (
+        |  SELECT user_id, event_type, ts_us, event_id, cents,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM m
+        |)
+        |SELECT user_id, event_type, ts_us, event_id,
+        |  CAST(cents AS DOUBLE) / 100.0 AS last_val
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      TimeSeriesOps.lastValue(Tables.measurements(s, d))
+        .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"),
+          (col("cents").cast("double") / lit(100.0)).as("last_val"))
+        .orderBy("user_id", "event_type")
+    },
+
+    QueryDef("q_ts_bulk_pivot",
+      MeasurementsSql +
+      """
+        |SELECT user_id, (ts_us // 21600000000) * 21600 AS slot_ts,
+        |  CAST(sum(cents) FILTER (WHERE event_type = 'click')    AS DOUBLE) / 100.0 AS click,
+        |  CAST(sum(cents) FILTER (WHERE event_type = 'error')    AS DOUBLE) / 100.0 AS error,
+        |  CAST(sum(cents) FILTER (WHERE event_type = 'purchase') AS DOUBLE) / 100.0 AS purchase,
+        |  CAST(sum(cents) FILTER (WHERE event_type = 'signup')   AS DOUBLE) / 100.0 AS signup,
+        |  CAST(sum(cents) FILTER (WHERE event_type = 'view')     AS DOUBLE) / 100.0 AS view
+        |FROM m GROUP BY 1, 2
+        |ORDER BY user_id, slot_ts""".stripMargin) { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.measurements(s, d)
+        .groupBy(col("user_id"), TimeSeriesOps.slotSec(Step6).as("slot_ts"))
+        .pivot("event_type", types).agg(sum("cents"))
+        .select(col("user_id") +: col("slot_ts") +:
+          types.map(t => (col(t).cast("double") / lit(100.0)).as(t)): _*)
+        .orderBy("user_id", "slot_ts")
+    },
+
+    QueryDef("q_ts_insert_idempotent",
+      MeasurementsSql +
+      """
+        |SELECT user_id, event_type, (ts_us // 21600000000) * 21600 AS slot_ts,
+        |  count(*) AS writes,
+        |  CAST(arg_max(cents, event_id) AS DOUBLE) / 100.0 AS slot_val
+        |FROM m GROUP BY 1, 2, 3
+        |ORDER BY user_id, event_type, slot_ts""".stripMargin) { (s, d) =>
+      // offset-addressing semantics: last write (max arrival id) per slot wins
+      Tables.measurements(s, d)
+        .groupBy(col("user_id"), col("event_type"), TimeSeriesOps.slotSec(Step6).as("slot_ts"))
+        .agg(count(lit(1)).as("writes"),
+          (max_by(col("cents"), col("event_id")).cast("double") / lit(100.0)).as("slot_val"))
+        .orderBy("user_id", "event_type", "slot_ts")
+    }
+  )
+}
