@@ -20,7 +20,11 @@ object SparkEntry {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  val allDefs: Seq[QueryDef] = graft.queries.TsQueries.all
+  val allDefs: Seq[QueryDef] =
+    graft.queries.TsQueries.all ++
+    graft.queries.JoinQueries.all ++
+    graft.queries.AggQueries.all ++
+    graft.queries.WindowQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.Tables.MeasurementsSql
+import graft.functions.TimeWeightedMean
+
+/** SURVEY.md §2 E: aggregation families. Determinism strategy
+  * throughout: DECIMAL or BIGINT accumulation (order-insensitive under
+  * partial aggregation — the property a 1000-executor agg needs),
+  * doubles only in final textually-parallel projections; percentiles
+  * rounded to 4 dp (both engines use linear interpolation). */
+object AggQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q_agg_group",
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |      AS DECIMAL(18,4))) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(expr("CAST(l_quantity AS DECIMAL(18,4))")).as("sum_qty"),
+          sum(expr("CAST(l_extendedprice AS DECIMAL(18,4))")).as("sum_base_price"),
+          sum(expr(
+            """CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+              |(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+              |AS DECIMAL(18,4))""".stripMargin)).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    QueryDef("q_agg_distinct",
+      """SELECT event_type, count(DISTINCT user_id) AS users FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("users"))
+        .orderBy("event_type")
+    },
+
+    // HLL sketches differ across engines — correctness bound is a
+    // ScalaTest (within rsd of exact); driver records rows-only.
+    QueryDef.noOracle("q_agg_approx_hll") { (s, d) =>
+      Tables.events(s, d).groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy("event_type")
+    },
+
+    QueryDef("q_agg_grouping_sets",
+      """SELECT l_returnflag, l_linestatus,
+        |  grouping(l_returnflag, l_linestatus) AS gid,
+        |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("gid"),
+          sum(expr("CAST(l_quantity AS DECIMAL(18,4))")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
+    QueryDef("q_agg_stats",
+      """WITH c AS (
+        |  SELECT c_nationkey, c_acctbal,
+        |         CAST(round(c_acctbal*100) AS BIGINT) AS cents
+        |  FROM customer
+        |)
+        |SELECT c_nationkey, count(*) AS n,
+        |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+        |  round(sqrt(CAST(count(*)*sum(cents*cents) - sum(cents)*sum(cents) AS DOUBLE)
+        |        / CAST(count(*)*(count(*)-1) AS DOUBLE)) / 100.0, 4) AS std_bal,
+        |  round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal
+        |FROM c GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .withColumn("cents", expr("CAST(round(c_acctbal*100) AS BIGINT)"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          min("c_acctbal").as("min_bal"), max("c_acctbal").as("max_bal"),
+          sum(col("cents") * col("cents")).as("s2"), sum("cents").as("s1"),
+          expr("round(percentile(c_acctbal, 0.5), 4)").as("median_bal"))
+        .select(col("c_nationkey"), col("n"), col("min_bal"), col("max_bal"),
+          round(sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double")) / lit(100.0), 4).as("std_bal"),
+          col("median_bal"))
+        .orderBy("c_nationkey")
+    },
+
+    QueryDef("q_agg_collect",
+      MeasurementsSql +
+      """
+        |SELECT user_id, list(event_id ORDER BY ts_us, event_id) AS ids
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      // collect_list order is undefined under parallel merge — sort the
+      // collected (ts, id) structs, then project ids (SURVEY.md §7.4)
+      Tables.measurements(s, d)
+        .groupBy("user_id")
+        .agg(transform(
+          sort_array(collect_list(struct(col("ts_us"), col("event_id")))),
+          x => x.getField("event_id")).as("ids"))
+        .orderBy("user_id")
+    },
+
+    QueryDef("q_udaf_wmean",
+      MeasurementsSql +
+      """,
+        |wt AS (
+        |  SELECT user_id, event_type, cents,
+        |         lead(ts_us) OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts_us, event_id) - ts_us AS w_us
+        |  FROM m
+        |)
+        |SELECT user_id, event_type,
+        |  CAST(sum(cents*w_us) AS DOUBLE) / CAST(sum(w_us) AS DOUBLE) / 100.0 AS wmean
+        |FROM wt WHERE w_us IS NOT NULL
+        |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+      val twMean = udaf(new TimeWeightedMean)
+      Tables.measurements(s, d)
+        .withColumn("w_us", lead("ts_us", 1).over(w) - col("ts_us"))
+        .filter(col("w_us").isNotNull)
+        .groupBy("user_id", "event_type")
+        .agg(twMean(col("cents"), col("w_us")).as("wmean"))
+        .orderBy("user_id", "event_type")
+    }
+  )
+}

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** SURVEY.md §2 D: the join family.
+  *
+  * Scale notes (100 TB): dimension sides (region, nation, the derived
+  * interval table) are explicitly `broadcast()` — at 1000 executors a
+  * shuffled join on a 25-row dim would be pure overhead. The fact
+  * joins (orders⋈lineitem) stay shuffled on their keys and AQE picks
+  * SMJ/SHJ + handles skew. The interval/as-of joins broadcast the
+  * (small, per-entity) metadata side so the probe is a map-side
+  * nested-loop over co-partitioned rows, never a cartesian shuffle.
+  */
+object JoinQueries {
+
+  private val RevenueExpr =
+    """CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |     (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+      |     AS DECIMAL(18,4))""".stripMargin
+
+  /** Purchase-validity intervals per user: [purchase ts, next purchase
+    * ts) — the IfRef temporal-metadata analog [pub: esxsnmp/sql.py
+    * IfRef begin_time/end_time — unverified, SURVEY.md §0]. */
+  private val IntervalsSql =
+    """iv AS (
+      |  SELECT user_id, event_id AS iv_id, epoch_us(ts) AS b_us,
+      |         coalesce(lead(epoch_us(ts)) OVER (
+      |             PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+      |           9223372036854775807) AS e_us
+      |  FROM events WHERE event_type = 'purchase'
+      |)""".stripMargin
+
+  private def intervals(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val w = Window.partitionBy("user_id").orderBy("b_us", "iv_id")
+    Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("iv_id"),
+        unix_micros(col("ts")).as("b_us"))
+      .withColumn("e_us", coalesce(lead("b_us", 1).over(w), lit(Long.MaxValue)))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q_join_broadcast",
+      """SELECT n_nationkey, n_name, r_name FROM nation
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")
+    },
+
+    QueryDef("q_join_shuffle",
+      s"""SELECT o_orderkey, count(*) AS n_items, sum($RevenueExpr) AS revenue
+         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"), sum(expr(RevenueExpr)).as("revenue"))
+        .orderBy("o_orderkey")
+    },
+
+    QueryDef("q_join_outer",
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    },
+
+    QueryDef("q_join_semi",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    QueryDef("q_join_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    QueryDef("q_join_range_ifref",
+      s"""WITH $IntervalsSql
+         |SELECT e.event_id, iv.iv_id
+         |FROM events e JOIN iv ON e.user_id = iv.user_id
+         |  AND epoch_us(e.ts) >= iv.b_us AND epoch_us(e.ts) < iv.e_us
+         |WHERE e.event_type = 'click'
+         |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val iv = intervals(s, d)
+      ev.join(broadcast(iv),
+          ev("user_id") === iv("user_id") &&
+            col("ts_us") >= col("b_us") && col("ts_us") < col("e_us"))
+        .select(col("event_id"), col("iv_id"))
+        .orderBy("event_id")
+    },
+
+    QueryDef("q_join_asof",
+      """WITH p AS (
+        |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_ts_us
+        |  FROM events WHERE event_type = 'purchase'
+        |), j AS (
+        |  SELECT e.event_id, p.p_id,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |             ORDER BY p.p_ts_us DESC NULLS LAST, p.p_id DESC NULLS LAST) AS rn
+        |  FROM events e LEFT JOIN p ON p.user_id = e.user_id
+        |    AND p.p_ts_us <= epoch_us(e.ts)
+        |  WHERE e.event_type = 'click'
+        |)
+        |SELECT event_id, p_id FROM j WHERE rn = 1
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val clicks = Tables.events(s, d).filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+          unix_micros(col("ts")).as("p_ts_us"))
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("p_ts_us").desc_nulls_last, col("p_id").desc_nulls_last)
+      clicks.join(broadcast(p),
+          col("p_user") === col("user_id") && col("p_ts_us") <= col("ts_us"), "left")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("event_id", "p_id")
+        .orderBy("event_id")
+    },
+
+    QueryDef("q_join_cross",
+      """SELECT r_regionkey, n_nationkey, r_name, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin) { (s, d) =>
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select("r_regionkey", "n_nationkey", "r_name", "n_name")
+        .orderBy("r_regionkey", "n_nationkey")
+    }
+  )
+}

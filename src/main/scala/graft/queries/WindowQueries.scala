@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.Tables.MeasurementsSql
+
+/** SURVEY.md §2 F–H: window functions, sort/limit/top-k, set ops.
+  * Every window orders on a unique key suffix (ts_us, event_id) so
+  * frames are reproducible; every output ends in a total ORDER BY. */
+object WindowQueries {
+
+  private val seriesW =
+    Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+
+  // week boundaries (epoch s): 2024-01-01, 2024-01-08, 2024-01-15
+  private val W1b = 1704067200000000L
+  private val W1e = 1704672000000000L
+  private val W2e = 1705276800000000L
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q_window_rank",
+      MeasurementsSql +
+      """,
+        |t AS (
+        |  SELECT event_type, user_id, sum(cents) AS total_cents
+        |  FROM m GROUP BY event_type, user_id
+        |)
+        |SELECT event_type, user_id, total_cents,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+        |FROM t WINDOW w AS (PARTITION BY event_type ORDER BY total_cents DESC)
+        |ORDER BY event_type, user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy(col("total_cents").desc)
+      Tables.measurements(s, d)
+        .groupBy("event_type", "user_id")
+        .agg(sum("cents").as("total_cents"))
+        .select(col("event_type"), col("user_id"), col("total_cents"),
+          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+        .orderBy("event_type", "user_id")
+    },
+
+    QueryDef("q_window_running",
+      MeasurementsSql +
+      """
+        |SELECT event_id,
+        |  sum(cents) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+        |FROM m ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.measurements(s, d)
+        .select(col("event_id"),
+          sum("cents").over(seriesW.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("run_cents"))
+        .orderBy("event_id")
+    },
+
+    QueryDef("q_window_moving",
+      MeasurementsSql +
+      """
+        |SELECT event_id,
+        |  CAST(sum(cents) OVER w AS DOUBLE) / 100.0
+        |    / CAST(count(*) OVER w AS DOUBLE) AS mov_avg
+        |FROM m WINDOW w AS (PARTITION BY user_id, event_type
+        |    ORDER BY ts_us, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = seriesW.rowsBetween(-4, 0)
+      Tables.measurements(s, d)
+        .select(col("event_id"),
+          (sum("cents").over(w).cast("double") / lit(100.0) /
+            count(lit(1)).over(w).cast("double")).as("mov_avg"))
+        .orderBy("event_id")
+    },
+
+    QueryDef("q_window_lag_lead",
+      MeasurementsSql +
+      """
+        |SELECT event_id,
+        |  lag(cents) OVER w AS prev_cents, lead(cents) OVER w AS next_cents
+        |FROM m WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.measurements(s, d)
+        .select(col("event_id"),
+          lag("cents", 1).over(seriesW).as("prev_cents"),
+          lead("cents", 1).over(seriesW).as("next_cents"))
+        .orderBy("event_id")
+    },
+
+    QueryDef("q_window_ntile",
+      """SELECT c_custkey,
+        |  ntile(4) OVER w AS quartile, percent_rank() OVER w AS pr
+        |FROM customer WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val w = Window.orderBy("c_acctbal", "c_custkey")
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          ntile(4).over(w).as("quartile"), percent_rank().over(w).as("pr"))
+        .orderBy("c_custkey")
+    },
+
+    // ---- G. sort / limit / top-k --------------------------------------
+    QueryDef("q_orderby_limit",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      // order-by-limit plans as TakeOrderedAndProject: per-partition
+      // top-k then a k-row driver merge — no global sort at scale
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    },
+
+    QueryDef("q_topk_per_group",
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders
+        |)
+        |SELECT o_custkey, o_orderkey, o_totalprice, rn FROM r WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+
+    QueryDef("q_sort_multi",
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+        |ORDER BY user_id, event_type, ts_us, event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .orderBy("user_id", "event_type", "ts_us", "event_id")
+    },
+
+    // ---- H. set operations --------------------------------------------
+    QueryDef("q_union_all",
+      s"""SELECT event_id, user_id, event_type FROM events
+         |WHERE epoch_us(ts) >= $W1b AND epoch_us(ts) < $W1e
+         |UNION ALL
+         |SELECT event_id, user_id, event_type FROM events
+         |WHERE epoch_us(ts) >= $W1e AND epoch_us(ts) < $W2e
+         |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      ev.filter(col("ts_us") >= W1b && col("ts_us") < W1e)
+        .unionByName(ev.filter(col("ts_us") >= W1e && col("ts_us") < W2e))
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    },
+
+    QueryDef("q_intersect",
+      s"""SELECT user_id FROM events WHERE epoch_us(ts) >= $W1b AND epoch_us(ts) < $W1e
+         |INTERSECT
+         |SELECT user_id FROM events WHERE epoch_us(ts) >= $W1e AND epoch_us(ts) < $W2e
+         |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      ev.filter(col("ts_us") >= W1b && col("ts_us") < W1e).select("user_id")
+        .intersect(ev.filter(col("ts_us") >= W1e && col("ts_us") < W2e).select("user_id"))
+        .orderBy("user_id")
+    },
+
+    QueryDef("q_except",
+      s"""SELECT user_id FROM events WHERE epoch_us(ts) >= $W1b AND epoch_us(ts) < $W1e
+         |EXCEPT
+         |SELECT user_id FROM events WHERE epoch_us(ts) >= $W1e AND epoch_us(ts) < $W2e
+         |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      ev.filter(col("ts_us") >= W1b && col("ts_us") < W1e).select("user_id")
+        .except(ev.filter(col("ts_us") >= W1e && col("ts_us") < W2e).select("user_id"))
+        .orderBy("user_id")
+    }
+  )
+}
