@@ -59,6 +59,17 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: spark output missing/unreadable: {e}")
             n_bad += 1
             continue
+        # dtype audit (warn-only): engines should agree on arrow types too
+        try:
+            ea = con.execute(sql).arrow().schema
+            ga = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").arrow().schema
+            for cname in sorted(set(ea.names) & set(ga.names)):
+                et, gt = ea.field(cname).type, ga.field(cname).type
+                if str(et) != str(gt):
+                    print(f"  dtype {name}.{cname}: oracle={et} spark={gt}")
+        except Exception:
+            pass
         if sorted(exp_cols) != sorted(got_cols):
             print(f"FAIL {name}: columns differ: oracle={sorted(exp_cols)} spark={sorted(got_cols)}")
             n_bad += 1

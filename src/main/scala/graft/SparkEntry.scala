@@ -24,7 +24,11 @@ object SparkEntry {
     graft.queries.TsQueries.all ++
     graft.queries.JoinQueries.all ++
     graft.queries.AggQueries.all ++
-    graft.queries.WindowQueries.all
+    graft.queries.WindowQueries.all ++
+    graft.queries.ScalarQueries.all ++
+    graft.queries.TextQueries.all ++
+    graft.queries.VectorQueries.all ++
+    graft.queries.StreamQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -89,9 +89,9 @@ object Tables {
       |         epoch_us(ts) AS ts_us,
       |         CAST(round(value*100) AS BIGINT) AS cents,
       |         value, props,
-      |         sum(CAST(round(value*100) AS BIGINT)) OVER (
+      |         CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (
       |           PARTITION BY user_id, event_type
-      |           ORDER BY epoch_us(ts), event_id) AS counter,
+      |           ORDER BY epoch_us(ts), event_id) AS BIGINT) AS counter,
       |         counter % 1000000 AS wrapped
       |  FROM events
       |)""".stripMargin

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-similarity building blocks (SURVEY.md §2 J, vector half).
+  *
+  * Determinism: every float is widened to double FIRST, products are
+  * taken in index order, and the sum is a sequential left fold
+  * (`aggregate`), matching DuckDB's `list_reduce` evaluation order
+  * bit for bit. No BLAS, no reassociation.
+  *
+  * Scale: brute-force top-k is the correctness baseline (O(n²·d) —
+  * fine to ~10⁴ vectors when one side is broadcast). The scale path is
+  * [[lshBucketCosine]]: sign-random-projection buckets cut candidate
+  * pairs to matching buckets only, trading recall for a ~bucket-count
+  * speedup; both paths share the same scoring expression.
+  */
+object VectorOps {
+
+  /** Cast a float array column to double. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-fold dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(aggregate(
+    transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** vec_id + v (double) + nrm, from an embeddings table. */
+  def normalized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** All-pairs cosine with the small side broadcast; `cond` restricts
+    * the pair space (a≠b for top-k, a<b for near-dup). */
+  def cosinePairs(emb: DataFrame, cond: (Column, Column) => Column): DataFrame = {
+    val n = normalized(emb)
+    val a = n.toDF("a_id", "av", "anrm")
+    val b = n.toDF("b_id", "bv", "bnrm")
+    a.join(broadcast(b), cond(col("a_id"), col("b_id")))
+      .withColumn("sim", round(dot(col("av"), col("bv")) / col("anrm") / col("bnrm"), 4))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a codegen-friendly integer hash mapped to [-0.5, 0.5). */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(hash(lit(plane) * 1000003 + dim * 7919), lit(1000000)).cast("double")
+      / lit(1000000.0)) - lit(0.5)
+
+  /** Sign-random-projection (SimHash-style) bucket id over `nPlanes`
+    * deterministic hyperplanes — the LSH prefilter for cosine ANN. */
+  def srpBucket(v: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(1), size(v)), (x, i) => x * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a + b)
+  }
+
+  /** ANN via LSH buckets: cosine scored only within matching buckets.
+    * Recall < 1 by design; verified against brute force in ScalaTest. */
+  def lshBucketCosine(emb: DataFrame, nPlanes: Int): DataFrame = {
+    val n = normalized(emb).withColumn("bucket", srpBucket(col("v"), nPlanes))
+    val a = n.toDF("a_id", "av", "anrm", "bucket")
+    val b = n.toDF("b_id", "bv", "bnrm", "bucket")
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", round(dot(col("av"), col("bv")) / col("anrm") / col("bnrm"), 4))
+      .select("a_id", "b_id", "bucket", "sim")
+  }
+}

@@ -32,12 +32,13 @@ object AggQueries {
         .filter(expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(expr("CAST(l_quantity AS DECIMAL(18,4))")).as("sum_qty"),
-          sum(expr("CAST(l_extendedprice AS DECIMAL(18,4))")).as("sum_base_price"),
+          // cast to DuckDB's sum-result width so arrow dtypes agree
+          sum(expr("CAST(l_quantity AS DECIMAL(18,4))")).cast("decimal(38,4)").as("sum_qty"),
+          sum(expr("CAST(l_extendedprice AS DECIMAL(18,4))")).cast("decimal(38,4)").as("sum_base_price"),
           sum(expr(
             """CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
               |(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-              |AS DECIMAL(18,4))""".stripMargin)).as("sum_disc_price"),
+              |AS DECIMAL(18,4))""".stripMargin)).cast("decimal(38,4)").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -67,7 +68,7 @@ object AggQueries {
       Tables.lineitem(s, d)
         .rollup("l_returnflag", "l_linestatus")
         .agg(grouping_id().as("gid"),
-          sum(expr("CAST(l_quantity AS DECIMAL(18,4))")).as("sum_qty"),
+          sum(expr("CAST(l_quantity AS DECIMAL(18,4))")).cast("decimal(38,4)").as("sum_qty"),
           count(lit(1)).as("n"))
         .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
         .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,

@@ -62,7 +62,8 @@ object JoinQueries {
       Tables.orders(s, d)
         .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderkey")
-        .agg(count(lit(1)).as("n_items"), sum(expr(RevenueExpr)).as("revenue"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(expr(RevenueExpr)).cast("decimal(38,4)").as("revenue"))
         .orderBy("o_orderkey")
     },
 

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** SURVEY.md §2 I: scalar function surface — string, date, math,
+  * array (higher-order), map/json. Integer-typed derivations are cast
+  * to BIGINT on BOTH sides (engines disagree on default widths:
+  * DuckDB year()/len() return BIGINT where Spark returns INT);
+  * transcendentals (ln, power) are rounded — libm vs Math may differ
+  * in the last ulp. */
+object ScalarQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q_str_funcs",
+      """SELECT doc_id,
+        |  upper(substring(text, 1, 12)) AS head,
+        |  CAST(length(text) AS BIGINT) AS n_len,
+        |  text LIKE '%query%' AS has_query,
+        |  regexp_extract(text, '([a-z]+)', 1) AS first_word,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  concat_ws('|', lang, source) AS tag
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).selectExpr("doc_id",
+          "upper(substring(text, 1, 12)) AS head",
+          "CAST(length(text) AS BIGINT) AS n_len",
+          "text LIKE '%query%' AS has_query",
+          "regexp_extract(text, '([a-z]+)', 1) AS first_word",
+          "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
+          "concat_ws('|', lang, source) AS tag")
+        .orderBy("doc_id")
+    },
+
+    QueryDef("q_date_funcs",
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(isodow(o_orderdate) AS BIGINT) AS dow,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+        |  CAST(o_orderdate AS DATE) AS od
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).selectExpr("o_orderkey",
+          "CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start",
+          "CAST(year(o_orderdate) AS BIGINT) AS y",
+          "CAST(month(o_orderdate) AS BIGINT) AS mo",
+          "CAST(weekday(o_orderdate) + 1 AS BIGINT) AS dow",
+          "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS BIGINT) AS days_since",
+          "CAST(o_orderdate AS DATE) AS od")
+        .orderBy("o_orderkey")
+    },
+
+    QueryDef("q_math_funcs",
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice / l_quantity AS unit_price,
+        |  abs(l_discount - 0.05) AS disc_dev,
+        |  round(ln(l_extendedprice), 6) AS ln_price,
+        |  sqrt(l_quantity) AS sqrt_qty,
+        |  round(power(l_quantity, 2.0), 6) AS qty_sq,
+        |  greatest(l_tax, l_discount) AS max_rate,
+        |  least(l_tax, l_discount) AS min_rate,
+        |  CAST(l_orderkey % 7 AS BIGINT) AS mod7,
+        |  CAST(l_orderkey // 7 AS BIGINT) AS div7
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).selectExpr("l_orderkey", "l_linenumber",
+          "l_extendedprice / l_quantity AS unit_price",
+          "abs(l_discount - 0.05) AS disc_dev",
+          "round(ln(l_extendedprice), 6) AS ln_price",
+          "sqrt(l_quantity) AS sqrt_qty",
+          "round(power(l_quantity, 2.0), 6) AS qty_sq",
+          "greatest(l_tax, l_discount) AS max_rate",
+          "least(l_tax, l_discount) AS min_rate",
+          "CAST(l_orderkey % 7 AS BIGINT) AS mod7",
+          "CAST(l_orderkey div 7 AS BIGINT) AS div7")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    QueryDef("q_array_funcs",
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  embedding[1] AS e1,
+        |  embedding[1:4] AS e_head,
+        |  list_max(embedding) AS e_max,
+        |  list_contains(embedding, embedding[1]) AS has_first,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE))),
+        |    (a, x) -> a + x), 4) AS e_sum
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      // higher-order functions: sequential left fold in index order —
+      // the same evaluation order DuckDB's list_reduce uses, so the
+      // double sum is bit-identical
+      Tables.embeddings(s, d).selectExpr("vec_id",
+          "CAST(size(embedding) AS BIGINT) AS dim",
+          "element_at(embedding, 1) AS e1",
+          "slice(embedding, 1, 4) AS e_head",
+          "array_max(embedding) AS e_max",
+          "array_contains(embedding, element_at(embedding, 1)) AS has_first",
+          """round(aggregate(transform(embedding, x -> CAST(x AS DOUBLE)),
+            |  CAST(0.0 AS DOUBLE), (a, x) -> a + x), 4) AS e_sum""".stripMargin)
+        .orderBy("vec_id")
+    },
+
+    QueryDef("q_map_json_funcs",
+      """SELECT event_id,
+        |  CAST(props->>'$.k' AS BIGINT) AS k,
+        |  json_keys(props) AS ks,
+        |  [CAST(props->>'$.k' AS BIGINT)] AS vs
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d).selectExpr("event_id",
+          "CAST(get_json_object(props, '$.k') AS BIGINT) AS k",
+          "map_keys(from_json(props, 'map<string,bigint>')) AS ks",
+          "map_values(from_json(props, 'map<string,bigint>')) AS vs")
+        .orderBy("event_id")
+    }
+  )
+}

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.Tables.MeasurementsSql
+
+/** SURVEY.md §2 K: batch-equivalents of the streaming windows. The
+  * Spark side uses the REAL streaming window operators — `window()`
+  * tumbling/sliding and `session_window()` — evaluated in batch mode
+  * (identical semantics, Structured Streaming runs the same exprs per
+  * microbatch); the oracle states the same windows as slot arithmetic.
+  * Stateful streaming proper (watermarks, dedup, custom state) has no
+  * SQL oracle and lives in streaming/StreamingOps + ScalaTest. */
+object StreamQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q_stream_tumbling",
+      MeasurementsSql +
+      """
+        |SELECT event_type, (ts_us // 3600000000) * 3600 AS w_start,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM m GROUP BY event_type, w_start
+        |ORDER BY event_type, w_start""".stripMargin) { (s, d) =>
+      Tables.measurements(s, d)
+        .groupBy(col("event_type"), window(timestamp_micros(col("ts_us")), "1 hour"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(col("event_type"), unix_timestamp(col("window.start")).as("w_start"),
+          col("n"), col("sum_cents"))
+        .orderBy("event_type", "w_start")
+    },
+
+    QueryDef("q_stream_sliding",
+      MeasurementsSql +
+      """
+        |SELECT event_type, ((ts_us // 900000000) - k.k) * 900 AS w_start,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM m CROSS JOIN range(0, 4) k(k)
+        |GROUP BY event_type, w_start
+        |ORDER BY event_type, w_start""".stripMargin) { (s, d) =>
+      // 1 h windows sliding by 15 min: every event lands in exactly 4
+      Tables.measurements(s, d)
+        .groupBy(col("event_type"),
+          window(timestamp_micros(col("ts_us")), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), unix_timestamp(col("window.start")).as("w_start"), col("n"))
+        .orderBy("event_type", "w_start")
+    },
+
+    QueryDef("q_stream_session",
+      MeasurementsSql +
+      """,
+        |s AS (
+        |  SELECT user_id, ts_us, event_id,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |),
+        |g AS (
+        |  SELECT user_id, ts_us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM s
+        |)
+        |SELECT user_id, min(ts_us) AS s_begin_us, max(ts_us) AS s_end_us,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, s_begin_us""".stripMargin) { (s, d) =>
+      // session_window merges events with gap < 30 min (an event at
+      // exactly start+30min opens a NEW session — mirrored by the
+      // oracle's `>= 1800000000` new-session test)
+      Tables.measurements(s, d)
+        .groupBy(session_window(timestamp_micros(col("ts_us")), "30 minutes"), col("user_id"))
+        .agg(min("ts_us").as("s_begin_us"), max("ts_us").as("s_end_us"),
+          count(lit(1)).as("n"))
+        .select("user_id", "s_begin_us", "s_end_us", "n")
+        .orderBy("user_id", "s_begin_us")
+    }
+  )
+}

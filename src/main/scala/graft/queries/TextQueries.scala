@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.operators.TextOps
+
+/** SURVEY.md §2 J (text half): exact dedup, wordcount, per-lang stats,
+  * tf-idf, stopword-ratio language ID, quality scoring, document
+  * fingerprinting, n-gram Jaccard near-dup — the text-analysis surface
+  * of a training-data pipeline, all oracle-checked. */
+object TextQueries {
+
+  private val Stopwords = Seq("the", "a", "of", "is")
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q_dedup_exact",
+      """WITH h AS (SELECT doc_id, md5(text) AS digest FROM documents)
+        |SELECT digest, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS n_dups
+        |FROM h GROUP BY digest ORDER BY digest""".stripMargin) { (s, d) =>
+      // content-hash dedup: at 100 TB this is the map-side-combined
+      // groupBy on a 128-bit digest — no full-text shuffle
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+        .groupBy("digest")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+        .orderBy("digest")
+    },
+
+    QueryDef("q_text_wordcount",
+      """SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |GROUP BY word ORDER BY word""".stripMargin) { (s, d) =>
+      TextOps.tokens(Tables.documents(s, d))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy("word")
+    },
+
+    QueryDef("q_text_lang_stats",
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS median_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"),
+          expr("round(percentile(CAST(n_chars AS DOUBLE), 0.5), 4)").as("median_chars"))
+        .orderBy("lang", "source")
+    },
+
+    QueryDef("q_text_tfidf",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+        |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY word),
+        |nd AS (SELECT count(*) AS nd FROM documents),
+        |sc AS (SELECT doc_id, word,
+        |         round(CAST(tf AS DOUBLE) * ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)), 4) AS tfidf
+        |       FROM tf JOIN df USING (word) CROSS JOIN nd),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                    ORDER BY tfidf DESC, word) AS rn FROM sc)
+        |SELECT doc_id, word, tfidf, CAST(rn AS BIGINT) AS rn
+        |FROM rk WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
+      val tok = TextOps.tokens(Tables.documents(s, d))
+      val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+      val nd = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))
+      tf.join(broadcast(df), "word").crossJoin(broadcast(nd))
+        .withColumn("tfidf",
+          round(col("tf").cast("double") * log(col("nd").cast("double") / col("df").cast("double")), 4))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("doc_id"), col("word"), col("tfidf"), col("rn").cast("bigint").as("rn"))
+        .orderBy("doc_id", "rn")
+    },
+
+    QueryDef("q_text_langid",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |         CAST(count(*) FILTER (WHERE word IN ('the', 'a', 'of', 'is')) AS BIGINT) AS stop_hits
+        |       FROM tok GROUP BY doc_id)
+        |SELECT doc_id, n_tok, stop_hits,
+        |  CASE WHEN stop_hits * 10 >= n_tok THEN 'en'
+        |       WHEN stop_hits > 0 THEN 'en_low' ELSE 'unk' END AS lang_guess
+        |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextOps.tokenStats(Tables.documents(s, d), Stopwords)
+        .select(col("doc_id"), col("n_tok"), col("stop_hits"),
+          when(col("stop_hits") * 10 >= col("n_tok"), "en")
+            .when(col("stop_hits") > 0, "en_low")
+            .otherwise("unk").as("lang_guess"))
+        .orderBy("doc_id")
+    },
+
+    QueryDef("q_text_quality",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |         CAST(count(DISTINCT word) AS BIGINT) AS n_distinct,
+        |         CAST(count(*) FILTER (WHERE word IN ('the', 'a', 'of', 'is')) AS BIGINT) AS stop_hits
+        |       FROM tok GROUP BY doc_id)
+        |SELECT doc_id, n_tok,
+        |  round(CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE), 4) AS distinct_ratio,
+        |  round(CAST(stop_hits AS DOUBLE) / CAST(n_tok AS DOUBLE), 4) AS stop_ratio,
+        |  round(0.4 * (CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE))
+        |    + 0.4 * (1.0 - CAST(stop_hits AS DOUBLE) / CAST(n_tok AS DOUBLE))
+        |    + 0.2 * least(1.0, CAST(n_tok AS DOUBLE) / 100.0), 4) AS quality
+        |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextOps.tokenStats(Tables.documents(s, d), Stopwords)
+        .select(col("doc_id"), col("n_tok"),
+          round(col("n_distinct").cast("double") / col("n_tok").cast("double"), 4).as("distinct_ratio"),
+          round(col("stop_hits").cast("double") / col("n_tok").cast("double"), 4).as("stop_ratio"),
+          round(lit(0.4) * (col("n_distinct").cast("double") / col("n_tok").cast("double"))
+            + lit(0.4) * (lit(1.0) - col("stop_hits").cast("double") / col("n_tok").cast("double"))
+            + lit(0.2) * least(lit(1.0), col("n_tok").cast("double") / lit(100.0)), 4).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    QueryDef("q_text_fingerprint",
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '),
+        |        w -> CAST(length(w) AS BIGINT) * 31 + CAST(ascii(w) AS BIGINT))),
+        |    (a, x) -> (a * 131 + x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    QueryDef("q_dedup_ngram_jaccard",
+      """WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(arr) - 1),
+        |        i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS sh
+        |    FROM arrs WHERE len(arr) >= 3) t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |ix AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |       GROUP BY a.doc_id, b.doc_id)
+        |SELECT a_id, b_id,
+        |  round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 4) AS jacc
+        |FROM ix JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.02
+        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      // shingle-set Jaccard: the exact version of MinHash near-dup.
+      // At 100 TB the candidate join is bounded by banding (see
+      // DedupOps.minHashCandidates) — this exact form is the oracle.
+      val sh = TextOps.shingles(Tables.documents(s, d), 3)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.toDF("a_id", "sh")
+      val b = sh.toDF("b_id", "sh")
+      val ix = a.join(b, a("sh") === b("sh") && col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+      val jacc = col("i").cast("double") /
+        (col("na") + col("nb") - col("i")).cast("double")
+      ix.join(sz.toDF("a_id", "na"), "a_id")
+        .join(sz.toDF("b_id", "nb"), "b_id")
+        .filter(jacc >= 0.02)
+        .select(col("a_id"), col("b_id"), round(jacc, 4).as("jacc"))
+        .orderBy("a_id", "b_id")
+    }
+  )
+}

@@ -186,7 +186,7 @@ object TsQueries {
         |  FROM m WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
         |)
         |SELECT user_id, event_type, (ts_us // 21600000000) * 21600 AS slot_ts,
-        |  sum(((wrapped - prev_wrapped) % 1000000 + 1000000) % 1000000) AS sum_delta_cents,
+        |  CAST(sum(((wrapped - prev_wrapped) % 1000000 + 1000000) % 1000000) AS BIGINT) AS sum_delta_cents,
         |  CAST(sum(((wrapped - prev_wrapped) % 1000000 + 1000000) % 1000000) AS DOUBLE) / 100.0 AS delta_val
         |FROM r
         |WHERE prev_ts_us IS NOT NULL AND (ts_us - prev_ts_us) <= 21600000000
@@ -209,7 +209,7 @@ object TsQueries {
         |  FROM m GROUP BY 1, 2, 3
         |)
         |SELECT user_id, event_type, (slot_ts // 86400) * 86400 AS day_ts,
-        |  sum(n) AS n,
+        |  CAST(sum(n) AS BIGINT) AS n,
         |  CAST(sum(sum_cents) AS DOUBLE) / 100.0 / CAST(sum(n) AS DOUBLE) AS avg_val
         |FROM h GROUP BY 1, 2, 3
         |ORDER BY user_id, event_type, day_ts""".stripMargin) { (s, d) =>

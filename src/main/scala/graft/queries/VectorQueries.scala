@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.operators.VectorOps
+
+/** SURVEY.md §2 J (vector half): brute-force cosine top-k (the ANN
+  * correctness baseline), multimodal join, embedding-cosine near-dup.
+  * Shared DuckDB formulation: cast-to-double, index-order products,
+  * sequential list_reduce fold — bit-identical to VectorOps. */
+object VectorQueries {
+
+  /** DuckDB CTE computing normalized double vectors, mirroring
+    * [[VectorOps.normalized]] (dim = 64, FIXTURES.md). */
+  private val NormSql =
+    """n AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |             list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x)),
+      |           (a, x) -> a + x)) AS nrm
+      |  FROM embeddings
+      |)""".stripMargin
+
+  private val PairSimSql =
+    """round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(range(1, 65), i -> a.v[i] * b.v[i])),
+      |  (x, y) -> x + y) / a.nrm / b.nrm, 4)""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q_sim_cosine_topk",
+      s"""WITH $NormSql,
+         |p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, $PairSimSql AS sim
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+         |),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY a_id
+         |                     ORDER BY sim DESC, b_id) AS rn FROM p)
+         |SELECT a_id, CAST(rn AS BIGINT) AS rn, b_id, sim
+         |FROM rk WHERE rn <= 5 ORDER BY a_id, rn""".stripMargin) { (s, d) =>
+      // rank on the ROUNDED sim with id tiebreak: ulp-level noise can
+      // never reorder neighbors (SURVEY.md §7.4)
+      val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
+      VectorOps.cosinePairs(Tables.embeddings(s, d), (a, b) => a =!= b)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("a_id"), col("rn").cast("bigint").as("rn"), col("b_id"), col("sim"))
+        .orderBy("a_id", "rn")
+    },
+
+    QueryDef("q_multimodal_join",
+      """SELECT d.doc_id, d.lang, d.n_chars,
+        |  round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), x -> x * x)),
+        |    (a, x) -> a + x)), 4) AS vec_norm
+        |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |WHERE d.lang = 'en' AND contains(d.text, 'data')
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("lang") === "en" && col("text").contains("data"))
+        .join(Tables.embeddings(s, d), col("vec_id") === col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(VectorOps.norm(VectorOps.asDouble(col("embedding"))), 4).as("vec_norm"))
+        .orderBy("doc_id")
+    },
+
+    QueryDef("q_dedup_embed",
+      s"""WITH $NormSql,
+         |p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, $PairSimSql AS sim
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |)
+         |SELECT a_id, b_id, sim FROM p WHERE sim >= 0.30
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      VectorOps.cosinePairs(Tables.embeddings(s, d), (a, b) => a < b)
+        .filter(col("sim") >= 0.30)
+        .select("a_id", "b_id", "sim")
+        .orderBy("a_id", "b_id")
+    }
+  )
+}

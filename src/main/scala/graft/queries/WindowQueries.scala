@@ -25,7 +25,7 @@ object WindowQueries {
       MeasurementsSql +
       """,
         |t AS (
-        |  SELECT event_type, user_id, sum(cents) AS total_cents
+        |  SELECT event_type, user_id, CAST(sum(cents) AS BIGINT) AS total_cents
         |  FROM m GROUP BY event_type, user_id
         |)
         |SELECT event_type, user_id, total_cents,
@@ -37,7 +37,8 @@ object WindowQueries {
         .groupBy("event_type", "user_id")
         .agg(sum("cents").as("total_cents"))
         .select(col("event_type"), col("user_id"), col("total_cents"),
-          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+          rank().over(w).cast("bigint").as("rnk"),
+          dense_rank().over(w).cast("bigint").as("drnk"))
         .orderBy("event_type", "user_id")
     },
 
@@ -45,9 +46,9 @@ object WindowQueries {
       MeasurementsSql +
       """
         |SELECT event_id,
-        |  sum(cents) OVER (PARTITION BY user_id, event_type
+        |  CAST(sum(cents) OVER (PARTITION BY user_id, event_type
         |      ORDER BY ts_us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
         |FROM m ORDER BY event_id""".stripMargin) { (s, d) =>
       Tables.measurements(s, d)
         .select(col("event_id"),
@@ -95,7 +96,7 @@ object WindowQueries {
       val w = Window.orderBy("c_acctbal", "c_custkey")
       Tables.customer(s, d)
         .select(col("c_custkey"),
-          ntile(4).over(w).as("quartile"), percent_rank().over(w).as("pr"))
+          ntile(4).over(w).cast("bigint").as("quartile"), percent_rank().over(w).as("pr"))
         .orderBy("c_custkey")
     },
 
@@ -124,7 +125,7 @@ object WindowQueries {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables.orders(s, d)
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .withColumn("rn", row_number().over(w).cast("bigint")).filter(col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
         .orderBy("o_custkey", "rn")
     },
