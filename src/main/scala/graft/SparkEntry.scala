@@ -28,7 +28,8 @@ object SparkEntry {
     graft.queries.ScalarQueries.all ++
     graft.queries.TextQueries.all ++
     graft.queries.VectorQueries.all ++
-    graft.queries.StreamQueries.all
+    graft.queries.StreamQueries.all ++
+    graft.queries.MiscQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,36 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.operators.{DedupOps, MultimodalOps, VectorOps}
+
+/** Oracle-exempt operators (hash functions / stub codecs have no DuckDB
+  * twin): MinHash-LSH + SimHash near-dup, LSH-bucketed ANN, multimodal
+  * decode pipeline. Driver records rows-only; semantics are pinned by
+  * ScalaTest (planted near-dups recovered, LSH ⊆ brute force, stub
+  * decode deterministic). */
+object MiscQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef.noOracle("q_dedup_minhash") { (s, d) =>
+      DedupOps.minHashCandidates(Tables.documents(s, d), k = 16, bands = 4)
+        .orderBy("a_id", "b_id")
+    },
+
+    QueryDef.noOracle("q_dedup_simhash") { (s, d) =>
+      DedupOps.simHashCandidates(Tables.documents(s, d), maxDist = 16)
+        .orderBy("a_id", "b_id")
+    },
+
+    QueryDef.noOracle("q_sim_ann_lsh") { (s, d) =>
+      VectorOps.lshBucketCosine(Tables.embeddings(s, d), nPlanes = 8)
+        .orderBy("a_id", "b_id")
+    },
+
+    QueryDef.noOracle("q_multimodal_decode") { (s, d) =>
+      MultimodalOps.pipeline(s, d).orderBy("media_id")
+    }
+  )
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2 K): the reference's
+  * poller → persist-queue → persister pipeline [pub: esxsnmp/poller.py,
+  * persist.py TSDBPollPersister — unverified, SURVEY.md §0] re-expressed
+  * as streaming DataFrames. Out-of-order tolerance (the reference's
+  * offset addressing accepts late rows) becomes watermarks; the
+  * per-insert Aggregator.update cascade becomes watermark+append
+  * windowed aggregation; heartbeat-gap detection becomes custom state
+  * via flatMapGroupsWithState.
+  *
+  * Every transform takes/returns DataFrames so the SAME code runs on
+  * MemoryStream (tests), file streams (fixture), or Kafka (cluster).
+  */
+object StreamingOps {
+
+  case class Meas(user_id: Long, event_type: String, ts_us: Long, cents: Long)
+  case class GapAlert(user_id: Long, event_type: String,
+      from_us: Long, to_us: Long, gap_us: Long)
+
+  /** File-source stream over the events fixture (one parquet = one
+    * microbatch replay; on a cluster this is a directory listener). */
+  def eventFileStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/events.parquet")
+  }
+
+  /** Normalize a raw event stream to measurements (ts as timestamp). */
+  def asMeasurements(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("event_type"), col("ts"),
+      expr("CAST(round(value*100) AS BIGINT)").as("cents"))
+
+  /** Tumbling 1 h counts with a 10 min watermark: late rows beyond the
+    * watermark are dropped; append mode emits a window once final. */
+  def tumblingCounts(m: DataFrame): DataFrame =
+    m.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_cents"))
+
+  /** Sliding 1 h / 15 min variant. */
+  def slidingCounts(m: DataFrame): DataFrame =
+    m.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Session windows (30 min inactivity gap) per user. */
+  def sessionCounts(m: DataFrame): DataFrame =
+    m.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n"))
+
+  /** Streaming dedup on event_id within the watermark — the idempotent
+    * slot-upsert semantics, online. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Online heartbeat-gap detection: custom keyed state holding the
+    * last-seen timestamp per series; a batch whose first event is more
+    * than `hbUs` after the stored last-seen emits a GapAlert — the
+    * streaming form of q_ts_heartbeat's invalidation rule. */
+  def heartbeatGaps(m: Dataset[Meas], hbUs: Long): Dataset[GapAlert] = {
+    val spark = m.sparkSession
+    import spark.implicits._
+    m.groupByKey(x => (x.user_id, x.event_type))
+      .flatMapGroupsWithState[Long, GapAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((uid, etype), it, state: GroupState[Long]) =>
+          val sorted = it.toSeq.sortBy(x => x.ts_us)
+          val alerts = Seq.newBuilder[GapAlert]
+          var last = state.getOption
+          sorted.foreach { x =>
+            last.foreach { prev =>
+              val gap = x.ts_us - prev
+              if (gap > hbUs) alerts += GapAlert(uid, etype, prev, x.ts_us, gap)
+            }
+            last = Some(x.ts_us)
+          }
+          last.foreach(state.update)
+          alerts.result().iterator
+      }
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.VectorOps
+
+/** LSH-bucketed ANN vs brute force: the bucketed path must be a strict
+  * subset of all-pairs with IDENTICAL similarity values, and identical
+  * vectors (planted dups) must always collide. */
+class AnnLshSpec extends SparkSpec {
+
+  private def vectors = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 30).map(i => (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+    // 200 is an exact copy of 3; 201 a tiny perturbation of 4
+    val planted = Seq(
+      (200L, base(3)._2.clone()),
+      (201L, base(4)._2.map(x => x + 0.001f)))
+    (base ++ planted).toDF("vec_id", "embedding")
+  }
+
+  test("identical vectors always share a bucket; sims match brute force") {
+    val lsh = VectorOps.lshBucketCosine(vectors, nPlanes = 8)
+    val pairs = lsh.select("a_id", "b_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((3L, 200L)), "exact duplicate missed by LSH")
+    assert(pairs((3L, 200L)) == 1.0)
+    // every LSH pair must carry the same rounded sim as brute force
+    val brute = VectorOps.cosinePairs(vectors, (a, b) => a < b)
+      .select("a_id", "b_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    pairs.foreach { case (k, v) => assert(brute(k) == v, s"sim mismatch at $k") }
+  }
+
+  test("near-identical vector found with high similarity") {
+    val lsh = VectorOps.lshBucketCosine(vectors, nPlanes = 8)
+      .filter(col("a_id") === 4L && col("b_id") === 201L)
+      .select("sim").collect()
+    assert(lsh.nonEmpty, "perturbed near-dup missed")
+    assert(lsh.head.getDouble(0) > 0.999)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupOps, TextOps}
+
+/** Near-dup detection without an oracle: plant near-duplicates and
+  * require the banded candidate generators to recover them while
+  * keeping unrelated docs apart (SURVEY.md §5.2). */
+class DedupSpec extends SparkSpec {
+
+  /** 40 mutually-dissimilar base docs (disjoint-ish vocab draws from a
+    * 10k-word space) + two planted near-dups (1–2 word edits ⇒
+    * shingle-Jaccard ≳ 0.9). */
+  private def plantedDocs = {
+    import spark.implicits._
+    val base = (0 until 40).map { i =>
+      val rnd = new scala.util.Random(i + 1)
+      val words = (0 until 60).map(_ => s"w${rnd.nextInt(10000)}")
+      (i.toLong, words.mkString(" "))
+    }
+    val nearDup = Seq(
+      (100L, base(0)._2.split(" ").updated(30, "zzz").mkString(" ")),
+      (101L, base(1)._2.split(" ").updated(10, "zzz").updated(45, "yyy").mkString(" ")))
+    (base ++ nearDup).toDF("doc_id", "text")
+  }
+
+  test("minhash LSH recovers planted near-dups, excludes unrelated docs") {
+    val cand = DedupOps.minHashCandidates(plantedDocs, k = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((0L, 100L)), "planted near-dup (0,100) missed")
+    assert(cand.contains((1L, 101L)), "planted near-dup (1,101) missed")
+    // unrelated docs share no band bucket except by rare hash collision
+    assert(cand.size <= 4, s"candidate set too dense: $cand")
+  }
+
+  test("minhash candidates contain every pair with Jaccard >= 0.9") {
+    // at 4 bands x 4 rows the miss probability at s=0.9 is
+    // (1 - 0.9^4)^4 ≈ 1.5% per pair — and the planted pairs sit above
+    // 0.9, where xxhash64 is fixed, so the outcome is deterministic
+    val docs = plantedDocs
+    val sh = TextOps.shingles(docs, 3)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.toDF("a_id", "sh"); val b = sh.toDF("b_id", "sh")
+    val exact = a.join(b, a("sh") === b("sh") && col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+      .join(sz.toDF("a_id", "na"), "a_id").join(sz.toDF("b_id", "nb"), "b_id")
+      .filter(col("i").cast("double") / (col("na") + col("nb") - col("i")) >= 0.9)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture lost its planted near-dups")
+    val cand = DedupOps.minHashCandidates(docs, k = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(cand),
+      s"missed high-Jaccard pairs: ${exact.diff(cand)}")
+  }
+
+  test("simhash: one-word edit stays within small hamming distance") {
+    val sigs = DedupOps.simHashSignatures(plantedDocs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(100L)) <= 16, "near-dup simhash too far")
+    val far = ham(sigs(5L), sigs(23L))
+    assert(far > 10, s"unrelated docs implausibly close: $far")
+    val cand = DedupOps.simHashCandidates(plantedDocs, maxDist = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((0L, 100L)))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{GapAlert, Meas}
+
+/** Structured Streaming semantics with MemoryStream (SURVEY.md §2 K):
+  * watermark late-drop, streaming dedup, and custom keyed state
+  * carried across microbatches. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling window + watermark: closed windows final, late rows dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val m = StreamingOps.tumblingCounts(
+      in.toDF().toDF("ts", "event_type", "value")
+        .select(col("ts"), col("event_type"),
+          expr("CAST(round(value*100) AS BIGINT)").as("cents")))
+    val q = m.writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 10:00:05"), "click", 1.0),
+        (ts("2024-01-01 10:30:00"), "click", 2.0))
+      q.processAllAvailable()
+      // advance watermark far past 11:00 so the 10:00 window closes
+      in.addData((ts("2024-01-01 13:00:00"), "click", 3.0))
+      q.processAllAvailable()
+      // late row for the closed 10:00 window: must be dropped
+      in.addData((ts("2024-01-01 10:45:00"), "click", 4.0))
+      q.processAllAvailable()
+      val out = spark.table("tumbling")
+        .select(col("w_start").cast("string"), col("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(out.get("2024-01-01 10:00:00").contains(2L),
+        s"10:00 window wrong: $out")
+      assert(!out.contains("2024-01-01 13:00:00"), "unclosed window emitted")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes replayed event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = StreamingOps.dedupStream(in.toDF().toDF("event_id", "ts"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:01")))
+      q.processAllAvailable()
+      in.addData((1L, ts("2024-01-01 10:00:02")), (3L, ts("2024-01-01 10:00:03")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
+  test("heartbeat gap detection carries state across microbatches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Meas]
+    val q = StreamingOps.heartbeatGaps(in.toDS(), hbUs = 3600L * 1000000L)
+      .writeStream.format("memory").queryName("gaps")
+      .outputMode("append").start()
+    try {
+      in.addData(Meas(1L, "click", 0L, 100L), Meas(1L, "click", 60L * 1000000L, 200L))
+      q.processAllAvailable()
+      // next batch: 10h after the stored last-seen → one alert, only if
+      // state survived the batch boundary
+      in.addData(Meas(1L, "click", 36000L * 1000000L, 300L))
+      q.processAllAvailable()
+      val alerts = spark.table("gaps").as[GapAlert].collect()
+      assert(alerts.length == 1, s"expected 1 alert, got ${alerts.toSeq}")
+      assert(alerts.head.from_us == 60L * 1000000L &&
+        alerts.head.to_us == 36000L * 1000000L)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** wrap_delta: the counter-wrap rule as a native Catalyst expression —
+  * checked through SQL (codegen path) and against the reference
+  * semantics `if delta < 0 then delta + cap`. */
+class WrapDeltaSpec extends SparkSpec {
+
+  test("wrap_delta registered via extensions, codegen path") {
+    import spark.implicits._
+    val df = Seq((10L, 3L), (3L, 10L), (999999L, 5L)).toDF("prev", "cur")
+    val out = df.selectExpr("wrap_delta(prev, cur, 1000000L) AS d")
+      .as[Long].collect().toSeq
+    // 3-10 wraps: 3-10+1e6 = 999993; 10-3 = 7; 5-999999 wraps to 6
+    assert(out == Seq(999993L, 7L, 6L))
+  }
+
+  test("null propagation (first sample of a series has no prev)") {
+    import spark.implicits._
+    val df = Seq((Option.empty[Long], 5L)).toDF("prev", "cur")
+    val out = df.selectExpr("wrap_delta(prev, cur, 1000000L) AS d").collect()
+    assert(out.head.isNullAt(0))
+  }
+
+  test("property: result in [0, cap) and mod-consistent with plain delta") {
+    val cap = 1000000L
+    val inRange = Gen.chooseNum(0L, cap - 1)
+    val prop = Prop.forAll(inRange, inRange) { (prev: Long, cur: Long) =>
+      val d = ((cur - prev) % cap + cap) % cap
+      val expected = if (cur - prev < 0) cur - prev + cap else cur - prev
+      d >= 0 && d < cap && d == expected
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+}
