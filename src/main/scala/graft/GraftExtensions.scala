@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.WrapDelta
+import graft.functions.{DotProduct, WrapDelta}
 
 /** Session extensions registering graft's native Catalyst functions.
   * Install with `SparkSession.builder().withExtensions(new GraftExtensions)`
@@ -16,5 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("wrap_delta"),
       new ExpressionInfo(classOf[WrapDelta].getCanonicalName, "wrap_delta"),
       (children: Seq[Expression]) => WrapDelta(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getCanonicalName, "vec_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
   }
 }

@@ -48,6 +48,26 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Half-open time-range scan [beginUs, endUs) with the predicate on
+    * the RAW parquet column (int64 nanos), so it reaches the reader as
+    * a PushedFilter → row-group min/max skipping; with a production
+    * `dt=` layout this is partition pruning — the chunk-file-name
+    * arithmetic of the reference, for free. Filtering the *converted*
+    * timestamp would silently disable pushdown (the scan would read
+    * everything and filter late). */
+  def eventsInRange(s: SparkSession, d: String, beginUs: Long, endUs: Long): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.filter(col("ts") >= beginUs * 1000L && col("ts") < endUs * 1000L)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.filter(col("ts") >= timestamp_micros(lit(beginUs)) &&
+          col("ts") < timestamp_micros(lit(endUs)))
+    }
+  }
+
   /** The TSDBVar universe: events + exact-integer mirror columns.
     *
     *  - `ts_us`   epoch microseconds (BIGINT) — timestamp math stays integral

@@ -40,30 +40,52 @@ object DedupOps {
   }
 
   /** 64-bit SimHash over the token bag: bit j of the signature is the
-    * sign of Σ_tokens (±1 depending on bit j of xxhash64(token)).
-    * Computed as 64 conditional sums in ONE aggregation pass. */
+    * sign of Σ_tokens (±1 depending on bit j of the token hash).
+    *
+    * Computed as a typed per-partition pass — one tight 64-counter
+    * loop per document, no token explode, no 64-column shuffle. This
+    * is the legitimate `mapPartitions` case (SURVEY.md §7.2): per-row
+    * imperative accumulation that no built-in expression shape covers
+    * efficiently. Narrow ⇒ embarrassingly parallel at 100 TB. */
   def simHashSignatures(docs: DataFrame): DataFrame = {
-    val tok = TextOps.tokens(docs).withColumn("h", xxhash64(col("word")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"b$j")
-    }
-    val sig = (0 until 64).map { j =>
-      when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a + b)
-    tok.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), sig.as("simhash"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val counts = new Array[Int](64)
+          text.split(' ').foreach { w =>
+            // two independent 32-bit murmurs → a stable 64-bit hash
+            val h = (scala.util.hashing.MurmurHash3.stringHash(w, 0xA5F1).toLong << 32) |
+              (scala.util.hashing.MurmurHash3.stringHash(w, 0x9E37).toLong & 0xFFFFFFFFL)
+            var j = 0
+            while (j < 64) {
+              if (((h >>> j) & 1L) != 0L) counts(j) += 1 else counts(j) -= 1
+              j += 1
+            }
+          }
+          var sig = 0L
+          var j = 0
+          while (j < 64) { if (counts(j) >= 0) sig |= (1L << j); j += 1 }
+          (id, sig)
+        }
+      }.toDF("doc_id", "simhash")
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, banded
-    * into four 16-bit chunks: distance ≤ 3 ⇒ some chunk is equal
-    * (pigeonhole), so candidates come from an equi-join, then the
-    * exact popcount filter runs only on collisions. */
-  def simHashCandidates(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    * into `chunks` equal bit-chunks: distance ≤ chunks-1 ⇒ some chunk
+    * is equal (pigeonhole), so candidates come from an equi-join and
+    * the exact popcount filter runs only on collisions. More chunks =
+    * guaranteed recall at higher distance but denser buckets — tune
+    * per corpus scale. */
+  def simHashCandidates(docs: DataFrame, maxDist: Int = 7, chunks: Int = 8): DataFrame = {
+    val width = 64 / chunks
+    val mask = (1L << width) - 1
     val sig = simHashSignatures(docs)
-    val banded = (0 until 4).map { c =>
+    val banded = (0 until chunks).map { c =>
       sig.select(col("doc_id"), col("simhash"), lit(c).as("chunk"),
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+        shiftrightunsigned(col("simhash"), c * width).bitwiseAND(lit(mask)).as("key"))
     }.reduce(_ unionByName _)
     val a = banded.toDF("a_id", "a_sig", "chunk", "key")
     val b = banded.toDF("b_id", "b_sig", "chunk", "key")

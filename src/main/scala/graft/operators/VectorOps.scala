@@ -21,12 +21,17 @@ object VectorOps {
   /** Cast a float array column to double. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-fold dot product of two double-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product of two double-array columns — the
+    * native codegen [[graft.functions.DotProduct]] expression (same
+    * index-order left fold as the `zip_with`+`aggregate` HOF and
+    * DuckDB's `list_reduce`, ~6× faster on the all-pairs stage). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.functions.DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
-  def norm(a: Column): Column = sqrt(aggregate(
-    transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** vec_id + v (double) + nrm, from an embeddings table. */
   def normalized(emb: DataFrame): DataFrame =

@@ -51,10 +51,9 @@ object TsQueries {
         |FROM events
         |WHERE epoch_us(ts) >= 1704844800000000 AND epoch_us(ts) < 1705708800000000
         |ORDER BY event_id""".stripMargin) { (s, d) =>
-      Tables.events(s, d)
+      Tables.eventsInRange(s, d, 1704844800000000L, 1705708800000000L)
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("ts_us"), col("value"))
-        .filter(col("ts_us") >= 1704844800000000L && col("ts_us") < 1705708800000000L)
         .orderBy("event_id")
     },
 

@@ -59,9 +59,12 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(sigs(0L), sigs(100L)) <= 16, "near-dup simhash too far")
+    assert(ham(sigs(1L), sigs(101L)) <= 16, "near-dup simhash too far")
     val far = ham(sigs(5L), sigs(23L))
-    assert(far > 10, s"unrelated docs implausibly close: $far")
-    val cand = DedupOps.simHashCandidates(plantedDocs, maxDist = 16)
+    assert(far > 16, s"unrelated docs implausibly close: $far")
+    // (0,100) is at distance 6 < 8 chunks ⇒ pigeonhole GUARANTEES a
+    // shared 8-bit chunk regardless of which bits flipped
+    val cand = DedupOps.simHashCandidates(plantedDocs, maxDist = 16, chunks = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cand.contains((0L, 100L)))
   }
