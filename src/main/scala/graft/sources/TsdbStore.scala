@@ -1,0 +1,136 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeriesOps
+
+/** The storage layer: the reference's directory-tree TSDB re-expressed
+  * as a partitioned parquet layout plus materialized multi-resolution
+  * aggregates.
+  *
+  * Reference mapping (SURVEY.md §1.2, [pub: tsdb/__init__.py,
+  * chunk_mapper.py — unverified, mount empty, SURVEY.md §0]):
+  *  - date-named chunk files            → `dt=YYYY-MM-DD` partitions
+  *    (partition pruning replaces chunk-name arithmetic)
+  *  - offset addressing within a chunk  → parquet row-group min/max
+  *    pushdown on `ts_us`
+  *  - per-insert Aggregator.update cascade → batch-materialized
+  *    `agg_<step>` tables, coarser levels computed FROM finer ones
+  *  - TSDBVar path lookup               → series-key equality predicates
+  *
+  * Scale notes: ingest is one narrow pass + `partitionBy("dt")` write
+  * (at 100 TB: daily partitions × size-targeted files; add bucketing
+  * by series key so per-series windows and idempotent upserts are
+  * shuffle-free). Reads prune partitions first, then row groups, then
+  * columns — the same three-level pruning story as the reference's
+  * chunk/offset/field addressing.
+  */
+object TsdbStore {
+
+  val AggSteps: Seq[Long] = Seq(21600L, 86400L) // 6 h, 1 d cascade
+
+  /** Batch ingest: normalize an events-shaped feed into the base
+    * measurements table (partitioned by dt) + the aggregate cascade. */
+  def ingest(spark: SparkSession, events: DataFrame, path: String): Unit = {
+    val m = events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(round(value*100) AS BIGINT)").as("cents"))
+      .withColumn("dt", to_date(timestamp_micros(col("ts_us"))))
+    m.write.mode(SaveMode.Overwrite).partitionBy("dt").parquet(s"$path/base")
+
+    // aggregate cascade: 6 h from base, 1 d from 6 h (never re-scan raw)
+    val base = spark.read.parquet(s"$path/base")
+    var finer = TimeSeriesOps.downsample(base, AggSteps.head)
+      .withColumn("dt", to_date(timestamp_micros(col("slot_ts") * 1000000L)))
+    finer.write.mode(SaveMode.Overwrite).partitionBy("dt")
+      .parquet(s"$path/agg_${AggSteps.head}")
+    AggSteps.sliding(2).foreach {
+      case Seq(fine, coarse) =>
+        val f = spark.read.parquet(s"$path/agg_$fine")
+        f.groupBy(col("user_id"), col("event_type"),
+            (expr(s"slot_ts div $coarse") * coarse).as("slot_ts"))
+          .agg(sum("n").as("n"), sum("sum_cents").as("sum_cents"),
+            min("min_cents").as("min_cents"), max("max_cents").as("max_cents"))
+          .withColumn("dt", to_date(timestamp_micros(col("slot_ts") * 1000000L)))
+          .write.mode(SaveMode.Overwrite).partitionBy("dt").parquet(s"$path/agg_$coarse")
+      case _ => ()
+    }
+  }
+
+  /** Idempotent re-ingest of late/replayed rows: last write per
+    * (series, event_id) wins — offset-addressing upsert semantics as a
+    * dedup-by-key pass over the union of old + new. */
+  def upsert(spark: SparkSession, newEvents: DataFrame, path: String): Unit = {
+    val existing = spark.read.parquet(s"$path/base")
+      .select("user_id", "event_type", "event_id", "ts_us", "cents", "dt")
+    val incoming = newEvents
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(round(value*100) AS BIGINT)").as("cents"))
+      .withColumn("dt", to_date(timestamp_micros(col("ts_us"))))
+    val merged = existing.withColumn("gen", lit(0))
+      .unionByName(incoming.withColumn("gen", lit(1)))
+      .groupBy("user_id", "event_type", "event_id")
+      .agg(max_by(struct(col("ts_us"), col("cents"), col("dt")), col("gen")).as("r"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("r.ts_us"), col("r.cents"), col("r.dt"))
+    // write-then-swap; a production store would use a table format with
+    // atomic commit (the layout and dedup semantics are the point here)
+    merged.write.mode(SaveMode.Overwrite).partitionBy("dt").parquet(s"$path/base_new")
+  }
+
+  /** The flagship read path — GET /snmp/<path>?begin=&end=&agg=&cf=
+    * [pub: esxsnmp/newdb.py — unverified]: series filter + half-open
+    * time range + consolidation function over the right resolution.
+    * `agg=0` reads base samples; otherwise the materialized cascade.
+    * cf ∈ {average, min, max, delta-ish sum, raw count}. */
+  def fetch(spark: SparkSession, path: String,
+            userId: Long, eventType: String,
+            beginSec: Long, endSec: Long,
+            aggStep: Long = 0L, cf: String = "average"): DataFrame = {
+    require(aggStep == 0L || AggSteps.contains(aggStep), s"no such aggregate: $aggStep")
+    if (aggStep == 0L) {
+      spark.read.parquet(s"$path/base")
+        .filter(col("dt") >= to_date(timestamp_micros(lit(beginSec * 1000000L))) &&
+          col("dt") <= to_date(timestamp_micros(lit(endSec * 1000000L))))   // partition prune
+        .filter(col("user_id") === userId && col("event_type") === eventType)
+        .filter(col("ts_us") >= beginSec * 1000000L && col("ts_us") < endSec * 1000000L)
+        .select(col("ts_us"), (col("cents").cast("double") / 100.0).as("value"))
+        .orderBy("ts_us")
+    } else {
+      val cfCol = cf match {
+        case "average" => col("sum_cents").cast("double") / 100.0 / col("n").cast("double")
+        case "min"     => col("min_cents").cast("double") / 100.0
+        case "max"     => col("max_cents").cast("double") / 100.0
+        case "sum"     => col("sum_cents").cast("double") / 100.0
+        case "raw"     => col("n").cast("double")
+        case other     => throw new IllegalArgumentException(s"unknown cf: $other")
+      }
+      spark.read.parquet(s"$path/agg_$aggStep")
+        .filter(col("dt") >= to_date(timestamp_micros(lit(beginSec * 1000000L))) &&
+          col("dt") <= to_date(timestamp_micros(lit(endSec * 1000000L))))
+        .filter(col("user_id") === userId && col("event_type") === eventType)
+        .filter(col("slot_ts") >= beginSec && col("slot_ts") < endSec)
+        .select(col("slot_ts"), cfCol.as("value"))
+        .orderBy("slot_ts")
+    }
+  }
+
+  /** Bulk fetch (POST /bulk): many series in one plan — a single
+    * pruned scan with an IN-list of series keys, not a per-series
+    * loop (the reference iterated; Spark shouldn't). */
+  def fetchBulk(spark: SparkSession, path: String,
+                series: Seq[(Long, String)],
+                beginSec: Long, endSec: Long, aggStep: Long): DataFrame = {
+    require(AggSteps.contains(aggStep), s"no such aggregate: $aggStep")
+    val keys = series.map { case (u, e) => struct(lit(u), lit(e)) }
+    spark.read.parquet(s"$path/agg_$aggStep")
+      .filter(struct(col("user_id"), col("event_type")).isin(keys: _*))
+      .filter(col("slot_ts") >= beginSec && col("slot_ts") < endSec)
+      .select(col("user_id"), col("event_type"), col("slot_ts"),
+        (col("sum_cents").cast("double") / 100.0 / col("n").cast("double")).as("value"))
+      .orderBy("user_id", "event_type", "slot_ts")
+  }
+}

@@ -25,10 +25,12 @@ object StreamingOps {
   /** File-source stream over the events fixture (one parquet = one
     * microbatch replay; on a cluster this is a directory listener). */
   def eventFileStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(s"$dir/events.parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
   }
 
   /** Normalize a raw event stream to measurements (ts as timestamp). */

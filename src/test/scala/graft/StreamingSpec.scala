@@ -15,6 +15,19 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("file-source stream replays the events fixture (ingest path)") {
+    val m = StreamingOps.asMeasurements(
+      StreamingOps.eventFileStream(spark, Sf)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+    val q = m.writeStream.format("memory").queryName("ingest")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("ingest").count()
+      assert(n == spark.read.parquet(s"$Sf/events.parquet").count())
+    } finally q.stop()
+  }
+
   test("tumbling window + watermark: closed windows final, late rows dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.TsdbStore
+
+/** Store round-trip: ingest → partitioned layout → fetch must equal
+  * computing the same consolidation directly from the raw events. */
+class TsdbStoreSpec extends SparkSpec {
+
+  private lazy val store: String = {
+    val p = Files.createTempDirectory("graft-store").toString
+    TsdbStore.ingest(spark, Tables.events(spark, Sf), p)
+    p
+  }
+
+  test("ingest writes dt-partitioned base + aggregate cascade") {
+    val dirs = new java.io.File(store).listFiles().map(_.getName).toSet
+    assert(dirs == Set("base", "agg_21600", "agg_86400"))
+    val parts = new java.io.File(s"$store/base").listFiles()
+      .filter(_.getName.startsWith("dt=")).map(_.getName)
+    assert(parts.length >= 29, s"expected ~30 daily partitions, got ${parts.length}")
+  }
+
+  test("fetch(base) round-trips the raw samples in a range") {
+    val b = 1704844800L; val e = 1705708800L
+    val got = TsdbStore.fetch(spark, store, 7L, "click", b, e)
+    val expected = Tables.measurements(spark, Sf)
+      .filter(col("user_id") === 7L && col("event_type") === "click" &&
+        col("ts_us") >= b * 1000000L && col("ts_us") < e * 1000000L)
+      .select(col("ts_us"), (col("cents").cast("double") / 100.0).as("value"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("fetch(agg) equals direct downsample of raw data") {
+    val b = 1704067200L; val e = 1706659200L
+    val got = TsdbStore.fetch(spark, store, 3L, "view", b, e, aggStep = 21600L, cf = "average")
+    val expected = graft.operators.TimeSeriesOps
+      .downsample(Tables.measurements(spark, Sf)
+        .filter(col("user_id") === 3L && col("event_type") === "view"), 21600L)
+      .filter(col("slot_ts") >= b && col("slot_ts") < e)
+      .select(col("slot_ts"),
+        (col("sum_cents").cast("double") / 100.0 / col("n").cast("double")).as("value"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("daily cascade equals daily downsample computed from raw") {
+    val got = TsdbStore.fetch(spark, store, 1L, "click",
+      1704067200L, 1706659200L, aggStep = 86400L, cf = "max")
+    val expected = graft.operators.TimeSeriesOps
+      .downsample(Tables.measurements(spark, Sf)
+        .filter(col("user_id") === 1L && col("event_type") === "click"), 86400L)
+      .filter(col("slot_ts") >= 1704067200L && col("slot_ts") < 1706659200L)
+      .select(col("slot_ts"), (col("max_cents").cast("double") / 100.0).as("value"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("bulk fetch returns multiple series from one pruned scan") {
+    val out = TsdbStore.fetchBulk(spark, store,
+      Seq((1L, "click"), (2L, "view")), 1704067200L, 1706659200L, 21600L)
+    val series = out.select("user_id", "event_type").distinct().count()
+    assert(series == 2)
+  }
+
+  test("fetch rejects unknown aggregate steps and cfs") {
+    intercept[IllegalArgumentException] {
+      TsdbStore.fetch(spark, store, 1L, "click", 0L, 1L, aggStep = 300L)
+    }
+    intercept[IllegalArgumentException] {
+      TsdbStore.fetch(spark, store, 1L, "click", 0L, 1L, aggStep = 21600L, cf = "nope")
+        .count()
+    }
+  }
+}
