@@ -48,6 +48,14 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Register every fixture table as a temp view so the engine's
+    * `spark.sql(...)` surface works over the same catalog names the
+    * DuckDB oracle uses — one SQL text, two engines. */
+  def registerAll(s: SparkSession, d: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(n => table(s, d, n).createOrReplaceTempView(n))
+
   /** Half-open time-range scan [beginUs, endUs) with the predicate on
     * the RAW parquet column (int64 nanos), so it reaches the reader as
     * a PushedFilter → row-group min/max skipping; with a production

@@ -66,6 +66,39 @@ object VectorOps {
     bits.reduce((a, b) => a + b)
   }
 
+  /** ANN via IVF (inverted-file) partitioning: k-means centroids
+    * (spark.ml, fixed seed) assign each vector to its nearest cell;
+    * each query probes its `nprobe` nearest cells, so scoring touches
+    * ~nprobe/k of the corpus. The coarse quantizer is tiny (k
+    * centroids, broadcast); the candidate join is an equi-join on
+    * cell id — the IVF structure a vector store would persist. */
+  def ivfCosine(emb: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val n = normalized(emb)
+      .withColumn("fv", array_to_vector(col("v")))
+    val km = new KMeans().setK(k).setSeed(42L).setFeaturesCol("fv")
+    val model = km.fit(n)
+    val cents = model.clusterCenters.map(_.toArray).zipWithIndex
+    val spark = emb.sparkSession
+    val centDf = spark.createDataFrame(
+        cents.map { case (c, i) => (i, c) }.toSeq).toDF("cell", "cv")
+    // nprobe nearest cells per vector by (exact) centroid distance
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("d2").asc, col("cell").asc)
+    val probed = n.drop("fv").crossJoin(broadcast(centDf))
+      .withColumn("d2", dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv"))
+        + dot(col("cv"), col("cv")))
+      .withColumn("pr", row_number().over(w)).filter(col("pr") <= nprobe)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val a = probed.toDF("a_id", "av", "anrm", "cell")
+    val b = probed.toDF("b_id", "bv", "bnrm", "cell")
+    a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", round(dot(col("av"), col("bv")) / col("anrm") / col("bnrm"), 4))
+      .select("a_id", "b_id", "cell", "sim").distinct()
+  }
+
   /** ANN via LSH buckets: cosine scored only within matching buckets.
     * Recall < 1 by design; verified against brute force in ScalaTest. */
   def lshBucketCosine(emb: DataFrame, nPlanes: Int): DataFrame = {

@@ -143,6 +143,32 @@ object JoinQueries {
         .orderBy("event_id")
     },
 
+    {
+      // ONE SQL text, both engines: Spark runs it via spark.sql over
+      // registered views, DuckDB as the oracle — the TPC-H Q5 shape
+      // exercising the optimizer's join-order + broadcast choices on a
+      // 5-table tree.
+      val q5 =
+        """SELECT n_name,
+          |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+          |      AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+          |  CAST(count(*) AS BIGINT) AS n_rows
+          |FROM customer
+          |JOIN orders ON o_custkey = c_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |JOIN nation ON n_nationkey = c_nationkey
+          |JOIN region ON r_regionkey = n_regionkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          |GROUP BY n_name ORDER BY n_name""".stripMargin
+      QueryDef("q_sql_q5", q5) { (s, d) =>
+        graft.Tables.registerAll(s, d)
+        s.sql(q5)
+      }
+    },
+
     QueryDef("q_join_cross",
       """SELECT r_regionkey, n_nationkey, r_name, n_name
         |FROM region CROSS JOIN nation

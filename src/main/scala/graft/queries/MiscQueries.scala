@@ -29,6 +29,11 @@ object MiscQueries {
         .orderBy("a_id", "b_id")
     },
 
+    QueryDef.noOracle("q_sim_ann_ivf") { (s, d) =>
+      VectorOps.ivfCosine(Tables.embeddings(s, d), k = 8, nprobe = 2)
+        .orderBy("a_id", "b_id")
+    },
+
     QueryDef.noOracle("q_multimodal_decode") { (s, d) =>
       MultimodalOps.pipeline(s, d).orderBy("media_id")
     }

@@ -132,6 +132,24 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    QueryDef("q_text_tokens",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_tokens,
+        |  CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS vowel_runs,
+        |  CAST(length(text) AS BIGINT) - CAST(len(string_split(text, ' ')) AS BIGINT) + 1 AS n_nonspace
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // token counting: whitespace split + BPE-ish regex token classes
+      // (simple character-class patterns behave identically in Java
+      // regex and RE2 — keep patterns in that common subset)
+      Tables.documents(s, d).selectExpr("doc_id",
+          "CAST(size(split(text, ' ')) AS BIGINT) AS ws_tokens",
+          "CAST(size(regexp_extract_all(text, '[a-z]+', 0)) AS BIGINT) AS alpha_tokens",
+          "CAST(size(regexp_extract_all(text, '[aeiou]+', 0)) AS BIGINT) AS vowel_runs",
+          "CAST(length(text) AS BIGINT) - CAST(size(split(text, ' ')) AS BIGINT) + 1 AS n_nonspace")
+        .orderBy("doc_id")
+    },
+
     QueryDef("q_dedup_ngram_jaccard",
       """WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
         |sh AS (SELECT DISTINCT doc_id, sh FROM (

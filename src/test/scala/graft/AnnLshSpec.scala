@@ -33,6 +33,19 @@ class AnnLshSpec extends SparkSpec {
     pairs.foreach { case (k, v) => assert(brute(k) == v, s"sim mismatch at $k") }
   }
 
+  test("IVF: identical vectors share a cell; sims match brute force") {
+    val ivf = VectorOps.ivfCosine(vectors, k = 4, nprobe = 2)
+    val pairs = ivf.select("a_id", "b_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((3L, 200L)), "exact duplicate missed by IVF")
+    assert(pairs((3L, 200L)) == 1.0)
+    assert(pairs.contains((4L, 201L)), "perturbed near-dup missed by IVF")
+    val brute = VectorOps.cosinePairs(vectors, (a, b) => a < b)
+      .select("a_id", "b_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    pairs.foreach { case (k, v) => assert(brute(k) == v, s"sim mismatch at $k") }
+  }
+
   test("near-identical vector found with high similarity") {
     val lsh = VectorOps.lshBucketCosine(vectors, nPlanes = 8)
       .filter(col("a_id") === 4L && col("b_id") === 201L)
