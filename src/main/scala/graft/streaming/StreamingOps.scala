@@ -68,6 +68,21 @@ object StreamingOps {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming ingest into the TSDB store layout — the poller →
+    * persister pipeline end to end: each microbatch appends
+    * dt-partitioned base rows (idempotence comes from slot upsert
+    * semantics at read time / compaction; see TsdbStore.upsert).
+    * `foreachBatch` is the bridge that lets the SAME batch writer
+    * serve the stream. */
+  def streamIngest(m: DataFrame, storePath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    m.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      batch
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("cents"))
+        .withColumn("dt", to_date(timestamp_micros(col("ts_us"))))
+        .write.mode("append").partitionBy("dt").parquet(s"$storePath/base")
+    }
+
   /** Online heartbeat-gap detection: custom keyed state holding the
     * last-seen timestamp per series; a batch whose first event is more
     * than `hbUs` after the stored last-seen emits a GapAlert — the

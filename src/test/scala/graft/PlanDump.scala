@@ -1,0 +1,31 @@
+import java.nio.file.{Files, Paths}
+object PlanDump extends App {
+  val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+    .withExtensions(new graft.GraftExtensions)
+    .config("spark.sql.session.timeZone","UTC").config("spark.ui.enabled","false")
+    .config("spark.sql.shuffle.partitions","4").getOrCreate()
+  spark.sparkContext.setLogLevel("ERROR")
+  val d = "/root/testdata/sf0.001"
+  val picks = Seq(
+    "q_scan_pruned" -> "column pruning reaches the parquet reader (ReadSchema = 3 of 11 columns)",
+    "q_filter_time_range" -> "time-range predicate lands in PushedFilters on the raw int64-nanos column (row-group skipping; partition pruning with a dt= layout)",
+    "q_ts_rate_counter" -> "one window exchange serves lag+rate+wrap columns; wrap_delta stays inside WholeStageCodegen",
+    "q_join_broadcast" -> "dimension join is BroadcastHashJoin (no shuffle of the fact side)",
+    "q_join_range_ifref" -> "temporal interval join = BroadcastHashJoin on the entity key with the range as residual condition - NOT a nested-loop cartesian",
+    "q_agg_group" -> "partial+final HashAggregate (map-side combine before the exchange)",
+    "q_orderby_limit" -> "global top-k is TakeOrderedAndProject (per-partition top-k + k-row merge, no global sort)",
+    "q_sim_cosine_topk" -> "all-pairs stage is a broadcast loop with the native vec_dot expression in the join condition projection (codegen)")
+  val sb = new StringBuilder
+  sb ++= "# PLANS - physical-plan audit evidence (round 1)\n\n"
+  sb ++= "Generated from `.queryExecution.executedPlan` at sf0.001, local[4].\n"
+  sb ++= "What to look for in each plan is noted per query; regenerate with\n`sbt \"Test/runMain PlanDump\"`.\n"
+  for ((n, note) <- picks) {
+    sb ++= s"\n## $n\n\n$note\n\n```\n"
+    val plan = graft.SparkEntry.queries(n)(spark, d).queryExecution.executedPlan.toString
+    sb ++= plan.linesIterator.map(_.take(450)).take(40).mkString("\n")
+    sb ++= "\n```\n"
+  }
+  Files.writeString(Paths.get("PLANS.md"), sb.toString)
+  println("WROTE PLANS.md")
+  spark.stop()
+}

@@ -74,6 +74,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest lands microbatches in the dt-partitioned store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-stream-store").toString
+    val in = MemoryStream[(Long, String, Timestamp, Long)]
+    val q = StreamingOps.streamIngest(
+        in.toDF().toDF("user_id", "event_type", "ts", "cents"), store)
+      .outputMode("append")
+      .option("checkpointLocation", s"$store/_ckpt")
+      .start()
+    try {
+      in.addData((1L, "click", ts("2024-01-01 10:00:00"), 100L))
+      q.processAllAvailable()
+      in.addData((1L, "click", ts("2024-01-02 11:00:00"), 200L))
+      q.processAllAvailable()
+      val base = spark.read.parquet(s"$store/base")
+      assert(base.count() == 2)
+      val parts = base.select("dt").distinct().collect().map(_.get(0).toString).sorted
+      assert(parts.toSeq == Seq("2024-01-01", "2024-01-02"))
+    } finally q.stop()
+  }
+
   test("heartbeat gap detection carries state across microbatches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
