@@ -284,6 +284,73 @@ object TsQueries {
         .orderBy("user_id", "slot_ts")
     },
 
+    QueryDef("q_ts_delta_distribute",
+      MeasurementsSql +
+      """,
+        |r AS (
+        |  SELECT event_id, user_id, event_type, ts_us, wrapped,
+        |         lag(wrapped) OVER w AS prev_wrapped,
+        |         lag(ts_us) OVER w AS prev_ts_us
+        |  FROM m WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
+        |),
+        |p AS (
+        |  SELECT event_id, ts_us, prev_ts_us,
+        |         ts_us - prev_ts_us AS dt_us,
+        |         ((wrapped - prev_wrapped) % 1000000 + 1000000) % 1000000 AS delta_cents,
+        |         (prev_ts_us // 21600000000) * 21600 AS prev_slot,
+        |         (ts_us // 21600000000) * 21600 AS cur_slot
+        |  FROM r
+        |  WHERE prev_ts_us IS NOT NULL AND ts_us - prev_ts_us > 0
+        |    AND ts_us - prev_ts_us <= 21600000000
+        |),
+        |x AS (
+        |  SELECT event_id, ts_us, prev_ts_us, dt_us, delta_cents,
+        |         unnest(range(prev_slot, cur_slot + 21600, 21600)) AS slot_ts
+        |  FROM p
+        |)
+        |SELECT event_id, slot_ts,
+        |  least(ts_us, (slot_ts + 21600) * 1000000) - greatest(prev_ts_us, slot_ts * 1000000) AS overlap_us,
+        |  CAST(delta_cents AS DOUBLE) / 100.0
+        |    * CAST(least(ts_us, (slot_ts + 21600) * 1000000) - greatest(prev_ts_us, slot_ts * 1000000) AS DOUBLE)
+        |    / CAST(dt_us AS DOUBLE) AS portion
+        |FROM x ORDER BY event_id, slot_ts""".stripMargin) { (s, d) =>
+      // the reference Aggregator's delta distribution: a sample pair
+      // spanning several bins apportions its wrap-corrected delta to
+      // each covered slot by time overlap [pub: tsdb/aggregator.py —
+      // unverified, SURVEY.md §0]. Per-(pair,slot) rows stay exact;
+      // only the final portion is a (deterministic) double ratio.
+      val withSlots = TimeSeriesOps.withRate(s, Tables.measurements(s, d))
+        .filter(col("prev_ts_us").isNotNull && col("dt_us") > 0 && col("dt_us") <= HbUs)
+        .withColumn("prev_slot", expr("(prev_ts_us div 21600000000) * 21600"))
+        .withColumn("cur_slot", expr("(ts_us div 21600000000) * 21600"))
+        .withColumn("slot_ts",
+          explode(sequence(col("prev_slot"), col("cur_slot"), lit(Step6))))
+      val overlap = least(col("ts_us"), (col("slot_ts") + Step6) * 1000000L) -
+        greatest(col("prev_ts_us"), col("slot_ts") * 1000000L)
+      withSlots.select(col("event_id"), col("slot_ts"),
+          overlap.as("overlap_us"),
+          (col("delta_cents").cast("double") / lit(100.0) *
+            overlap.cast("double") / col("dt_us").cast("double")).as("portion"))
+        .orderBy("event_id", "slot_ts")
+    },
+
+    QueryDef("q_meta_series_list",
+      MeasurementsSql +
+      """
+        |SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(ts_us) AS min_ts_us, max(ts_us) AS max_ts_us
+        |FROM m GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      // the TSDB's namespace listing + per-var MIN/MAX_TIMESTAMP
+      // metadata [pub: TSDBVar metadata — unverified], derivable here
+      // by one aggregation instead of a filesystem walk
+      Tables.measurements(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          min("ts_us").as("min_ts_us"), max("ts_us").as("max_ts_us"))
+        .orderBy("user_id", "event_type")
+    },
+
     QueryDef("q_ts_insert_idempotent",
       MeasurementsSql +
       """

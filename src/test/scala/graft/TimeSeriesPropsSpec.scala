@@ -37,6 +37,26 @@ class TimeSeriesPropsSpec extends SparkSpec {
     assert(avgs.nonEmpty && avgs.forall(_ == 500.0))
   }
 
+  test("delta distribution conserves each pair's delta exactly") {
+    val out = SparkEntry.queries("q_ts_delta_distribute")(spark, Sf)
+    val ref = TimeSeriesOps.withRate(spark, Tables.measurements(spark, Sf))
+      .filter(col("prev_ts_us").isNotNull && col("dt_us") > 0 &&
+        col("dt_us") <= 21600L * 1000000L)
+      .select(col("event_id"), (col("delta_cents").cast("double") / 100.0).as("delta"))
+    val sums = out.groupBy("event_id").agg(sum("portion").as("sum_p"))
+      .join(ref, "event_id")
+      .filter(abs(col("sum_p") - col("delta")) > 1e-9)
+    assert(sums.count() == 0, "portions do not sum back to the delta")
+    // and overlap partitions the pair interval
+    val overlaps = out.groupBy("event_id").agg(sum("overlap_us").as("o"))
+      .join(TimeSeriesOps.withRate(spark, Tables.measurements(spark, Sf))
+        .filter(col("prev_ts_us").isNotNull && col("dt_us") > 0 &&
+          col("dt_us") <= 21600L * 1000000L)
+        .select(col("event_id"), col("dt_us")), "event_id")
+      .filter(col("o") =!= col("dt_us"))
+    assert(overlaps.count() == 0, "overlaps do not tile the interval")
+  }
+
   test("rate of a monotone counter without wrap equals plain delta rate") {
     val m = Tables.measurements(spark, Sf)
     val r = TimeSeriesOps.withRate(spark, m)
