@@ -169,6 +169,38 @@ object JoinQueries {
       }
     },
 
+    {
+      // correlated scalar subquery — Catalyst decorrelates it into a
+      // join against the per-nation aggregate; same text both engines
+      // avg over exact cents: integer sum + one division is the same
+      // double in both engines; avg over raw doubles would be
+      // summation-order-dependent under partial aggregation
+      val q =
+        """SELECT c_custkey, c_name, c_acctbal
+          |FROM customer c
+          |WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) >
+          |      (SELECT avg(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+          |       FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+          |ORDER BY c_custkey""".stripMargin
+      QueryDef("q_sql_scalar_subq", q) { (s, d) =>
+        graft.Tables.registerAll(s, d)
+        s.sql(q)
+      }
+    },
+
+    QueryDef("q_null_semantics",
+      """SELECT o_orderkey,
+        |  coalesce(nullif(o_orderstatus, 'P'), 'pending?') AS status_or_default,
+        |  o_orderstatus IS NOT DISTINCT FROM 'F' AS is_f_nullsafe,
+        |  CASE WHEN o_totalprice IS NULL THEN -1.0 ELSE o_totalprice END AS price_or_neg
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).selectExpr("o_orderkey",
+          "coalesce(nullif(o_orderstatus, 'P'), 'pending?') AS status_or_default",
+          "o_orderstatus <=> 'F' AS is_f_nullsafe",
+          "CASE WHEN o_totalprice IS NULL THEN -1.0 ELSE o_totalprice END AS price_or_neg")
+        .orderBy("o_orderkey")
+    },
+
     QueryDef("q_join_cross",
       """SELECT r_regionkey, n_nationkey, r_name, n_name
         |FROM region CROSS JOIN nation

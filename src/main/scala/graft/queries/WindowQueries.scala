@@ -88,6 +88,27 @@ object WindowQueries {
         .orderBy("event_id")
     },
 
+    QueryDef("q_window_range_between",
+      MeasurementsSql +
+      """
+        |SELECT event_id,
+        |  CAST(sum(cents) OVER (PARTITION BY user_id, event_type ORDER BY ts_us
+        |      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS hour_cents,
+        |  CAST(count(*) OVER (PARTITION BY user_id, event_type ORDER BY ts_us
+        |      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS hour_n
+        |FROM m ORDER BY event_id""".stripMargin) { (s, d) =>
+      // event-TIME frame (trailing hour in µs), not row-count frame —
+      // the irregular-sampling moving window the reference cannot do
+      // without resampling
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts_us")
+        .rangeBetween(-3600000000L, 0L)
+      Tables.measurements(s, d)
+        .select(col("event_id"),
+          sum("cents").over(w).as("hour_cents"),
+          count(lit(1)).over(w).as("hour_n"))
+        .orderBy("event_id")
+    },
+
     QueryDef("q_window_ntile",
       """SELECT c_custkey,
         |  ntile(4) OVER w AS quartile, percent_rank() OVER w AS pr

@@ -23,6 +23,19 @@ class WrapDeltaSpec extends SparkSpec {
     assert(out.head.isNullAt(0))
   }
 
+  test("property: TimeWeightedMean merge is grouping-invariant (partial-agg determinism)") {
+    import graft.functions.{TimeWeightedMean, WSum}
+    val agg = new TimeWeightedMean
+    val gen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 100000L), Gen.chooseNum(1L, 10000000L)))
+    val prop = Prop.forAll(gen, Gen.chooseNum(1, 39)) { (xs, cut) =>
+      val whole = xs.foldLeft(agg.zero)(agg.reduce)
+      val (l, r) = xs.splitAt(cut % (xs.size.max(1)))
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      merged == whole && (xs.isEmpty || agg.finish(merged) == agg.finish(whole))
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+
   test("property: result in [0, cap) and mod-consistent with plain delta") {
     val cap = 1000000L
     val inRange = Gen.chooseNum(0L, cap - 1)
