@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join shapes the engine needs beyond vanilla equi-joins
+  * (SURVEY.md §2 D), packaged as reusable transforms.
+  *
+  * Skew toolkit: at 100 TB a handful of hot keys (one chatty device,
+  * one viral document) can pin a whole stage on one task. AQE's skew
+  * handling covers sort-merge joins; for explicit control, the salted
+  * variants here split hot keys across `nSalts` subtasks with
+  * deterministic salts and provably identical results (see JoinOpsSpec).
+  */
+object JoinOps {
+
+  /** As-of join: for each left row, the latest right row with
+    * `rightTs <= leftTs` on the same key (the reference's IfRef
+    * point-in-time metadata resolution). Broadcast the (small)
+    * metadata side; pick-latest is one window pass. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String): DataFrame = {
+    val uid = monotonically_increasing_id()
+    val l = left.withColumn("__rid", uid)
+    val w = Window.partitionBy("__rid")
+      .orderBy(col(rightTs).desc_nulls_last)
+    l.join(broadcast(right), l(key) === right(key) && col(rightTs) <= col(leftTs), "left")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn", "__rid")
+  }
+
+  /** Interval (temporal validity) join: left rows matched to the right
+    * interval containing their timestamp: `b <= ts < e` on the same
+    * key. Plans as BroadcastHashJoin on the key with the range as
+    * residual — never a cartesian. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   ts: String, b: String, e: String): DataFrame =
+    left.join(broadcast(right),
+      left(key) === right(key) && left(ts) >= right(b) && left(ts) < right(e))
+
+  /** Skew-safe equi-join of a huge skewed fact against a small-ish
+    * dim that is too big to broadcast: fact rows get a deterministic
+    * salt from `saltFrom` (any column; uniqueness helps spread), the
+    * dim is replicated across all salts, and the join key becomes
+    * (key, salt) — a hot key now occupies `nSalts` tasks. */
+  def saltedEquiJoin(fact: DataFrame, dim: DataFrame, key: String,
+                     saltFrom: Column, nSalts: Int): DataFrame = {
+    val salted = fact.withColumn("__salt", pmod(hash(saltFrom), lit(nSalts)))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Skew-safe aggregation: two-phase sum — partial per (keys, salt),
+    * final per keys. Valid for any commutative monoid (sum/count/
+    * min/max); exact-integer inputs keep it bit-deterministic. */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+                saltFrom: Column, nSalts: Int): DataFrame = {
+    val cols = keys.map(col)
+    df.withColumn("__salt", pmod(hash(saltFrom), lit(nSalts)))
+      .groupBy((cols :+ col("__salt")): _*)
+      .agg(sum(valueCol).as("__partial"))
+      .groupBy(cols: _*)
+      .agg(sum("__partial").as(s"sum_$valueCol"))
+  }
+}

@@ -107,10 +107,8 @@ object JoinQueries {
          |ORDER BY e.event_id""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d).filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
-      val iv = intervals(s, d)
-      ev.join(broadcast(iv),
-          ev("user_id") === iv("user_id") &&
-            col("ts_us") >= col("b_us") && col("ts_us") < col("e_us"))
+      graft.operators.JoinOps.intervalJoin(ev, intervals(s, d),
+          "user_id", "ts_us", "b_us", "e_us")
         .select(col("event_id"), col("iv_id"))
         .orderBy("event_id")
     },

@@ -38,7 +38,13 @@ object TsdbStore {
         unix_micros(col("ts")).as("ts_us"),
         expr("CAST(round(value*100) AS BIGINT)").as("cents"))
       .withColumn("dt", to_date(timestamp_micros(col("ts_us"))))
-    m.write.mode(SaveMode.Overwrite).partitionBy("dt").parquet(s"$path/base")
+    // cluster rows by (series, ts) inside each date partition: parquet
+    // row-group min/max then prunes BOTH the series filter and the
+    // time range within a day — the offset-addressing story at file level
+    m.sortWithinPartitions("dt", "user_id", "event_type", "ts_us")
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .partitionBy("dt").parquet(s"$path/base")
 
     // aggregate cascade: 6 h from base, 1 d from 6 h (never re-scan raw)
     val base = spark.read.parquet(s"$path/base")
