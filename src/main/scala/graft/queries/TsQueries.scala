@@ -334,6 +334,33 @@ object TsQueries {
         .orderBy("event_id", "slot_ts")
     },
 
+    QueryDef("q_api_payload",
+      MeasurementsSql +
+      """,
+        |h AS (
+        |  SELECT user_id, event_type, (ts_us // 21600000000) * 21600 AS slot_ts,
+        |         CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM m GROUP BY 1, 2, 3
+        |)
+        |SELECT user_id, event_type,
+        |  to_json(struct_pack(
+        |    agg := 21600, cf := 'sum', b := 1704067200, e := 1706659200,
+        |    data := list([slot_ts, sum_cents] ORDER BY slot_ts))) AS payload
+        |FROM h GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      // the REST response encode [pub: esxsnmp/newdb.py JSON payload
+      // {agg, cf, begin, end, data:[[ts,v],…]} — unverified]: integer-
+      // only payload renders byte-identically in both engines
+      TimeSeriesOps.downsample(Tables.measurements(s, d), Step6)
+        .groupBy("user_id", "event_type")
+        .agg(sort_array(collect_list(array(col("slot_ts"), col("sum_cents")))).as("data"))
+        .select(col("user_id"), col("event_type"),
+          to_json(struct(lit(21600).as("agg"), lit("sum").as("cf"),
+            lit(1704067200).as("b"), lit(1706659200).as("e"),
+            col("data").as("data"))).as("payload"))
+        .orderBy("user_id", "event_type")
+    },
+
     QueryDef("q_meta_series_list",
       MeasurementsSql +
       """
