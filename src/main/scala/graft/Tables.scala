@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   * bucketed by series key so per-series windows need no shuffle; here it
   * is derived from the driver's `events` fixture (FIXTURES.md).
   */
+/** One sample of the canonical measurements view — the typed row for
+  * ingest normalization and per-partition imperative ops. */
+case class Measurement(
+    user_id: Long, event_type: String, event_id: Long,
+    ts_us: Long, cents: Long, counter: Long, wrapped: Long)
+
 object Tables {
 
   /** Counter capacity used to simulate 32-bit-style counter wrap on the
@@ -106,6 +112,16 @@ object Tables {
         col("value"), col("props"))
       .withColumn("counter", sum(col("cents")).over(w))
       .withColumn("wrapped", col("counter") % WrapCap)
+  }
+
+  /** Typed view of [[measurements]]: compile-time row type for the
+    * code paths where type safety pays (ingest normalization, typed
+    * stateful streaming, property tests). */
+  def measurementsDs(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[Measurement] = {
+    import spark.implicits._
+    measurements(spark, dir)
+      .select("user_id", "event_type", "event_id", "ts_us", "cents", "counter", "wrapped")
+      .as[Measurement]
   }
 
   /** DuckDB CTE textually mirroring [[measurements]] — prefix for every

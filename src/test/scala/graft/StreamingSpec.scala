@@ -96,6 +96,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows merge within gap and split across it (streaming)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = StreamingOps.sessionCounts(
+        in.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // two events 10 min apart (one session), then 2 h later (new one)
+      in.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:10:00"), 1L),
+        (ts("2024-01-01 12:10:00"), 1L))
+      q.processAllAvailable()
+      // push the watermark far ahead so both sessions finalize
+      in.addData((ts("2024-01-02 00:00:00"), 2L))
+      q.processAllAvailable()
+      val out = spark.table("sessions").filter(col("user_id") === 1L)
+        .select(col("s_start").cast("string"), col("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(out == Map("2024-01-01 10:00:00" -> 2L, "2024-01-01 12:10:00" -> 1L),
+        s"got $out")
+    } finally q.stop()
+  }
+
   test("heartbeat gap detection carries state across microbatches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

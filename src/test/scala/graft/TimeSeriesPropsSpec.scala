@@ -57,6 +57,14 @@ class TimeSeriesPropsSpec extends SparkSpec {
     assert(overlaps.count() == 0, "overlaps do not tile the interval")
   }
 
+  test("typed Dataset[Measurement] view agrees with the untyped frame") {
+    val ds = Tables.measurementsDs(spark, Sf)
+    val m = Tables.measurements(spark, Sf)
+    assert(ds.count() == m.count())
+    val one = ds.filter(x => x.wrapped == x.counter % 1000000L).count()
+    assert(one == ds.count(), "typed rows violate the wrap invariant")
+  }
+
   test("rate of a monotone counter without wrap equals plain delta rate") {
     val m = Tables.measurements(spark, Sf)
     val r = TimeSeriesOps.withRate(spark, m)
