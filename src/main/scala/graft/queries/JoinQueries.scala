@@ -186,6 +186,25 @@ object JoinQueries {
       }
     },
 
+    QueryDef("q_join_full_outer",
+      """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT coalesce(c.nk, s.nk) AS nk,
+        |  CAST(coalesce(c.n_cust, 0) AS BIGINT) AS n_cust,
+        |  CAST(coalesce(s.n_supp, 0) AS BIGINT) AS n_supp
+        |FROM c FULL OUTER JOIN s ON s.nk = c.nk
+        |ORDER BY nk""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sup = Tables.supplier(s, d).groupBy(col("s_nationkey").as("snk"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sup, col("snk") === col("nk"), "full_outer")
+        .select(coalesce(col("nk"), col("snk")).as("nk"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nk")
+    },
+
     QueryDef("q_null_semantics",
       """SELECT o_orderkey,
         |  coalesce(nullif(o_orderstatus, 'P'), 'pending?') AS status_or_default,

@@ -132,6 +132,22 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    QueryDef("q_text_positions",
+      """SELECT doc_id,
+        |  CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
+        |  unnest(string_split(text, ' ')) AS word
+        |FROM documents
+        |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+      // positional generator (posexplode ↔ unnest WITH ORDINALITY):
+      // token order is part of the document, so position must survive
+      // the explode — 0-based in Spark, aligned to 1-based here
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos0", "word")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("bigint").as("pos"), col("word"))
+        .orderBy("doc_id", "pos")
+    },
+
     QueryDef("q_text_tokens",
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
