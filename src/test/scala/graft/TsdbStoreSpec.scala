@@ -24,6 +24,14 @@ class TsdbStoreSpec extends SparkSpec {
     assert(parts.length >= 29, s"expected ~30 daily partitions, got ${parts.length}")
   }
 
+  test("fetch prunes date partitions (chunk-file addressing for free)") {
+    val plan = TsdbStore.fetch(spark, store, 7L, "click", 1704844800L, 1705708800L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("dt")),
+      "date-partition pruning missing from fetch plan")
+  }
+
   test("fetch(base) round-trips the raw samples in a range") {
     val b = 1704844800L; val e = 1705708800L
     val got = TsdbStore.fetch(spark, store, 7L, "click", b, e)
