@@ -93,7 +93,7 @@ object DedupOps {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxDist)
+      .filter(col("hamming") <= maxDist) // filter BEFORE the dedup
+      .distinct()                        // shuffle so only survivors shuffle
   }
 }

@@ -20,7 +20,7 @@ object MiscQueries {
     },
 
     QueryDef.noOracle("q_dedup_simhash") { (s, d) =>
-      DedupOps.simHashCandidates(Tables.documents(s, d), maxDist = 16)
+      DedupOps.simHashCandidates(Tables.documents(s, d), maxDist = 8)
         .orderBy("a_id", "b_id")
     },
 
@@ -36,6 +36,15 @@ object MiscQueries {
 
     QueryDef.noOracle("q_multimodal_decode") { (s, d) =>
       MultimodalOps.pipeline(s, d).orderBy("media_id")
+    },
+
+    // t-digest-style sketch quantiles (Spark's approx_percentile) —
+    // sketch differs from DuckDB's; error bound pinned by ScalaTest
+    QueryDef.noOracle("q_agg_approx_quantile") { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.95), 1000)")
+          .as("approx_q"))
+        .orderBy("l_returnflag")
     }
   )
 }
