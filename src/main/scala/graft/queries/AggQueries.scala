@@ -101,6 +101,18 @@ object AggQueries {
         .orderBy("c_nationkey")
     },
 
+    QueryDef("q_agg_histogram",
+      """SELECT CAST(floor(l_extendedprice / 1000) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty
+        |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(expr("CAST(floor(l_extendedprice / 1000) AS BIGINT)").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(l_quantity AS DECIMAL(18,4))")).cast("decimal(38,4)").as("qty"))
+        .orderBy("bucket")
+    },
+
     QueryDef("q_agg_collect",
       MeasurementsSql +
       """

@@ -87,6 +87,16 @@ object TsdbStore {
     merged.write.mode(SaveMode.Overwrite).partitionBy("dt").parquet(s"$path/base_new")
   }
 
+  /** Interchange sink/source: newline-delimited JSON export of any
+    * result (the reference's API spoke JSON; bulk exports at scale
+    * stay partitioned — one file per task, gzip). Read back with
+    * [[readJson]] — schema round-trips through Spark's JSON reader. */
+  def exportJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("compression", "gzip").json(path)
+
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
   /** The flagship read path — GET /snmp/<path>?begin=&end=&agg=&cf=
     * [pub: esxsnmp/newdb.py — unverified]: series filter + half-open
     * time range + consolidation function over the right resolution.

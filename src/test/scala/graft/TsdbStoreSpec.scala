@@ -74,6 +74,33 @@ class TsdbStoreSpec extends SparkSpec {
     assert(series == 2)
   }
 
+  test("upsert: replayed rows win by generation, counts unchanged") {
+    import spark.implicits._
+    val replay = Seq((7L, "click", 424242L, // synthetic new event id
+        java.sql.Timestamp.from(java.time.Instant.parse("2024-01-15T12:00:00Z")), 9.99))
+      .toDF("user_id", "event_type", "event_id", "ts", "value")
+    val existing = spark.read.parquet(s"$store/base")
+    // replay an EXISTING row with a changed value + one new row
+    val oneOld = existing.limit(1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        timestamp_micros(col("ts_us")).as("ts"), lit(123.45).as("value"))
+    TsdbStore.upsert(spark, replay.unionByName(oneOld), store)
+    val merged = spark.read.parquet(s"$store/base_new")
+    assert(merged.count() == existing.count() + 1)
+    val changed = merged.join(oneOld.select("event_id"), "event_id")
+      .select("cents").head().getLong(0)
+    assert(changed == 12345L, "replayed row did not win")
+  }
+
+  test("json export/read round-trips a fetch result") {
+    val out = java.nio.file.Files.createTempDirectory("graft-json").toString
+    val res = TsdbStore.fetch(spark, store, 7L, "click", 1704067200L, 1706659200L)
+    TsdbStore.exportJson(res, out)
+    val back = TsdbStore.readJson(spark, out).select("ts_us", "value")
+    assert(back.count() == res.count() && res.count() > 0)
+    assert(back.exceptAll(res).isEmpty)
+  }
+
   test("fetch rejects unknown aggregate steps and cfs") {
     intercept[IllegalArgumentException] {
       TsdbStore.fetch(spark, store, 1L, "click", 0L, 1L, aggStep = 300L)
