@@ -1,0 +1,55 @@
+package graft
+
+/** Physical-plan regression guard: the plans we audited into shape must
+  * stay in shape (SURVEY.md §4, PLANS.md). Catches silent plan
+  * regressions — a lost pushdown or an accidental cartesian would pass
+  * correctness at sf0.01 and melt down at 100 TB. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan.toString
+
+  // all-pairs by construction (bounded or intentionally blocked):
+  private val bnljAllowed = Set(
+    "q_sim_cosine_topk", "q_dedup_embed", "q_join_cross", "q_ts_gap_fill",
+    "q_sim_ann_ivf", "q_text_tfidf") // tfidf: 1-row count broadcast
+
+  test("no query plans a CartesianProduct; BNLJ only where intended") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n plans a CartesianProduct")
+      if (!bnljAllowed(n))
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$n plans a BNLJ")
+    }
+  }
+
+  test("column pruning reaches the scan in q_scan_pruned") {
+    val p = plan("q_scan_pruned")
+    val scan = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("l_orderkey") && !scan.contains("l_shipdate"),
+      s"scan not pruned: $scan")
+  }
+
+  test("time-range predicate is pushed to parquet") {
+    val p = plan("q_filter_time_range")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      "range predicate not in PushedFilters")
+  }
+
+  test("dimension and interval joins broadcast") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+    val iv = plan("q_join_range_ifref")
+    assert(iv.contains("BroadcastHashJoin") &&
+      !iv.contains("BroadcastNestedLoopJoin"),
+      "interval join regressed from broadcast-hash + residual")
+  }
+
+  test("top-k plans as TakeOrderedAndProject") {
+    assert(plan("q_orderby_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("custom expressions stay in the plan (codegen path)") {
+    assert(plan("q_ts_rate_counter").contains("wrap_delta"))
+    assert(plan("q_sim_cosine_topk").contains("vec_dot"))
+  }
+}
