@@ -96,6 +96,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows emit one row per overlapping window (streaming)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamingOps.slidingCounts(
+        in.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 10:31:00"), "click"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 14:00:00"), "click")) // close them all
+      q.processAllAvailable()
+      val starts = spark.table("sliding")
+        .filter(col("n") === 1L).select(col("w_start").cast("string"))
+        .as[String].collect().sorted.toSeq
+      // 1 h window, 15 min slide: the 10:31 event belongs to starts
+      // 09:45, 10:00, 10:15, 10:30
+      assert(starts == Seq("2024-01-01 09:45:00", "2024-01-01 10:00:00",
+        "2024-01-01 10:15:00", "2024-01-01 10:30:00"), s"got $starts")
+    } finally q.stop()
+  }
+
   test("session windows merge within gap and split across it (streaming)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
