@@ -13,6 +13,15 @@ class BucketedLayoutSpec extends SparkSpec {
 
   test("per-series window over a bucketed table plans zero exchanges") {
     spark.sql("DROP TABLE IF EXISTS m_bucketed")
+    // the in-memory catalog forgets tables across JVMs but the
+    // warehouse directory survives — clear the location too
+    val loc = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "m_bucketed")
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
     Tables.measurements(spark, Sf)
       .select("user_id", "event_type", "event_id", "ts_us", "cents", "wrapped")
       .write.bucketBy(8, "user_id", "event_type")
