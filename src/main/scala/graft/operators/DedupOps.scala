@@ -78,8 +78,11 @@ object DedupOps {
     * is equal (pigeonhole), so candidates come from an equi-join and
     * the exact popcount filter runs only on collisions. More chunks =
     * guaranteed recall at higher distance but denser buckets — tune
-    * per corpus scale. */
+    * per corpus scale. NOTE: recall is EXACT only for
+    * maxDist <= chunks-1; beyond that the banded join may miss pairs
+    * (callers wanting a larger exact radius must raise `chunks`). */
   def simHashCandidates(docs: DataFrame, maxDist: Int = 7, chunks: Int = 8): DataFrame = {
+    require(chunks > 0 && 64 % chunks == 0, s"chunks must divide 64: $chunks")
     val width = 64 / chunks
     val mask = (1L << width) - 1
     val sig = simHashSignatures(docs)

@@ -21,13 +21,23 @@ object JoinOps {
     * metadata side; pick-latest is one window pass. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String): DataFrame = {
-    val uid = monotonically_increasing_id()
-    val l = left.withColumn("__rid", uid)
+    // alias-qualified so the two sides may freely share column names;
+    // right-side collisions (incl. the key) come out suffixed "_right"
+    val l = left.withColumn("__rid", monotonically_increasing_id()).alias("__l")
+    val r = right.alias("__r")
     val w = Window.partitionBy("__rid")
-      .orderBy(col(rightTs).desc_nulls_last)
-    l.join(broadcast(right), l(key) === right(key) && col(rightTs) <= col(leftTs), "left")
+      .orderBy(col(s"__r.$rightTs").desc_nulls_last)
+    val joined = l.join(broadcast(r),
+        col(s"__l.$key") === col(s"__r.$key") &&
+          col(s"__r.$rightTs") <= col(s"__l.$leftTs"), "left")
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .drop("__rn", "__rid")
+    val leftNames = left.columns.toSet
+    val outCols =
+      left.columns.map(c => col(s"__l.$c").as(c)) ++
+      right.columns.filter(_ != key).map { c =>
+        col(s"__r.$c").as(if (leftNames(c)) s"${c}_right" else c)
+      }
+    joined.select(outCols: _*)
   }
 
   /** Interval (temporal validity) join: left rows matched to the right

@@ -29,11 +29,14 @@ object TextOps {
 
   /** Per-doc token stats used by quality scoring and language ID. */
   def tokenStats(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
-    val stopList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    // typed isin, not interpolated SQL: safe for empty lists and for
+    // stopwords containing quotes
+    val isStop =
+      if (stopwords.isEmpty) lit(false) else col("word").isin(stopwords: _*)
     tokens(docs).groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"),
         countDistinct(col("word")).as("n_distinct"),
-        count(when(expr(s"word IN $stopList"), 1)).as("stop_hits"))
+        count(when(isStop, 1)).as("stop_hits"))
   }
 
   /** Deterministic polynomial fingerprint over the token stream — a

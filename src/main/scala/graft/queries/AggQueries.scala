@@ -18,27 +18,29 @@ object AggQueries {
 
     QueryDef("q_agg_group",
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
         |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-        |      AS DECIMAL(18,4))) AS sum_disc_price,
+        |      AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      // exact DECIMAL accumulation (order-insensitive under partial agg),
+      // ONE final cast to DOUBLE — the driver's pandas compare stringifies
+      // values, and Decimal('77782.0000') != float 77782.0 there
       Tables.lineitem(s, d)
         .filter(expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          // cast to DuckDB's sum-result width so arrow dtypes agree
-          sum(expr("CAST(l_quantity AS DECIMAL(18,4))")).cast("decimal(38,4)").as("sum_qty"),
-          sum(expr("CAST(l_extendedprice AS DECIMAL(18,4))")).cast("decimal(38,4)").as("sum_base_price"),
+          sum(expr("CAST(l_quantity AS DECIMAL(18,4))")).cast("double").as("sum_qty"),
+          sum(expr("CAST(l_extendedprice AS DECIMAL(18,4))")).cast("double").as("sum_base_price"),
           sum(expr(
             """CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
               |(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-              |AS DECIMAL(18,4))""".stripMargin)).cast("decimal(38,4)").as("sum_disc_price"),
+              |AS DECIMAL(18,4))""".stripMargin)).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -62,13 +64,13 @@ object AggQueries {
     QueryDef("q_agg_grouping_sets",
       """SELECT l_returnflag, l_linestatus,
         |  grouping(l_returnflag, l_linestatus) AS gid,
-        |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty, count(*) AS n
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .rollup("l_returnflag", "l_linestatus")
         .agg(grouping_id().as("gid"),
-          sum(expr("CAST(l_quantity AS DECIMAL(18,4))")).cast("decimal(38,4)").as("sum_qty"),
+          sum(expr("CAST(l_quantity AS DECIMAL(18,4))")).cast("double").as("sum_qty"),
           count(lit(1)).as("n"))
         .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
         .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
@@ -104,27 +106,30 @@ object AggQueries {
     QueryDef("q_agg_histogram",
       """SELECT CAST(floor(l_extendedprice / 1000) AS BIGINT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(expr("CAST(floor(l_extendedprice / 1000) AS BIGINT)").as("bucket"))
         .agg(count(lit(1)).as("n"),
-          sum(expr("CAST(l_quantity AS DECIMAL(18,4))")).cast("decimal(38,4)").as("qty"))
+          sum(expr("CAST(l_quantity AS DECIMAL(18,4))")).cast("double").as("qty"))
         .orderBy("bucket")
     },
 
     QueryDef("q_agg_collect",
       MeasurementsSql +
       """
-        |SELECT user_id, list(event_id ORDER BY ts_us, event_id) AS ids
+        |SELECT user_id,
+        |  array_to_string(list(event_id ORDER BY ts_us, event_id), ',') AS ids
         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
       // collect_list order is undefined under parallel merge — sort the
-      // collected (ts, id) structs, then project ids (SURVEY.md §7.4)
+      // collected (ts, id) structs, then project ids (SURVEY.md §7.4).
+      // Joined to a string: list-typed output columns crash the driver's
+      // pandas sort_values; int formatting is engine-identical.
       Tables.measurements(s, d)
         .groupBy("user_id")
-        .agg(transform(
+        .agg(array_join(transform(
           sort_array(collect_list(struct(col("ts_us"), col("event_id")))),
-          x => x.getField("event_id")).as("ids"))
+          x => x.getField("event_id")), ",").as("ids"))
         .orderBy("user_id")
     },
 

@@ -56,14 +56,15 @@ object JoinQueries {
     },
 
     QueryDef("q_join_shuffle",
-      s"""SELECT o_orderkey, count(*) AS n_items, sum($RevenueExpr) AS revenue
+      s"""SELECT o_orderkey, count(*) AS n_items,
+         |  CAST(sum($RevenueExpr) AS DOUBLE) AS revenue
          |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
          |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       Tables.orders(s, d)
         .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderkey")
         .agg(count(lit(1)).as("n_items"),
-          sum(expr(RevenueExpr)).cast("decimal(38,4)").as("revenue"))
+          sum(expr(RevenueExpr)).cast("double").as("revenue"))
         .orderBy("o_orderkey")
     },
 
@@ -150,7 +151,7 @@ object JoinQueries {
         """SELECT n_name,
           |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
           |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-          |      AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+          |      AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
           |  CAST(count(*) AS BIGINT) AS n_rows
           |FROM customer
           |JOIN orders ON o_custkey = c_custkey

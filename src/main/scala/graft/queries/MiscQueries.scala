@@ -20,7 +20,8 @@ object MiscQueries {
     },
 
     QueryDef.noOracle("q_dedup_simhash") { (s, d) =>
-      DedupOps.simHashCandidates(Tables.documents(s, d), maxDist = 8)
+      // maxDist <= chunks-1 keeps the pigeonhole recall guarantee exact
+      DedupOps.simHashCandidates(Tables.documents(s, d), maxDist = 7)
         .orderBy("a_id", "b_id")
     },
 
@@ -41,9 +42,13 @@ object MiscQueries {
     // t-digest-style sketch quantiles (Spark's approx_percentile) —
     // sketch differs from DuckDB's; error bound pinned by ScalaTest
     QueryDef.noOracle("q_agg_approx_quantile") { (s, d) =>
+      // scalar columns (not the array form): list-typed outputs crash
+      // even the driver's rows-only read path
       Tables.lineitem(s, d).groupBy("l_returnflag")
-        .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.95), 1000)")
-          .as("approx_q"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.25, 1000)").as("q25"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("q50"),
+          expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("q95"))
         .orderBy("l_returnflag")
     }
   )

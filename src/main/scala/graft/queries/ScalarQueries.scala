@@ -35,20 +35,23 @@ object ScalarQueries {
 
     QueryDef("q_date_funcs",
       """SELECT o_orderkey,
-        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  epoch_us(date_trunc('month', o_orderdate)) AS month_start,
         |  CAST(year(o_orderdate) AS BIGINT) AS y,
         |  CAST(month(o_orderdate) AS BIGINT) AS mo,
         |  CAST(isodow(o_orderdate) AS BIGINT) AS dow,
         |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
-        |  CAST(o_orderdate AS DATE) AS od
+        |  epoch_us(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)) AS od
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      // temporal outputs as epoch-µs BIGINT (SURVEY.md §7.4): raw
+      // TIMESTAMP columns read tz-aware from Spark parquet but naive
+      // from DuckDB; DATE columns read as python date vs datetime64
       Tables.orders(s, d).selectExpr("o_orderkey",
-          "CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start",
+          "unix_micros(date_trunc('month', o_orderdate)) AS month_start",
           "CAST(year(o_orderdate) AS BIGINT) AS y",
           "CAST(month(o_orderdate) AS BIGINT) AS mo",
           "CAST(weekday(o_orderdate) + 1 AS BIGINT) AS dow",
           "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS BIGINT) AS days_since",
-          "CAST(o_orderdate AS DATE) AS od")
+          "unix_micros(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)) AS od")
         .orderBy("o_orderkey")
     },
 
@@ -81,7 +84,8 @@ object ScalarQueries {
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,
         |  embedding[1] AS e1,
-        |  embedding[1:4] AS e_head,
+        |  embedding[2] AS e2,
+        |  embedding[3] AS e3,
         |  list_max(embedding) AS e_max,
         |  list_contains(embedding, embedding[1]) AS has_first,
         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -90,11 +94,13 @@ object ScalarQueries {
         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
       // higher-order functions: sequential left fold in index order —
       // the same evaluation order DuckDB's list_reduce uses, so the
-      // double sum is bit-identical
+      // double sum is bit-identical. Scalar outputs only: list-typed
+      // columns crash the driver's pandas sort_values.
       Tables.embeddings(s, d).selectExpr("vec_id",
           "CAST(size(embedding) AS BIGINT) AS dim",
           "element_at(embedding, 1) AS e1",
-          "slice(embedding, 1, 4) AS e_head",
+          "element_at(embedding, 2) AS e2",
+          "element_at(embedding, 3) AS e3",
           "array_max(embedding) AS e_max",
           "array_contains(embedding, element_at(embedding, 1)) AS has_first",
           """round(aggregate(transform(embedding, x -> CAST(x AS DOUBLE)),
@@ -105,13 +111,17 @@ object ScalarQueries {
     QueryDef("q_map_json_funcs",
       """SELECT event_id,
         |  CAST(props->>'$.k' AS BIGINT) AS k,
-        |  json_keys(props) AS ks,
-        |  [CAST(props->>'$.k' AS BIGINT)] AS vs
+        |  array_to_string(list_sort(json_keys(props)), ',') AS ks,
+        |  array_to_string(list_sort(list_transform(json_keys(props),
+        |    kk -> CAST(props->>('$.' || kk) AS BIGINT))), ',') AS vs
         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      // string-joined sorted keys/values: list-typed output columns
+      // crash the driver's pandas sort_values; sort removes any
+      // engine-specific JSON key-order dependence
       Tables.events(s, d).selectExpr("event_id",
           "CAST(get_json_object(props, '$.k') AS BIGINT) AS k",
-          "map_keys(from_json(props, 'map<string,bigint>')) AS ks",
-          "map_values(from_json(props, 'map<string,bigint>')) AS vs")
+          "array_join(array_sort(map_keys(from_json(props, 'map<string,bigint>'))), ',') AS ks",
+          "array_join(array_sort(map_values(from_json(props, 'map<string,bigint>'))), ',') AS vs")
         .orderBy("event_id")
     }
   )

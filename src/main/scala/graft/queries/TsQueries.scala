@@ -69,14 +69,14 @@ object TsQueries {
 
     QueryDef("q_project_arith",
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |  CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
         |       (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-        |       AS DECIMAL(18,4)) AS revenue
+        |       AS DECIMAL(18,4)) AS DOUBLE) AS revenue
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d).selectExpr("l_orderkey", "l_linenumber",
-          """CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+          """CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
             |     (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-            |     AS DECIMAL(18,4)) AS revenue""".stripMargin)
+            |     AS DECIMAL(18,4)) AS DOUBLE) AS revenue""".stripMargin)
         .orderBy("l_orderkey", "l_linenumber")
     },
 
