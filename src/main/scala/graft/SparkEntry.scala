@@ -29,6 +29,7 @@ object SparkEntry {
     graft.queries.TextQueries.all ++
     graft.queries.VectorQueries.all ++
     graft.queries.StreamQueries.all ++
+    graft.queries.PipelineQueries.all ++
     graft.queries.MiscQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -99,4 +99,49 @@ object DedupOps {
       .filter(col("hamming") <= maxDist) // filter BEFORE the dedup
       .distinct()                        // shuffle so only survivors shuffle
   }
+
+  /** Connected components over an undirected edge list (a_id, b_id) —
+    * the dedup-cluster resolution step: every near-dup pair family
+    * (exact, MinHash, SimHash, embedding) yields PAIRS; keeping one
+    * representative per transitive group needs components.
+    *
+    * Min-label propagation to fixpoint: each node takes the minimum
+    * label in its closed neighborhood each round, so cluster id =
+    * smallest doc_id in the component — a deterministic fixpoint
+    * independent of execution order. Rounds ≈ graph diameter (dedup
+    * clusters are shallow; ≤ `maxIters` guards pathological chains).
+    * Each round is one join + one map-side-combined min agg — the
+    * alternating-star CC recipe specialises to this when components
+    * are small, and nothing driver-side ever holds the graph.
+    *
+    * @param nodes one column `node`; includes singletons (cluster = self)
+    * @param edges columns `a_id`, `b_id`
+    * @return (node, cluster) */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIters: Int = 20): DataFrame = {
+    val und = edges.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionByName(edges.select(col("b_id").as("u"), col("a_id").as("v")))
+      .distinct().localCheckpoint(true)
+    // localCheckpoint each round truncates the logical plan — without
+    // it the iteration-nested lineage grows exponentially (the same
+    // reason GraphFrames checkpoints its CC loop)
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      // neighbour labels (via edges) ∪ own label, then min per node
+      val next = und.join(labels, und("v") === labels("node"))
+        .select(und("u").as("node"), col("lbl"))
+        .unionByName(labels)
+        .groupBy("node").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
+        .filter(col("lbl") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels.withColumnRenamed("lbl", "cluster")
+  }
 }

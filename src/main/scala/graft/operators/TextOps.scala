@@ -39,6 +39,26 @@ object TextOps {
         count(when(isStop, 1)).as("stop_hits"))
   }
 
+  /** Exact shingle-set Jaccard near-dup pairs (a_id < b_id, jacc ≥
+    * minJacc, rounded 4 dp) — the exact form MinHash approximates. The
+    * candidate space is bounded by the shingle equi-join (only docs
+    * sharing a shingle ever meet), intersections are map-side-combined
+    * counts, and the two size joins are broadcast-able aggregates. */
+  def jaccardPairs(docs: DataFrame, n: Int, minJacc: Double): DataFrame = {
+    val sh = shingles(docs, n)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.toDF("a_id", "sh")
+    val b = sh.toDF("b_id", "sh")
+    val ix = a.join(b, a("sh") === b("sh") && col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+    val jacc = col("i").cast("double") /
+      (col("na") + col("nb") - col("i")).cast("double")
+    ix.join(sz.toDF("a_id", "na"), "a_id")
+      .join(sz.toDF("b_id", "nb"), "b_id")
+      .filter(jacc >= minJacc)
+      .select(col("a_id"), col("b_id"), round(jacc, 4).as("jacc"))
+  }
+
   /** Deterministic polynomial fingerprint over the token stream — a
     * rolling-hash document signature computed with a sequential
     * higher-order fold (identical evaluation order in DuckDB). */

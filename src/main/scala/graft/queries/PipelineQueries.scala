@@ -1,0 +1,310 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.operators.{DedupOps, TextOps}
+
+/** SURVEY.md §2 M (round 2): the operations a large-scale
+  * training-data pipeline runs between raw corpus and training shards —
+  * deterministic sampling, stratified sampling, weighted source mixing,
+  * document chunking, sequence packing, repetition-quality scoring,
+  * dedup cluster resolution, and the exact-sum correlation/covariance
+  * surface.
+  *
+  * Determinism strategy: sampling decisions use a Knuth multiplicative
+  * hash over BIGINT ids — exact integer arithmetic, identical in any
+  * engine, reproducible across cluster sizes and partitionings (unlike
+  * rand(seed), whose stream depends on the partitioning). */
+object PipelineQueries {
+
+  /** (id * 2654435761) mod 2^32 — Knuth multiplicative hash, exact in
+    * BIGINT. Sampling keeps `hkey < rate * 2^32`. */
+  private val HKey = "(doc_id * 2654435761) % 4294967296"
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q_sample_hash",
+      s"""SELECT doc_id, lang, $HKey AS hkey
+         |FROM documents
+         |WHERE $HKey < 858993459
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // 20% deterministic sample: 858993459 = floor(0.2 * 2^32).
+      // Hash-gating beats rand(seed) at scale: the decision is a pure
+      // function of the row, so re-runs, retries, and repartitions
+      // cannot change the sample.
+      Tables.documents(s, d)
+        .selectExpr("doc_id", "lang", s"$HKey AS hkey")
+        .filter(col("hkey") < 858993459L)
+        .orderBy("doc_id")
+    },
+
+    QueryDef("q_sample_stratified",
+      s"""WITH h AS (SELECT doc_id, lang, $HKey AS hkey FROM documents),
+         |r AS (SELECT doc_id, lang, hkey,
+         |        row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY lang) AS n
+         |      FROM h)
+         |SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= CAST(ceil(0.25 * n) AS BIGINT)
+         |ORDER BY lang, rn""".stripMargin) { (s, d) =>
+      // exact 25% per language stratum: rank docs inside each stratum
+      // by hash key (deterministic shuffle order), keep the first
+      // ceil(0.25·n). One window pass; the strata partition the data
+      // so this parallelizes per-language at any scale.
+      val w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
+      Tables.documents(s, d)
+        .selectExpr("doc_id", "lang", s"$HKey AS hkey")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+        .filter(col("rn") <= ceil(lit(0.25) * col("n")).cast("long"))
+        .select(col("doc_id"), col("lang"), col("rn").cast("bigint").as("rn"))
+        .orderBy("lang", "rn")
+    },
+
+    QueryDef("q_mix_weighted",
+      s"""WITH k AS (
+         |  SELECT source, doc_id, $HKey AS hkey,
+         |    CASE WHEN source IN ('src0','src1','src2') THEN 3435973836
+         |         WHEN source IN ('src3','src4','src5') THEN 2147483648
+         |         ELSE 1073741824 END AS thr
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(count(CASE WHEN hkey < thr THEN 1 END) AS BIGINT) AS n_kept
+         |FROM k GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      // weighted dataset mixing: per-source keep rates (0.8/0.5/0.25)
+      // applied by the same hash gate — the mixture recipe a training
+      // run pins in its data card, reproducible at any scale
+      Tables.documents(s, d)
+        .selectExpr("source", "doc_id", s"$HKey AS hkey",
+          """CASE WHEN source IN ('src0','src1','src2') THEN 3435973836
+            |     WHEN source IN ('src3','src4','src5') THEN 2147483648
+            |     ELSE 1073741824 END AS thr""".stripMargin)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("hkey") < col("thr"), 1)).as("n_kept"))
+        .orderBy("source")
+    },
+
+    QueryDef("q_doc_chunk",
+      """WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |st AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1, 40)) AS start FROM arrs)
+        |SELECT doc_id, CAST((start - 1) // 40 AS BIGINT) AS chunk_id,
+        |  CAST(len(list_slice(arr, start, start + 49)) AS BIGINT) AS n_tok,
+        |  array_to_string(list_slice(arr, start, start + 49), ' ') AS chunk
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      // sliding-window chunking (size 50 tokens, stride 40 → overlap
+      // 10): the doc→context-window step. explode(sequence) is the
+      // Generator path — no driver loop, parallel over docs
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .select(col("doc_id"), col("arr"),
+          explode(expr("sequence(1, size(arr), 40)")).as("start"))
+        .selectExpr("doc_id",
+          "CAST((start - 1) div 40 AS BIGINT) AS chunk_id",
+          "CAST(size(slice(arr, start, 50)) AS BIGINT) AS n_tok",
+          "array_join(slice(arr, start, 50), ' ') AS chunk")
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    QueryDef("q_pack_greedy",
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS filled
+        |  FROM t)
+        |SELECT doc_id, source, n_tok, CAST(filled // 512 AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // sequence packing: docs fill 512-token bins in id order within
+      // their source shard — bin = tokens-before // capacity. Shard-
+      // local packing (PARTITION BY source) is what scales: a global
+      // pack order would serialize the corpus through one window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .selectExpr("doc_id", "source",
+          "CAST(size(split(text, ' ')) AS BIGINT) AS n_tok")
+        .withColumn("filled", sum("n_tok").over(w) - col("n_tok"))
+        .selectExpr("doc_id", "source", "n_tok",
+          "CAST(filled div 512 AS BIGINT) AS bin")
+        .orderBy("doc_id")
+    },
+
+    QueryDef("q_text_repetition",
+      """WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |tri AS (SELECT doc_id, unnest(list_transform(range(1, len(arr) - 1),
+        |    i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS tr
+        |  FROM arrs WHERE len(arr) >= 3),
+        |g AS (SELECT doc_id, tr, count(*) AS c FROM tri GROUP BY doc_id, tr),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tri,
+        |        CAST(count(*) AS BIGINT) AS n_uniq, CAST(max(c) AS BIGINT) AS max_rep
+        |  FROM g GROUP BY doc_id)
+        |SELECT doc_id, n_tri, n_uniq, max_rep,
+        |  round(CAST(1 AS DOUBLE) - CAST(n_uniq AS DOUBLE) / CAST(n_tri AS DOUBLE), 4) AS rep_ratio
+        |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // repetition quality signal: duplicated-trigram ratio + the most
+      // repeated trigram's count — the boilerplate/spam filter. Exact
+      // integer counts; one double division at the end
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .filter(size(col("arr")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(arr) - 2),
+            |  i -> concat_ws(' ', element_at(arr, i), element_at(arr, i+1),
+            |                      element_at(arr, i+2)))""".stripMargin)).as("tr"))
+        .groupBy("doc_id", "tr").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tri"), count(lit(1)).as("n_uniq"), max("c").as("max_rep"))
+        .selectExpr("doc_id", "n_tri", "n_uniq", "max_rep",
+          "round(CAST(1 AS DOUBLE) - CAST(n_uniq AS DOUBLE) / CAST(n_tri AS DOUBLE), 4) AS rep_ratio")
+        .orderBy("doc_id")
+    },
+
+    QueryDef("q_agg_corr",
+      """WITH t AS (SELECT lang, CAST(n_chars AS BIGINT) AS x,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS y FROM documents),
+        |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+        |    sum(y*y) AS syy, sum(x*y) AS sxy
+        |  FROM t GROUP BY lang)
+        |SELECT lang, n,
+        |  round(CAST(n*sxy - sx*sy AS DOUBLE) /
+        |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 4) AS corr_xy,
+        |  round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*(n-1) AS DOUBLE), 4) AS covar_xy
+        |FROM a ORDER BY lang""".stripMargin) { (s, d) =>
+      // corr/covar from exact BIGINT moment sums — order-insensitive
+      // under partial aggregation, unlike the built-in streaming corr
+      // whose double accumulators are merge-order-dependent (§7.4)
+      Tables.documents(s, d)
+        .selectExpr("lang", "CAST(n_chars AS BIGINT) AS x",
+          "CAST(size(split(text, ' ')) AS BIGINT) AS y")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .selectExpr("lang", "n",
+          """round(CAST(n*sxy - sx*sy AS DOUBLE) /
+            |  (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 4) AS corr_xy""".stripMargin,
+          "round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*(n-1) AS DOUBLE), 4) AS covar_xy")
+        .orderBy("lang")
+    },
+
+    QueryDef("q_unpivot",
+      """SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin) { (s, d) =>
+      // wide→long reshape via stack (the Generator-based unpivot):
+      // one scan, no join — the UNION ALL oracle text is the
+      // semantic spec, not the plan
+      Tables.lineitem(s, d)
+        .selectExpr("l_orderkey", "l_linenumber",
+          """stack(3, 'quantity', l_quantity,
+            |         'extendedprice', l_extendedprice,
+            |         'discount', l_discount) AS (measure, val)""".stripMargin)
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    },
+
+    QueryDef("q_window_first_last",
+      """SELECT event_id,
+        |  first_value(value) OVER w AS first_v,
+        |  last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v,
+        |  nth_value(value, 2) OVER w AS second_v
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val grow = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val full = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select(col("event_id"),
+          first("value").over(grow).as("first_v"),
+          last("value").over(full).as("last_v"),
+          nth_value(col("value"), 2).over(grow).as("second_v"))
+        .orderBy("event_id")
+    },
+
+    QueryDef("q_agg_minby_maxby",
+      """SELECT event_type,
+        |  min_by(value, event_id) AS first_value,
+        |  max_by(value, event_id) AS last_value,
+        |  CAST(min(event_id) AS BIGINT) AS first_id,
+        |  CAST(max(event_id) AS BIGINT) AS last_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      // arg-min/arg-max keyed on the UNIQUE event_id (value of the
+      // earliest/latest event per type) — unique ordering key keeps
+      // min_by deterministic under parallel merge
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(expr("min_by(value, event_id)").as("first_value"),
+          expr("max_by(value, event_id)").as("last_value"),
+          min("event_id").as("first_id"), max("event_id").as("last_id"))
+        .orderBy("event_type")
+    },
+
+    QueryDef("q_stream_join",
+      """WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, p.purchase_id
+        |FROM c JOIN p ON p.user_id = c.user_id
+        |  AND p.ts_us >= c.ts_us AND p.ts_us < c.ts_us + 3600000000
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
+      // batch twin of the stream-stream interval join (purchases within
+      // 1 h after a click, same user) — the streaming form with
+      // watermarks on both sides is StreamingOpsSpec territory
+      val c = Tables.events(s, d).filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("c_ts"))
+      val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          unix_micros(col("ts")).as("p_ts"))
+      c.join(p, col("p_user") === col("user_id") &&
+          col("p_ts") >= col("c_ts") && col("p_ts") < col("c_ts") + 3600000000L)
+        .select("click_id", "purchase_id")
+        .orderBy("click_id", "purchase_id")
+    },
+
+    QueryDef("q_dedup_cluster",
+      """WITH RECURSIVE
+        |arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |shd AS (SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(arr) - 1),
+        |        i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS sh
+        |    FROM arrs WHERE len(arr) >= 3) t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+        |ix AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |       FROM shd a JOIN shd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |       GROUP BY a.doc_id, b.doc_id),
+        |e AS (SELECT a_id, b_id FROM ix
+        |      JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+        |      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5),
+        |und AS (SELECT a_id AS u, b_id AS v FROM e
+        |        UNION SELECT b_id, a_id FROM e),
+        |reach(u, v) AS (SELECT u, v FROM und
+        |  UNION SELECT r.u, d.v FROM reach r JOIN und d ON d.u = r.v),
+        |m AS (SELECT u AS node, least(u, min(v)) AS cluster FROM reach GROUP BY u)
+        |SELECT d.doc_id, CAST(coalesce(m.cluster, d.doc_id) AS BIGINT) AS cluster
+        |FROM documents d LEFT JOIN m ON m.node = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      // dedup cluster resolution: near-dup PAIRS (Jaccard ≥ 0.5) →
+      // transitive components → cluster id = min doc_id in component.
+      // Spark side: iterative min-label propagation (DedupOps), a
+      // shuffle-bounded fixpoint; the oracle's recursive CTE computes
+      // the same fixpoint by transitive closure
+      val docs = Tables.documents(s, d)
+      val edges = TextOps.jaccardPairs(docs, 3, 0.5).select("a_id", "b_id")
+      val nodes = docs.select(col("doc_id").as("node"))
+      DedupOps.connectedComponents(nodes, edges)
+        .select(col("node").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")
+    }
+  )
+}

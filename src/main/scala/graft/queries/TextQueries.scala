@@ -184,18 +184,7 @@ object TextQueries {
       // shingle-set Jaccard: the exact version of MinHash near-dup.
       // At 100 TB the candidate join is bounded by banding (see
       // DedupOps.minHashCandidates) — this exact form is the oracle.
-      val sh = TextOps.shingles(Tables.documents(s, d), 3)
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.toDF("a_id", "sh")
-      val b = sh.toDF("b_id", "sh")
-      val ix = a.join(b, a("sh") === b("sh") && col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
-      val jacc = col("i").cast("double") /
-        (col("na") + col("nb") - col("i")).cast("double")
-      ix.join(sz.toDF("a_id", "na"), "a_id")
-        .join(sz.toDF("b_id", "nb"), "b_id")
-        .filter(jacc >= 0.02)
-        .select(col("a_id"), col("b_id"), round(jacc, 4).as("jacc"))
+      TextOps.jaccardPairs(Tables.documents(s, d), 3, 0.02)
         .orderBy("a_id", "b_id")
     }
   )

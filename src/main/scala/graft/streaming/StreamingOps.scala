@@ -62,6 +62,23 @@ object StreamingOps {
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("user_id"), col("n"))
 
+  /** Stream-stream interval join: right events matched to left events
+    * of the same key with `right.ts ∈ [left.ts, left.ts + windowUs)`.
+    * Watermarks on BOTH sides plus the time-bound condition let Spark
+    * age out join state — without the bound the state store grows
+    * unboundedly (q_stream_join is the batch twin).
+    *
+    * @param left  (l_id, key, ts) @param right (r_id, key, ts) */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, windowUs: Long): DataFrame = {
+    val l = left.toDF("l_id", "key", "l_ts").withWatermark("l_ts", "1 hour")
+    val r = right.toDF("r_id", "r_key", "r_ts").withWatermark("r_ts", "1 hour")
+    l.join(r,
+      col("r_key") === col("key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") < col("l_ts") + expr(s"INTERVAL ${windowUs} MICROSECOND"))
+      .select("l_id", "r_id")
+  }
+
   /** Streaming dedup on event_id within the watermark — the idempotent
     * slot-upsert semantics, online. */
   def dedupStream(events: DataFrame): DataFrame =

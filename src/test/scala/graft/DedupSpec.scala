@@ -68,4 +68,26 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cand.contains((0L, 100L)))
   }
+
+  test("connected components: chains merge transitively, singletons stay") {
+    import spark.implicits._
+    // component {1,2,3,9} via chain, {5,6} pair, {7} singleton
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L))
+      .toDF("a_id", "b_id")
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 7L, 9L).toDF("node")
+    val got = DedupOps.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L), s"got $got")
+  }
+
+  test("connected components: long path converges within iteration cap") {
+    import spark.implicits._
+    // a 12-node path: worst case for label propagation depth
+    val edges = (0L until 11L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val nodes = (0L to 11L).toDF("node")
+    val got = DedupOps.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(0L), s"got $got")
+  }
 }

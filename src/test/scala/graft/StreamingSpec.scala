@@ -74,6 +74,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within window, ages out state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Long, Timestamp)]
+    val q = StreamingOps.intervalJoinStream(
+        clicks.toDF(), buys.toDF(), windowUs = 3600L * 1000000L)
+      .writeStream.format("memory").queryName("sjoin")
+      .outputMode("append").start()
+    try {
+      clicks.addData((10L, 1L, ts("2024-01-01 10:00:00")),
+        (11L, 2L, ts("2024-01-01 10:05:00")))
+      buys.addData(
+        (20L, 1L, ts("2024-01-01 10:30:00")),  // in window for click 10
+        (21L, 1L, ts("2024-01-01 11:30:00")),  // past 1h: no match
+        (22L, 3L, ts("2024-01-01 10:10:00")))  // wrong key
+      q.processAllAvailable()
+      val got = spark.table("sjoin").as[(Long, Long)].collect().toSet
+      assert(got == Set((10L, 20L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming ingest lands microbatches in the dt-partitioned store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
