@@ -127,6 +127,12 @@ object DedupOps {
     // reason GraphFrames checkpoints its CC loop)
     var labels = nodes.select(col("node"), col("node").as("lbl"))
       .localCheckpoint(true)
+    // labels only ever decrease, so Σlbl strictly decreases until the
+    // fixpoint: an unchanged sum IS convergence — one map-side-combined
+    // agg over checkpointed data, vs a join-based change detector
+    def lblSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum("lbl")).head().getLong(0)
+    var prevSum = lblSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -136,10 +142,10 @@ object DedupOps {
         .unionByName(labels)
         .groupBy("node").agg(min("lbl").as("lbl"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
-        .filter(col("lbl") =!= col("old")).limit(1).count()
+      val nextSum = lblSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       it += 1
     }
     labels.withColumnRenamed("lbl", "cluster")

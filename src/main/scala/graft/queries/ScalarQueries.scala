@@ -118,10 +118,13 @@ object ScalarQueries {
       // string-joined sorted keys/values: list-typed output columns
       // crash the driver's pandas sort_values; sort removes any
       // engine-specific JSON key-order dependence
-      Tables.events(s, d).selectExpr("event_id",
-          "CAST(get_json_object(props, '$.k') AS BIGINT) AS k",
-          "array_join(array_sort(map_keys(from_json(props, 'map<string,bigint>'))), ',') AS ks",
-          "array_join(array_sort(map_values(from_json(props, 'map<string,bigint>'))), ',') AS vs")
+      // ONE from_json per row; k/ks/vs all derive from the parsed map
+      Tables.events(s, d)
+        .withColumn("m", expr("from_json(props, 'map<string,bigint>')"))
+        .selectExpr("event_id",
+          "element_at(m, 'k') AS k",
+          "array_join(array_sort(map_keys(m)), ',') AS ks",
+          "array_join(array_sort(map_values(m)), ',') AS vs")
         .orderBy("event_id")
     }
   )
