@@ -4,7 +4,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
-import graft.operators.{DedupOps, TextOps}
+import graft.functions.{TopKByValue, TopKEntry}
+import graft.operators.{DedupOps, MultimodalOps, TextOps}
 
 /** SURVEY.md §2 M (round 2): the operations a large-scale
   * training-data pipeline runs between raw corpus and training shards —
@@ -305,6 +306,54 @@ object PipelineQueries {
       DedupOps.connectedComponents(nodes, edges)
         .select(col("node").as("doc_id"), col("cluster"))
         .orderBy("doc_id")
+    },
+
+    QueryDef("q_topk_heap",
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders
+        |)
+        |SELECT o_custkey, o_orderkey, o_totalprice, rn FROM r WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+      // SAME oracle as q_topk_per_group, different physics: the typed
+      // bounded-heap Aggregator keeps ≤k rows per group per partition
+      // (partial/final two-phase, like sum), so the shuffle carries
+      // k·groups rows — the window form shuffles the ENTIRE table
+      import s.implicits._
+      val top3 = new TopKByValue(3).toColumn
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(t => TopKEntry(t._2, t._3))
+        .agg(top3)
+        .flatMap { case (ck, tops) =>
+          tops.zipWithIndex.map { case (e, i) => (ck, e.id, e.v, (i + 1).toLong) }
+        }
+        .toDF("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+
+    QueryDef("q_multimodal_frames",
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    CAST(1 + strlen(text) // 4096 AS BIGINT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT media_id, n_frames, unnest(range(0, n_frames, 10)) AS frame_idx
+        |FROM m ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
+      // frame-sampling plan for the video assets: frame count derives
+      // from the deterministic stub decode's n_bytes (= utf-8 bytes of
+      // the payload), every-10th-frame sample via a generator — the
+      // metadata-only plan a real decoder would execute per frame
+      val decoded = MultimodalOps.decode(
+        MultimodalOps.asMedia(Tables.documents(s, d), "doc_id", "text")).toDF()
+      decoded.filter(col("kind") === "video")
+        .selectExpr("media_id", "CAST(1 + n_bytes div 4096 AS BIGINT) AS n_frames")
+        .withColumn("frame_idx",
+          explode(expr("sequence(CAST(0 AS BIGINT), n_frames - 1, CAST(10 AS BIGINT))")))
+        .select("media_id", "n_frames", "frame_idx")
+        .orderBy("media_id", "frame_idx")
     }
   )
 }
