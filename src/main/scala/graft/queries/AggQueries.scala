@@ -133,6 +133,25 @@ object AggQueries {
         .orderBy("user_id")
     },
 
+    QueryDef("q_agg_bool_bitwise",
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 0) AS all_pos,
+        |  bool_or(l_discount > 0.05) AS any_disc,
+        |  CAST(bit_and(l_orderkey) AS BIGINT) AS band,
+        |  CAST(bit_or(l_orderkey) AS BIGINT) AS bor,
+        |  CAST(bit_xor(l_orderkey) AS BIGINT) AS bxor
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // boolean/bitwise aggregate surface — all order-insensitive
+      // monoids, so partial aggregation is exact by construction
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(expr("bool_and(l_quantity > 0)").as("all_pos"),
+          expr("bool_or(l_discount > 0.05)").as("any_disc"),
+          expr("CAST(bit_and(l_orderkey) AS BIGINT)").as("band"),
+          expr("CAST(bit_or(l_orderkey) AS BIGINT)").as("bor"),
+          expr("CAST(bit_xor(l_orderkey) AS BIGINT)").as("bxor"))
+        .orderBy("l_returnflag")
+    },
+
     QueryDef("q_udaf_wmean",
       MeasurementsSql +
       """,

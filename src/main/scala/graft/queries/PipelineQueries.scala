@@ -336,6 +336,36 @@ object PipelineQueries {
         .orderBy("o_custkey", "rn")
     },
 
+    QueryDef("q_dedup_editdist",
+      """WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |shd AS (SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(arr) - 1),
+        |        i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS sh
+        |    FROM arrs WHERE len(arr) >= 3) t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+        |ix AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |       FROM shd a JOIN shd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |       GROUP BY a.doc_id, b.doc_id),
+        |e AS (SELECT a_id, b_id FROM ix
+        |      JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+        |      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5)
+        |SELECT e.a_id, e.b_id,
+        |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist
+        |FROM e JOIN documents da ON da.doc_id = e.a_id
+        |       JOIN documents db ON db.doc_id = e.b_id
+        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      // verification pass of the dedup funnel: exact edit distance
+      // computed ONLY on candidate pairs (never all-pairs — at 100 TB
+      // levenshtein is strictly a post-filter on banding survivors)
+      val docs = Tables.documents(s, d)
+      TextOps.jaccardPairs(docs, 3, 0.5).select("a_id", "b_id")
+        .join(docs.select(col("doc_id").as("a_id"), col("text").as("a_text")), "a_id")
+        .join(docs.select(col("doc_id").as("b_id"), col("text").as("b_text")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          levenshtein(col("a_text"), col("b_text")).cast("bigint").as("dist"))
+        .orderBy("a_id", "b_id")
+    },
+
     QueryDef("q_multimodal_frames",
       """WITH m AS (SELECT doc_id AS media_id,
         |    CAST(1 + strlen(text) // 4096 AS BIGINT) AS n_frames

@@ -108,6 +108,33 @@ object ScalarQueries {
         .orderBy("vec_id")
     },
 
+    QueryDef("q_str_funcs2",
+      """SELECT doc_id,
+        |  lpad(lang, 6, '_') AS lp,
+        |  rpad(lang, 6, '_') AS rp,
+        |  trim(substring(text, 1, 10)) AS tr,
+        |  replace(substring(text, 1, 30), ' ', '_') AS repl,
+        |  split_part(text, ' ', 2) AS second_tok,
+        |  left(text, 8) AS l8,
+        |  right(text, 8) AS r8,
+        |  reverse(lang) AS rev,
+        |  repeat(lang, 2) AS rep2,
+        |  CAST(levenshtein(substring(text, 1, 20), 'the quick brown fox') AS BIGINT) AS lev
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).selectExpr("doc_id",
+          "lpad(lang, 6, '_') AS lp",
+          "rpad(lang, 6, '_') AS rp",
+          "trim(substring(text, 1, 10)) AS tr",
+          "replace(substring(text, 1, 30), ' ', '_') AS repl",
+          "split_part(text, ' ', 2) AS second_tok",
+          "left(text, 8) AS l8",
+          "right(text, 8) AS r8",
+          "reverse(lang) AS rev",
+          "repeat(lang, 2) AS rep2",
+          "CAST(levenshtein(substring(text, 1, 20), 'the quick brown fox') AS BIGINT) AS lev")
+        .orderBy("doc_id")
+    },
+
     QueryDef("q_map_json_funcs",
       """SELECT event_id,
         |  CAST(props->>'$.k' AS BIGINT) AS k,

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -243,6 +244,72 @@ object TsQueries {
         .select(col("user_id"), col("event_type"), col("slot_ts"),
           coalesce(col("n"), lit(0L)).as("n"),
           (col("sum_cents").cast("double") / lit(100.0)).as("slot_val"))
+        .orderBy("user_id", "event_type", "slot_ts")
+    },
+
+    QueryDef("q_ts_gap_interp",
+      MeasurementsSql +
+      """,
+        |h AS (
+        |  SELECT user_id, event_type, (ts_us // 21600000000) * 21600 AS slot_ts,
+        |         sum(cents) AS sum_cents
+        |  FROM m GROUP BY 1, 2, 3
+        |),
+        |gf AS (
+        |  SELECT s.user_id, s.event_type, g.slot_ts,
+        |    CAST(h.sum_cents AS DOUBLE) / 100.0 AS slot_val
+        |  FROM (SELECT DISTINCT user_id, event_type FROM m) s
+        |  CROSS JOIN range(1704067200, 1706659200, 21600) g(slot_ts)
+        |  LEFT JOIN h ON h.user_id = s.user_id AND h.event_type = s.event_type
+        |             AND h.slot_ts = g.slot_ts
+        |),
+        |n AS (
+        |  SELECT user_id, event_type, slot_ts, slot_val,
+        |    max(CASE WHEN slot_val IS NOT NULL THEN slot_ts END) OVER wp AS prev_ts,
+        |    last_value(slot_val IGNORE NULLS) OVER wp AS prev_val,
+        |    min(CASE WHEN slot_val IS NOT NULL THEN slot_ts END) OVER wf AS next_ts,
+        |    first_value(slot_val IGNORE NULLS) OVER wf AS next_val
+        |  FROM gf
+        |  WINDOW wp AS (PARTITION BY user_id, event_type ORDER BY slot_ts
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wf AS (PARTITION BY user_id, event_type ORDER BY slot_ts
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT user_id, event_type, slot_ts,
+        |  CASE WHEN slot_val IS NOT NULL THEN slot_val
+        |       WHEN prev_val IS NULL OR next_val IS NULL THEN NULL
+        |       ELSE prev_val + (next_val - prev_val) *
+        |            (CAST(slot_ts - prev_ts AS DOUBLE) / CAST(next_ts - prev_ts AS DOUBLE))
+        |  END AS val
+        |FROM n ORDER BY user_id, event_type, slot_ts""".stripMargin) { (s, d) =>
+      // linear interpolation over the dense slot grid: empty slots take
+      // prev + (next-prev)·(t-t_prev)/(t_next-t_prev) from the nearest
+      // valid neighbours per series (edges stay NULL — no extrapolation).
+      // Two frame-bounded window passes; per-row arithmetic only, so
+      // bit-deterministic under any partitioning. UNROUNDED output:
+      // interpolated midpoints sit exactly on .00005 half-boundaries
+      // where engine round() implementations disagree; the identical
+      // IEEE expression tree is already bit-equal (§7.4). The
+      // reference's heartbeat semantics stay NULL (q_ts_heartbeat);
+      // this is the generalized resample a consumer opts into.
+      val wp = Window.partitionBy("user_id", "event_type").orderBy("slot_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("user_id", "event_type").orderBy("slot_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      TimeSeriesOps.gapFill(s, Tables.measurements(s, d), GridB, GridE, Step6)
+        .withColumn("slot_val", col("sum_cents").cast("double") / lit(100.0))
+        .withColumn("prev_ts",
+          max(when(col("slot_val").isNotNull, col("slot_ts"))).over(wp))
+        .withColumn("prev_val", last("slot_val", ignoreNulls = true).over(wp))
+        .withColumn("next_ts",
+          min(when(col("slot_val").isNotNull, col("slot_ts"))).over(wf))
+        .withColumn("next_val", first("slot_val", ignoreNulls = true).over(wf))
+        .select(col("user_id"), col("event_type"), col("slot_ts"),
+          when(col("slot_val").isNotNull, col("slot_val"))
+            .when(col("prev_val").isNull || col("next_val").isNull, lit(null))
+            .otherwise(col("prev_val") + (col("next_val") - col("prev_val")) *
+              ((col("slot_ts") - col("prev_ts")).cast("double") /
+               (col("next_ts") - col("prev_ts")).cast("double"))).as("val"))
         .orderBy("user_id", "event_type", "slot_ts")
     },
 

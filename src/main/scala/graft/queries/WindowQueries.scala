@@ -121,6 +121,24 @@ object WindowQueries {
         .orderBy("c_custkey")
     },
 
+    QueryDef("q_window_dist",
+      """SELECT c_custkey,
+        |  dense_rank() OVER w AS dr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      // distribution window functions over a PARTITIONED window (the
+      // global-order ntile window above cannot parallelize; this one
+      // fans out per nation)
+      val w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          dense_rank().over(w).cast("bigint").as("dr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("c_custkey")
+    },
+
     // ---- G. sort / limit / top-k --------------------------------------
     QueryDef("q_orderby_limit",
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
