@@ -5,13 +5,16 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{DotProduct, WrapDelta}
+import graft.plans.SimplifyEpochRoundTrips
 
-/** Session extensions registering graft's native Catalyst functions.
+/** Session extensions registering graft's native Catalyst functions
+  * and optimizer rules.
   * Install with `SparkSession.builder().withExtensions(new GraftExtensions)`
   * or `--conf spark.sql.extensions=graft.GraftExtensions` on a cluster.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => SimplifyEpochRoundTrips)
     ext.injectFunction((
       FunctionIdentifier("wrap_delta"),
       new ExpressionInfo(classOf[WrapDelta].getCanonicalName, "wrap_delta"),

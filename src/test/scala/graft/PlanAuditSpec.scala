@@ -24,6 +24,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("SimplifyEpochRoundTrips cancels unix_micros∘timestamp_micros") {
+    // the measurements path shims TIMESTAMP(NANOS) via timestamp_micros
+    // and immediately projects unix_micros back out — the injected rule
+    // must collapse the round-trip so slot math stays in the integer
+    // domain next to the scan
+    Seq("q_ts_slot_align", "q_ts_downsample_avg", "q_filter_time_range")
+      .foreach { n =>
+        val p = SparkEntry.queries(n)(spark, Sf).queryExecution.optimizedPlan.toString
+        assert(!p.contains("unix_micros(timestamp_micros"),
+          s"$n still plans an epoch round-trip")
+      }
+  }
+
   test("column pruning reaches the scan in q_scan_pruned") {
     val p = plan("q_scan_pruned")
     val scan = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
