@@ -76,12 +76,13 @@ object TimeSeriesOps {
     * valid samples — the API's value-per-slot contract. */
   def gapFill(spark: SparkSession, m: DataFrame,
               beginSec: Long, endSec: Long, stepSec: Long): DataFrame = {
-    val slots = spark.range(1).select(
-      explode(sequence(lit(beginSec), lit(endSec - stepSec), lit(stepSec))).as("slot_ts"))
+    // dense grid = explode a literal slot sequence per series — a
+    // generator, not a cross join: no broadcast, no BNLJ, and the grid
+    // inherits the series frame's partitioning
     val series = m.select("user_id", "event_type").distinct()
-    val agg = downsample(m, stepSec)
-    series.crossJoin(slots)
-      .join(agg, Seq("user_id", "event_type", "slot_ts"), "left")
+    val grid = series.withColumn("slot_ts",
+      explode(sequence(lit(beginSec), lit(endSec - stepSec), lit(stepSec))))
+    grid.join(downsample(m, stepSec), Seq("user_id", "event_type", "slot_ts"), "left")
   }
 
   /** Latest valid sample per series — TSDBVar MAX_TIMESTAMP metadata. */

@@ -126,6 +126,36 @@ object TsQueries {
         .orderBy("event_id")
     },
 
+    QueryDef("q_ts_counter_stats",
+      MeasurementsSql +
+      """,
+        |r AS (
+        |  SELECT user_id, event_type, wrapped,
+        |         lag(wrapped) OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts_us, event_id) AS prev_wrapped
+        |  FROM m
+        |)
+        |SELECT user_id, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(count(CASE WHEN wrapped < prev_wrapped THEN 1 END) AS BIGINT) AS n_wraps,
+        |  CAST(sum(((wrapped - prev_wrapped) % 1000000 + 1000000) % 1000000) AS BIGINT) AS total_delta
+        |FROM r GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      // per-series counter health: sample count, observed 32-bit-style
+      // wrap events (raw decrease ⇒ wrap under monotone counters), and
+      // the wrap-corrected total movement — the poller-health summary
+      // the reference's status pages derive from MAX_TIMESTAMP + deltas
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+      Tables.measurements(s, d)
+        .withColumn("prev_wrapped", lag("wrapped", 1).over(w))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_samples"),
+          count(when(col("wrapped") < col("prev_wrapped"), 1)).as("n_wraps"),
+          sum(expr("((wrapped - prev_wrapped) % 1000000 + 1000000) % 1000000"))
+            .cast("bigint").as("total_delta"))
+        .orderBy("user_id", "event_type")
+    },
+
     QueryDef("q_ts_heartbeat",
       MeasurementsSql +
       """,

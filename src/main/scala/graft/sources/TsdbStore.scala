@@ -87,6 +87,26 @@ object TsdbStore {
     merged.write.mode(SaveMode.Overwrite).partitionBy("dt").parquet(s"$path/base_new")
   }
 
+  /** Small-file compaction for one dt partition: streaming ingest
+    * lands a file per microbatch per task, and a year of 10-second
+    * polls would leave the base table as millions of KB-sized files —
+    * the #1 operational decay mode of any file-backed store. Rewrites
+    * the partition into `targetFiles` zstd files re-clustered by
+    * (series, ts) so row-group min/max pruning is restored, then
+    * write-then-swap like [[upsert]]. Row set is untouched
+    * (TsdbStoreSpec proves bag equality + file-count drop). */
+  def compactPartition(spark: SparkSession, path: String, dt: String,
+                       targetFiles: Int = 1): Unit = {
+    spark.read.parquet(s"$path/base")
+      .filter(col("dt") === lit(dt))
+      .drop("dt") // encoded by the target directory name (hive layout)
+      .repartition(targetFiles)
+      .sortWithinPartitions("user_id", "event_type", "ts_us")
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(s"$path/base_compacted/dt=$dt")
+  }
+
   /** Interchange sink/source: newline-delimited JSON export of any
     * result (the reference's API spoke JSON; bulk exports at scale
     * stay partitioned — one file per task, gzip). Read back with

@@ -11,8 +11,7 @@ class PlanAuditSpec extends SparkSpec {
 
   // all-pairs by construction (bounded or intentionally blocked):
   private val bnljAllowed = Set(
-    "q_sim_cosine_topk", "q_dedup_embed", "q_join_cross", "q_ts_gap_fill",
-    "q_ts_gap_interp", // same series × slot-grid cross product as gap_fill
+    "q_sim_cosine_topk", "q_dedup_embed", "q_join_cross",
     "q_sim_ann_ivf", "q_text_tfidf") // tfidf: 1-row count broadcast
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {

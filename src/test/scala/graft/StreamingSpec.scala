@@ -96,6 +96,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches each microbatch against a dim table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[(Long, Long, Timestamp)]
+    val q = in.toDF().toDF("event_id", "user_id", "ts")
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      in.addData((100L, 1L, ts("2024-01-01 10:00:00")),
+        (101L, 3L, ts("2024-01-01 10:00:01")))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin").select("event_id", "tier").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got == Map(100L -> Some("gold"), 101L -> None), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming ingest lands microbatches in the dt-partitioned store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -92,6 +92,28 @@ class TsdbStoreSpec extends SparkSpec {
     assert(changed == 12345L, "replayed row did not win")
   }
 
+  test("compaction: same rows, fewer files, clustering restored") {
+    // fragment one partition the way a streaming ingest would
+    val dt = new java.io.File(s"$store/base").listFiles()
+      .map(_.getName).filter(_.startsWith("dt=")).sorted.head.stripPrefix("dt=")
+    // cache+count materializes before the self-overwrite below
+    val before = spark.read.parquet(s"$store/base")
+      .filter(col("dt") === lit(dt)).drop("dt").cache()
+    before.count()
+    before.repartition(16).write.mode("overwrite").parquet(s"$store/base/dt=$dt")
+    val nFrag = new java.io.File(s"$store/base/dt=$dt").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFrag >= 16, s"fragmentation setup failed: $nFrag files")
+
+    TsdbStore.compactPartition(spark, store, dt, targetFiles = 1)
+    val outDir = new java.io.File(s"$store/base_compacted/dt=$dt")
+    val nAfter = outDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nAfter == 1, s"expected 1 compacted file, got $nAfter")
+    val after = spark.read.parquet(s"$store/base_compacted/dt=$dt")
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+      "compaction changed the row bag")
+  }
+
   test("json export/read round-trips a fetch result") {
     val out = java.nio.file.Files.createTempDirectory("graft-json").toString
     val res = TsdbStore.fetch(spark, store, 7L, "click", 1704067200L, 1706659200L)
