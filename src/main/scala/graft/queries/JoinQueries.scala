@@ -187,6 +187,49 @@ object JoinQueries {
       }
     },
 
+    {
+      // GROUP BY + HAVING over an aggregate — Catalyst folds the HAVING
+      // predicate into a post-agg Filter; ONE SQL text, both engines
+      val q =
+        """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+          |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+          |FROM orders GROUP BY o_custkey
+          |HAVING count(*) >= 10
+          |ORDER BY o_custkey""".stripMargin
+      QueryDef("q_sql_having", q) { (s, d) =>
+        graft.Tables.registerAll(s, d)
+        s.sql(q)
+      }
+    },
+
+    {
+      // uncorrelated IN-subquery — rewritten to a left-semi join
+      val q =
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+          |                      WHERE n_name LIKE 'NATION_1%')
+          |ORDER BY c_custkey""".stripMargin
+      QueryDef("q_sql_in_subq", q) { (s, d) =>
+        graft.Tables.registerAll(s, d)
+        s.sql(q)
+      }
+    },
+
+    {
+      // correlated NOT EXISTS — rewritten to a left-anti join (the
+      // dual of q_join_semi's EXISTS, through the SQL text path)
+      val q =
+        """SELECT s_suppkey, s_name FROM supplier
+          |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+          |                  WHERE l_suppkey = s_suppkey
+          |                    AND l_quantity > 49 AND l_tax > 0.07)
+          |ORDER BY s_suppkey""".stripMargin
+      QueryDef("q_sql_not_exists", q) { (s, d) =>
+        graft.Tables.registerAll(s, d)
+        s.sql(q)
+      }
+    },
+
     QueryDef("q_join_full_outer",
       """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
         |s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
