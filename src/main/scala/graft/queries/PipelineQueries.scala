@@ -366,6 +366,34 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
 
+    QueryDef("q_typed_cogroup",
+      """WITH c AS (SELECT user_id, count(*) AS n_clicks FROM events
+        |           WHERE event_type = 'click' GROUP BY user_id),
+        |p AS (SELECT user_id, count(*) AS n_purchases FROM events
+        |      WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT coalesce(c.user_id, p.user_id) AS user_id,
+        |  CAST(coalesce(c.n_clicks, 0) AS BIGINT) AS n_clicks,
+        |  CAST(coalesce(p.n_purchases, 0) AS BIGINT) AS n_purchases
+        |FROM c FULL OUTER JOIN p ON p.user_id = c.user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      // typed KeyValueGroupedDataset.cogroup — the Dataset API's
+      // arbitrary two-sided per-key logic (here: side counts; the same
+      // surface hosts per-key sessionization/merge logic that SQL
+      // can't express). Co-partitions both sides by key, one shuffle
+      // each, no join materialization.
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).as[(Long, String)]
+      val clicks = ev.filter(_._2 == "click").groupByKey(_._1)
+      val purchases = ev.filter(_._2 == "purchase").groupByKey(_._1)
+      clicks.cogroup(purchases) { (uid, cs, ps) =>
+        val (nc, np) = (cs.size.toLong, ps.size.toLong)
+        if (nc == 0 && np == 0) Iterator.empty
+        else Iterator((uid, nc, np))
+      }.toDF("user_id", "n_clicks", "n_purchases")
+        .orderBy("user_id")
+    },
+
     QueryDef("q_multimodal_frames",
       """WITH m AS (SELECT doc_id AS media_id,
         |    CAST(1 + strlen(text) // 4096 AS BIGINT) AS n_frames

@@ -195,6 +195,24 @@ object WindowQueries {
         .orderBy("event_id")
     },
 
+    QueryDef("q_union_distinct",
+      s"""SELECT user_id, event_type FROM events
+         |WHERE epoch_us(ts) >= $W1b AND epoch_us(ts) < $W1e
+         |UNION
+         |SELECT user_id, event_type FROM events
+         |WHERE epoch_us(ts) >= $W1e AND epoch_us(ts) < $W2e
+         |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      // set (not bag) union: union + distinct — the dedup shuffle runs
+      // on the already-projected narrow columns
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      ev.filter(col("ts_us") >= W1b && col("ts_us") < W1e).select("user_id", "event_type")
+        .unionByName(ev.filter(col("ts_us") >= W1e && col("ts_us") < W2e)
+          .select("user_id", "event_type"))
+        .distinct()
+        .orderBy("user_id", "event_type")
+    },
+
     QueryDef("q_intersect",
       s"""SELECT user_id FROM events WHERE epoch_us(ts) >= $W1b AND epoch_us(ts) < $W1e
          |INTERSECT
