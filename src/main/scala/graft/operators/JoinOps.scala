@@ -40,6 +40,28 @@ object JoinOps {
     joined.select(outCols: _*)
   }
 
+  /** Distributed as-of join via the native merge operator
+    * (graft.plans.AsofJoin — requires GraftExtensions installed): both
+    * sides hash-partitioned by key and merged sorted, so it scales to
+    * right sides far beyond broadcast reach and never materializes the
+    * (left × earlier-right) pair space. Same semantics as [[asofJoin]];
+    * `rightTie` pins which equal-ts right row is "latest".
+    * Key and both ts columns must be non-null BIGINT. */
+  def asofJoinMerge(left: DataFrame, right: DataFrame, leftKey: String,
+                    leftTs: String, rightKey: String, rightTs: String,
+                    rightTie: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.DatasetBridge
+    val l = left.queryExecution.analyzed
+    val r = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    DatasetBridge.ofRows(left.sparkSession,
+      graft.plans.AsofJoin(l, r,
+        attr(l, leftKey), attr(l, leftTs),
+        attr(r, rightKey), attr(r, rightTs), attr(r, rightTie)))
+  }
+
   /** Interval (temporal validity) join: left rows matched to the right
     * interval containing their timestamp: `b <= ts < e` on the same
     * key. Plans as BroadcastHashJoin on the key with the range as

@@ -142,6 +142,39 @@ object JoinQueries {
         .orderBy("event_id")
     },
 
+    QueryDef("q_join_asof_merge",
+      """WITH p AS (
+        |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_ts_us
+        |  FROM events WHERE event_type = 'purchase'
+        |), j AS (
+        |  SELECT e.event_id, p.p_id,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |             ORDER BY p.p_ts_us DESC NULLS LAST, p.p_id DESC NULLS LAST) AS rn
+        |  FROM events e LEFT JOIN p ON p.user_id = e.user_id
+        |    AND p.p_ts_us <= epoch_us(e.ts)
+        |  WHERE e.event_type = 'click'
+        |)
+        |SELECT event_id, p_id FROM j WHERE rn = 1
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      // SAME oracle as q_join_asof, different physics: the native
+      // co-partitioned merge operator (graft.plans.AsofJoin via
+      // SparkSessionExtensions) — no broadcast, no (left × earlier-
+      // right) pair blow-up; the scale path when the metadata side
+      // outgrows broadcast reach. Tie pin: max p_id on equal ts,
+      // matching the oracle's DESC/DESC pick-first.
+      import graft.operators.JoinOps
+      val clicks = Tables.events(s, d).filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+          unix_micros(col("ts")).as("p_ts_us"))
+      JoinOps.asofJoinMerge(clicks, p,
+          leftKey = "user_id", leftTs = "ts_us",
+          rightKey = "p_user", rightTs = "p_ts_us", rightTie = "p_id")
+        .select("event_id", "p_id")
+        .orderBy("event_id")
+    },
+
     {
       // ONE SQL text, both engines: Spark runs it via spark.sql over
       // registered views, DuckDB as the oracle — the TPC-H Q5 shape

@@ -50,6 +50,44 @@ class JoinOpsSpec extends SparkSpec {
     assert(out("e3") == null)    // 60 > 50: nothing at-or-before
   }
 
+  test("asofJoinMerge: native merge exec equals broadcast+window asofJoin") {
+    import spark.implicits._
+    // random-ish series: 40 keys × left events + metadata updates
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 800).map { i =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(100000).toLong * 2 + 1, i.toLong)
+    }.toDF("k", "ts", "l_id")
+    val right = (1 to 300).map { i =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(100000).toLong * 2, i.toLong)
+    }.toDF("k", "mts", "r_id")
+
+    val merged = JoinOps.asofJoinMerge(left, right,
+        leftKey = "k", leftTs = "ts", rightKey = "k", rightTs = "mts",
+        rightTie = "r_id")
+      .selectExpr("l_id", "r_id AS got")
+    // reference implementation (right side renamed to avoid collision)
+    val ref = JoinOps.asofJoin(left,
+        right.toDF("k", "mts", "r_id"), "k", "ts", "mts")
+      .selectExpr("l_id", "r_id AS got")
+    assert(merged.count() == 800)
+    assert(merged.exceptAll(ref).isEmpty && ref.exceptAll(merged).isEmpty,
+      "merge as-of join disagrees with broadcast+window reference")
+  }
+
+  test("asofJoinMerge plans the custom exec with declared exchanges, no broadcast") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 1L)).toDF("k", "ts", "l_id")
+    val right = Seq((1L, 90L, 7L)).toDF("k", "mts", "r_id")
+    val p = JoinOps.asofJoinMerge(left, right, "k", "ts", "k", "mts", "r_id")
+      .queryExecution.executedPlan.toString
+    // SparkPlan display strips the "Exec" suffix from node names
+    assert(p.contains("AsofJoin"), s"custom exec missing:\n$p")
+    assert(p.contains("Exchange hashpartitioning"),
+      "declared ClusteredDistribution did not produce exchanges")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      "merge as-of join should not broadcast")
+  }
+
   test("intervalJoin matches containing validity interval only") {
     import spark.implicits._
     val left = Seq((1L, 5L), (1L, 15L), (1L, 25L)).toDF("k", "ts")
