@@ -52,7 +52,7 @@ object VectorOps {
     * the shortest-repr string (BigDecimal.valueOf). Keeping this
     * bit-identical lets the tight-loop kernels below share oracles
     * with the expression-based formulation. */
-  private def round4(x: Double): Double =
+  private[graft] def round4(x: Double): Double =
     if (x.isNaN || x.isInfinite) x
     else {
       // fast path: scale-and-floor agrees with the decimal-string
