@@ -366,6 +366,74 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     },
 
+    QueryDef("q_funnel",
+      """WITH s AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+        |  FROM events GROUP BY user_id)
+        |SELECT
+        |  CAST(count(t_view) AS BIGINT) AS n_view,
+        |  CAST(count(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT) AS n_click_after_view,
+        |  CAST(count(CASE WHEN t_buy > t_click AND t_click > t_view THEN 1 END) AS BIGINT) AS n_full_funnel
+        |FROM s""".stripMargin) { (s, d) =>
+      // ordered conversion funnel (view → click → purchase): first-
+      // touch timestamps per user via conditional min (one shuffle),
+      // stage predicates enforce ordering — no self-joins, no windows
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", unix_micros(col("ts")))).as("t_view"),
+          min(when(col("event_type") === "click", unix_micros(col("ts")))).as("t_click"),
+          min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("t_buy"))
+        .agg(
+          count(col("t_view")).as("n_view"),
+          count(when(col("t_click") > col("t_view"), 1)).as("n_click_after_view"),
+          count(when(col("t_buy") > col("t_click") && col("t_click") > col("t_view"), 1))
+            .as("n_full_funnel"))
+    },
+
+    QueryDef("q_ts_anomaly",
+      Tables.MeasurementsSql +
+      """,
+        |st AS (
+        |  SELECT user_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS n, sum(cents) AS s1, sum(cents*cents) AS s2
+        |  FROM m GROUP BY user_id, event_type
+        |)
+        |SELECT m.event_id, m.user_id, m.event_type,
+        |  round((CAST(m.cents AS DOUBLE) - CAST(st.s1 AS DOUBLE) / CAST(st.n AS DOUBLE)) /
+        |    sqrt((CAST(st.n AS DOUBLE) * CAST(st.s2 AS DOUBLE) - CAST(st.s1 AS DOUBLE) * CAST(st.s1 AS DOUBLE))
+        |         / (CAST(st.n AS DOUBLE) * CAST(st.n - 1 AS DOUBLE))), 3) AS z
+        |FROM m JOIN st ON st.user_id = m.user_id AND st.event_type = m.event_type
+        |WHERE st.n > 1 AND abs(
+        |    (CAST(m.cents AS DOUBLE) - CAST(st.s1 AS DOUBLE) / CAST(st.n AS DOUBLE)) /
+        |    sqrt((CAST(st.n AS DOUBLE) * CAST(st.s2 AS DOUBLE) - CAST(st.s1 AS DOUBLE) * CAST(st.s1 AS DOUBLE))
+        |         / (CAST(st.n AS DOUBLE) * CAST(st.n - 1 AS DOUBLE)))) > 2.5
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      // per-series z-score outliers from EXACT integer moment sums
+      // (n, Σc, Σc²) — order-insensitive under partial agg; the tiny
+      // per-series stats broadcast back onto the fact table. The
+      // identical IEEE expression evaluates both the filter and the
+      // reported z, so the threshold cut is bit-deterministic
+      val m = Tables.measurements(s, d)
+      val st = m.groupBy(col("user_id").as("su"), col("event_type").as("se"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("s1"),
+          sum(col("cents") * col("cents")).as("s2"))
+        .filter(col("n") > 1)
+      val z = (col("cents").cast("double") - col("s1").cast("double") / col("n").cast("double")) /
+        sqrt((col("n").cast("double") * col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double")) /
+          (col("n").cast("double") * (col("n") - 1).cast("double")))
+      m.join(broadcast(st),
+          col("su") === col("user_id") && col("se") === col("event_type"))
+        .filter(abs(z) > 2.5)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(z, 3).as("z"))
+        .orderBy("event_id")
+    },
+
     QueryDef("q_typed_cogroup",
       """WITH c AS (SELECT user_id, count(*) AS n_clicks FROM events
         |           WHERE event_type = 'click' GROUP BY user_id),
