@@ -14,9 +14,13 @@ object PlanDump extends App {
     "q_join_range_ifref" -> "temporal interval join = BroadcastHashJoin on the entity key with the range as residual condition - NOT a nested-loop cartesian",
     "q_agg_group" -> "partial+final HashAggregate (map-side combine before the exchange)",
     "q_orderby_limit" -> "global top-k is TakeOrderedAndProject (per-partition top-k + k-row merge, no global sort)",
-    "q_sim_cosine_topk" -> "all-pairs stage is a broadcast loop with the native vec_dot expression in the join condition projection (codegen)")
+    "q_sim_cosine_topk" -> "all-pairs stage is a broadcast loop with the native vec_dot expression in the join condition projection (codegen)",
+    "q_ts_slot_align" -> "SimplifyEpochRoundTrips: no unix_micros(timestamp_micros(...)) round-trip survives - slot math sits directly on the raw int64 column",
+    "q_join_asof_merge" -> "native as-of merge join: custom AsofJoin exec with declared hash exchanges + (key, ts) sorts on both sides, no broadcast",
+    "q_topk_heap" -> "bounded-heap top-k: partial_topkbyvalue ObjectHashAggregate BEFORE the exchange - the shuffle carries at most k rows per group per partition",
+    "q_ts_gap_fill" -> "dense grid via explode(sequence) generator per series - no BNLJ, no broadcast of a slots table")
   val sb = new StringBuilder
-  sb ++= "# PLANS - physical-plan audit evidence (round 1)\n\n"
+  sb ++= "# PLANS - physical-plan audit evidence (round 2)\n\n"
   sb ++= "Generated from `.queryExecution.executedPlan` at sf0.001, local[4].\n"
   sb ++= "What to look for in each plan is noted per query; regenerate with\n`sbt \"Test/runMain PlanDump\"`.\n"
   for ((n, note) <- picks) {
