@@ -1,0 +1,24 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Harness-contract invariants: the queries map must expose every
+  * declared QueryDef (a duplicated name silently drops one on toMap),
+  * and every oracle belongs to a declared query. */
+class InventorySpec extends AnyFunSuite {
+
+  test("query names are unique — nothing silently dropped by toMap") {
+    val names = SparkEntry.allDefs.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query ids: $dups")
+    assert(SparkEntry.queries.size == names.size)
+  }
+
+  test("oracle keys are a subset of query keys; inventory is substantial") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.size >= 108,
+      s"inventory shrank: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size >= 101,
+      s"oracled set shrank: ${SparkEntry.oracleSql.size}")
+  }
+}
