@@ -117,6 +117,17 @@ object TsdbStore {
   def readJson(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** CSV interchange twin of [[exportJson]] — header + explicit schema
+    * on read (CSV carries no types; inference at 100 TB is both slow
+    * and wrong). Partitioned one file per task like every bulk export. */
+  def exportCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true")
+      .option("compression", "gzip").csv(path)
+
+  def readCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
   /** The flagship read path — GET /snmp/<path>?begin=&end=&agg=&cf=
     * [pub: esxsnmp/newdb.py — unverified]: series filter + half-open
     * time range + consolidation function over the right resolution.

@@ -114,6 +114,17 @@ class TsdbStoreSpec extends SparkSpec {
       "compaction changed the row bag")
   }
 
+  test("csv export/read round-trips a fetch result with explicit schema") {
+    val b = 1704844800L; val e = 1705708800L
+    val res = TsdbStore.fetch(spark, store, 7L, "click", b, e)
+    val out = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    TsdbStore.exportCsv(res, out)
+    val back = TsdbStore.readCsv(spark, out, res.schema)
+    assert(back.schema == res.schema, "schema did not round-trip")
+    assert(back.exceptAll(res).isEmpty && res.exceptAll(back).isEmpty,
+      "csv round-trip changed the row bag")
+  }
+
   test("json export/read round-trips a fetch result") {
     val out = java.nio.file.Files.createTempDirectory("graft-json").toString
     val res = TsdbStore.fetch(spark, store, 7L, "click", 1704067200L, 1706659200L)
