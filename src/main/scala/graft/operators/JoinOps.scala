@@ -53,9 +53,16 @@ object JoinOps {
     import org.apache.spark.sql.graftshim.DatasetBridge
     val l = left.queryExecution.analyzed
     val r = right.queryExecution.analyzed
-    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
-      p.output.find(_.name == n).getOrElse(
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) = {
+      val a = p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+      // the exec reads key/ts/tie by ordinal with getLong: any other
+      // type would run and silently mis-join, so fail fast instead
+      require(a.dataType == org.apache.spark.sql.types.LongType,
+        s"asofJoinMerge requires BIGINT for $n, got ${a.dataType.sql}; cast first " +
+          "(null key/ts rows are the caller's to filter — nulls read as 0)")
+      a
+    }
     DatasetBridge.ofRows(left.sparkSession,
       graft.plans.AsofJoin(l, r,
         attr(l, leftKey), attr(l, leftTs),

@@ -20,9 +20,14 @@ import graft.operators.{DedupOps, MultimodalOps, TextOps}
   * rand(seed), whose stream depends on the partitioning). */
 object PipelineQueries {
 
-  /** (id * 2654435761) mod 2^32 — Knuth multiplicative hash, exact in
-    * BIGINT. Sampling keeps `hkey < rate * 2^32`. */
-  private val HKey = "(doc_id * 2654435761) % 4294967296"
+  /** (id * 2654435761) masked to the low 32 bits — Knuth multiplicative
+    * hash, exact in BIGINT. Sampling keeps `hkey < rate * 2^32`. The
+    * mask (not `% 2^32`) keeps the gate well-defined for any doc_id:
+    * if the product wraps past 2^63, two's-complement wrap + AND still
+    * yields the same non-negative low bits in Spark and DuckDB, where
+    * `%` of the wrapped negative would go negative in Spark and raise
+    * an overflow error in DuckDB (ADVICE r2). */
+  private val HKey = "(doc_id * 2654435761) & 4294967295"
 
   val all: Seq[QueryDef] = Seq(
 

@@ -97,14 +97,32 @@ object TsdbStore {
     * (TsdbStoreSpec proves bag equality + file-count drop). */
   def compactPartition(spark: SparkSession, path: String, dt: String,
                        targetFiles: Int = 1): Unit = {
+    val staged = s"$path/base_compacted/dt=$dt"
     spark.read.parquet(s"$path/base")
       .filter(col("dt") === lit(dt))
       .drop("dt") // encoded by the target directory name (hive layout)
-      .repartition(targetFiles)
+      // range-repartition so multi-file targets stay globally clustered
+      // on (series, ts) — plain round-robin would only cluster within
+      // each file and row-group pruning across files would be lost
+      .repartitionByRange(targetFiles, col("user_id"), col("event_type"), col("ts_us"))
       .sortWithinPartitions("user_id", "event_type", "ts_us")
       .write.mode(SaveMode.Overwrite)
       .option("compression", "zstd")
-      .parquet(s"$path/base_compacted/dt=$dt")
+      .parquet(staged)
+    // swap the staged directory into the live partition path so readers
+    // of base actually see the compaction; rename-based, like every
+    // file-store maintenance op here (a production deployment would sit
+    // this behind a table format's atomic commit)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(s"$path/base/dt=$dt")
+    val retired = new Path(s"$path/base_retired/dt=$dt")
+    fs.mkdirs(retired.getParent)
+    fs.delete(retired, true)
+    require(fs.rename(live, retired), s"compact swap: could not retire $live")
+    require(fs.rename(new Path(staged), live), s"compact swap: could not install $staged")
+    fs.delete(retired, true)
+    fs.delete(new Path(s"$path/base_compacted"), true)
   }
 
   /** Interchange sink/source: newline-delimited JSON export of any

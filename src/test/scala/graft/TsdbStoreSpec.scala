@@ -106,10 +106,16 @@ class TsdbStoreSpec extends SparkSpec {
     assert(nFrag >= 16, s"fragmentation setup failed: $nFrag files")
 
     TsdbStore.compactPartition(spark, store, dt, targetFiles = 1)
-    val outDir = new java.io.File(s"$store/base_compacted/dt=$dt")
-    val nAfter = outDir.listFiles().count(_.getName.endsWith(".parquet"))
-    assert(nAfter == 1, s"expected 1 compacted file, got $nAfter")
-    val after = spark.read.parquet(s"$store/base_compacted/dt=$dt")
+    // the swap installs the compacted files into the LIVE partition —
+    // a reader of base sees the benefit, no duplicate copy remains
+    val liveDir = new java.io.File(s"$store/base/dt=$dt")
+    val nAfter = liveDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nAfter == 1, s"expected 1 compacted file in live partition, got $nAfter")
+    assert(!new java.io.File(s"$store/base_compacted").exists(),
+      "staging directory left behind after swap")
+    assert(!new java.io.File(s"$store/base_retired/dt=$dt").exists(),
+      "retired copy left behind after swap")
+    val after = spark.read.parquet(s"$store/base/dt=$dt")
     assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
       "compaction changed the row bag")
   }
