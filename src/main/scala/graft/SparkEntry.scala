@@ -30,7 +30,8 @@ object SparkEntry {
     graft.queries.VectorQueries.all ++
     graft.queries.StreamQueries.all ++
     graft.queries.PipelineQueries.all ++
-    graft.queries.MiscQueries.all
+    graft.queries.MiscQueries.all ++
+    graft.queries.StoreQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.QueryDef
+import graft.sources.{StoreFixture, TsdbStore}
+
+/** SURVEY.md §2 N (round 3): queries that exercise the engine's OWN
+  * storage layouts, not the flat fixture files.
+  *
+  * The store-backed fetches are the reference's flagship
+  * `GET …?begin=&end=&agg=&cf=` path [pub: esxsnmp/newdb.py —
+  * unverified, SURVEY.md §0] run against the dt-partitioned
+  * [[TsdbStore]]: the time range prunes `dt=` partitions (chunk-file
+  * addressing made real — PlanAuditSpec asserts PartitionFilters), the
+  * series filter prunes row groups, and the aggregate fetch reads the
+  * materialized cascade instead of raw samples. Oracles recompute the
+  * same result from the raw events table, so the hash match also proves
+  * the store's ingest+cascade faithful end to end.
+  */
+object StoreQueries {
+
+  /** 2024-01-10T00Z and 2024-01-20T00Z — the flagship fetch range. */
+  private val B = 1704844800L
+  private val E = 1705708800L
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q_store_fetch",
+      s"""SELECT epoch_us(ts) AS ts_us,
+         |  CAST(CAST(round(value*100) AS BIGINT) AS DOUBLE)/100.0 AS value
+         |FROM events
+         |WHERE user_id = 7 AND event_type = 'click'
+         |  AND epoch_us(ts) >= ${B}000000 AND epoch_us(ts) < ${E}000000
+         |ORDER BY ts_us""".stripMargin) { (s, d) =>
+      // raw-resolution fetch: dt partition pruning + ts_us row-group
+      // pruning + column pruning — the three-level addressing story
+      TsdbStore.fetch(s, StoreFixture.store(s, d), 7L, "click", B, E)
+    },
+
+    QueryDef("q_store_fetch_agg",
+      s"""WITH c AS (
+         |  SELECT (epoch_us(ts) // 21600000000) * 21600 AS slot_ts,
+         |         CAST(round(value*100) AS BIGINT) AS cents
+         |  FROM events WHERE user_id = 3 AND event_type = 'view'
+         |)
+         |SELECT slot_ts,
+         |  CAST(sum(cents) AS DOUBLE)/100.0/CAST(count(*) AS DOUBLE) AS value
+         |FROM c WHERE slot_ts >= $B AND slot_ts < $E
+         |GROUP BY slot_ts ORDER BY slot_ts""".stripMargin) { (s, d) =>
+      // consolidated fetch served from the materialized 6h cascade —
+      // the read never touches raw samples; the oracle recomputes from
+      // raw, so the match proves the cascade's contents
+      TsdbStore.fetch(s, StoreFixture.store(s, d), 3L, "view", B, E,
+        aggStep = 21600L, cf = "average")
+    },
+
+    QueryDef("q_source_jsonl",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM read_json('/tmp/graft_jsonl/sf0.01/docs/*.json',
+        |  format='newline_delimited',
+        |  columns={'doc_id':'BIGINT','text':'VARCHAR','lang':'VARCHAR',
+        |           'source':'VARCHAR','n_chars':'BIGINT'})
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      // JSONL corpus source with an explicit schema (no inference): the
+      // commonest LLM-pipeline input format, fed into per-language
+      // corpus stats. Both engines read the same exported JSONL files.
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.schema(schema).json(StoreFixture.docsJsonl(s, d))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          min("doc_id").as("first_doc"))
+        .orderBy("lang")
+    }
+  )
+}

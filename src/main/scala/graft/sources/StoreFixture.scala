@@ -1,0 +1,62 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+import graft.Tables
+
+/** Write-once derived fixtures under /tmp, so declared queries can run
+  * against the engine's own storage layouts instead of the flat fixture
+  * parquet:
+  *
+  *  - [[store]]: the dt-partitioned [[TsdbStore]] layout built from the
+  *    events fixture — the flagship fetch queries read THIS, proving
+  *    partition pruning (the reference's chunk-file time addressing) on
+  *    a declared, oracled path rather than only in ScalaTest.
+  *  - [[docsJsonl]]: the documents corpus as newline-delimited JSON —
+  *    the commonest LLM-pipeline interchange input — read back with an
+  *    explicit schema (inference at 100 TB is slow and wrong).
+  *
+  * Builds are keyed by the source fixture's (mtime, length): a
+  * regenerated fixture rebuilds in place at the SAME path, which keeps
+  * the DuckDB oracle's literal path valid while never serving stale
+  * data. Thread-safe within a JVM; Verify/Bench run single-threaded
+  * across queries so cross-process races don't arise in the harness.
+  */
+object StoreFixture {
+
+  private def stampOf(src: File): String = s"${src.lastModified()}:${src.length()}"
+
+  private def buildOnce(key: File, target: String)(build: => Unit): Unit =
+    synchronized {
+      val stampFile = new File(target, "_STAMP")
+      val want = stampOf(key)
+      val have =
+        if (stampFile.exists()) Files.readString(stampFile.toPath) else ""
+      if (want != have) {
+        build
+        Files.writeString(stampFile.toPath, want)
+      }
+    }
+
+  /** dt-partitioned store (base + 6h/1d cascade) for the sf dir. */
+  def store(spark: SparkSession, sfDir: String): String = {
+    val tgt = s"/tmp/graft_store/${new File(sfDir).getName}"
+    buildOnce(new File(s"$sfDir/events.parquet"), tgt) {
+      TsdbStore.ingest(spark, Tables.events(spark, sfDir), tgt)
+    }
+    tgt
+  }
+
+  /** documents corpus as JSONL part files (uncompressed, one dir). */
+  def docsJsonl(spark: SparkSession, sfDir: String): String = {
+    val tgt = s"/tmp/graft_jsonl/${new File(sfDir).getName}"
+    buildOnce(new File(s"$sfDir/documents.parquet"), tgt) {
+      Tables.documents(spark, sfDir)
+        .write.mode(SaveMode.Overwrite).json(s"$tgt/docs")
+    }
+    s"$tgt/docs"
+  }
+}

@@ -36,6 +36,19 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("declared store fetch prunes dt partitions (chunk addressing)") {
+    // the flagship range fetch against the engine's own dt-partitioned
+    // layout: the time range must land in PartitionFilters (directory-
+    // level pruning), not just PushedFilters (row-group level) —
+    // VERDICT r2 gap #1
+    Seq("q_store_fetch", "q_store_fetch_agg").foreach { n =>
+      val p = plan(n)
+      val line = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+      assert(line.nonEmpty && line.contains("dt") && !line.contains("PartitionFilters: []"),
+        s"$n has no dt partition pruning: $line")
+    }
+  }
+
   test("column pruning reaches the scan in q_scan_pruned") {
     val p = plan("q_scan_pruned")
     val scan = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
