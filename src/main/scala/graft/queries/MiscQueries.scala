@@ -51,6 +51,21 @@ object MiscQueries {
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("q50"),
           expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("q95"))
         .orderBy("l_returnflag")
+    },
+
+    // mergeable HLL: per-day sketches unioned to a per-series estimate —
+    // the aggregate-of-aggregate distinct count the cascade implies.
+    // Estimator differs from DuckDB's; merge laws + error bound + the
+    // cascade==flat identity are pinned by HllSpec
+    QueryDef.noOracle("q_agg_hll_merge") { (s, d) =>
+      val build = udaf(new graft.functions.HllBuild)
+      val merge = udaf(new graft.functions.HllMergeEstimate)
+      Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          xxhash64(col("user_id")).as("h"))
+        .groupBy("event_type", "day").agg(build(col("h")).as("sketch"))
+        .groupBy("event_type").agg(merge(col("sketch")).as("approx_users"))
+        .orderBy("event_type")
     }
   )
 }
