@@ -30,14 +30,19 @@ object TsdbStore {
 
   val AggSteps: Seq[Long] = Seq(21600L, 86400L) // 6 h, 1 d cascade
 
-  /** Batch ingest: normalize an events-shaped feed into the base
-    * measurements table (partitioned by dt) + the aggregate cascade. */
-  def ingest(spark: SparkSession, events: DataFrame, path: String): Unit = {
-    val m = events
+  /** events-shaped feed → the store's row shape, with the dt partition
+    * key derived from the timestamp. */
+  private def normalize(events: DataFrame): DataFrame =
+    events
       .select(col("user_id"), col("event_type"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"),
         expr("CAST(round(value*100) AS BIGINT)").as("cents"))
       .withColumn("dt", to_date(timestamp_micros(col("ts_us"))))
+
+  /** Batch ingest: normalize an events-shaped feed into the base
+    * measurements table (partitioned by dt) + the aggregate cascade. */
+  def ingest(spark: SparkSession, events: DataFrame, path: String): Unit = {
+    val m = normalize(events)
     // cluster rows by (series, ts) inside each date partition: parquet
     // row-group min/max then prunes BOTH the series filter and the
     // time range within a day — the offset-addressing story at file level
@@ -71,11 +76,7 @@ object TsdbStore {
   def upsert(spark: SparkSession, newEvents: DataFrame, path: String): Unit = {
     val existing = spark.read.parquet(s"$path/base")
       .select("user_id", "event_type", "event_id", "ts_us", "cents", "dt")
-    val incoming = newEvents
-      .select(col("user_id"), col("event_type"), col("event_id"),
-        unix_micros(col("ts")).as("ts_us"),
-        expr("CAST(round(value*100) AS BIGINT)").as("cents"))
-      .withColumn("dt", to_date(timestamp_micros(col("ts_us"))))
+    val incoming = normalize(newEvents)
     val merged = existing.withColumn("gen", lit(0))
       .unionByName(incoming.withColumn("gen", lit(1)))
       .groupBy("user_id", "event_type", "event_id")
@@ -85,6 +86,88 @@ object TsdbStore {
     // write-then-swap; a production store would use a table format with
     // atomic commit (the layout and dedup semantics are the point here)
     merged.write.mode(SaveMode.Overwrite).partitionBy("dt").parquet(s"$path/base_new")
+  }
+
+  /** Incremental upsert — the cascade's UPDATE CONTRACT: merge
+    * late/replayed rows into ONLY the dt partitions they touch, then
+    * recompute just those partitions of the 6h/1d cascade. Both
+    * aggregate steps divide a day, so a base day maps to exactly one
+    * partition at every level and the blast radius of a late row is
+    * (levels × one partition). This is the Spark-native answer to the
+    * reference's per-insert Aggregator.update [pub: esxsnmp/persist.py
+    * TSDBPollPersister — unverified, SURVEY.md §0]: at 100 TB,
+    * recompute-touched-partitions rewrites a few files where a full
+    * cascade rebuild would re-scan the table.
+    *
+    * Precondition (slot-addressing semantics): a replayed event_id
+    * keeps its original day — rows are addressed by (series, event_id,
+    * day). A replay that moves days must use the full [[upsert]].
+    * Returns the touched dt strings (TsdbStoreSpec asserts at file
+    * level that nothing else was rewritten and the result equals a
+    * full recompute). */
+  def upsertIncremental(spark: SparkSession, newEvents: DataFrame,
+                        path: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val incoming = normalize(newEvents)
+    val touched = incoming.select(col("dt").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val touchedDates = touched.map(java.sql.Date.valueOf)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // write df (touched dts only) to a staging dir, then rename each
+    // staged dt directory over the live one — the write-then-swap of
+    // [[compactPartition]], one partition at a time
+    def swapIn(table: String, df: DataFrame): Unit = {
+      val staged = s"$path/${table}_inc"
+      df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
+        .partitionBy("dt").parquet(staged)
+      touched.foreach { dt =>
+        val live = new Path(s"$path/$table/dt=$dt")
+        val stagedDt = new Path(s"$staged/dt=$dt")
+        val retired = new Path(s"$path/${table}_retired/dt=$dt")
+        fs.mkdirs(retired.getParent)
+        fs.delete(retired, true)
+        if (fs.exists(live))
+          require(fs.rename(live, retired), s"incremental swap: could not retire $live")
+        if (fs.exists(stagedDt))
+          require(fs.rename(stagedDt, live), s"incremental swap: could not install $stagedDt")
+        fs.delete(retired, true)
+      }
+      fs.delete(new Path(staged), true)
+      fs.delete(new Path(s"$path/${table}_retired"), true)
+    }
+
+    // base: last write wins within the touched partitions only
+    val existing = spark.read.parquet(s"$path/base")
+      .filter(col("dt").isin(touchedDates: _*)) // partition pruning
+      .select("user_id", "event_type", "event_id", "ts_us", "cents", "dt")
+    val merged = existing.withColumn("gen", lit(0))
+      .unionByName(incoming.withColumn("gen", lit(1)))
+      .groupBy("user_id", "event_type", "event_id")
+      .agg(max_by(struct(col("ts_us"), col("cents"), col("dt")), col("gen")).as("r"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("r.ts_us").as("ts_us"), col("r.cents").as("cents"), col("r.dt").as("dt"))
+    swapIn("base", merged)
+
+    // cascade: coarse from fine, touched partitions only
+    val newBase = spark.read.parquet(s"$path/base")
+      .filter(col("dt").isin(touchedDates: _*))
+    swapIn(s"agg_${AggSteps.head}",
+      TimeSeriesOps.downsample(newBase, AggSteps.head)
+        .withColumn("dt", to_date(timestamp_micros(col("slot_ts") * 1000000L))))
+    AggSteps.sliding(2).foreach {
+      case Seq(fine, coarse) =>
+        val f = spark.read.parquet(s"$path/agg_$fine")
+          .filter(col("dt").isin(touchedDates: _*))
+        swapIn(s"agg_$coarse",
+          f.groupBy(col("user_id"), col("event_type"),
+              (expr(s"slot_ts div $coarse") * coarse).as("slot_ts"))
+            .agg(sum("n").as("n"), sum("sum_cents").as("sum_cents"),
+              min("min_cents").as("min_cents"), max("max_cents").as("max_cents"))
+            .withColumn("dt", to_date(timestamp_micros(col("slot_ts") * 1000000L))))
+      case _ => ()
+    }
+    touched
   }
 
   /** Small-file compaction for one dt partition: streaming ingest

@@ -120,6 +120,81 @@ class TsdbStoreSpec extends SparkSpec {
       "compaction changed the row bag")
   }
 
+  test("incremental upsert rewrites only touched partitions, equals full recompute") {
+    import spark.implicits._
+    // fresh store so the shared fixture's later mutations can't interfere
+    val p = Files.createTempDirectory("graft-store-inc").toString
+    val rawCols = Seq("user_id", "event_type", "event_id", "ts", "value")
+    val raw = Tables.events(spark, Sf).selectExpr(rawCols: _*)
+    TsdbStore.ingest(spark, raw, p)
+
+    def files(): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(p)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(f => f.toString.endsWith(".parquet"))
+        .map(f => root.relativize(f).toString -> f.toFile.length()).toMap
+    }
+    val before = files()
+
+    // one replayed row (same day, changed value) + one genuinely-late
+    // row on a brand-new day
+    val target = spark.read.parquet(s"$p/base")
+      .orderBy("dt", "user_id", "event_type", "event_id").limit(1)
+      .select("user_id", "event_type", "event_id", "ts_us", "dt").head()
+    val d1 = target.getDate(4).toString
+    val d2 = "2024-03-05"
+    // timestamp_micros keeps the original µs exactly — a Timestamp
+    // built from millis would silently truncate and move the row
+    val replay = Seq(
+      (target.getLong(0), target.getString(1), target.getLong(2),
+        target.getLong(3), 77.77),
+      (7L, "click", 999999L,
+        java.time.Instant.parse(s"${d2}T06:30:00Z").getEpochSecond * 1000000L, 12.34))
+      .toDF("user_id", "event_type", "event_id", "ts_us_raw", "value")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        timestamp_micros(col("ts_us_raw")).as("ts"), col("value"))
+
+    val touched = TsdbStore.upsertIncremental(spark, replay, p)
+    assert(touched == Seq(d1, d2).sorted, s"touched=$touched")
+
+    // blast radius: every file outside the touched partitions survives
+    // byte-identical (same name, same length); touched partitions were
+    // rewritten (fresh file names) at base + both cascade levels
+    val after = files()
+    val untouchedBefore = before.filter { case (f, _) =>
+      !f.contains(s"dt=$d1") && !f.contains(s"dt=$d2") }
+    untouchedBefore.foreach { case (f, len) =>
+      assert(after.get(f).contains(len), s"untouched partition file rewritten: $f") }
+    Seq("base", s"agg_${TsdbStore.AggSteps.head}", s"agg_${TsdbStore.AggSteps.last}")
+      .foreach { t =>
+        assert(before.keys.filter(_.startsWith(s"$t/dt=$d1")).toSet !=
+          after.keys.filter(_.startsWith(s"$t/dt=$d1")).toSet,
+          s"$t/dt=$d1 not rewritten")
+        assert(after.keys.exists(_.startsWith(s"$t/dt=$d2")),
+          s"$t/dt=$d2 not created for the late day")
+      }
+
+    // semantics: the incremental result equals a full recompute from
+    // the patched raw feed, at every level of the store
+    val p2 = Files.createTempDirectory("graft-store-full").toString
+    val patched = raw
+      .withColumn("value",
+        when(col("user_id") === target.getLong(0) &&
+          col("event_type") === target.getString(1) &&
+          col("event_id") === target.getLong(2), lit(77.77))
+          .otherwise(col("value")))
+      .unionByName(replay.filter(col("event_id") === 999999L))
+    TsdbStore.ingest(spark, patched, p2)
+    Seq("base", s"agg_${TsdbStore.AggSteps.head}", s"agg_${TsdbStore.AggSteps.last}")
+      .foreach { t =>
+        val a = spark.read.parquet(s"$p/$t")
+        val b = spark.read.parquet(s"$p2/$t")
+        assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+          s"incremental $t differs from full recompute")
+      }
+  }
+
   test("csv export/read round-trips a fetch result with explicit schema") {
     val b = 1704844800L; val e = 1705708800L
     val res = TsdbStore.fetch(spark, store, 7L, "click", b, e)
