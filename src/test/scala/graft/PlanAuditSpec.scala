@@ -49,6 +49,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("gap interpolation plans only running window frames") {
+    // a [currentRow, unboundedFollowing] frame is recomputed per row
+    // (O(n²) per series on the dense grid); both neighbor lookups must
+    // stay running frames (unboundedPreceding..currentRow over asc/desc)
+    val p = plan("q_ts_gap_interp")
+    assert(!p.contains("unboundedfollowing$()"),
+      "q_ts_gap_interp regressed to a shrinking window frame")
+  }
+
   test("column pruning reaches the scan in q_scan_pruned") {
     val p = plan("q_scan_pruned")
     val scan = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
