@@ -173,6 +173,22 @@ object AggQueries {
         .groupBy("user_id", "event_type")
         .agg(twMean(col("cents"), col("w_us")).as("wmean"))
         .orderBy("user_id", "event_type")
+    },
+
+    QueryDef("q_agg_salted",
+      """SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_l_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // two-phase salted aggregation — partial per (key, salt), final
+      // per key: a hot group spreads across 8 tasks before the final
+      // 8-rows-per-group reduce. Exact BIGINT sums keep the monoid
+      // bit-deterministic; the oracle is the plain one-phase sum, which
+      // the salted plan must equal by associativity
+      graft.operators.JoinOps.saltedSum(
+          Tables.lineitem(s, d)
+            .select(col("l_returnflag"), col("l_quantity").cast("bigint").as("l_qty")),
+          Seq("l_returnflag"), "l_qty", col("l_qty"), nSalts = 8)
+        .select(col("l_returnflag"), col("sum_l_qty").cast("bigint").as("sum_l_qty"))
+        .orderBy("l_returnflag")
     }
   )
 }

@@ -302,6 +302,25 @@ object JoinQueries {
       Tables.region(s, d).crossJoin(Tables.nation(s, d))
         .select("r_regionkey", "n_nationkey", "r_name", "n_name")
         .orderBy("r_regionkey", "n_nationkey")
+    },
+
+    QueryDef("q_join_salted",
+      """SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_nationkey
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
+      // the skew toolkit on the declared surface: a hot key (one chatty
+      // customer) would pin a plain shuffle join on one task; salting
+      // splits every key across 8 subtasks with a deterministic salt.
+      // The oracle is the PLAIN join — salting must be invisible in the
+      // result, which is exactly the property that makes it safe to
+      // deploy at 100 TB (JoinOpsSpec proves it row-for-row too)
+      val fact = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_name"), col("c_nationkey"))
+      graft.operators.JoinOps
+        .saltedEquiJoin(fact, dim, "o_custkey", col("o_orderkey"), nSalts = 8)
+        .select("o_orderkey", "o_custkey", "c_name", "c_nationkey")
+        .orderBy("o_orderkey")
     }
   )
 }

@@ -66,6 +66,34 @@ object MiscQueries {
         .groupBy("event_type", "day").agg(build(col("h")).as("sketch"))
         .groupBy("event_type").agg(merge(col("sketch")).as("approx_users"))
         .orderBy("event_type")
+    },
+
+    // Bloom-filter membership pre-filter: blocklist semantics without a
+    // join — build an 8 KB sketch over the flagged key set, ship it as
+    // a scalar, filter the big side with a per-row predicate. Output
+    // compares bloom-pass counts against the exact semi-join per group
+    // (no false negatives ⇒ n_bloom >= n_exact always; BloomSpec pins
+    // the laws and the fp bound). Deterministic hashing ⇒ rows-only
+    // stable; no SQL twin for the bit array ⇒ oracle-exempt
+    QueryDef.noOracle("q_filter_bloom") { (s, d) =>
+      import org.apache.spark.sql.functions.udf
+      val build = udaf(new graft.functions.BloomBuild)
+      val ev = Tables.events(s, d)
+      // flagged set: users with a high-value error event (selective at
+      // every scale — the blocklist is a small fraction of the corpus)
+      val isFlaggedEvent = col("event_type") === "error" && col("value") >= 95.0
+      val sketch = ev.filter(isFlaggedEvent)
+        .select(xxhash64(col("user_id")).as("h"))
+        .agg(build(col("h"))).head().getAs[Array[Byte]](0)
+      val pass = udf((h: Long) => graft.functions.Bloom.mightContain(sketch, h))
+      val flagged = ev.filter(isFlaggedEvent)
+        .select(col("user_id")).distinct()
+      ev.withColumn("bloom_pass", pass(xxhash64(col("user_id"))))
+        .join(flagged.withColumn("is_flagged", lit(1L)), Seq("user_id"), "left")
+        .groupBy("event_type")
+        .agg(count(when(col("bloom_pass"), 1)).as("n_bloom"),
+          count(when(col("is_flagged").isNotNull, 1)).as("n_exact"))
+        .orderBy("event_type")
     }
   )
 }

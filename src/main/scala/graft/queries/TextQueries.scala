@@ -186,6 +186,79 @@ object TextQueries {
       // DedupOps.minHashCandidates) — this exact form is the oracle.
       TextOps.jaccardPairs(Tables.documents(s, d), 3, 0.02)
         .orderBy("a_id", "b_id")
+    },
+
+    QueryDef("q_text_ngram_lm",
+      """WITH tok AS (
+        |  SELECT doc_id, CAST(generate_subscripts(string_split(text,' '), 1) AS BIGINT) AS pos,
+        |         unnest(string_split(text,' ')) AS word
+        |  FROM documents),
+        |big AS (
+        |  SELECT a.doc_id, a.pos, a.word AS w1, b.word AS w2
+        |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        |cb AS (SELECT w1, w2, count(*) AS cnt_b FROM big GROUP BY w1, w2),
+        |cp AS (SELECT w1, count(*) AS cnt_p FROM big GROUP BY w1),
+        |terms AS (
+        |  SELECT g.doc_id, g.pos,
+        |         ln(CAST(cp.cnt_p AS DOUBLE)) - ln(CAST(cb.cnt_b AS DOUBLE)) AS term
+        |  FROM big g JOIN cb ON cb.w1 = g.w1 AND cb.w2 = g.w2
+        |             JOIN cp ON cp.w1 = g.w1),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY pos)),
+        |           (a, x) -> a + x) AS s
+        |  FROM terms GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  round(s / CAST(n_bigrams AS DOUBLE), 4) AS surprisal
+        |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // bigram language-model surprisal — the perplexity-style quality
+      // signal a corpus filter runs: avg over a doc of
+      // -ln p(w2|w1) = ln(count(w1,·)) - ln(count(w1,w2)) under the
+      // corpus MLE model. Bigrams come from a GENERATOR over the token
+      // array (no positional self-join on the Spark side — that shape
+      // shuffles the token table twice at scale); corpus counts are two
+      // exact-integer aggs; the per-doc sum is a position-ordered
+      // sequential fold (sort_array + aggregate ↔ list ORDER BY +
+      // list_reduce), so the double is bit-identical in both engines
+      // before the single round (§7.4)
+      val arr = split(col("text"), " ")
+      val big = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(1, size(split(text,' ')) - 1),
+            |  i -> struct(element_at(split(text,' '), i) AS w1,
+            |              element_at(split(text,' '), i + 1) AS w2))""".stripMargin))
+          .as(Seq("pos0", "bg")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("bigint").as("pos"),
+          col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("cnt_b"))
+      val cp = big.groupBy("w1").agg(count(lit(1)).as("cnt_p"))
+      big.join(cb, Seq("w1", "w2")).join(cp, Seq("w1"))
+        .select(col("doc_id"), col("pos"),
+          (log(col("cnt_p").cast("double")) - log(col("cnt_b").cast("double"))).as("term"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("bigint").as("n_bigrams"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("pos"), col("term")))),
+              x => x("term")),
+            lit(0.0), (a, x) => a + x).as("s"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("s") / col("n_bigrams").cast("double"), 4).as("surprisal"))
+        .orderBy("doc_id")
+    },
+
+    QueryDef("q_text_scrub",
+      """SELECT event_id,
+        |  regexp_replace(props, '[0-9]+', '#', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_redacted
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      // redaction pass (the PII-scrub mechanic): mask every digit run,
+      // report how many were masked. Pure per-row regex — embarrassingly
+      // parallel, no shuffle beyond the final presentation sort
+      Tables.events(s, d)
+        .select(col("event_id"),
+          regexp_replace(col("props"), "[0-9]+", "#").as("scrubbed"),
+          size(expr("regexp_extract_all(props, '[0-9]+', 0)")).cast("bigint").as("n_redacted"))
+        .orderBy("event_id")
     }
   )
 }
