@@ -138,9 +138,14 @@ object TsdbStore {
     }
 
     // base: last write wins within the touched partitions only
-    val existing = spark.read.parquet(s"$path/base")
-      .filter(col("dt").isin(touchedDates: _*)) // partition pruning
-      .select("user_id", "event_type", "event_id", "ts_us", "cents", "dt")
+    // (bootstrap: no base yet ⇒ empty existing side — this makes the
+    // incremental path usable as the streaming ingest sink too)
+    val existing =
+      if (fs.exists(new Path(s"$path/base")))
+        spark.read.parquet(s"$path/base")
+          .filter(col("dt").isin(touchedDates: _*)) // partition pruning
+          .select("user_id", "event_type", "event_id", "ts_us", "cents", "dt")
+      else incoming.filter(lit(false))
     val merged = existing.withColumn("gen", lit(0))
       .unionByName(incoming.withColumn("gen", lit(1)))
       .groupBy("user_id", "event_type", "event_id")

@@ -100,6 +100,17 @@ object StreamingOps {
         .write.mode("append").partitionBy("dt").parquet(s"$storePath/base")
     }
 
+  /** Streaming ingest with ONLINE cascade maintenance: each microbatch
+    * upserts into the store and recomputes only the dt partitions it
+    * touched ([[graft.sources.TsdbStore.upsertIncremental]]) — the
+    * streaming form of the reference's per-insert Aggregator.update,
+    * with the same last-write-wins late-data tolerance. Expects raw
+    * event rows (user_id, event_type, event_id, ts, value). */
+  def streamIngestIncremental(events: DataFrame, storePath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.sources.TsdbStore.upsertIncremental(batch.sparkSession, batch, storePath): Unit
+    }
+
   /** Online heartbeat-gap detection: custom keyed state holding the
     * last-seen timestamp per series; a batch whose first event is more
     * than `hbUs` after the stored last-seen emits a GapAlert — the

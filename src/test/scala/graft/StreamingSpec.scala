@@ -137,6 +137,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental streaming ingest maintains the cascade per microbatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-stream-inc").toString
+    val in = MemoryStream[(Long, String, Long, Timestamp, Double)]
+    val q = StreamingOps.streamIngestIncremental(
+        in.toDF().toDF("user_id", "event_type", "event_id", "ts", "value"), store)
+      .outputMode("update")
+      .option("checkpointLocation", s"$store/_ckpt")
+      .start()
+    try {
+      in.addData(
+        (1L, "click", 10L, ts("2024-01-01 10:00:00"), 1.00),
+        (1L, "click", 11L, ts("2024-01-02 11:00:00"), 2.00))
+      q.processAllAvailable()
+      // late microbatch: replay event 10 with a new value + a late row
+      // on a new day — only those days' partitions get recomputed
+      in.addData(
+        (1L, "click", 10L, ts("2024-01-01 10:00:00"), 5.00),
+        (1L, "click", 12L, ts("2024-01-05 09:00:00"), 3.00))
+      q.processAllAvailable()
+      val base = spark.read.parquet(s"$store/base")
+      assert(base.count() == 3, "replay must overwrite, late row must append")
+      assert(base.filter(col("event_id") === 10L).select("cents").head().getLong(0) == 500L)
+      // the cascade reflects the post-replay values without a rebuild
+      val agg1d = spark.read.parquet(s"$store/agg_86400")
+      val day1 = agg1d.filter(col("slot_ts") === 1704067200L).select("sum_cents")
+      assert(day1.head().getLong(0) == 500L, "cascade not updated by replay")
+      assert(agg1d.count() == 3, "one daily slot per day expected")
+    } finally q.stop()
+  }
+
   test("sliding windows emit one row per overlapping window (streaming)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
