@@ -14,13 +14,17 @@ object PlanDump extends App {
     "q_join_range_ifref" -> "temporal interval join = BroadcastHashJoin on the entity key with the range as residual condition - NOT a nested-loop cartesian",
     "q_agg_group" -> "partial+final HashAggregate (map-side combine before the exchange)",
     "q_orderby_limit" -> "global top-k is TakeOrderedAndProject (per-partition top-k + k-row merge, no global sort)",
-    "q_sim_cosine_topk" -> "all-pairs stage is a broadcast loop with the native vec_dot expression in the join condition projection (codegen)",
+    "q_sim_cosine_topk" -> "block-grid top-k: queries cogrouped with id-hashed corpus blocks (no driver-side corpus, no broadcast of the full corpus), partial top-k per block + per-query ordered merge",
+    "q_dedup_embed" -> "block-pair grid for all-pairs threshold: each unordered block-pair meets in one task; per-task memory is two blocks, never the corpus",
+    "q_sim_ann_lsh" -> "banded LSH candidates: join keys are (band, bucket, subA, subB) - a dense bucket spreads across the sub-block grid instead of pinning one task; vectors re-attach by id after dedup",
+    "q_store_fetch" -> "store-backed range fetch: PartitionFilters on dt (directory pruning - the chunk-file addressing), then PushedFilters on ts_us (row-group pruning), then column pruning",
+    "q_ts_gap_interp" -> "both interpolation neighbors from RUNNING window frames (asc + desc) - no [currentRow, unboundedFollowing] frame, which Spark re-evaluates per row (O(n^2) per series)",
     "q_ts_slot_align" -> "SimplifyEpochRoundTrips: no unix_micros(timestamp_micros(...)) round-trip survives - slot math sits directly on the raw int64 column",
     "q_join_asof_merge" -> "native as-of merge join: custom AsofJoin exec with declared hash exchanges + (key, ts) sorts on both sides, no broadcast",
     "q_topk_heap" -> "bounded-heap top-k: partial_topkbyvalue ObjectHashAggregate BEFORE the exchange - the shuffle carries at most k rows per group per partition",
     "q_ts_gap_fill" -> "dense grid via explode(sequence) generator per series - no BNLJ, no broadcast of a slots table")
   val sb = new StringBuilder
-  sb ++= "# PLANS - physical-plan audit evidence (round 2)\n\n"
+  sb ++= "# PLANS - physical-plan audit evidence (round 3)\n\n"
   sb ++= "Generated from `.queryExecution.executedPlan` at sf0.001, local[4].\n"
   sb ++= "What to look for in each plan is noted per query; regenerate with\n`sbt \"Test/runMain PlanDump\"`.\n"
   for ((n, note) <- picks) {
