@@ -221,12 +221,15 @@ object TextQueries {
       // sequential fold (sort_array + aggregate ↔ list ORDER BY +
       // list_reduce), so the double is bit-identical in both engines
       // before the single round (§7.4)
-      val arr = split(col("text"), " ")
+      // materialize the token array once: element_at over a repeated
+      // split(text) inside the lambda would re-split per element —
+      // O(tokens²) string work per document
       val big = Tables.documents(s, d)
+        .withColumn("arr", split(col("text"), " "))
         .select(col("doc_id"), posexplode(expr(
-          """transform(sequence(1, size(split(text,' ')) - 1),
-            |  i -> struct(element_at(split(text,' '), i) AS w1,
-            |              element_at(split(text,' '), i + 1) AS w2))""".stripMargin))
+          """transform(sequence(1, size(arr) - 1),
+            |  i -> struct(element_at(arr, i) AS w1,
+            |              element_at(arr, i + 1) AS w2))""".stripMargin))
           .as(Seq("pos0", "bg")))
         .select(col("doc_id"), (col("pos0") + 1).cast("bigint").as("pos"),
           col("bg.w1").as("w1"), col("bg.w2").as("w2"))
