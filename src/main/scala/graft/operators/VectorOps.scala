@@ -295,10 +295,11 @@ object VectorOps {
     cents
   }
 
-  def ivfCosine(emb: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    val spark = emb.sparkSession
+  /** Driver-trained centroids over a capped deterministic sample —
+    * None when the table is empty. */
+  private def ivfCentroids(n: DataFrame, k: Int): Option[Array[(Int, Array[Double])]] = {
+    val spark = n.sparkSession
     import spark.implicits._
-    val n = normalized(emb)
     // capped deterministic sample (id-ordered modulus, not .sample():
     // reproducible across partitionings) — fit cost is O(1) in corpus
     // size; at 100 TB this is the difference vs 10 full k-means passes
@@ -307,15 +308,20 @@ object VectorOps {
     val every = math.max(1L, total / cap)
     val sample = n.filter(pmod(col("vec_id"), lit(every)) === 0)
       .select("v").as[Array[Double]].collect()
-    if (sample.isEmpty)
-      return spark.emptyDataset[(Long, Long, Int, Double)]
-        .toDF("a_id", "b_id", "cell", "sim")
-    val cents = trainCentroids(sample, k).zipWithIndex
-    // nprobe nearest cells per vector by exact centroid distance —
-    // centroids broadcast, assignment is a shuffle-free tight loop
-    // (the crossJoin+window formulation costs two extra stages)
-    val bcCents = spark.sparkContext.broadcast(cents.map { case (c, i) => (i, c) })
-    val probed = n.select("vec_id", "v", "nrm")
+    if (sample.isEmpty) None
+    else Some(trainCentroids(sample, k).zipWithIndex.map { case (c, i) => (i, c) })
+  }
+
+  /** nprobe nearest cells per vector by exact centroid distance —
+    * centroids broadcast, assignment is a shuffle-free tight loop
+    * (the crossJoin+window formulation costs two extra stages).
+    * Ties by cell id asc. */
+  private def ivfAssign(n: DataFrame, cents: Array[(Int, Array[Double])],
+                        nprobe: Int): DataFrame = {
+    val spark = n.sparkSession
+    import spark.implicits._
+    val bcCents = spark.sparkContext.broadcast(cents)
+    n.select("vec_id", "v", "nrm")
       .as[(Long, Array[Double], Double)]
       .mapPartitions { it =>
         val cs = bcCents.value
@@ -325,10 +331,22 @@ object VectorOps {
             while (j < v.length) { val t = v(j) - cv(j); d += t * t; j += 1 }
             (d, ci)
           }
-          // ties by cell id asc, matching the old ORDER BY d2, cell
           d2.sortBy(identity).take(nprobe).map { case (_, ci) => (id, v, nrm, ci) }
         }
       }.toDF("vec_id", "v", "nrm", "cell")
+  }
+
+  def ivfCosine(emb: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val n = normalized(emb)
+    val cents = ivfCentroids(n, k) match {
+      case Some(c) => c
+      case None =>
+        return spark.emptyDataset[(Long, Long, Int, Double)]
+          .toDF("a_id", "b_id", "cell", "sim")
+    }
+    val probed = ivfAssign(n, cents, nprobe)
     val a = probed.toDF("a_id", "av", "anrm", "cell")
     val b = probed.toDF("b_id", "bv", "bnrm", "cell")
     // inverted lists (b side) broadcast: a shuffle join on k cell keys
@@ -342,6 +360,44 @@ object VectorOps {
     // per cell (the cell column tells which); deduplicating here would
     // shuffle the full candidate set for no semantic gain — consumers
     // that need unique pairs group by (a_id, b_id) downstream
+  }
+
+  /** IVF top-k SEARCH — the per-query neighbor-list shape (vs
+    * [[ivfCosine]]'s candidate-pair shape): each query probes its
+    * `nprobe` nearest cells; corpus vectors live in exactly their home
+    * cell, so a candidate appears at most once. The inverted lists stay
+    * DISTRIBUTED (equi-join on cell — no corpus broadcast, no driver
+    * materialization), and the per-query ranking runs as the
+    * bounded-heap [[graft.functions.TopKByValue]] aggregator: the
+    * shuffle after the candidate join carries at most k rows per
+    * (query × partition), the same partial/final shape as sum(). Ties
+    * by (sim DESC, b_id ASC), matching the brute-force kernel; recall
+    * vs brute force pinned in AnnLshSpec. */
+  def ivfTopK(emb: DataFrame, kCells: Int, nprobe: Int, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val n = normalized(emb)
+    val cents = ivfCentroids(n, kCells) match {
+      case Some(c) => c
+      case None =>
+        return spark.emptyDataset[(Long, Long, Long, Double)]
+          .toDF("a_id", "rn", "b_id", "sim")
+    }
+    val queries = ivfAssign(n, cents, nprobe).toDF("a_id", "av", "anrm", "cell")
+    val corpus = ivfAssign(n, cents, 1).toDF("b_id", "bv", "bnrm", "cell")
+    val scored = queries.join(corpus, Seq("cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("sim", round(dot(col("av"), col("bv")) / col("anrm") / col("bnrm"), 4))
+      .select(col("a_id"), col("b_id"), col("sim"))
+    val topk = new graft.functions.TopKByValue(k).toColumn
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => graft.functions.TopKEntry(t._2, t._3))
+      .agg(topk)
+      .flatMap { case (aid, entries) =>
+        entries.iterator.zipWithIndex.map { case (e, i) =>
+          (aid, (i + 1).toLong, e.id, e.v) }
+      }.toDF("a_id", "rn", "b_id", "sim")
   }
 
   /** ANN via banded LSH: `nBands` independent sign-random-projection

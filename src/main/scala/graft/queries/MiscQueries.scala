@@ -36,6 +36,15 @@ object MiscQueries {
       VectorOps.ivfCosine(Tables.embeddings(s, d), k = 8, nprobe = 2)
     },
 
+    // the ANN SEARCH shape: per-query neighbor lists via IVF probing,
+    // ranked by the bounded-heap aggregator after a distributed
+    // inverted-list join (no corpus broadcast); recall vs brute force
+    // pinned in AnnLshSpec
+    QueryDef.noOracle("q_sim_ann_ivf_topk") { (s, d) =>
+      VectorOps.ivfTopK(Tables.embeddings(s, d), kCells = 8, nprobe = 2, k = 5)
+        .orderBy("a_id", "rn")
+    },
+
     QueryDef.noOracle("q_multimodal_decode") { (s, d) =>
       MultimodalOps.pipeline(s, d).orderBy("media_id")
     },

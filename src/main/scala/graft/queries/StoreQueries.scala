@@ -56,6 +56,26 @@ object StoreQueries {
         aggStep = 21600L, cf = "average")
     },
 
+    QueryDef("q_store_bulk",
+      s"""WITH c AS (
+         |  SELECT user_id, event_type,
+         |         (epoch_us(ts) // 21600000000) * 21600 AS slot_ts,
+         |         CAST(round(value*100) AS BIGINT) AS cents
+         |  FROM events
+         |  WHERE (user_id = 1 AND event_type = 'click')
+         |     OR (user_id = 2 AND event_type = 'view')
+         |)
+         |SELECT user_id, event_type, slot_ts,
+         |  CAST(sum(cents) AS DOUBLE)/100.0/CAST(count(*) AS DOUBLE) AS value
+         |FROM c WHERE slot_ts >= $B AND slot_ts < $E
+         |GROUP BY user_id, event_type, slot_ts
+         |ORDER BY user_id, event_type, slot_ts""".stripMargin) { (s, d) =>
+      // POST /bulk: many series in ONE pruned scan with an IN-list of
+      // series keys (the reference looped per path; Spark shouldn't)
+      TsdbStore.fetchBulk(s, StoreFixture.store(s, d),
+        Seq((1L, "click"), (2L, "view")), B, E, aggStep = 21600L)
+    },
+
     QueryDef("q_source_jsonl",
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -64,6 +64,38 @@ object VectorQueries {
         .orderBy("doc_id")
     },
 
+    QueryDef("q_vec_quantize",
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) AS ma FROM v),
+        |q AS (SELECT vec_id, ma,
+        |        list_transform(v, x -> CASE WHEN ma = 0 THEN CAST(0 AS BIGINT)
+        |          ELSE CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT) END) AS q
+        |      FROM m)
+        |SELECT vec_id, ma AS scale,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), q), (a, x) -> a + x) AS qsum,
+        |  list_min(q) AS qmin, list_max(q) AS qmax
+        |FROM q ORDER BY vec_id""".stripMargin) { (s, d) =>
+      // int8 max-abs quantization — the storage/ANN compression step a
+      // vector pipeline runs before indexing (4 bytes/dim → 1). Pure
+      // array HOFs per row, no shuffle; floor(x·127/ma + 0.5) (not
+      // round()) so both engines hit the identical IEEE double and
+      // floor it exactly; summary columns keep the output scalar
+      val q = transform(col("v"), x =>
+        when(col("ma") === 0.0, lit(0L))
+          .otherwise(floor(x * lit(127.0) / col("ma") + lit(0.5)).cast("long")))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        .withColumn("ma", array_max(transform(col("v"), x => abs(x))))
+        .withColumn("q", q)
+        .select(col("vec_id"), col("ma").as("scale"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("qsum"),
+          array_min(col("q")).as("qmin"), array_max(col("q")).as("qmax"))
+        .orderBy("vec_id")
+    },
+
     QueryDef("q_dedup_embed",
       s"""WITH $NormSql,
          |p AS (

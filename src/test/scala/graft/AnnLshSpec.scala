@@ -54,6 +54,30 @@ class AnnLshSpec extends SparkSpec {
     assert(lsh.head.getDouble(0) > 0.999)
   }
 
+  test("IVF top-k: high recall vs brute force, identical sims, dup found") {
+    val brute = VectorOps.cosineTopK(vectors, 5)
+      .select("a_id", "rn", "b_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val ivf = VectorOps.ivfTopK(vectors, kCells = 4, nprobe = 2, k = 5)
+      .select("a_id", "rn", "b_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    // every returned (a, b) pair carries the exact brute-force sim
+    // (checked against ALL pairs — an unprobed true neighbor may be
+    // replaced by a lesser candidate, which is the recall trade-off,
+    // but the sim arithmetic must match bit for bit)
+    val allSims = VectorOps.cosinePairs(vectors, (a, b) => a =!= b)
+      .select("a_id", "b_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    ivf.foreach { case (k, v) => assert(allSims(k) == v, s"sim mismatch at $k") }
+    // planted exact duplicate is each other's top neighbor
+    assert(ivf.contains((3L, 200L)) && ivf((3L, 200L)) == 1.0)
+    assert(ivf.contains((200L, 3L)) && ivf((200L, 3L)) == 1.0)
+    // recall@5 against brute force — probing half the cells must keep
+    // a solid majority of true neighbors on this corpus
+    val recall = brute.keys.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.6, s"recall@5 = $recall too low")
+  }
+
   test("banded LSH spreads a dense bucket across the sub-block grid") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
