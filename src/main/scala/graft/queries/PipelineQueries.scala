@@ -21,12 +21,14 @@ import graft.operators.{DedupOps, MultimodalOps, TextOps}
 object PipelineQueries {
 
   /** (id * 2654435761) masked to the low 32 bits — Knuth multiplicative
-    * hash, exact in BIGINT. Sampling keeps `hkey < rate * 2^32`. The
-    * mask (not `% 2^32`) keeps the gate well-defined for any doc_id:
-    * if the product wraps past 2^63, two's-complement wrap + AND still
-    * yields the same non-negative low bits in Spark and DuckDB, where
-    * `%` of the wrapped negative would go negative in Spark and raise
-    * an overflow error in DuckDB (ADVICE r2). */
+    * hash, exact in BIGINT. Sampling keeps `hkey < rate * 2^32`.
+    * The mask (not `% 2^32`, ADVICE r2) removes the Spark-side failure
+    * mode for doc_id > ~3.47e9: the wrapped product's `%` went negative
+    * and silently passed every `hkey < thr` gate (biased
+    * over-sampling), while AND of the wrap is still the true low 32
+    * bits, non-negative. Cross-engine the gate is identical for
+    * doc_id < ~3.47e9; beyond that DuckDB errors on the multiply
+    * itself (BIGINT overflow) — loud, not silently divergent. */
   private val HKey = "(doc_id * 2654435761) & 4294967295"
 
   val all: Seq[QueryDef] = Seq(

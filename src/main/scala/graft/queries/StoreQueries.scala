@@ -88,6 +88,9 @@ object StoreQueries {
       // JSONL corpus source with an explicit schema (no inference): the
       // commonest LLM-pipeline input format, fed into per-language
       // corpus stats. Both engines read the same exported JSONL files.
+      // NOTE: the oracle's literal path pins sf0.01 — the only sf the
+      // driver's DuckDB gate runs at (harness contract); checking this
+      // query at another sf needs the path edited to match.
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType),
         StructField("lang", StringType), StructField("source", StringType),

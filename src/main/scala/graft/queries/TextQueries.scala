@@ -226,6 +226,10 @@ object TextQueries {
       // O(tokens²) string work per document
       val big = Tables.documents(s, d)
         .withColumn("arr", split(col("text"), " "))
+        // single-token docs have no bigrams; without this guard,
+        // sequence(1, 0) yields the DESCENDING array [1, 0] and the
+        // lambda would call element_at(arr, 0) — a runtime error
+        .filter(size(col("arr")) >= 2)
         .select(col("doc_id"), posexplode(expr(
           """transform(sequence(1, size(arr) - 1),
             |  i -> struct(element_at(arr, i) AS w1,

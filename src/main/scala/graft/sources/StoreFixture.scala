@@ -27,7 +27,12 @@ import graft.Tables
   */
 object StoreFixture {
 
-  private def stampOf(src: File): String = s"${src.lastModified()}:${src.length()}"
+  /** Bump when the ingest/export layout changes, so cached fixtures
+    * built by older code rebuild instead of being served stale. */
+  private val LayoutVersion = 2
+
+  private def stampOf(src: File): String =
+    s"v$LayoutVersion:${src.lastModified()}:${src.length()}"
 
   private def buildOnce(key: File, target: String)(build: => Unit): Unit =
     synchronized {

@@ -115,23 +115,15 @@ object TsdbStore {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
     // write df (touched dts only) to a staging dir, then rename each
-    // staged dt directory over the live one — the write-then-swap of
+    // staged dt directory over the live one — the same swap as
     // [[compactPartition]], one partition at a time
     def swapIn(table: String, df: DataFrame): Unit = {
       val staged = s"$path/${table}_inc"
       df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
         .partitionBy("dt").parquet(staged)
       touched.foreach { dt =>
-        val live = new Path(s"$path/$table/dt=$dt")
-        val stagedDt = new Path(s"$staged/dt=$dt")
-        val retired = new Path(s"$path/${table}_retired/dt=$dt")
-        fs.mkdirs(retired.getParent)
-        fs.delete(retired, true)
-        if (fs.exists(live))
-          require(fs.rename(live, retired), s"incremental swap: could not retire $live")
-        if (fs.exists(stagedDt))
-          require(fs.rename(stagedDt, live), s"incremental swap: could not install $stagedDt")
-        fs.delete(retired, true)
+        swapPartitionDir(fs, new Path(s"$staged/dt=$dt"),
+          new Path(s"$path/$table/dt=$dt"), new Path(s"$path/${table}_retired/dt=$dt"))
       }
       fs.delete(new Path(staged), true)
       fs.delete(new Path(s"$path/${table}_retired"), true)
@@ -198,19 +190,34 @@ object TsdbStore {
       .option("compression", "zstd")
       .parquet(staged)
     // swap the staged directory into the live partition path so readers
-    // of base actually see the compaction; rename-based, like every
-    // file-store maintenance op here (a production deployment would sit
-    // this behind a table format's atomic commit)
+    // of base actually see the compaction (a production deployment
+    // would sit this behind a table format's atomic commit)
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = new Path(s"$path/base/dt=$dt")
-    val retired = new Path(s"$path/base_retired/dt=$dt")
-    fs.mkdirs(retired.getParent)
-    fs.delete(retired, true)
-    require(fs.rename(live, retired), s"compact swap: could not retire $live")
-    require(fs.rename(new Path(staged), live), s"compact swap: could not install $staged")
-    fs.delete(retired, true)
+    swapPartitionDir(fs, new Path(staged),
+      new Path(s"$path/base/dt=$dt"), new Path(s"$path/base_retired/dt=$dt"))
     fs.delete(new Path(s"$path/base_compacted"), true)
+    fs.delete(new Path(s"$path/base_retired"), true)
+  }
+
+  /** The store's one atomicity-critical sequence, shared by compaction
+    * and incremental upsert: retire the live partition dir (if any),
+    * rename the staged dir into its place, drop the retired copy.
+    * Strict-rename safe: both parents are created first (HDFS/S3A
+    * rename fails, rather than creating parents, when the destination
+    * parent is missing — the local filesystem masks this). */
+  private def swapPartitionDir(fs: org.apache.hadoop.fs.FileSystem,
+                               staged: org.apache.hadoop.fs.Path,
+                               live: org.apache.hadoop.fs.Path,
+                               retired: org.apache.hadoop.fs.Path): Unit = {
+    fs.mkdirs(retired.getParent)
+    fs.mkdirs(live.getParent)
+    fs.delete(retired, true)
+    if (fs.exists(live))
+      require(fs.rename(live, retired), s"swap: could not retire $live")
+    if (fs.exists(staged))
+      require(fs.rename(staged, live), s"swap: could not install $staged")
+    fs.delete(retired, true)
   }
 
   /** Interchange sink/source: newline-delimited JSON export of any
@@ -280,6 +287,8 @@ object TsdbStore {
     require(AggSteps.contains(aggStep), s"no such aggregate: $aggStep")
     val keys = series.map { case (u, e) => struct(lit(u), lit(e)) }
     spark.read.parquet(s"$path/agg_$aggStep")
+      .filter(col("dt") >= to_date(timestamp_micros(lit(beginSec * 1000000L))) &&
+        col("dt") <= to_date(timestamp_micros(lit(endSec * 1000000L)))) // partition prune
       .filter(struct(col("user_id"), col("event_type")).isin(keys: _*))
       .filter(col("slot_ts") >= beginSec && col("slot_ts") < endSec)
       .select(col("user_id"), col("event_type"), col("slot_ts"),

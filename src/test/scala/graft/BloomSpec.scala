@@ -24,8 +24,8 @@ class BloomSpec extends SparkSpec {
   }
 
   test("union is associative, commutative, idempotent") {
-    val rnd = new scala.util.Random(9)
     def sk(seed: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
       val b = Bloom.emptyBits
       (0 until 500).foreach(_ => Bloom.add(b, rnd.nextLong()))
       b
