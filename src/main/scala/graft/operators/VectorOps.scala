@@ -223,21 +223,29 @@ object VectorOps {
     }.toDF("a_id", "b_id", "sim")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a codegen-friendly integer hash mapped to [-0.5, 0.5). */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(hash(lit(plane) * 1000003 + dim * 7919), lit(1000000)).cast("double")
-      / lit(1000000.0)) - lit(0.5)
+  /** Deterministic pseudo-random hyperplane for plane index `plane`:
+    * splitmix64-mixed components in [-0.5, 0.5). Data-independent, so
+    * each plane is a LITERAL array in the plan — the projection is one
+    * native codegen [[dot]] per plane instead of per-element hash()
+    * calls inside an HOF (the old form spent ~40% of the LSH query on
+    * signatures alone). */
+  private def planeVector(plane: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { i =>
+      var z = plane.toLong * 1000003L + (i + 1).toLong * 7919L + 0x9E3779B97F4B7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      ((z >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+    }
 
   /** Sign-random-projection (SimHash-style) bucket id over `nPlanes`
     * deterministic hyperplanes starting at plane index `offset` — the
     * LSH prefilter for cosine ANN; distinct offsets give independent
-    * hash tables (bands). */
-  def srpBucket(v: Column, nPlanes: Int, offset: Int = 0): Column = {
+    * hash tables (bands). `dim` must match the embedding width (the
+    * plane literals are fixed-length). */
+  def srpBucket(v: Column, nPlanes: Int, offset: Int = 0, dim: Int = 64): Column = {
     val bits = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(1), size(v)), (x, i) => x * planeComponent(offset + p, i)),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(v, lit(planeVector(offset + p, dim)))
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a + b)
