@@ -220,6 +220,36 @@ object TsdbStore {
     fs.delete(retired, true)
   }
 
+  /** Retention: drop every base + cascade partition strictly older
+    * than `cutoffSec` — the reference's chunk-file deletion policy
+    * [pub: RRD-style retention — unverified, SURVEY.md §0] as pure
+    * directory removal. O(partitions dropped), touches no data files'
+    * contents, and needs no recompute: cascade partitions are
+    * day-scoped, so dropping a base day and its aggregate days leaves
+    * every surviving partition internally consistent. Returns the
+    * dropped dt strings per table. */
+  def dropBefore(spark: SparkSession, path: String,
+                 cutoffSec: Long): Map[String, Seq[String]] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cutoff = java.time.Instant.ofEpochSecond(cutoffSec)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val tables = "base" +: AggSteps.map(s => s"agg_$s")
+    tables.map { t =>
+      val dir = new Path(s"$path/$t")
+      val dropped =
+        if (!fs.exists(dir)) Seq.empty[String]
+        else fs.listStatus(dir).toSeq
+          .map(_.getPath.getName)
+          .filter(_.startsWith("dt="))
+          .map(_.stripPrefix("dt="))
+          .filter(dt => java.time.LocalDate.parse(dt).isBefore(cutoff))
+          .sorted
+      dropped.foreach(dt => fs.delete(new Path(s"$path/$t/dt=$dt"), true))
+      t -> dropped
+    }.toMap
+  }
+
   /** Interchange sink/source: newline-delimited JSON export of any
     * result (the reference's API spoke JSON; bulk exports at scale
     * stay partitioned — one file per task, gzip). Read back with

@@ -215,6 +215,29 @@ class TsdbStoreSpec extends SparkSpec {
     assert(back.exceptAll(res).isEmpty)
   }
 
+  test("retention drops only pre-cutoff partitions at every level") {
+    val p = Files.createTempDirectory("graft-store-ret").toString
+    TsdbStore.ingest(spark,
+      Tables.events(spark, Sf).selectExpr("user_id", "event_type", "event_id", "ts", "value"), p)
+    val cutoff = 1704844800L // 2024-01-10T00Z
+    val keepFrom = java.time.LocalDate.parse("2024-01-10")
+    val beforeKept = TsdbStore.fetch(spark, p, 7L, "click", cutoff, 1706659200L).collect()
+    val dropped = TsdbStore.dropBefore(spark, p, cutoff)
+    Seq("base", s"agg_${TsdbStore.AggSteps.head}", s"agg_${TsdbStore.AggSteps.last}")
+      .foreach { t =>
+        assert(dropped(t).nonEmpty, s"$t: nothing dropped")
+        assert(dropped(t).forall(java.time.LocalDate.parse(_).isBefore(keepFrom)))
+        val remaining = new java.io.File(s"$p/$t").listFiles()
+          .map(_.getName).filter(_.startsWith("dt=")).map(_.stripPrefix("dt="))
+        assert(remaining.nonEmpty &&
+          remaining.forall(!java.time.LocalDate.parse(_).isBefore(keepFrom)),
+          s"$t: pre-cutoff partition survived")
+      }
+    // surviving range reads identically after retention
+    val afterKept = TsdbStore.fetch(spark, p, 7L, "click", cutoff, 1706659200L).collect()
+    assert(afterKept.sameElements(beforeKept), "retention disturbed surviving data")
+  }
+
   test("fetch rejects unknown aggregate steps and cfs") {
     intercept[IllegalArgumentException] {
       TsdbStore.fetch(spark, store, 1L, "click", 0L, 1L, aggStep = 300L)
