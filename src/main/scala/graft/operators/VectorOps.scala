@@ -428,11 +428,14 @@ object VectorOps {
     * Recall < 1 by design; subset-of-brute-force with identical sims
     * pinned in AnnLshSpec. */
   def lshBucketCosine(emb: DataFrame, nPlanes: Int, nBands: Int = 4,
-                      subBlocks: Int = 8): DataFrame = {
+                      subBlocks: Int = 8, dim: Int = 64): DataFrame = {
     val n = normalized(emb)
-    // one (band, bucket) signature per band, from disjoint plane ranges
+    // one (band, bucket) signature per band, from disjoint plane
+    // ranges; dim must match the embedding width — the plane literals
+    // are fixed-length and vec_dot truncates to the shorter side, so a
+    // mismatch would silently project onto a prefix of each vector
     val buckets = array((0 until nBands).map(b =>
-      srpBucket(col("v"), nPlanes, offset = b * nPlanes)): _*)
+      srpBucket(col("v"), nPlanes, offset = b * nPlanes, dim = dim)): _*)
     val sigs = n.select(col("vec_id"), posexplode(buckets).as(Seq("band", "bucket")))
       .withColumn("sub", pmod(hash(col("vec_id")), lit(subBlocks)))
     // grid both sides: a meets b at key (band, bucket, sub(a), sub(b))

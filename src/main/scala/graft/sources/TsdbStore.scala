@@ -178,6 +178,12 @@ object TsdbStore {
   def compactPartition(spark: SparkSession, path: String, dt: String,
                        targetFiles: Int = 1): Unit = {
     val staged = s"$path/base_compacted/dt=$dt"
+    // fail fast on a typo'd / already-dropped partition — compacting
+    // an empty read would otherwise install an empty junk partition
+    require(new org.apache.hadoop.fs.Path(s"$path/base/dt=$dt")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(s"$path/base/dt=$dt")),
+      s"compactPartition: no such partition dt=$dt under $path/base")
     spark.read.parquet(s"$path/base")
       .filter(col("dt") === lit(dt))
       .drop("dt") // encoded by the target directory name (hive layout)
@@ -201,8 +207,11 @@ object TsdbStore {
   }
 
   /** The store's one atomicity-critical sequence, shared by compaction
-    * and incremental upsert: retire the live partition dir (if any),
-    * rename the staged dir into its place, drop the retired copy.
+    * and incremental upsert: retire the live partition dir (if any —
+    * absent on a bootstrap install), rename the staged dir into its
+    * place, drop the retired copy. The staged dir is REQUIRED up
+    * front, before anything is retired — the failure mode to make
+    * impossible is retiring live data with no replacement to install.
     * Strict-rename safe: both parents are created first (HDFS/S3A
     * rename fails, rather than creating parents, when the destination
     * parent is missing — the local filesystem masks this). */
@@ -210,13 +219,13 @@ object TsdbStore {
                                staged: org.apache.hadoop.fs.Path,
                                live: org.apache.hadoop.fs.Path,
                                retired: org.apache.hadoop.fs.Path): Unit = {
+    require(fs.exists(staged), s"swap: staged dir missing: $staged")
     fs.mkdirs(retired.getParent)
     fs.mkdirs(live.getParent)
     fs.delete(retired, true)
     if (fs.exists(live))
       require(fs.rename(live, retired), s"swap: could not retire $live")
-    if (fs.exists(staged))
-      require(fs.rename(staged, live), s"swap: could not install $staged")
+    require(fs.rename(staged, live), s"swap: could not install $staged")
     fs.delete(retired, true)
   }
 
@@ -232,8 +241,13 @@ object TsdbStore {
                  cutoffSec: Long): Map[String, Seq[String]] = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cutoff = java.time.Instant.ofEpochSecond(cutoffSec)
-      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    // cutoff date via the SAME to_date(timestamp_micros(...)) the
+    // ingest path used to derive dt — session-timezone-consistent, so
+    // a non-UTC session can never delete data at/after the cutoff
+    val cutoff = java.time.LocalDate.parse(
+      spark.range(1).select(
+        to_date(timestamp_micros(lit(cutoffSec * 1000000L))).cast("string"))
+        .head().getString(0))
     val tables = "base" +: AggSteps.map(s => s"agg_$s")
     tables.map { t =>
       val dir = new Path(s"$path/$t")
@@ -243,9 +257,15 @@ object TsdbStore {
           .map(_.getPath.getName)
           .filter(_.startsWith("dt="))
           .map(_.stripPrefix("dt="))
-          .filter(dt => java.time.LocalDate.parse(dt).isBefore(cutoff))
+          // skip non-date dirs (e.g. __HIVE_DEFAULT_PARTITION__) rather
+          // than aborting retention mid-table
+          .filter(dt => scala.util.Try(java.time.LocalDate.parse(dt))
+            .toOption.exists(_.isBefore(cutoff)))
           .sorted
-      dropped.foreach(dt => fs.delete(new Path(s"$path/$t/dt=$dt"), true))
+      dropped.foreach { dt =>
+        require(fs.delete(new Path(s"$path/$t/dt=$dt"), true),
+          s"dropBefore: could not delete $t/dt=$dt")
+      }
       t -> dropped
     }.toMap
   }
@@ -271,6 +291,13 @@ object TsdbStore {
               schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** Directory-level prune on the dt partition key for a half-open
+    * [beginSec, endSec) range — shared by every read path so a future
+    * change (timezone, overflow guard) lands once. */
+  private def dtPrune(beginSec: Long, endSec: Long): org.apache.spark.sql.Column =
+    col("dt") >= to_date(timestamp_micros(lit(beginSec * 1000000L))) &&
+      col("dt") <= to_date(timestamp_micros(lit(endSec * 1000000L)))
+
   /** The flagship read path — GET /snmp/<path>?begin=&end=&agg=&cf=
     * [pub: esxsnmp/newdb.py — unverified]: series filter + half-open
     * time range + consolidation function over the right resolution.
@@ -283,8 +310,7 @@ object TsdbStore {
     require(aggStep == 0L || AggSteps.contains(aggStep), s"no such aggregate: $aggStep")
     if (aggStep == 0L) {
       spark.read.parquet(s"$path/base")
-        .filter(col("dt") >= to_date(timestamp_micros(lit(beginSec * 1000000L))) &&
-          col("dt") <= to_date(timestamp_micros(lit(endSec * 1000000L))))   // partition prune
+        .filter(dtPrune(beginSec, endSec)) // partition prune
         .filter(col("user_id") === userId && col("event_type") === eventType)
         .filter(col("ts_us") >= beginSec * 1000000L && col("ts_us") < endSec * 1000000L)
         .select(col("ts_us"), (col("cents").cast("double") / 100.0).as("value"))
@@ -299,8 +325,7 @@ object TsdbStore {
         case other     => throw new IllegalArgumentException(s"unknown cf: $other")
       }
       spark.read.parquet(s"$path/agg_$aggStep")
-        .filter(col("dt") >= to_date(timestamp_micros(lit(beginSec * 1000000L))) &&
-          col("dt") <= to_date(timestamp_micros(lit(endSec * 1000000L))))
+        .filter(dtPrune(beginSec, endSec))
         .filter(col("user_id") === userId && col("event_type") === eventType)
         .filter(col("slot_ts") >= beginSec && col("slot_ts") < endSec)
         .select(col("slot_ts"), cfCol.as("value"))
@@ -317,8 +342,7 @@ object TsdbStore {
     require(AggSteps.contains(aggStep), s"no such aggregate: $aggStep")
     val keys = series.map { case (u, e) => struct(lit(u), lit(e)) }
     spark.read.parquet(s"$path/agg_$aggStep")
-      .filter(col("dt") >= to_date(timestamp_micros(lit(beginSec * 1000000L))) &&
-        col("dt") <= to_date(timestamp_micros(lit(endSec * 1000000L)))) // partition prune
+      .filter(dtPrune(beginSec, endSec)) // partition prune
       .filter(struct(col("user_id"), col("event_type")).isin(keys: _*))
       .filter(col("slot_ts") >= beginSec && col("slot_ts") < endSec)
       .select(col("user_id"), col("event_type"), col("slot_ts"),
