@@ -77,6 +77,26 @@ object MiscQueries {
         .orderBy("event_type")
     },
 
+    // count-min frequency estimation: one 64 KB sketch answers point
+    // frequency queries for ANY key; merge is a cell-wise sum (exact
+    // monoid) so the sketch — unlike Misra-Gries counters — is
+    // bit-identical under any partial-aggregation schedule, making the
+    // rows-only output stable. Output compares estimates against exact
+    // per-user counts (never undercounts; CountMinSpec pins the bound)
+    QueryDef.noOracle("q_agg_countmin") { (s, d) =>
+      val cm = udaf(new graft.functions.CountMinBuild)
+      val ev = Tables.events(s, d)
+      val cells = ev.select(xxhash64(col("user_id")).as("h"))
+        .agg(cm(col("h"))).head().getAs[scala.collection.Seq[Long]](0).toArray
+      val est = udf((u: Long) => graft.functions.CountMin.estimate(
+        cells, org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          u, org.apache.spark.sql.types.LongType, 42L)))
+      ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+        .filter(col("user_id") < 25)
+        .select(col("user_id"), est(col("user_id")).as("est_cnt"), col("exact_cnt"))
+        .orderBy("user_id")
+    },
+
     // Bloom-filter membership pre-filter: blocklist semantics without a
     // join — build an 8 KB sketch over the flagged key set, ship it as
     // a scalar, filter the big side with a per-row predicate. Output
