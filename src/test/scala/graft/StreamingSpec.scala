@@ -169,6 +169,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("HLL sketch aggregates incrementally across microbatches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val build = udaf(new graft.functions.HllBuild)
+    val in = MemoryStream[(Timestamp, Long)]
+    // sketch per tumbling hour, built statefully across microbatches —
+    // the online form of the per-day cascade sketches (the buffer is
+    // the register array, carried in the state store)
+    val q = in.toDF().toDF("ts", "user_id")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(build(xxhash64(col("user_id"))).as("sketch"))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    try {
+      in.addData((ts("2024-01-01 10:05:00"), 1L), (ts("2024-01-01 10:10:00"), 2L))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:20:00"), 2L), (ts("2024-01-01 10:25:00"), 3L))
+      q.processAllAvailable()
+      val sketch = spark.table("hll_stream")
+        .select("sketch").head().getAs[Array[Byte]](0)
+      // streaming result == batch build over the union, bit for bit
+      val batch = Seq(1L, 2L, 2L, 3L).toDF("user_id")
+        .agg(build(xxhash64(col("user_id")))).head().getAs[Array[Byte]](0)
+      assert(sketch.sameElements(batch),
+        "streaming sketch differs from batch build over the same rows")
+      assert(graft.functions.Hll.estimate(sketch) == 3L)
+    } finally q.stop()
+  }
+
   test("sliding windows emit one row per overlapping window (streaming)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
