@@ -43,13 +43,51 @@ object TextOps {
     * minJacc, rounded 4 dp) — the exact form MinHash approximates. The
     * candidate space is bounded by the shingle equi-join (only docs
     * sharing a shingle ever meet), intersections are map-side-combined
-    * counts, and the two size joins are broadcast-able aggregates. */
-  def jaccardPairs(docs: DataFrame, n: Int, minJacc: Double): DataFrame = {
+    * counts, and the two size joins are broadcast-able aggregates.
+    *
+    * Skew: a COMMON shingle (stopword trigram) puts all its docs on
+    * one join key — quadratic pair generation pinned to one task. When
+    * any shingle's doc-frequency exceeds [[HotShingleDocs]] (≈ tens of
+    * millions of pairs from one key), the join switches to the
+    * banded-LSH-style grid: both sides sub-block by doc-id hash and
+    * replicate across one grid axis, so a pair meets at exactly one
+    * (sh, subA, subB) key and the hot shingle spreads across
+    * subBlocks² tasks. The probe is one cheap count aggregate; on
+    * un-skewed corpora the plain join runs replication-free. Output is
+    * bit-identical either way (same pair multiset → same counts). */
+  /** A shingle shared by this many docs ⇒ ~33M pairs from one join
+    * key: past this, the gridded join's replication is cheaper than
+    * the straggler. Doubles as the corpus-size gate: a corpus with
+    * fewer docs than this cannot contain a hot shingle, so small
+    * corpora skip the frequency probe entirely. */
+  val HotShingleDocs = 8192L
+
+  def jaccardPairs(docs: DataFrame, n: Int, minJacc: Double,
+                   subBlocks: Int = 8, forceGrid: Boolean = false): DataFrame = {
     val sh = shingles(docs, n)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.toDF("a_id", "sh")
-    val b = sh.toDF("b_id", "sh")
-    val ix = a.join(b, a("sh") === b("sh") && col("a_id") < col("b_id"))
+    // cheap count first (parquet metadata); the shingle-frequency
+    // probe — a real aggregation — only runs when the corpus is big
+    // enough for a hot shingle to exist at all
+    def maxFreq: Long = sh.groupBy("sh").agg(count(lit(1)).as("c"))
+      .agg(max("c")).head().getLong(0)
+    val paired =
+      if (!forceGrid &&
+          (docs.count() <= HotShingleDocs || maxFreq <= HotShingleDocs)) {
+        val a = sh.toDF("a_id", "sh")
+        val b = sh.toDF("b_id", "sh")
+        a.join(b, a("sh") === b("sh") && col("a_id") < col("b_id"))
+      } else {
+        val a = sh.select(col("doc_id").as("a_id"), col("sh"),
+            pmod(hash(col("doc_id")), lit(subBlocks)).as("sub_a"))
+          .withColumn("sub_b", explode(sequence(lit(0), lit(subBlocks - 1))))
+        val b = sh.select(col("doc_id").as("b_id"), col("sh"),
+            pmod(hash(col("doc_id")), lit(subBlocks)).as("sub_b"))
+          .withColumn("sub_a", explode(sequence(lit(0), lit(subBlocks - 1))))
+        a.join(b, Seq("sh", "sub_a", "sub_b"))
+          .filter(col("a_id") < col("b_id"))
+      }
+    val ix = paired
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
     val jacc = col("i").cast("double") /
       (col("na") + col("nb") - col("i")).cast("double")

@@ -81,6 +81,18 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L), s"got $got")
   }
 
+  test("gridded jaccard join equals the plain join row for row") {
+    // the hot-shingle grid must be result-invisible: same pair
+    // multiset, same intersection counts, same rounded jaccard
+    val docs = Tables.documents(spark, Sf)
+    val plain = graft.operators.TextOps.jaccardPairs(docs, 3, 0.02)
+      .collect().map(_.toSeq).toSet
+    val grid = graft.operators.TextOps.jaccardPairs(docs, 3, 0.02, forceGrid = true)
+      .collect().map(_.toSeq).toSet
+    assert(plain == grid, "grid path diverges from plain join")
+    assert(plain.nonEmpty)
+  }
+
   test("connected components: long path converges within iteration cap") {
     import spark.implicits._
     // a 12-node path: worst case for label propagation depth
