@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Count-min sketch — mergeable frequency estimation. Complements
@@ -25,10 +25,7 @@ object CountMin {
 
   /** Row-r bucket for hash h: splitmix64 remix of (h, r). */
   @inline private def bucket(h: Long, r: Int): Int = {
-    var z = h + r.toLong * 0x9E3779B97F4B7C15L + 0x9E3779B97F4B7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^= z >>> 31
+    val z = SplitMix64.mix(h + r.toLong * 0x9E3779B97F4B7C15L)
     (((z % Width) + Width) % Width).toInt
   }
 

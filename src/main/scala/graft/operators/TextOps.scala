@@ -66,26 +66,44 @@ object TextOps {
                    subBlocks: Int = 8, forceGrid: Boolean = false): DataFrame = {
     val sh = shingles(docs, n)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+
+    def plainJoin(rel: DataFrame): DataFrame = {
+      val a = rel.toDF("a_id", "sh")
+      val b = rel.toDF("b_id", "sh")
+      a.join(b, a("sh") === b("sh") && col("a_id") < col("b_id"))
+        .select("a_id", "b_id")
+    }
+    def gridJoin(rel: DataFrame): DataFrame = {
+      val a = rel.select(col("doc_id").as("a_id"), col("sh"),
+          pmod(hash(col("doc_id")), lit(subBlocks)).as("sub_a"))
+        .withColumn("sub_b", explode(sequence(lit(0), lit(subBlocks - 1))))
+      val b = rel.select(col("doc_id").as("b_id"), col("sh"),
+          pmod(hash(col("doc_id")), lit(subBlocks)).as("sub_b"))
+        .withColumn("sub_a", explode(sequence(lit(0), lit(subBlocks - 1))))
+      a.join(b, Seq("sh", "sub_a", "sub_b"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id")
+    }
+
     // cheap count first (parquet metadata); the shingle-frequency
     // probe — a real aggregation — only runs when the corpus is big
-    // enough for a hot shingle to exist at all
-    def maxFreq: Long = sh.groupBy("sh").agg(count(lit(1)).as("c"))
-      .agg(max("c")).head().getLong(0)
+    // enough for a hot shingle to exist at all. Past the threshold,
+    // ONLY the hot shingles (a tiny broadcast set) take the gridded
+    // join; the unskewed long tail keeps the replication-free plain
+    // join, and the two pair streams union before counting — the pair
+    // multiset is identical either way.
     val paired =
-      if (!forceGrid &&
-          (docs.count() <= HotShingleDocs || maxFreq <= HotShingleDocs)) {
-        val a = sh.toDF("a_id", "sh")
-        val b = sh.toDF("b_id", "sh")
-        a.join(b, a("sh") === b("sh") && col("a_id") < col("b_id"))
-      } else {
-        val a = sh.select(col("doc_id").as("a_id"), col("sh"),
-            pmod(hash(col("doc_id")), lit(subBlocks)).as("sub_a"))
-          .withColumn("sub_b", explode(sequence(lit(0), lit(subBlocks - 1))))
-        val b = sh.select(col("doc_id").as("b_id"), col("sh"),
-            pmod(hash(col("doc_id")), lit(subBlocks)).as("sub_b"))
-          .withColumn("sub_a", explode(sequence(lit(0), lit(subBlocks - 1))))
-        a.join(b, Seq("sh", "sub_a", "sub_b"))
-          .filter(col("a_id") < col("b_id"))
+      if (forceGrid) gridJoin(sh)
+      else if (docs.count() <= HotShingleDocs) plainJoin(sh)
+      else {
+        val hot = sh.groupBy("sh").agg(count(lit(1)).as("c"))
+          .filter(col("c") > HotShingleDocs).select("sh")
+        if (hot.isEmpty) plainJoin(sh)
+        else {
+          val shHot = sh.join(broadcast(hot), "sh")
+          val shCold = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+          plainJoin(shCold).unionByName(gridJoin(shHot))
+        }
       }
     val ix = paired
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))

@@ -231,10 +231,8 @@ object VectorOps {
     * signatures alone). */
   private def planeVector(plane: Int, dim: Int): Array[Double] =
     Array.tabulate(dim) { i =>
-      var z = plane.toLong * 1000003L + (i + 1).toLong * 7919L + 0x9E3779B97F4B7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^= z >>> 31
+      val z = graft.functions.SplitMix64.mix(
+        plane.toLong * 1000003L + (i + 1).toLong * 7919L)
       ((z >>> 11).toDouble / (1L << 53).toDouble) - 0.5
     }
 
