@@ -18,10 +18,15 @@ object Bench {
     // untimed one-time build of the derived store/JSONL fixtures: the
     // store-backed queries measure the FETCH path (like every other
     // query measures its read path), not the fixture materialization
+    // a failure here is reported, not swallowed: the first timed
+    // store-backed query would otherwise silently pay the build cost
+    // (or fail with no hint that warmup was the cause) — ADVICE r3
     try {
       graft.sources.StoreFixture.store(spark, sfDir)
       graft.sources.StoreFixture.docsJsonl(spark, sfDir)
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] fixture warmup failed (store timings will be polluted): $e")
+    }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

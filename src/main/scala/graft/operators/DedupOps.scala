@@ -114,19 +114,36 @@ object DedupOps {
     * alternating-star CC recipe specialises to this when components
     * are small, and nothing driver-side ever holds the graph.
     *
+    * Convergence is CHECKED, not assumed: a component whose diameter
+    * exceeds `maxIters` would otherwise silently keep stale labels —
+    * the loop throws instead (raise `maxIters` for long-chain graphs;
+    * dedup clusters are shallow so the default is generous).
+    *
     * @param nodes one column `node`; includes singletons (cluster = self)
     * @param edges columns `a_id`, `b_id`
+    * @param reliableCheckpoint checkpoint each round to the cluster
+    *   checkpoint dir (survives executor loss — the right choice for a
+    *   long 1000-executor run) instead of executor-local blocks, which
+    *   are lost with their executor. Sets a temp checkpoint dir if the
+    *   session has none.
     * @return (node, cluster) */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxIters: Int = 20): DataFrame = {
-    val und = edges.select(col("a_id").as("u"), col("b_id").as("v"))
+                          maxIters: Int = 20,
+                          reliableCheckpoint: Boolean = false): DataFrame = {
+    val spark = nodes.sparkSession
+    if (reliableCheckpoint && spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    val und = ckpt(edges.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionByName(edges.select(col("b_id").as("u"), col("a_id").as("v")))
-      .distinct().localCheckpoint(true)
-    // localCheckpoint each round truncates the logical plan — without
-    // it the iteration-nested lineage grows exponentially (the same
+      .distinct())
+    // checkpoint each round truncates the logical plan — without it
+    // the iteration-nested lineage grows exponentially (the same
     // reason GraphFrames checkpoints its CC loop)
-    var labels = nodes.select(col("node"), col("node").as("lbl"))
-      .localCheckpoint(true)
+    var labels = ckpt(nodes.select(col("node"), col("node").as("lbl")))
     // labels only ever decrease, so Σlbl strictly decreases until the
     // fixpoint: an unchanged sum IS convergence — one map-side-combined
     // agg over checkpointed data, vs a join-based change detector
@@ -137,17 +154,20 @@ object DedupOps {
     var it = 0
     while (!converged && it < maxIters) {
       // neighbour labels (via edges) ∪ own label, then min per node
-      val next = und.join(labels, und("v") === labels("node"))
+      val next = ckpt(und.join(labels, und("v") === labels("node"))
         .select(und("u").as("node"), col("lbl"))
         .unionByName(labels)
-        .groupBy("node").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
+        .groupBy("node").agg(min("lbl").as("lbl")))
       val nextSum = lblSum(next)
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
       it += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters iterations " +
+          "(component diameter exceeds maxIters — raise it)")
     labels.withColumnRenamed("lbl", "cluster")
   }
 }

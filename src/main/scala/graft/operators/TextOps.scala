@@ -96,12 +96,20 @@ object TextOps {
       if (forceGrid) gridJoin(sh)
       else if (docs.count() <= HotShingleDocs) plainJoin(sh)
       else {
-        val hot = sh.groupBy("sh").agg(count(lit(1)).as("c"))
+        // the probe branch re-reads the shingle set up to four times
+        // (frequency probe, emptiness check, hot join, cold anti-join)
+        // and shingle generation ends in a distinct() shuffle — persist
+        // it once so the probe doesn't double the heaviest stage
+        // (ADVICE r3). Unpersisting after the pair counts materialize
+        // is the caller's plan execution; MEMORY_AND_DISK ages out
+        // harmlessly on its own.
+        val shP = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hot = shP.groupBy("sh").agg(count(lit(1)).as("c"))
           .filter(col("c") > HotShingleDocs).select("sh")
-        if (hot.isEmpty) plainJoin(sh)
+        if (hot.isEmpty) plainJoin(shP)
         else {
-          val shHot = sh.join(broadcast(hot), "sh")
-          val shCold = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+          val shHot = shP.join(broadcast(hot), "sh")
+          val shCold = shP.join(broadcast(hot), Seq("sh"), "left_anti")
           plainJoin(shCold).unionByName(gridJoin(shHot))
         }
       }

@@ -102,4 +102,26 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.values.toSet == Set(0L), s"got $got")
   }
+
+  test("connected components: diameter past maxIters throws, never lies") {
+    import spark.implicits._
+    // two 50-node paths — diameter 49 needs ~50 label-propagation
+    // rounds; at maxIters=10 the old code would silently return
+    // half-propagated labels (VERDICT r3 #6) — the contract is to throw
+    val edges = ((0L until 49L).map(i => (i, i + 1)) ++
+      (100L until 149L).map(i => (i, i + 1))).toDF("a_id", "b_id")
+    val nodes = ((0L to 49L) ++ (100L to 149L)).toDF("node")
+    val e = intercept[IllegalStateException] {
+      DedupOps.connectedComponents(nodes, edges, maxIters = 10)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // with the cap raised — and RELIABLE checkpointing, the 1000-executor
+    // option where executor-local blocks don't survive failures — the
+    // same graph resolves to its two min labels
+    val got = DedupOps.connectedComponents(nodes, edges, maxIters = 60,
+      reliableCheckpoint = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(0L, 100L), s"got ${got.values.toSet}")
+    assert((0L to 49L).forall(got(_) == 0L) && (100L to 149L).forall(got(_) == 100L))
+  }
 }
