@@ -23,6 +23,7 @@ object Bench {
     // (or fail with no hint that warmup was the cause) — ADVICE r3
     try {
       graft.sources.StoreFixture.store(spark, sfDir)
+      graft.sources.StoreFixture.storeMonthly(spark, sfDir)
       graft.sources.StoreFixture.docsJsonl(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] fixture warmup failed (store timings will be polluted): $e")

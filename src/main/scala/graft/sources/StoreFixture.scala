@@ -29,7 +29,7 @@ object StoreFixture {
 
   /** Bump when the ingest/export layout changes, so cached fixtures
     * built by older code rebuild instead of being served stale. */
-  private val LayoutVersion = 2
+  private val LayoutVersion = 3
 
   private def stampOf(src: File): String =
     s"v$LayoutVersion:${src.lastModified()}:${src.length()}"
@@ -46,11 +46,23 @@ object StoreFixture {
       }
     }
 
-  /** dt-partitioned store (base + 6h/1d cascade) for the sf dir. */
+  /** dt-partitioned store (base + 6h/1d value + rate cascades). */
   def store(spark: SparkSession, sfDir: String): String = {
     val tgt = s"/tmp/graft_store/${new File(sfDir).getName}"
     buildOnce(new File(s"$sfDir/events.parquet"), tgt) {
       TsdbStore.ingest(spark, Tables.events(spark, sfDir), tgt)
+    }
+    tgt
+  }
+
+  /** The same events under the MONTHLY chunk mapping (`dt=YYYY-MM`) —
+    * the reference's low-rate-series layout; q_store_fetch_month reads
+    * this, proving month-granular partition pruning on a declared path. */
+  def storeMonthly(spark: SparkSession, sfDir: String): String = {
+    val tgt = s"/tmp/graft_store_monthly/${new File(sfDir).getName}"
+    buildOnce(new File(s"$sfDir/events.parquet"), tgt) {
+      TsdbStore.ingest(spark, Tables.events(spark, sfDir), tgt,
+        StoreLayout(monthly = true))
     }
     tgt
   }

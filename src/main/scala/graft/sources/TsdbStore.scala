@@ -1,9 +1,50 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import java.time.{LocalDate, YearMonth}
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.TimeSeriesOps
+
+/** Store layout configuration — the reference's per-var metadata
+  * (step chain, chunk mapper, heartbeat) as an explicit, validated
+  * value [pub: tsdb var metadata + YYYYMMDDChunkMapper/YYYYMMChunkMapper
+  * — unverified, mount empty, SURVEY.md §0].
+  *
+  * @param steps aggregate step chain in seconds, finest first; each
+  *   step must divide the next (coarse levels are computed FROM finer
+  *   ones, never from raw) and every step must divide a day, so a base
+  *   partition maps to exactly one partition at every level — the
+  *   invariant the incremental upsert's bounded blast radius rests on
+  * @param monthly partition base + cascades by month (`dt=YYYY-MM`)
+  *   instead of day — the reference's YYYYMM chunk mapping for
+  *   low-rate series (fewer, larger partitions)
+  * @param heartbeatSec max sample gap for a counter delta to be valid
+  *   (poller-down gaps are dropped, never interpolated)
+  * @param buckets when > 0, the base table is ALSO written as a
+  *   Hive-bucketed table on (user_id, event_type) so per-series windows
+  *   and series equi-joins plan with NO shuffle ([[TsdbStore.bucketedBaseTable]])
+  */
+case class StoreLayout(
+    steps: Seq[Long] = Seq(21600L, 86400L),
+    monthly: Boolean = false,
+    heartbeatSec: Long = 21600L,
+    buckets: Int = 0) {
+  require(steps.nonEmpty, "at least one aggregate step")
+  require(steps == steps.sorted && steps.distinct == steps,
+    s"steps must be strictly ascending: $steps")
+  require(steps.forall(s => s > 0 && 86400L % s == 0),
+    s"every step must divide 86400: $steps")
+  steps.sliding(2).foreach {
+    case Seq(fine, coarse) =>
+      require(coarse % fine == 0, s"each step must divide the next: $fine !| $coarse")
+    case _ => ()
+  }
+  require(heartbeatSec > 0, "heartbeatSec must be positive")
+  require(buckets >= 0, "buckets must be >= 0")
+}
 
 /** The storage layer: the reference's directory-tree TSDB re-expressed
   * as a partitioned parquet layout plus materialized multi-resolution
@@ -12,71 +53,280 @@ import graft.operators.TimeSeriesOps
   * Reference mapping (SURVEY.md §1.2, [pub: tsdb/__init__.py,
   * chunk_mapper.py — unverified, mount empty, SURVEY.md §0]):
   *  - date-named chunk files            → `dt=YYYY-MM-DD` partitions
-  *    (partition pruning replaces chunk-name arithmetic)
+  *    (`dt=YYYY-MM` with the monthly mapper; partition pruning
+  *    replaces chunk-name arithmetic)
   *  - offset addressing within a chunk  → parquet row-group min/max
   *    pushdown on `ts_us`
   *  - per-insert Aggregator.update cascade → batch-materialized
-  *    `agg_<step>` tables, coarser levels computed FROM finer ones
+  *    `agg_<step>` tables (value aggregates) + `rate_<step>` tables
+  *    (wrap-corrected, heartbeat-validated counter deltas — the
+  *    reference Aggregator's ACTUAL content [pub: tsdb/aggregator.py]),
+  *    coarser levels computed FROM finer ones
   *  - TSDBVar path lookup               → series-key equality predicates
   *
+  * Every `dt` is derived with INTEGER UTC epoch-day math
+  * (`date_from_unix_date(ts_us div 86400e6)`), never the session
+  * timezone — ingest, incremental recompute, pruning and retention all
+  * agree in any session timezone (ADVICE r3 #1).
+  *
   * Scale notes: ingest is one narrow pass + `partitionBy("dt")` write
-  * (at 100 TB: daily partitions × size-targeted files; add bucketing
-  * by series key so per-series windows and idempotent upserts are
-  * shuffle-free). Reads prune partitions first, then row groups, then
-  * columns — the same three-level pruning story as the reference's
-  * chunk/offset/field addressing.
+  * (at 100 TB: daily partitions × size-targeted files; the
+  * `buckets` layout option adds series bucketing so per-series windows
+  * and idempotent upserts are shuffle-free). Reads prune partitions
+  * first, then row groups, then columns — the same three-level pruning
+  * story as the reference's chunk/offset/field addressing.
   */
 object TsdbStore {
 
-  val AggSteps: Seq[Long] = Seq(21600L, 86400L) // 6 h, 1 d cascade
+  /** Default cascade (6 h, 1 d) — kept as a stable name for callers
+    * that don't configure a layout. */
+  val AggSteps: Seq[Long] = StoreLayout().steps
+
+  // ---- dt derivation: integer UTC epoch-day math, session-tz-proof ----
+
+  /** UTC calendar day of an epoch-second (driver side). */
+  private def utcDay(sec: Long): LocalDate =
+    LocalDate.ofEpochDay(Math.floorDiv(sec, 86400L))
+
+  private def dtOfDay(layout: StoreLayout, d: LocalDate): String =
+    if (layout.monthly) f"${d.getYear}%04d-${d.getMonthValue}%02d" else d.toString
+
+  /** dt partition expression from a µs-epoch column (DATE for daily,
+    * 'YYYY-MM' STRING for monthly). */
+  private def dtFromTsUs(layout: StoreLayout): Column = {
+    val day = date_from_unix_date(expr("CAST(ts_us div 86400000000 AS INT)"))
+    if (layout.monthly) date_format(day, "yyyy-MM") else day
+  }
+
+  /** dt partition expression from a sec-epoch slot column. */
+  private def dtFromSlot(layout: StoreLayout): Column = {
+    val day = date_from_unix_date(expr("CAST(slot_ts div 86400 AS INT)"))
+    if (layout.monthly) date_format(day, "yyyy-MM") else day
+  }
+
+  /** The dt partition immediately before / after `dt`. */
+  private def prevDt(layout: StoreLayout, dt: String): String =
+    if (layout.monthly) YearMonth.parse(dt).minusMonths(1).toString
+    else LocalDate.parse(dt).minusDays(1).toString
+  private def nextDt(layout: StoreLayout, dt: String): String =
+    if (layout.monthly) YearMonth.parse(dt).plusMonths(1).toString
+    else LocalDate.parse(dt).plusDays(1).toString
+
+  /** Directory-level prune on the dt partition key for a half-open
+    * [beginSec, endSec) range — shared by every read path. Daily dt is
+    * DATE; monthly dt is a 'YYYY-MM' string (lexicographic order ==
+    * chronological order by construction). */
+  private def dtPrune(layout: StoreLayout, beginSec: Long, endSec: Long): Column =
+    if (layout.monthly)
+      col("dt") >= lit(dtOfDay(layout, utcDay(beginSec))) &&
+        col("dt") <= lit(dtOfDay(layout, utcDay(endSec)))
+    else
+      col("dt") >= lit(java.sql.Date.valueOf(utcDay(beginSec))) &&
+        col("dt") <= lit(java.sql.Date.valueOf(utcDay(endSec)))
+
+  // ---- layout persistence --------------------------------------------
+
+  /** The layout is STORE metadata, not caller knowledge: ingest stamps
+    * it, every later read/maintenance call re-derives it — a fetch can
+    * never disagree with the layout the store was built with. */
+  private def writeLayout(spark: SparkSession, path: String, layout: StoreLayout): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_LAYOUT"), true)
+    out.write(
+      (s"steps=${layout.steps.mkString(",")}\n" +
+        s"monthly=${layout.monthly}\n" +
+        s"heartbeat=${layout.heartbeatSec}\n" +
+        s"buckets=${layout.buckets}\n").getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Read the stamped layout; a store predating `_LAYOUT` gets the
+    * defaults it was built with. */
+  def readLayout(spark: SparkSession, path: String): StoreLayout = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_LAYOUT")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) StoreLayout()
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val kv = text.linesIterator.filter(_.contains('='))
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+      StoreLayout(
+        steps = kv("steps").split(",").map(_.trim.toLong).toSeq,
+        monthly = kv.getOrElse("monthly", "false").toBoolean,
+        heartbeatSec = kv.getOrElse("heartbeat", "21600").toLong,
+        buckets = kv.getOrElse("buckets", "0").toInt)
+    }
+  }
+
+  // ---- ingest ---------------------------------------------------------
 
   /** events-shaped feed → the store's row shape, with the dt partition
-    * key derived from the timestamp. */
-  private def normalize(events: DataFrame): DataFrame =
+    * key derived from the timestamp (integer UTC math). */
+  private def normalize(events: DataFrame, layout: StoreLayout): DataFrame =
     events
       .select(col("user_id"), col("event_type"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"),
         expr("CAST(round(value*100) AS BIGINT)").as("cents"))
-      .withColumn("dt", to_date(timestamp_micros(col("ts_us"))))
+      .withColumn("dt", dtFromTsUs(layout))
+
+  /** Wrap-corrected, heartbeat-validated counter deltas over the stored
+    * sample column — the SAME expression tree as the declared
+    * `q_ts_rate_counter` / `q_ts_delta_sum` queries (TimeSeriesOps),
+    * applied to the store's rows. One window exchange per recompute;
+    * with the bucketed layout option it disappears. */
+  private def validDeltas(base: DataFrame, heartbeatSec: Long): DataFrame = {
+    val cap = graft.Tables.WrapCap
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    base
+      .withColumn("prev_cents", lag("cents", 1).over(w))
+      .withColumn("prev_ts_us", lag("ts_us", 1).over(w))
+      .withColumn("dt_us", col("ts_us") - col("prev_ts_us"))
+      .withColumn("delta_cents",
+        ((col("cents") - col("prev_cents")) % cap + cap) % cap)
+      .filter(col("prev_ts_us").isNotNull &&
+        col("dt_us") <= heartbeatSec * 1000000L)
+  }
+
+  /** Finest-level rate aggregate: per (series, slot) count of valid
+    * deltas + exact integer sums of delta and elapsed time. Coarser
+    * levels are cell-wise sums (exact monoid). */
+  private def rateAggFromDeltas(deltas: DataFrame, stepSec: Long): DataFrame =
+    deltas.groupBy(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(stepSec).as("slot_ts"))
+      .agg(count(lit(1)).as("n_valid"), sum("delta_cents").as("delta_cents"),
+        sum("dt_us").as("dt_us"))
+
+  private def rateAggCoarser(fine: DataFrame, coarseSec: Long): DataFrame =
+    fine.groupBy(col("user_id"), col("event_type"),
+        (expr(s"slot_ts div $coarseSec") * coarseSec).as("slot_ts"))
+      .agg(sum("n_valid").as("n_valid"), sum("delta_cents").as("delta_cents"),
+        sum("dt_us").as("dt_us"))
+
+  private def valueAggCoarser(fine: DataFrame, coarseSec: Long): DataFrame =
+    fine.groupBy(col("user_id"), col("event_type"),
+        (expr(s"slot_ts div $coarseSec") * coarseSec).as("slot_ts"))
+      .agg(sum("n").as("n"), sum("sum_cents").as("sum_cents"),
+        min("min_cents").as("min_cents"), max("max_cents").as("max_cents"))
+
+  /** Catalog name for the bucketed base table of a store path. */
+  private def tableNameFor(path: String): String =
+    "graft_base_" + (path.hashCode.toLong & 0xFFFFFFFFL).toHexString
 
   /** Batch ingest: normalize an events-shaped feed into the base
-    * measurements table (partitioned by dt) + the aggregate cascade. */
-  def ingest(spark: SparkSession, events: DataFrame, path: String): Unit = {
-    val m = normalize(events)
-    // cluster rows by (series, ts) inside each date partition: parquet
-    // row-group min/max then prunes BOTH the series filter and the
-    // time range within a day — the offset-addressing story at file level
-    m.sortWithinPartitions("dt", "user_id", "event_type", "ts_us")
-      .write.mode(SaveMode.Overwrite)
-      .option("compression", "zstd")
-      .partitionBy("dt").parquet(s"$path/base")
+    * measurements table (partitioned by dt, optionally series-bucketed)
+    * + the value-aggregate and rate-aggregate cascades. */
+  def ingest(spark: SparkSession, events: DataFrame, path: String,
+             layout: StoreLayout = StoreLayout()): Unit = {
+    val m = normalize(events, layout)
+    if (layout.buckets > 0) {
+      // Hive-bucketed layout: per-series windows / joins read
+      // pre-clustered buckets (no exchange); the files under
+      // $path/base remain plain-parquet-readable for every other path
+      val name = tableNameFor(path)
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      m.write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd").option("path", s"$path/base")
+        .partitionBy("dt")
+        .bucketBy(layout.buckets, "user_id", "event_type")
+        .sortBy("user_id", "event_type", "ts_us")
+        .saveAsTable(name)
+    } else {
+      // cluster rows by (series, ts) inside each date partition: parquet
+      // row-group min/max then prunes BOTH the series filter and the
+      // time range within a day — the offset-addressing story at file level
+      m.sortWithinPartitions("dt", "user_id", "event_type", "ts_us")
+        .write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd")
+        .partitionBy("dt").parquet(s"$path/base")
+    }
+    writeLayout(spark, path, layout)
 
-    // aggregate cascade: 6 h from base, 1 d from 6 h (never re-scan raw)
     val base = spark.read.parquet(s"$path/base")
-    var finer = TimeSeriesOps.downsample(base, AggSteps.head)
-      .withColumn("dt", to_date(timestamp_micros(col("slot_ts") * 1000000L)))
-    finer.write.mode(SaveMode.Overwrite).partitionBy("dt")
-      .parquet(s"$path/agg_${AggSteps.head}")
-    AggSteps.sliding(2).foreach {
+
+    // value cascade: finest from base, each coarser from the finer
+    // (never re-scan raw)
+    TimeSeriesOps.downsample(base, layout.steps.head)
+      .withColumn("dt", dtFromSlot(layout))
+      .write.mode(SaveMode.Overwrite).partitionBy("dt")
+      .parquet(s"$path/agg_${layout.steps.head}")
+    layout.steps.sliding(2).foreach {
       case Seq(fine, coarse) =>
-        val f = spark.read.parquet(s"$path/agg_$fine")
-        f.groupBy(col("user_id"), col("event_type"),
-            (expr(s"slot_ts div $coarse") * coarse).as("slot_ts"))
-          .agg(sum("n").as("n"), sum("sum_cents").as("sum_cents"),
-            min("min_cents").as("min_cents"), max("max_cents").as("max_cents"))
-          .withColumn("dt", to_date(timestamp_micros(col("slot_ts") * 1000000L)))
+        valueAggCoarser(spark.read.parquet(s"$path/agg_$fine"), coarse)
+          .withColumn("dt", dtFromSlot(layout))
           .write.mode(SaveMode.Overwrite).partitionBy("dt").parquet(s"$path/agg_$coarse")
       case _ => ()
     }
+
+    // rate cascade: wrap-corrected deltas from base, then sum upward.
+    // Coarser levels chain off the persisted finer DataFrame (same
+    // rows as the just-written table) rather than re-reading it from
+    // disk — a store whose finest rate level is legitimately EMPTY
+    // (no valid deltas yet) would otherwise fail parquet schema
+    // inference on the re-read.
+    var fineRate = rateAggFromDeltas(
+      validDeltas(base, layout.heartbeatSec), layout.steps.head).persist()
+    fineRate.withColumn("dt", dtFromSlot(layout))
+      .write.mode(SaveMode.Overwrite).partitionBy("dt")
+      .parquet(s"$path/rate_${layout.steps.head}")
+    layout.steps.sliding(2).foreach {
+      case Seq(_, coarse) =>
+        val next = rateAggCoarser(fineRate, coarse).persist()
+        next.withColumn("dt", dtFromSlot(layout))
+          .write.mode(SaveMode.Overwrite).partitionBy("dt").parquet(s"$path/rate_$coarse")
+        fineRate.unpersist()
+        fineRate = next
+      case _ => ()
+    }
+    fineRate.unpersist()
   }
+
+  /** Re-register (in a fresh session's catalog) and return the
+    * bucketed base table's name — per-series windows over
+    * `spark.table(name)` plan with NO exchange (PlanAuditSpec /
+    * TsdbStoreSpec). */
+  def bucketedBaseTable(spark: SparkSession, path: String): String = {
+    val layout = readLayout(spark, path)
+    require(layout.buckets > 0, s"store at $path was not ingested with buckets")
+    val name = tableNameFor(path)
+    if (!spark.catalog.tableExists(name)) {
+      val dtType = if (layout.monthly) "STRING" else "DATE"
+      spark.sql(
+        s"""CREATE TABLE $name
+           |  (user_id BIGINT, event_type STRING, event_id BIGINT,
+           |   ts_us BIGINT, cents BIGINT, dt $dtType)
+           |USING PARQUET
+           |PARTITIONED BY (dt)
+           |CLUSTERED BY (user_id, event_type)
+           |SORTED BY (user_id, event_type, ts_us)
+           |INTO ${layout.buckets} BUCKETS
+           |LOCATION '$path/base'""".stripMargin)
+      spark.sql(s"MSCK REPAIR TABLE $name")
+    }
+    name
+  }
+
+  /** Deterministic within-batch dedup: two incoming rows with the same
+    * (series, event_id) key resolve by (ts_us, cents) max — NOT by
+    * arrival order, which would make the merged store depend on shuffle
+    * nondeterminism (ADVICE r3 #2). */
+  private def dedupeBatch(incoming: DataFrame): DataFrame =
+    incoming
+      .groupBy("user_id", "event_type", "event_id")
+      .agg(max_by(struct(col("ts_us"), col("cents"), col("dt")),
+        struct(col("ts_us"), col("cents"))).as("r"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("r.ts_us").as("ts_us"), col("r.cents").as("cents"), col("r.dt").as("dt"))
 
   /** Idempotent re-ingest of late/replayed rows: last write per
     * (series, event_id) wins — offset-addressing upsert semantics as a
     * dedup-by-key pass over the union of old + new. */
   def upsert(spark: SparkSession, newEvents: DataFrame, path: String): Unit = {
+    val layout = readLayout(spark, path)
     val existing = spark.read.parquet(s"$path/base")
       .select("user_id", "event_type", "event_id", "ts_us", "cents", "dt")
-    val incoming = normalize(newEvents)
+    val incoming = dedupeBatch(normalize(newEvents, layout))
     val merged = existing.withColumn("gen", lit(0))
       .unionByName(incoming.withColumn("gen", lit(1)))
       .groupBy("user_id", "event_type", "event_id")
@@ -90,40 +340,81 @@ object TsdbStore {
 
   /** Incremental upsert — the cascade's UPDATE CONTRACT: merge
     * late/replayed rows into ONLY the dt partitions they touch, then
-    * recompute just those partitions of the 6h/1d cascade. Both
-    * aggregate steps divide a day, so a base day maps to exactly one
-    * partition at every level and the blast radius of a late row is
-    * (levels × one partition). This is the Spark-native answer to the
-    * reference's per-insert Aggregator.update [pub: esxsnmp/persist.py
-    * TSDBPollPersister — unverified, SURVEY.md §0]: at 100 TB,
-    * recompute-touched-partitions rewrites a few files where a full
-    * cascade rebuild would re-scan the table.
+    * recompute just those partitions of the value cascade — and those
+    * partitions PLUS each touched partition's successor of the rate
+    * cascade (the first delta of partition P+1 depends on the last
+    * sample of P). Every step divides a day, so a base partition maps
+    * to exactly one partition at every level and the blast radius of a
+    * late row is (levels × ≤2 partitions). This is the Spark-native
+    * answer to the reference's per-insert Aggregator.update [pub:
+    * esxsnmp/persist.py TSDBPollPersister — unverified, SURVEY.md §0]:
+    * at 100 TB, recompute-touched-partitions rewrites a few files where
+    * a full cascade rebuild would re-scan the table.
+    *
+    * Boundary contract: the rate recompute reads touched partitions ±1.
+    * A predecessor farther back than one partition is ≥ a full
+    * partition span away, hence past the heartbeat and invalid anyway —
+    * which is why `heartbeatSec` must not exceed the partition span
+    * (enforced below).
     *
     * Precondition (slot-addressing semantics): a replayed event_id
-    * keeps its original day — rows are addressed by (series, event_id,
-    * day). A replay that moves days must use the full [[upsert]].
+    * keeps its original partition — rows are addressed by (series,
+    * event_id, partition). A replay that moves partitions silently
+    * leaves the old row in place (duplicate key); use the full
+    * [[upsert]] for those, or pass `verifyNoPartitionMoves = true` to
+    * pay one pruned anti-join scan that makes the violation loud.
     * Returns the touched dt strings (TsdbStoreSpec asserts at file
     * level that nothing else was rewritten and the result equals a
     * full recompute). */
   def upsertIncremental(spark: SparkSession, newEvents: DataFrame,
-                        path: String): Seq[String] = {
+                        path: String,
+                        verifyNoPartitionMoves: Boolean = false): Seq[String] = {
     import org.apache.hadoop.fs.Path
-    val incoming = normalize(newEvents)
+    val layout = readLayout(spark, path)
+    val partitionSpanSec = if (layout.monthly) 28L * 86400L else 86400L
+    require(layout.heartbeatSec <= partitionSpanSec,
+      s"incremental rate recompute needs heartbeat (${layout.heartbeatSec}s) " +
+        s"<= partition span (${partitionSpanSec}s); run a full ingest instead")
+    val incoming = dedupeBatch(normalize(newEvents, layout))
     val touched = incoming.select(col("dt").cast("string")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
-    val touchedDates = touched.map(java.sql.Date.valueOf)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def existingDts(table: String): Set[String] = {
+      val dir = new Path(s"$path/$table")
+      if (!fs.exists(dir)) Set.empty
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("dt=")).map(_.stripPrefix("dt=")).toSet
+    }
+    // dt partition values as typed filter literals (DATE or STRING)
+    def dtLits(dts: Seq[String]): Seq[Any] =
+      if (layout.monthly) dts else dts.map(java.sql.Date.valueOf)
 
-    // write df (touched dts only) to a staging dir, then rename each
+    if (verifyNoPartitionMoves && fs.exists(new Path(s"$path/base"))) {
+      val moved = spark.read.parquet(s"$path/base")
+        .filter(!col("dt").isin(dtLits(touched): _*))
+        .join(incoming.select("user_id", "event_type", "event_id"),
+          Seq("user_id", "event_type", "event_id"), "left_semi")
+        .limit(1).collect()
+      require(moved.isEmpty,
+        s"incoming event_id ${moved.head.getAs[Long]("event_id")} already exists " +
+          "in an untouched partition (a partition-moving replay) — use upsert()")
+    }
+
+    // write df (the given dts only) to a staging dir, then rename each
     // staged dt directory over the live one — the same swap as
-    // [[compactPartition]], one partition at a time
-    def swapIn(table: String, df: DataFrame): Unit = {
+    // [[compactPartition]], one partition at a time. A recompute that
+    // produces NO rows for a dt (e.g. every delta in it became invalid)
+    // legitimately deletes the live partition.
+    def swapIn(table: String, df: DataFrame, dts: Seq[String]): Unit = {
       val staged = s"$path/${table}_inc"
       df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
         .partitionBy("dt").parquet(staged)
-      touched.foreach { dt =>
-        swapPartitionDir(fs, new Path(s"$staged/dt=$dt"),
-          new Path(s"$path/$table/dt=$dt"), new Path(s"$path/${table}_retired/dt=$dt"))
+      dts.foreach { dt =>
+        val st = new Path(s"$staged/dt=$dt")
+        val live = new Path(s"$path/$table/dt=$dt")
+        if (fs.exists(st))
+          swapPartitionDir(fs, st, live, new Path(s"$path/${table}_retired/dt=$dt"))
+        else fs.delete(live, true)
       }
       fs.delete(new Path(staged), true)
       fs.delete(new Path(s"$path/${table}_retired"), true)
@@ -135,7 +426,7 @@ object TsdbStore {
     val existing =
       if (fs.exists(new Path(s"$path/base")))
         spark.read.parquet(s"$path/base")
-          .filter(col("dt").isin(touchedDates: _*)) // partition pruning
+          .filter(col("dt").isin(dtLits(touched): _*)) // partition pruning
           .select("user_id", "event_type", "event_id", "ts_us", "cents", "dt")
       else incoming.filter(lit(false))
     val merged = existing.withColumn("gen", lit(0))
@@ -144,26 +435,51 @@ object TsdbStore {
       .agg(max_by(struct(col("ts_us"), col("cents"), col("dt")), col("gen")).as("r"))
       .select(col("user_id"), col("event_type"), col("event_id"),
         col("r.ts_us").as("ts_us"), col("r.cents").as("cents"), col("r.dt").as("dt"))
-    swapIn("base", merged)
+    swapIn("base", merged, touched)
 
-    // cascade: coarse from fine, touched partitions only
+    // value cascade: coarse from fine, touched partitions only
     val newBase = spark.read.parquet(s"$path/base")
-      .filter(col("dt").isin(touchedDates: _*))
-    swapIn(s"agg_${AggSteps.head}",
-      TimeSeriesOps.downsample(newBase, AggSteps.head)
-        .withColumn("dt", to_date(timestamp_micros(col("slot_ts") * 1000000L))))
-    AggSteps.sliding(2).foreach {
+      .filter(col("dt").isin(dtLits(touched): _*))
+    swapIn(s"agg_${layout.steps.head}",
+      TimeSeriesOps.downsample(newBase, layout.steps.head)
+        .withColumn("dt", dtFromSlot(layout)), touched)
+    layout.steps.sliding(2).foreach {
       case Seq(fine, coarse) =>
         val f = spark.read.parquet(s"$path/agg_$fine")
-          .filter(col("dt").isin(touchedDates: _*))
+          .filter(col("dt").isin(dtLits(touched): _*))
         swapIn(s"agg_$coarse",
-          f.groupBy(col("user_id"), col("event_type"),
-              (expr(s"slot_ts div $coarse") * coarse).as("slot_ts"))
-            .agg(sum("n").as("n"), sum("sum_cents").as("sum_cents"),
-              min("min_cents").as("min_cents"), max("max_cents").as("max_cents"))
-            .withColumn("dt", to_date(timestamp_micros(col("slot_ts") * 1000000L))))
+          valueAggCoarser(f, coarse).withColumn("dt", dtFromSlot(layout)), touched)
       case _ => ()
     }
+
+    // rate cascade: the last sample of a touched partition feeds the
+    // FIRST delta of its successor, so successors are recomputed too;
+    // the window reads predecessors for the same reason. All pruned.
+    val baseDts = existingDts("base")
+    val rateTouched = (touched ++ touched.map(nextDt(layout, _)))
+      .distinct.filter(baseDts.contains).sorted
+    val readDts = (rateTouched ++ rateTouched.map(prevDt(layout, _)))
+      .distinct.filter(baseDts.contains).sorted
+    val window = spark.read.parquet(s"$path/base")
+      .filter(col("dt").isin(dtLits(readDts): _*))
+    val deltas = validDeltas(window, layout.heartbeatSec)
+      .filter(col("dt").isin(dtLits(rateTouched): _*)) // sample's own partition
+    // coarser levels chain off the persisted finer recompute (identical
+    // rows to the partitions just swapped in) — a disk re-read would
+    // fail on a store whose rate level is still legitimately empty
+    var fineRate = rateAggFromDeltas(deltas, layout.steps.head).persist()
+    swapIn(s"rate_${layout.steps.head}",
+      fineRate.withColumn("dt", dtFromSlot(layout)), rateTouched)
+    layout.steps.sliding(2).foreach {
+      case Seq(_, coarse) =>
+        val next = rateAggCoarser(fineRate, coarse).persist()
+        swapIn(s"rate_$coarse",
+          next.withColumn("dt", dtFromSlot(layout)), rateTouched)
+        fineRate.unpersist()
+        fineRate = next
+      case _ => ()
+    }
+    fineRate.unpersist()
     touched
   }
 
@@ -174,9 +490,14 @@ object TsdbStore {
     * the partition into `targetFiles` zstd files re-clustered by
     * (series, ts) so row-group min/max pruning is restored, then
     * write-then-swap like [[upsert]]. Row set is untouched
-    * (TsdbStoreSpec proves bag equality + file-count drop). */
+    * (TsdbStoreSpec proves bag equality + file-count drop). Bucketed
+    * stores compact through table rewrites, not partition-dir swaps —
+    * rejected loudly here. */
   def compactPartition(spark: SparkSession, path: String, dt: String,
                        targetFiles: Int = 1): Unit = {
+    val layout = readLayout(spark, path)
+    require(layout.buckets == 0,
+      "compactPartition would destroy bucket-file metadata; rewrite the bucketed table instead")
     val staged = s"$path/base_compacted/dt=$dt"
     // fail fast on a typo'd / already-dropped partition — compacting
     // an empty read would otherwise install an empty junk partition
@@ -185,7 +506,8 @@ object TsdbStore {
         .exists(new org.apache.hadoop.fs.Path(s"$path/base/dt=$dt")),
       s"compactPartition: no such partition dt=$dt under $path/base")
     spark.read.parquet(s"$path/base")
-      .filter(col("dt") === lit(dt))
+      .filter(col("dt") ===
+        (if (layout.monthly) lit(dt) else lit(java.sql.Date.valueOf(dt))))
       .drop("dt") // encoded by the target directory name (hive layout)
       // range-repartition so multi-file targets stay globally clustered
       // on (series, ts) — plain round-robin would only cluster within
@@ -234,21 +556,27 @@ object TsdbStore {
     * [pub: RRD-style retention — unverified, SURVEY.md §0] as pure
     * directory removal. O(partitions dropped), touches no data files'
     * contents, and needs no recompute: cascade partitions are
-    * day-scoped, so dropping a base day and its aggregate days leaves
-    * every surviving partition internally consistent. Returns the
-    * dropped dt strings per table. */
+    * partition-scoped, so dropping a base partition and its aggregate
+    * partitions leaves every surviving partition internally consistent
+    * (the successor's first rate slot loses its boundary delta only
+    * when that delta's own partition is dropped with it — the
+    * reference drops whole chunks the same way). A monthly partition
+    * is dropped only when the ENTIRE month precedes the cutoff.
+    * Returns the dropped dt strings per table. */
   def dropBefore(spark: SparkSession, path: String,
                  cutoffSec: Long): Map[String, Seq[String]] = {
     import org.apache.hadoop.fs.Path
+    val layout = readLayout(spark, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // cutoff date via the SAME to_date(timestamp_micros(...)) the
-    // ingest path used to derive dt — session-timezone-consistent, so
-    // a non-UTC session can never delete data at/after the cutoff
-    val cutoff = java.time.LocalDate.parse(
-      spark.range(1).select(
-        to_date(timestamp_micros(lit(cutoffSec * 1000000L))).cast("string"))
-        .head().getString(0))
-    val tables = "base" +: AggSteps.map(s => s"agg_$s")
+    val cutoffDay = utcDay(cutoffSec) // integer UTC math, like ingest's dt
+    def wholePartitionBefore(dt: String): Boolean =
+      scala.util.Try {
+        if (layout.monthly)
+          !YearMonth.parse(dt).atEndOfMonth().isAfter(cutoffDay.minusDays(1))
+        else LocalDate.parse(dt).isBefore(cutoffDay)
+      }.getOrElse(false) // skip non-date dirs (__HIVE_DEFAULT_PARTITION__)
+    val tables = "base" +: (layout.steps.map(s => s"agg_$s") ++
+      layout.steps.map(s => s"rate_$s"))
     tables.map { t =>
       val dir = new Path(s"$path/$t")
       val dropped =
@@ -257,10 +585,7 @@ object TsdbStore {
           .map(_.getPath.getName)
           .filter(_.startsWith("dt="))
           .map(_.stripPrefix("dt="))
-          // skip non-date dirs (e.g. __HIVE_DEFAULT_PARTITION__) rather
-          // than aborting retention mid-table
-          .filter(dt => scala.util.Try(java.time.LocalDate.parse(dt))
-            .toOption.exists(_.isBefore(cutoff)))
+          .filter(wholePartitionBefore)
           .sorted
       dropped.foreach { dt =>
         require(fs.delete(new Path(s"$path/$t/dt=$dt"), true),
@@ -291,41 +616,42 @@ object TsdbStore {
               schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
-  /** Directory-level prune on the dt partition key for a half-open
-    * [beginSec, endSec) range — shared by every read path so a future
-    * change (timezone, overflow guard) lands once. */
-  private def dtPrune(beginSec: Long, endSec: Long): org.apache.spark.sql.Column =
-    col("dt") >= to_date(timestamp_micros(lit(beginSec * 1000000L))) &&
-      col("dt") <= to_date(timestamp_micros(lit(endSec * 1000000L)))
-
   /** The flagship read path — GET /snmp/<path>?begin=&end=&agg=&cf=
     * [pub: esxsnmp/newdb.py — unverified]: series filter + half-open
     * time range + consolidation function over the right resolution.
-    * `agg=0` reads base samples; otherwise the materialized cascade.
-    * cf ∈ {average, min, max, delta-ish sum, raw count}. */
+    * `agg=0` reads base samples; otherwise the materialized cascades.
+    * Value cfs {average, min, max, sum, raw} read `agg_<step>`;
+    * counter cfs {delta, rate} read `rate_<step>` — wrap-corrected,
+    * heartbeat-validated deltas (delta = total movement per slot in
+    * value units; rate = movement / covered seconds). */
   def fetch(spark: SparkSession, path: String,
             userId: Long, eventType: String,
             beginSec: Long, endSec: Long,
             aggStep: Long = 0L, cf: String = "average"): DataFrame = {
-    require(aggStep == 0L || AggSteps.contains(aggStep), s"no such aggregate: $aggStep")
+    val layout = readLayout(spark, path)
+    require(aggStep == 0L || layout.steps.contains(aggStep), s"no such aggregate: $aggStep")
     if (aggStep == 0L) {
       spark.read.parquet(s"$path/base")
-        .filter(dtPrune(beginSec, endSec)) // partition prune
+        .filter(dtPrune(layout, beginSec, endSec)) // partition prune
         .filter(col("user_id") === userId && col("event_type") === eventType)
         .filter(col("ts_us") >= beginSec * 1000000L && col("ts_us") < endSec * 1000000L)
         .select(col("ts_us"), (col("cents").cast("double") / 100.0).as("value"))
         .orderBy("ts_us")
     } else {
-      val cfCol = cf match {
-        case "average" => col("sum_cents").cast("double") / 100.0 / col("n").cast("double")
-        case "min"     => col("min_cents").cast("double") / 100.0
-        case "max"     => col("max_cents").cast("double") / 100.0
-        case "sum"     => col("sum_cents").cast("double") / 100.0
-        case "raw"     => col("n").cast("double")
+      val (table, cfCol) = cf match {
+        case "average" => ("agg", col("sum_cents").cast("double") / 100.0 / col("n").cast("double"))
+        case "min"     => ("agg", col("min_cents").cast("double") / 100.0)
+        case "max"     => ("agg", col("max_cents").cast("double") / 100.0)
+        case "sum"     => ("agg", col("sum_cents").cast("double") / 100.0)
+        case "raw"     => ("agg", col("n").cast("double"))
+        case "delta"   => ("rate", col("delta_cents").cast("double") / 100.0)
+        case "rate"    => ("rate", when(col("dt_us") > 0,
+          (col("delta_cents").cast("double") / 100.0) /
+            (col("dt_us").cast("double") / 1000000.0)))
         case other     => throw new IllegalArgumentException(s"unknown cf: $other")
       }
-      spark.read.parquet(s"$path/agg_$aggStep")
-        .filter(dtPrune(beginSec, endSec))
+      spark.read.parquet(s"$path/${table}_$aggStep")
+        .filter(dtPrune(layout, beginSec, endSec))
         .filter(col("user_id") === userId && col("event_type") === eventType)
         .filter(col("slot_ts") >= beginSec && col("slot_ts") < endSec)
         .select(col("slot_ts"), cfCol.as("value"))
@@ -339,10 +665,11 @@ object TsdbStore {
   def fetchBulk(spark: SparkSession, path: String,
                 series: Seq[(Long, String)],
                 beginSec: Long, endSec: Long, aggStep: Long): DataFrame = {
-    require(AggSteps.contains(aggStep), s"no such aggregate: $aggStep")
+    val layout = readLayout(spark, path)
+    require(layout.steps.contains(aggStep), s"no such aggregate: $aggStep")
     val keys = series.map { case (u, e) => struct(lit(u), lit(e)) }
     spark.read.parquet(s"$path/agg_$aggStep")
-      .filter(dtPrune(beginSec, endSec)) // partition prune
+      .filter(dtPrune(layout, beginSec, endSec)) // partition prune
       .filter(struct(col("user_id"), col("event_type")).isin(keys: _*))
       .filter(col("slot_ts") >= beginSec && col("slot_ts") < endSec)
       .select(col("user_id"), col("event_type"), col("slot_ts"),

@@ -41,7 +41,9 @@ class PlanAuditSpec extends SparkSpec {
     // layout: the time range must land in PartitionFilters (directory-
     // level pruning), not just PushedFilters (row-group level) —
     // VERDICT r2 gap #1
-    Seq("q_store_fetch", "q_store_fetch_agg", "q_store_bulk").foreach { n =>
+    Seq("q_store_fetch", "q_store_fetch_agg", "q_store_bulk",
+      "q_store_fetch_rate", "q_store_fetch_rate_avg", "q_store_fetch_month")
+      .foreach { n =>
       val p = plan(n)
       val line = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
       assert(line.nonEmpty && line.contains("dt") && !line.contains("PartitionFilters: []"),

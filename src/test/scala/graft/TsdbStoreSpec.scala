@@ -16,9 +16,12 @@ class TsdbStoreSpec extends SparkSpec {
     p
   }
 
-  test("ingest writes dt-partitioned base + aggregate cascade") {
-    val dirs = new java.io.File(store).listFiles().map(_.getName).toSet
-    assert(dirs == Set("base", "agg_21600", "agg_86400"))
+  test("ingest writes dt-partitioned base + value and rate cascades + layout stamp") {
+    val dirs = new java.io.File(store).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs == Set("base", "agg_21600", "agg_86400", "rate_21600", "rate_86400"))
+    assert(new java.io.File(s"$store/_LAYOUT").exists(), "layout stamp missing")
+    assert(TsdbStore.readLayout(spark, store) == graft.sources.StoreLayout())
     val parts = new java.io.File(s"$store/base").listFiles()
       .filter(_.getName.startsWith("dt=")).map(_.getName)
     assert(parts.length >= 29, s"expected ~30 daily partitions, got ${parts.length}")
@@ -159,24 +162,42 @@ class TsdbStoreSpec extends SparkSpec {
     assert(touched == Seq(d1, d2).sorted, s"touched=$touched")
 
     // blast radius: every file outside the touched partitions survives
-    // byte-identical (same name, same length); touched partitions were
-    // rewritten (fresh file names) at base + both cascade levels
+    // byte-identical (same name, same length) — except the RATE
+    // cascade's successor partitions of touched days, whose first
+    // delta depends on the touched day's last sample and which are
+    // therefore legitimately recomputed
     val after = files()
+    val rateNext = Set(d1, d2).map(x =>
+      java.time.LocalDate.parse(x).plusDays(1).toString)
     val untouchedBefore = before.filter { case (f, _) =>
-      !f.contains(s"dt=$d1") && !f.contains(s"dt=$d2") }
+      !f.contains(s"dt=$d1") && !f.contains(s"dt=$d2") &&
+        !(f.startsWith("rate_") && rateNext.exists(n => f.contains(s"dt=$n"))) }
     untouchedBefore.foreach { case (f, len) =>
       assert(after.get(f).contains(len), s"untouched partition file rewritten: $f") }
-    Seq("base", s"agg_${TsdbStore.AggSteps.head}", s"agg_${TsdbStore.AggSteps.last}")
-      .foreach { t =>
-        assert(before.keys.filter(_.startsWith(s"$t/dt=$d1")).toSet !=
-          after.keys.filter(_.startsWith(s"$t/dt=$d1")).toSet,
-          s"$t/dt=$d1 not rewritten")
-        assert(after.keys.exists(_.startsWith(s"$t/dt=$d2")),
-          s"$t/dt=$d2 not created for the late day")
-      }
+    val aggTables =
+      Seq("base", s"agg_${TsdbStore.AggSteps.head}", s"agg_${TsdbStore.AggSteps.last}")
+    val rateTables =
+      Seq(s"rate_${TsdbStore.AggSteps.head}", s"rate_${TsdbStore.AggSteps.last}")
+    aggTables.foreach { t =>
+      assert(before.keys.filter(_.startsWith(s"$t/dt=$d1")).toSet !=
+        after.keys.filter(_.startsWith(s"$t/dt=$d1")).toSet,
+        s"$t/dt=$d1 not rewritten")
+      assert(after.keys.exists(_.startsWith(s"$t/dt=$d2")),
+        s"$t/dt=$d2 not created for the late day")
+    }
+    rateTables.foreach { t =>
+      assert(before.keys.filter(_.startsWith(s"$t/dt=$d1")).toSet !=
+        after.keys.filter(_.startsWith(s"$t/dt=$d1")).toSet,
+        s"$t/dt=$d1 not rewritten")
+      // the late day's only sample is two months past its predecessor —
+      // past the heartbeat, so its rate partition must NOT exist (the
+      // empty-recompute path deletes rather than installing junk)
+      assert(!after.keys.exists(_.startsWith(s"$t/dt=$d2")),
+        s"$t/dt=$d2 created despite having no valid deltas")
+    }
 
     // semantics: the incremental result equals a full recompute from
-    // the patched raw feed, at every level of the store
+    // the patched raw feed, at every level of BOTH cascades
     val p2 = Files.createTempDirectory("graft-store-full").toString
     val patched = raw
       .withColumn("value",
@@ -186,13 +207,12 @@ class TsdbStoreSpec extends SparkSpec {
           .otherwise(col("value")))
       .unionByName(replay.filter(col("event_id") === 999999L))
     TsdbStore.ingest(spark, patched, p2)
-    Seq("base", s"agg_${TsdbStore.AggSteps.head}", s"agg_${TsdbStore.AggSteps.last}")
-      .foreach { t =>
-        val a = spark.read.parquet(s"$p/$t")
-        val b = spark.read.parquet(s"$p2/$t")
-        assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
-          s"incremental $t differs from full recompute")
-      }
+    (aggTables ++ rateTables).foreach { t =>
+      val a = spark.read.parquet(s"$p/$t")
+      val b = spark.read.parquet(s"$p2/$t")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"incremental $t differs from full recompute")
+    }
   }
 
   test("csv export/read round-trips a fetch result with explicit schema") {
@@ -223,7 +243,8 @@ class TsdbStoreSpec extends SparkSpec {
     val keepFrom = java.time.LocalDate.parse("2024-01-10")
     val beforeKept = TsdbStore.fetch(spark, p, 7L, "click", cutoff, 1706659200L).collect()
     val dropped = TsdbStore.dropBefore(spark, p, cutoff)
-    Seq("base", s"agg_${TsdbStore.AggSteps.head}", s"agg_${TsdbStore.AggSteps.last}")
+    Seq("base", s"agg_${TsdbStore.AggSteps.head}", s"agg_${TsdbStore.AggSteps.last}",
+      s"rate_${TsdbStore.AggSteps.head}", s"rate_${TsdbStore.AggSteps.last}")
       .foreach { t =>
         assert(dropped(t).nonEmpty, s"$t: nothing dropped")
         assert(dropped(t).forall(java.time.LocalDate.parse(_).isBefore(keepFrom)))
@@ -245,6 +266,166 @@ class TsdbStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TsdbStore.fetch(spark, store, 1L, "click", 0L, 1L, aggStep = 21600L, cf = "nope")
         .count()
+    }
+  }
+
+  test("fetch cf=delta serves wrap-corrected heartbeat-validated deltas") {
+    val b = 1704067200L; val e = 1706659200L
+    val got = TsdbStore.fetch(spark, store, 7L, "click", b, e,
+      aggStep = 21600L, cf = "delta")
+    // recompute from raw with the declared-query expression tree
+    // (q_ts_delta_sum's semantics applied to the store's cents column)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    val cap = Tables.WrapCap
+    val expected = Tables.measurements(spark, Sf)
+      .filter(col("user_id") === 7L && col("event_type") === "click")
+      .withColumn("prev_cents", lag("cents", 1).over(w))
+      .withColumn("prev_ts_us", lag("ts_us", 1).over(w))
+      .filter(col("prev_ts_us").isNotNull &&
+        col("ts_us") - col("prev_ts_us") <= 21600L * 1000000L)
+      .groupBy(graft.operators.TimeSeriesOps.slotSec(21600L).as("slot_ts"))
+      .agg((sum(((col("cents") - col("prev_cents")) % cap + cap) % cap)
+        .cast("double") / 100.0).as("value"))
+      .filter(col("slot_ts") >= b && col("slot_ts") < e)
+    assert(got.count() > 0)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("configurable 3-level chain (300s→3600s→86400s): ingest, upsert, retention") {
+    import graft.sources.StoreLayout
+    val layout = StoreLayout(steps = Seq(300L, 3600L, 86400L))
+    val p = Files.createTempDirectory("graft-store-3lvl").toString
+    val raw = Tables.events(spark, Sf)
+      .selectExpr("user_id", "event_type", "event_id", "ts", "value")
+    TsdbStore.ingest(spark, raw, p, layout)
+    val dirs = new java.io.File(p).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs == Set("base", "agg_300", "agg_3600", "agg_86400",
+      "rate_300", "rate_3600", "rate_86400"))
+
+    // fetch at the middle level equals direct downsample of raw
+    val got = TsdbStore.fetch(spark, p, 3L, "view",
+      1704067200L, 1706659200L, aggStep = 3600L, cf = "average")
+    val expected = graft.operators.TimeSeriesOps
+      .downsample(Tables.measurements(spark, Sf)
+        .filter(col("user_id") === 3L && col("event_type") === "view"), 3600L)
+      .filter(col("slot_ts") >= 1704067200L && col("slot_ts") < 1706659200L)
+      .select(col("slot_ts"),
+        (col("sum_cents").cast("double") / 100.0 / col("n").cast("double")).as("value"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+
+    // incremental upsert equals a full recompute at EVERY level of the
+    // configured chain, value and rate cascades alike
+    import spark.implicits._
+    val replay = Seq((7L, "click", 424243L,
+        java.time.Instant.parse("2024-01-15T12:00:00Z").getEpochSecond * 1000000L, 5.55))
+      .toDF("user_id", "event_type", "event_id", "ts_us_raw", "value")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        timestamp_micros(col("ts_us_raw")).as("ts"), col("value"))
+    TsdbStore.upsertIncremental(spark, replay, p)
+    val p2 = Files.createTempDirectory("graft-store-3lvl-full").toString
+    TsdbStore.ingest(spark, raw.unionByName(replay), p2, layout)
+    ("base" +: layout.steps.flatMap(s => Seq(s"agg_$s", s"rate_$s")))
+      .foreach { t =>
+        val a = spark.read.parquet(s"$p/$t")
+        val b = spark.read.parquet(s"$p2/$t")
+        assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+          s"incremental $t differs from full recompute at 3-level chain")
+      }
+
+    // retention drops pre-cutoff partitions at all seven tables
+    val dropped = TsdbStore.dropBefore(spark, p, 1704844800L)
+    assert(dropped.keySet ==
+      ("base" +: layout.steps.flatMap(s => Seq(s"agg_$s", s"rate_$s"))).toSet)
+    assert(dropped.values.forall(_.nonEmpty), s"dropped=$dropped")
+  }
+
+  test("layout validation rejects a non-dividing step chain") {
+    import graft.sources.StoreLayout
+    intercept[IllegalArgumentException] { StoreLayout(steps = Seq(3600L, 5400L)) }
+    intercept[IllegalArgumentException] { StoreLayout(steps = Seq(7000L)) }
+    intercept[IllegalArgumentException] { StoreLayout(steps = Seq.empty) }
+  }
+
+  test("monthly chunk mapping: dt=YYYY-MM partitions, pruning, whole-month retention") {
+    import graft.sources.StoreLayout
+    val p = Files.createTempDirectory("graft-store-month").toString
+    TsdbStore.ingest(spark,
+      Tables.events(spark, Sf).selectExpr("user_id", "event_type", "event_id", "ts", "value"),
+      p, StoreLayout(monthly = true))
+    val parts = new java.io.File(s"$p/base").listFiles()
+      .map(_.getName).filter(_.startsWith("dt=")).map(_.stripPrefix("dt=")).sorted
+    assert(parts.nonEmpty && parts.forall(_.matches("\\d{4}-\\d{2}")),
+      s"expected YYYY-MM partitions, got ${parts.toSeq}")
+
+    // fetch contract identical to the daily layout, pruned at month level
+    val b = 1704844800L; val e = 1705708800L
+    val fetched = TsdbStore.fetch(spark, p, 7L, "click", b, e)
+    val plan = fetched.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("dt")),
+      "month-partition pruning missing from fetch plan")
+    val expected = Tables.measurements(spark, Sf)
+      .filter(col("user_id") === 7L && col("event_type") === "click" &&
+        col("ts_us") >= b * 1000000L && col("ts_us") < e * 1000000L)
+      .select(col("ts_us"), (col("cents").cast("double") / 100.0).as("value"))
+    assert(fetched.count() > 0)
+    assert(fetched.exceptAll(expected).isEmpty && expected.exceptAll(fetched).isEmpty)
+
+    // a cutoff INSIDE a month drops nothing (the whole partition must
+    // precede the cutoff); a cutoff past month end drops it
+    val midMonth = TsdbStore.dropBefore(spark, p, 1704844800L) // 2024-01-10
+    assert(midMonth.values.forall(_.isEmpty), s"partial month dropped: $midMonth")
+    val pastMonth = TsdbStore.dropBefore(spark, p,
+      java.time.Instant.parse("2024-02-15T00:00:00Z").getEpochSecond)
+    assert(pastMonth("base").contains("2024-01"), s"got $pastMonth")
+  }
+
+  test("bucketed layout option: per-series window plans zero exchanges") {
+    import graft.sources.StoreLayout
+    import org.apache.spark.sql.expressions.Window
+    val p = Files.createTempDirectory("graft-store-bkt").toString
+    TsdbStore.ingest(spark,
+      Tables.events(spark, Sf).selectExpr("user_id", "event_type", "event_id", "ts", "value"),
+      p, StoreLayout(buckets = 8))
+    val name = TsdbStore.bucketedBaseTable(spark, p)
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    val rated = spark.table(name)
+      .withColumn("prev_cents", lag("cents", 1).over(w))
+      .withColumn("dt_us", col("ts_us") - lag("ts_us", 1).over(w))
+    val plan = rated.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed store did not remove the window shuffle:\n${plan.take(2000)}")
+    // the same files remain plain-parquet-readable: fetch and the path
+    // read agree with the table read
+    assert(rated.count() > 0)
+    assert(spark.table(name).count() == spark.read.parquet(s"$p/base").count())
+    val fetched = TsdbStore.fetch(spark, p, 7L, "click", 1704844800L, 1705708800L)
+    assert(fetched.count() > 0)
+    // a fresh-session catalog re-registers instead of failing
+    spark.sql(s"DROP TABLE $name")
+    val name2 = TsdbStore.bucketedBaseTable(spark, p)
+    assert(spark.table(name2).count() > 0)
+  }
+
+  test("incremental upsert makes partition-moving replays loud when asked") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("graft-store-move").toString
+    TsdbStore.ingest(spark,
+      Tables.events(spark, Sf).selectExpr("user_id", "event_type", "event_id", "ts", "value"), p)
+    val victim = spark.read.parquet(s"$p/base")
+      .orderBy("dt", "user_id", "event_type", "event_id").limit(1).head()
+    // same key, timestamp moved to a different day — violates the
+    // slot-addressing precondition
+    val moved = Seq((victim.getLong(0), victim.getString(1), victim.getLong(2),
+        victim.getLong(3) + 40L * 86400L * 1000000L, 1.23))
+      .toDF("user_id", "event_type", "event_id", "ts_us_raw", "value")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        timestamp_micros(col("ts_us_raw")).as("ts"), col("value"))
+    intercept[IllegalArgumentException] {
+      TsdbStore.upsertIncremental(spark, moved, p, verifyNoPartitionMoves = true)
     }
   }
 }
