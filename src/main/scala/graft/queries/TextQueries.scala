@@ -14,6 +14,25 @@ object TextQueries {
 
   private val Stopwords = Seq("the", "a", "of", "is")
 
+  /** Shared by q_dedup_ngram_jaccard and its forceGrid twin — the grid
+    * is result-invisible (same pair multiset ⇒ same counts), so both
+    * hash-match one oracle. */
+  private val JaccardSql =
+    """WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(arr) - 1),
+      |        i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS sh
+      |    FROM arrs WHERE len(arr) >= 3) t),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |ix AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+      |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |       GROUP BY a.doc_id, b.doc_id)
+      |SELECT a_id, b_id,
+      |  round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 4) AS jacc
+      |FROM ix JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+      |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.02
+      |ORDER BY a_id, b_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("q_dedup_exact",
@@ -166,25 +185,23 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
-    QueryDef("q_dedup_ngram_jaccard",
-      """WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, sh FROM (
-        |    SELECT doc_id, unnest(list_transform(range(1, len(arr) - 1),
-        |        i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS sh
-        |    FROM arrs WHERE len(arr) >= 3) t),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |ix AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
-        |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |       GROUP BY a.doc_id, b.doc_id)
-        |SELECT a_id, b_id,
-        |  round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 4) AS jacc
-        |FROM ix JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
-        |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.02
-        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    QueryDef("q_dedup_ngram_jaccard", JaccardSql) { (s, d) =>
       // shingle-set Jaccard: the exact version of MinHash near-dup.
       // At 100 TB the candidate join is bounded by banding (see
       // DedupOps.minHashCandidates) — this exact form is the oracle.
       TextOps.jaccardPairs(Tables.documents(s, d), 3, 0.02)
+        .orderBy("a_id", "b_id")
+    },
+
+    QueryDef("q_dedup_jaccard_grid", JaccardSql) { (s, d) =>
+      // the SAME semantics forced through the (sh, subA, subB)
+      // de-skew grid (hot-shingle path). On the fixture the adaptive
+      // gate never fires (< 8192 docs), so without forceGrid the grid
+      // join would have a correctness oracle but no measured number —
+      // this entry gives the de-skew machinery both (VERDICT r3 #7).
+      // Shares q_dedup_ngram_jaccard's oracle: grid == plain,
+      // bit for bit, by construction.
+      TextOps.jaccardPairs(Tables.documents(s, d), 3, 0.02, forceGrid = true)
         .orderBy("a_id", "b_id")
     },
 
