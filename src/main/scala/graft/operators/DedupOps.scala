@@ -124,16 +124,24 @@ object DedupOps {
     * @param reliableCheckpoint checkpoint each round to the cluster
     *   checkpoint dir (survives executor loss — the right choice for a
     *   long 1000-executor run) instead of executor-local blocks, which
-    *   are lost with their executor. Sets a temp checkpoint dir if the
-    *   session has none.
+    *   are lost with their executor. On a cluster the session MUST have
+    *   a cluster-visible checkpoint dir set — a driver-local temp dir
+    *   would silently void the survives-executor-loss guarantee, so
+    *   the temp-dir fallback is allowed only under a local master
+    *   (ADVICE r4).
     * @return (node, cluster) */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIters: Int = 20,
                           reliableCheckpoint: Boolean = false): DataFrame = {
     val spark = nodes.sparkSession
-    if (reliableCheckpoint && spark.sparkContext.getCheckpointDir.isEmpty)
+    if (reliableCheckpoint && spark.sparkContext.getCheckpointDir.isEmpty) {
+      require(spark.sparkContext.isLocal,
+        "reliableCheckpoint on a cluster requires an explicit cluster-visible " +
+          "checkpoint dir (SparkContext.setCheckpointDir) — a driver-local " +
+          "temp dir does not survive executor loss")
       spark.sparkContext.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
+    }
     def ckpt(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint(eager = true)
       else df.localCheckpoint(true)

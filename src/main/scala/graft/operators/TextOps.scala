@@ -65,7 +65,6 @@ object TextOps {
   def jaccardPairs(docs: DataFrame, n: Int, minJacc: Double,
                    subBlocks: Int = 8, forceGrid: Boolean = false): DataFrame = {
     val sh = shingles(docs, n)
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
 
     def plainJoin(rel: DataFrame): DataFrame = {
       val a = rel.toDF("a_id", "sh")
@@ -85,6 +84,20 @@ object TextOps {
         .select("a_id", "b_id")
     }
 
+    // intersection counts → sizes → Jaccard filter, from a pair stream
+    // and the shingle relation the per-doc sizes are computed from
+    def finish(paired: DataFrame, rel: DataFrame): DataFrame = {
+      val sz = rel.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val ix = paired
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+      val jacc = col("i").cast("double") /
+        (col("na") + col("nb") - col("i")).cast("double")
+      ix.join(sz.toDF("a_id", "na"), "a_id")
+        .join(sz.toDF("b_id", "nb"), "b_id")
+        .filter(jacc >= minJacc)
+        .select(col("a_id"), col("b_id"), round(jacc, 4).as("jacc"))
+    }
+
     // cheap count first (parquet metadata); the shingle-frequency
     // probe — a real aggregation — only runs when the corpus is big
     // enough for a hot shingle to exist at all. Past the threshold,
@@ -92,35 +105,35 @@ object TextOps {
     // join; the unskewed long tail keeps the replication-free plain
     // join, and the two pair streams union before counting — the pair
     // multiset is identical either way.
-    val paired =
-      if (forceGrid) gridJoin(sh)
-      else if (docs.count() <= HotShingleDocs) plainJoin(sh)
-      else {
-        // the probe branch re-reads the shingle set up to four times
-        // (frequency probe, emptiness check, hot join, cold anti-join)
-        // and shingle generation ends in a distinct() shuffle — persist
-        // it once so the probe doesn't double the heaviest stage
-        // (ADVICE r3). Unpersisting after the pair counts materialize
-        // is the caller's plan execution; MEMORY_AND_DISK ages out
-        // harmlessly on its own.
-        val shP = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (forceGrid) finish(gridJoin(sh), sh)
+    else if (docs.count() <= HotShingleDocs) finish(plainJoin(sh), sh)
+    else {
+      // the probe branch re-reads the shingle set up to five times
+      // (frequency probe, emptiness check, hot join, cold anti-join,
+      // sizes) and shingle generation ends in a distinct() shuffle —
+      // persist it once so the probe doesn't multiply the heaviest
+      // stage (ADVICE r3). The cache is NOT left for eviction pressure
+      // to collect (ADVICE r4): the survivor pairs — tiny next to the
+      // shingle set — are materialized eagerly (this branch already
+      // runs eager actions for the probe), then the shingle blocks are
+      // dropped before returning.
+      val shP = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
         val hot = shP.groupBy("sh").agg(count(lit(1)).as("c"))
           .filter(col("c") > HotShingleDocs).select("sh")
-        if (hot.isEmpty) plainJoin(shP)
-        else {
-          val shHot = shP.join(broadcast(hot), "sh")
-          val shCold = shP.join(broadcast(hot), Seq("sh"), "left_anti")
-          plainJoin(shCold).unionByName(gridJoin(shHot))
-        }
-      }
-    val ix = paired
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
-    val jacc = col("i").cast("double") /
-      (col("na") + col("nb") - col("i")).cast("double")
-    ix.join(sz.toDF("a_id", "na"), "a_id")
-      .join(sz.toDF("b_id", "nb"), "b_id")
-      .filter(jacc >= minJacc)
-      .select(col("a_id"), col("b_id"), round(jacc, 4).as("jacc"))
+        val paired =
+          if (hot.isEmpty) plainJoin(shP)
+          else {
+            val shHot = shP.join(broadcast(hot), "sh")
+            val shCold = shP.join(broadcast(hot), Seq("sh"), "left_anti")
+            plainJoin(shCold).unionByName(gridJoin(shHot))
+          }
+        val out = finish(paired, shP)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count() // materialize while the shingle cache is alive
+        out
+      } finally shP.unpersist()
+    }
   }
 
   /** Deterministic polynomial fingerprint over the token stream — a

@@ -189,6 +189,38 @@ object AggQueries {
           Seq("l_returnflag"), "l_qty", col("l_qty"), nSalts = 8)
         .select(col("l_returnflag"), col("sum_l_qty").cast("bigint").as("sum_l_qty"))
         .orderBy("l_returnflag")
+    },
+
+    QueryDef("q_agg_mode",
+      """WITH c AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY event_type, cents
+        |), r AS (
+        |  SELECT event_type, cents, cnt,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY cnt DESC, cents ASC) AS rn
+        |  FROM c
+        |)
+        |SELECT event_type, cents AS mode_cents, CAST(cnt AS BIGINT) AS n
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      // exact per-group mode with a DETERMINISTIC tie-break (highest
+      // count, then smallest value — builtin `mode` is free to pick any
+      // tied value, which would never oracle-match). Shape at scale:
+      // the count agg shrinks each group to its distinct values before
+      // the window sees anything, and the window partitions by the
+      // same key — 2 shuffles, both over the reduced distinct-value set
+      val counts = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(round(value*100) AS BIGINT)").as("cents"))
+        .groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("cnt").desc, col("cents").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("cents").as("mode_cents"),
+          col("cnt").as("n"))
+        .orderBy("event_type")
     }
   )
 }

@@ -146,6 +146,26 @@ object StoreQueries {
         aggStep = 86400L, cf = "max")
     },
 
+    QueryDef("q_store_fetch_auto",
+      s"""WITH c AS (
+         |  SELECT (epoch_us(ts) // 21600000000) * 21600 AS slot_ts,
+         |         CAST(round(value*100) AS BIGINT) AS cents
+         |  FROM events WHERE user_id = 2 AND event_type = 'click'
+         |)
+         |SELECT slot_ts, CAST(sum(cents) AS DOUBLE)/100.0 AS value
+         |FROM c WHERE slot_ts >= $B AND slot_ts < $E
+         |GROUP BY slot_ts ORDER BY slot_ts""".stripMargin) { (s, d) =>
+      // best-aggregate selection: a 12 h output resolution is served
+      // from the 6 h cascade (coarsest step dividing it), never raw —
+      // the oracle recomputes those 6 h slots from raw events, so the
+      // hash proves BOTH the selection (21600, asserted here) and the
+      // cascade contents
+      val (step, df) = TsdbStore.fetchAuto(s, StoreFixture.store(s, d),
+        2L, "click", B, E, resolutionSec = 43200L, cf = "sum")
+      require(step == 21600L, s"expected the 6h cascade, got $step")
+      df
+    },
+
     QueryDef("q_source_jsonl",
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,

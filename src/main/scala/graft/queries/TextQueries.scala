@@ -283,6 +283,34 @@ object TextQueries {
           regexp_replace(col("props"), "[0-9]+", "#").as("scrubbed"),
           size(expr("regexp_extract_all(props, '[0-9]+', 0)")).cast("bigint").as("n_redacted"))
         .orderBy("event_id")
+    },
+
+    QueryDef("q_text_decontaminate",
+      """WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(arr) - 1),
+        |        i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS sh
+        |    FROM arrs WHERE len(arr) >= 3) t),
+        |test_sh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM sh s JOIN test_sh t ON s.sh = t.sh
+        |WHERE s.doc_id % 97 <> 0
+        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // benchmark decontamination: flag every training document that
+      // shares a word n-gram with the held-out test set (doc_id % 97
+      // here), reporting how many of its distinct shingles are
+      // contaminated. The test-set shingle dictionary is tiny next to
+      // the corpus, so at 100 TB the probe is a broadcast hash join
+      // against an unchanged full-corpus scan — no shuffle of the
+      // training side's text ever happens
+      val sh = TextOps.shingles(Tables.documents(s, d), 3)
+      val testSh = sh.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select("sh").distinct()
+      sh.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .join(broadcast(testSh), "sh")
+        // shingles are distinct per doc, so count(*) == distinct hits
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
     }
   )
 }

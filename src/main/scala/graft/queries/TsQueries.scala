@@ -496,6 +496,48 @@ object TsQueries {
         .agg(count(lit(1)).as("writes"),
           (max_by(col("cents"), col("event_id")).cast("double") / lit(100.0)).as("slot_val"))
         .orderBy("user_id", "event_type", "slot_ts")
+    },
+
+    QueryDef("q_ts_availability",
+      """WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        |           FROM events),
+        |r AS (SELECT user_id, event_type, ts_us,
+        |        ts_us - lag(ts_us) OVER (PARTITION BY user_id, event_type
+        |                                 ORDER BY ts_us, event_id) AS gap
+        |      FROM s)
+        |SELECT user_id, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(CASE WHEN gap <= 21600000000 THEN gap ELSE 0 END) AS BIGINT)
+        |    AS covered_us,
+        |  CASE WHEN max(ts_us) > min(ts_us) THEN
+        |    CAST(sum(CASE WHEN gap <= 21600000000 THEN gap ELSE 0 END) AS DOUBLE)
+        |      / CAST(max(ts_us) - min(ts_us) AS DOUBLE) END AS availability
+        |FROM r GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      // per-series availability, the poller-SLA report the reference's
+      // heartbeat semantics exist for: a span between consecutive
+      // samples counts as covered only when it's within the heartbeat;
+      // availability = covered time / observed span. One window pass +
+      // one agg, both partitioned by series — no extra shuffle, and the
+      // exact-integer sums divide once at the end (deterministic
+      // double, §7.4)
+      val hb = 21600000000L
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        .withColumn("gap", col("ts_us") - lag("ts_us", 1).over(w))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_samples"),
+          coalesce(sum(when(col("gap") <= hb, col("gap")).otherwise(0L)), lit(0L))
+            .as("covered_us"),
+          (max("ts_us") - min("ts_us")).as("span_us"))
+        .select(col("user_id"), col("event_type"), col("n_samples"),
+          col("covered_us"),
+          when(col("span_us") > 0,
+            col("covered_us").cast("double") / col("span_us").cast("double"))
+            .as("availability"))
+        .orderBy("user_id", "event_type")
     }
   )
 }

@@ -92,15 +92,23 @@ object TsdbStore {
     if (layout.monthly) f"${d.getYear}%04d-${d.getMonthValue}%02d" else d.toString
 
   /** dt partition expression from a µs-epoch column (DATE for daily,
-    * 'YYYY-MM' STRING for monthly). */
+    * 'YYYY-MM' STRING for monthly). FLOOR division, not SQL `div`
+    * (which truncates toward zero): a pre-1970 sample must land in its
+    * own, EARLIER day or it disagrees with the driver-side
+    * `Math.floorDiv` in [[utcDay]] and `dtPrune` can exclude it from
+    * fetch/retention (ADVICE r4). `pmod` is nonnegative, so
+    * `(a - pmod(a, b)) div b == floorDiv(a, b)` in exact integer math. */
   private def dtFromTsUs(layout: StoreLayout): Column = {
-    val day = date_from_unix_date(expr("CAST(ts_us div 86400000000 AS INT)"))
+    val day = date_from_unix_date(expr(
+      "CAST((ts_us - pmod(ts_us, 86400000000)) div 86400000000 AS INT)"))
     if (layout.monthly) date_format(day, "yyyy-MM") else day
   }
 
-  /** dt partition expression from a sec-epoch slot column. */
+  /** dt partition expression from a sec-epoch slot column (same
+    * floor-division contract as [[dtFromTsUs]]). */
   private def dtFromSlot(layout: StoreLayout): Column = {
-    val day = date_from_unix_date(expr("CAST(slot_ts div 86400 AS INT)"))
+    val day = date_from_unix_date(expr(
+      "CAST((slot_ts - pmod(slot_ts, 86400)) div 86400 AS INT)"))
     if (layout.monthly) date_format(day, "yyyy-MM") else day
   }
 
@@ -210,9 +218,15 @@ object TsdbStore {
       .agg(sum("n").as("n"), sum("sum_cents").as("sum_cents"),
         min("min_cents").as("min_cents"), max("max_cents").as("max_cents"))
 
-  /** Catalog name for the bucketed base table of a store path. */
-  private def tableNameFor(path: String): String =
-    "graft_base_" + (path.hashCode.toLong & 0xFFFFFFFFL).toHexString
+  /** Catalog name for the bucketed base table of a store path. 64-bit
+    * SHA-256 prefix, not `String.hashCode`: two store paths colliding
+    * on a 32-bit hash would silently serve each other's data through
+    * the catalog-reuse check in [[bucketedBaseTable]] (ADVICE r4). */
+  private def tableNameFor(path: String): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(path.getBytes("UTF-8"))
+    "graft_base_" + digest.take(8).map(b => f"$b%02x").mkString
+  }
 
   /** Batch ingest: normalize an events-shaped feed into the base
     * measurements table (partitioned by dt, optionally series-bucketed)
@@ -324,6 +338,9 @@ object TsdbStore {
     * dedup-by-key pass over the union of old + new. */
   def upsert(spark: SparkSession, newEvents: DataFrame, path: String): Unit = {
     val layout = readLayout(spark, path)
+    require(layout.buckets == 0,
+      "upsert writes plain parquet, which would not honor the bucketed " +
+        "table's file layout — rewrite the bucketed table via ingest() instead")
     val existing = spark.read.parquet(s"$path/base")
       .select("user_id", "event_type", "event_id", "ts_us", "cents", "dt")
     val incoming = dedupeBatch(normalize(newEvents, layout))
@@ -371,6 +388,12 @@ object TsdbStore {
                         verifyNoPartitionMoves: Boolean = false): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val layout = readLayout(spark, path)
+    // same guard as compactPartition: swapIn would install plain
+    // parquet files (no bucket-id naming) into a bucketed table's live
+    // partition dirs, breaking every later bucketed read (ADVICE r4)
+    require(layout.buckets == 0,
+      "upsertIncremental would destroy bucket-file metadata; " +
+        "rewrite the bucketed table via ingest() instead")
     val partitionSpanSec = if (layout.monthly) 28L * 86400L else 86400L
     require(layout.heartbeatSec <= partitionSpanSec,
       s"incremental rate recompute needs heartbeat (${layout.heartbeatSec}s) " +
@@ -657,6 +680,24 @@ object TsdbStore {
         .select(col("slot_ts"), cfCol.as("value"))
         .orderBy("slot_ts")
     }
+  }
+
+  /** Best-aggregate selection — the reference picked, for a requested
+    * output resolution, the COARSEST materialized aggregate that still
+    * divides it evenly, falling back to raw samples when none does
+    * [pub: esxsnmp aggregate selection in the REST fetch path —
+    * unverified, SURVEY.md §0]. Reading 6 h slots to serve a 12 h
+    * resolution scans 4× fewer rows than reading 30 s slots; at 100 TB
+    * the selection IS the fetch cost. Returns the chosen step alongside
+    * the frame so callers can label their output. */
+  def fetchAuto(spark: SparkSession, path: String,
+                userId: Long, eventType: String,
+                beginSec: Long, endSec: Long,
+                resolutionSec: Long, cf: String = "average"): (Long, DataFrame) = {
+    val layout = readLayout(spark, path)
+    val step = layout.steps.filter(s => s <= resolutionSec && resolutionSec % s == 0)
+      .maxOption.getOrElse(0L)
+    (step, fetch(spark, path, userId, eventType, beginSec, endSec, step, cf))
   }
 
   /** Bulk fetch (POST /bulk): many series in one plan — a single

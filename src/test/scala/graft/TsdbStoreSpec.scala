@@ -428,4 +428,40 @@ class TsdbStoreSpec extends SparkSpec {
       TsdbStore.upsertIncremental(spark, moved, p, verifyNoPartitionMoves = true)
     }
   }
+
+  test("bucketed store rejects plain-parquet upserts (bucket-file metadata)") {
+    import graft.sources.StoreLayout
+    val p = Files.createTempDirectory("graft-store-bkt-guard").toString
+    val feed = Tables.events(spark, Sf)
+      .selectExpr("user_id", "event_type", "event_id", "ts", "value").limit(200)
+    TsdbStore.ingest(spark, feed, p, StoreLayout(buckets = 2))
+    // swapIn/base_new would install plain parquet files (no bucket-id
+    // file naming) into the bucketed table's partition dirs — both
+    // upsert paths must refuse, like compactPartition already does
+    val one = feed.limit(1)
+    intercept[IllegalArgumentException] { TsdbStore.upsertIncremental(spark, one, p) }
+    intercept[IllegalArgumentException] { TsdbStore.upsert(spark, one, p) }
+  }
+
+  test("pre-1970 samples partition into their own (earlier) UTC day") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("graft-store-pre1970").toString
+    // -3600 s floor-divides to day 1969-12-31; truncate-toward-zero
+    // `div` would misfile it under 1970-01-01, where driver-side
+    // floorDiv pruning could then exclude it from fetch/retention
+    val rows = Seq(
+      (1L, "click", 1L,
+        java.sql.Timestamp.from(java.time.Instant.parse("1969-12-31T23:00:00Z")), 1.0),
+      (1L, "click", 2L,
+        java.sql.Timestamp.from(java.time.Instant.parse("1970-01-01T01:00:00Z")), 2.0))
+      .toDF("user_id", "event_type", "event_id", "ts", "value")
+    TsdbStore.ingest(spark, rows, p)
+    val parts = new java.io.File(s"$p/base").listFiles()
+      .filter(_.getName.startsWith("dt=")).map(_.getName).toSet
+    assert(parts == Set("dt=1969-12-31", "dt=1970-01-01"), s"got $parts")
+    // dtPrune (driver floorDiv) and the partition key (column floor
+    // division) agree: the pre-1970 sample is fetchable
+    val got = TsdbStore.fetch(spark, p, 1L, "click", -86400L, 86400L)
+    assert(got.count() == 2, "fetch lost the pre-1970 row")
+  }
 }
