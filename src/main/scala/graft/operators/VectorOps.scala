@@ -429,6 +429,30 @@ object VectorOps {
       }.toDF("a_id", "rn", "b_id", "sim")
   }
 
+  /** Semantic dedup (the SemDeDup recipe [pub: Abbas et al. 2023,
+    * arXiv:2303.09540]): cluster embeddings into kCells k-means cells,
+    * compare only WITHIN each cell (cosine ≥ minSim), resolve the pair
+    * families to connected components, keep the smallest id per
+    * component. Cross-cell near-dups are missed by design — that IS the
+    * trade-off that makes semantic dedup O(n²/kCells) instead of O(n²),
+    * and why it scales to web-corpus size. Every stage is distributed:
+    * cell assignment is a broadcast-centroid map, within-cell pairs run
+    * on [[ivfCosine]]'s (cell, subA, subB) sub-block grid (dense cells
+    * spread over subBlocks² tasks), and component resolution is the
+    * checkpointed min-label loop — nothing corpus-sized touches the
+    * driver.
+    * @return (vec_id, cluster, keep) — keep marks the representative */
+  def semanticDedup(emb: DataFrame, kCells: Int, minSim: Double,
+                    subBlocks: Int = 8): DataFrame = {
+    val pairs = ivfCosine(emb, kCells, nprobe = 1, subBlocks = subBlocks)
+      .filter(col("sim") >= minSim)
+      .select("a_id", "b_id") // nprobe=1 ⇒ one shared cell ⇒ already unique
+    val nodes = normalized(emb).select(col("vec_id").as("node"))
+    DedupOps.connectedComponents(nodes, pairs)
+      .select(col("node").as("vec_id"), col("cluster"),
+        (col("node") === col("cluster")).as("keep"))
+  }
+
   /** ANN via banded LSH: `nBands` independent sign-random-projection
     * tables of `nPlanes` planes each; a pair is a candidate when it
     * collides in ANY band (union-of-tables recall, strictly ≥ the old

@@ -45,6 +45,15 @@ object MiscQueries {
         .orderBy("a_id", "rn")
     },
 
+    // SemDeDup: within-cell cosine pairs → connected components → one
+    // representative per component; kmeans cells have no DuckDB twin,
+    // so semantics are pinned by DedupSpec (planted duplicates
+    // recovered, exactly one keeper per cluster, corpus preserved)
+    QueryDef.noOracle("q_dedup_semantic") { (s, d) =>
+      VectorOps.semanticDedup(Tables.embeddings(s, d), kCells = 8, minSim = 0.99)
+        .orderBy("vec_id")
+    },
+
     QueryDef.noOracle("q_multimodal_decode") { (s, d) =>
       MultimodalOps.pipeline(s, d).orderBy("media_id")
     },

@@ -33,6 +33,23 @@ class AnnLshSpec extends SparkSpec {
     pairs.foreach { case (k, v) => assert(brute(k) == v, s"sim mismatch at $k") }
   }
 
+  test("semantic dedup: planted dups collapse to one keeper per cluster") {
+    val out = VectorOps.semanticDedup(vectors, kCells = 4, minSim = 0.99)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length == 32, "corpus size not preserved")
+    val byId = rows.map(t => t._1 -> t).toMap
+    // identical copy and tiny perturbation each cluster under the
+    // original's id (cluster = min id of the component)
+    assert(byId(200L)._2 == 3L && !byId(200L)._3, s"got ${byId(200L)}")
+    assert(byId(3L)._2 == 3L && byId(3L)._3)
+    assert(byId(201L)._2 == 4L && !byId(201L)._3, s"got ${byId(201L)}")
+    // exactly one representative per cluster; unrelated vectors stay
+    // singleton keepers (random 64-dim cosines never reach 0.99)
+    rows.groupBy(_._2).foreach { case (c, g) =>
+      assert(g.count(_._3) == 1, s"cluster $c has ${g.count(_._3)} keepers") }
+    assert(rows.count(_._3) == 30, "expected 30 clusters for 32 vectors")
+  }
+
   test("IVF: identical vectors share a cell; sims match brute force") {
     val ivf = VectorOps.ivfCosine(vectors, k = 4, nprobe = 2)
     val pairs = ivf.select("a_id", "b_id", "sim").collect()
