@@ -200,8 +200,13 @@ object TextQueries {
       // join would have a correctness oracle but no measured number —
       // this entry gives the de-skew machinery both (VERDICT r3 #7).
       // Shares q_dedup_ngram_jaccard's oracle: grid == plain,
-      // bit for bit, by construction.
-      TextOps.jaccardPairs(Tables.documents(s, d), 3, 0.02, forceGrid = true)
+      // bit for bit, by construction. subBlocks=4 here: the grid's
+      // join input is 2·subBlocks× the shingle set, and on an UNSKEWED
+      // forced run the replication volume is the whole cost — 4 still
+      // spreads a hot key over 16 tasks (the production hot branch
+      // keeps the default 8 = 64-way spread)
+      TextOps.jaccardPairs(Tables.documents(s, d), 3, 0.02,
+          subBlocks = 4, forceGrid = true)
         .orderBy("a_id", "b_id")
     },
 

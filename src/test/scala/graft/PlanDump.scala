@@ -22,9 +22,12 @@ object PlanDump extends App {
     "q_ts_slot_align" -> "SimplifyEpochRoundTrips: no unix_micros(timestamp_micros(...)) round-trip survives - slot math sits directly on the raw int64 column",
     "q_join_asof_merge" -> "native as-of merge join: custom AsofJoin exec with declared hash exchanges + (key, ts) sorts on both sides, no broadcast",
     "q_topk_heap" -> "bounded-heap top-k: partial_topkbyvalue ObjectHashAggregate BEFORE the exchange - the shuffle carries at most k rows per group per partition",
-    "q_ts_gap_fill" -> "dense grid via explode(sequence) generator per series - no BNLJ, no broadcast of a slots table")
+    "q_ts_gap_fill" -> "dense grid via explode(sequence) generator per series - no BNLJ, no broadcast of a slots table",
+    "q_store_fetch_rate" -> "cf=delta reads the materialized rate cascade: PartitionFilters on dt (directory pruning) + PushedFilters on slot_ts/series - raw samples never scanned",
+    "q_sim_ann_ivf" -> "IVF candidate pairs with DISTRIBUTED inverted lists: the (cell, subA, subB) grid equi-join replaces the former full-corpus broadcast - no BroadcastExchange of the probed corpus (VERDICT r3 weak #1); vectors re-attach by id after the skewed stage",
+    "q_text_decontaminate" -> "decontamination probe: the test-set shingle dictionary is the BROADCAST side of the join - the training corpus scan is never shuffled")
   val sb = new StringBuilder
-  sb ++= "# PLANS - physical-plan audit evidence (round 3)\n\n"
+  sb ++= "# PLANS - physical-plan audit evidence (round 5)\n\n"
   sb ++= "Generated from `.queryExecution.executedPlan` at sf0.001, local[4].\n"
   sb ++= "What to look for in each plan is noted per query; regenerate with\n`sbt \"Test/runMain PlanDump\"`.\n"
   for ((n, note) <- picks) {
