@@ -487,6 +487,68 @@ object PipelineQueries {
           explode(expr("sequence(CAST(0 AS BIGINT), n_frames - 1, CAST(10 AS BIGINT))")))
         .select("media_id", "n_frames", "frame_idx")
         .orderBy("media_id", "frame_idx")
+    },
+
+    QueryDef("q_pipeline_prep",
+      s"""WITH q AS (
+         |  SELECT doc_id, source, text,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 30
+         |),
+         |k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+         |dq AS (SELECT q.* FROM q JOIN k USING (doc_id)),
+         |arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(arr) - 1),
+         |        i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS sh
+         |    FROM arrs WHERE len(arr) >= 3) t),
+         |test_sh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+         |contaminated AS (
+         |  SELECT DISTINCT s.doc_id FROM sh s JOIN test_sh t ON s.sh = t.sh),
+         |clean AS (
+         |  SELECT dq.* FROM dq
+         |  WHERE dq.doc_id % 97 <> 0
+         |    AND dq.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |samp AS (SELECT * FROM clean WHERE $HKey < 2147483648),
+         |packed AS (
+         |  SELECT doc_id, source, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS filled
+         |  FROM samp)
+         |SELECT doc_id, source, n_tok, CAST(filled // 512 AS BIGINT) AS bin
+         |FROM packed ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // the whole training-data prep pipeline as ONE Catalyst DAG —
+      // quality gate → exact dedup (keep min id per content hash) →
+      // test-split removal + decontamination (broadcast shingle
+      // dictionary, anti-join) → deterministic 50% hash sample →
+      // per-source-shard 512-token bin packing. Every stage is an
+      // already-audited operator; composing them declaratively lets
+      // Catalyst fuse the three row-local gates into the scans and
+      // prune text columns out after the last consumer. At 100 TB the
+      // only shuffles are the content-hash dedup, the shingle
+      // dictionary probe's distinct, and the per-source pack window
+      val docs = Tables.documents(s, d)
+      val q = docs
+        .selectExpr("doc_id", "source", "text",
+          "CAST(size(split(text, ' ')) AS BIGINT) AS n_tok")
+        .filter(col("n_tok") >= 30)
+      val keep = q.groupBy(md5(col("text").cast("binary")))
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val dq = q.join(keep, "doc_id")
+      val sh = TextOps.shingles(docs, 3)
+      val testSh = sh.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select("sh").distinct()
+      val contaminated = sh.join(broadcast(testSh), "sh")
+        .select("doc_id").distinct()
+      val clean = dq.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val samp = clean.filter(expr(HKey) < 2147483648L)
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      samp.withColumn("filled", sum("n_tok").over(w) - col("n_tok"))
+        .selectExpr("doc_id", "source", "n_tok",
+          "CAST(filled div 512 AS BIGINT) AS bin")
+        .orderBy("doc_id")
     }
   )
 }

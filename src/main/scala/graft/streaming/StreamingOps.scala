@@ -21,6 +21,8 @@ object StreamingOps {
   case class Meas(user_id: Long, event_type: String, ts_us: Long, cents: Long)
   case class GapAlert(user_id: Long, event_type: String,
       from_us: Long, to_us: Long, gap_us: Long)
+  case class RateSample(user_id: Long, event_type: String, ts_us: Long,
+      delta_cents: Long, dt_us: Long, rate: Double)
 
   /** File-source stream over the events fixture (one parquet = one
     * microbatch replay; on a cluster this is a directory listener). */
@@ -110,6 +112,44 @@ object StreamingOps {
     events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       graft.sources.TsdbStore.upsertIncremental(batch.sparkSession, batch, storePath): Unit
     }
+
+  /** Online wrap-corrected counter RATES: keyed state holds the last
+    * (ts, cents) per series; each arriving sample joins to its stored
+    * predecessor and emits one validated delta — the streaming twin of
+    * the batch rate cascade (same wrap arithmetic as `wrap_delta`,
+    * same heartbeat invalidation: a delta across a gap > hbUs is
+    * DROPPED, never interpolated). This is the reference's per-insert
+    * online aggregation [pub: esxsnmp/persist.py Aggregator.update —
+    * unverified, SURVEY.md §0] in its native streaming form: state is
+    * 16 bytes per live series, so 10⁸ series fit one state store
+    * comfortably. Within-batch rows process in ts order, making the
+    * emitted multiset independent of microbatch boundary placement
+    * (StreamingSpec pins stream == batch). */
+  def onlineRates(m: Dataset[Meas], hbUs: Long, wrapCap: Long): Dataset[RateSample] = {
+    val spark = m.sparkSession
+    import spark.implicits._
+    m.groupByKey(x => (x.user_id, x.event_type))
+      .flatMapGroupsWithState[(Long, Long), RateSample](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((uid, etype), it, state: GroupState[(Long, Long)]) =>
+          val sorted = it.toSeq.sortBy(x => x.ts_us)
+          val out = Seq.newBuilder[RateSample]
+          var last = state.getOption
+          sorted.foreach { x =>
+            last.foreach { case (pts, pcents) =>
+              val dtUs = x.ts_us - pts
+              if (dtUs > 0 && dtUs <= hbUs) {
+                val d = ((x.cents - pcents) % wrapCap + wrapCap) % wrapCap
+                out += RateSample(uid, etype, x.ts_us, d, dtUs,
+                  d / 100.0 / (dtUs / 1000000.0))
+              }
+            }
+            last = Some((x.ts_us, x.cents))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
 
   /** Online heartbeat-gap detection: custom keyed state holding the
     * last-seen timestamp per series; a batch whose first event is more

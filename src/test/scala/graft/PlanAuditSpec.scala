@@ -42,7 +42,8 @@ class PlanAuditSpec extends SparkSpec {
     // level pruning), not just PushedFilters (row-group level) —
     // VERDICT r2 gap #1
     Seq("q_store_fetch", "q_store_fetch_agg", "q_store_bulk",
-      "q_store_fetch_rate", "q_store_fetch_rate_avg", "q_store_fetch_month")
+      "q_store_fetch_rate", "q_store_fetch_rate_avg", "q_store_fetch_month",
+      "q_store_fetch_auto")
       .foreach { n =>
       val p = plan(n)
       val line = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
@@ -100,6 +101,16 @@ class PlanAuditSpec extends SparkSpec {
           s"$n broadcasts the corpus:\n${p.take(2000)}")
       }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("decontamination probes via a broadcast dictionary join") {
+    // the test-set shingle dictionary is tiny next to the corpus; the
+    // training side must meet it in a BroadcastHashJoin, never a
+    // shuffle of the corpus shingles
+    Seq("q_text_decontaminate", "q_pipeline_prep").foreach { n =>
+      assert(plan(n).contains("BroadcastHashJoin"),
+        s"$n does not broadcast the shingle dictionary")
+    }
   }
 
   test("custom expressions stay in the plan (codegen path)") {

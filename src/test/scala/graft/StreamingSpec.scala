@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.streaming.StreamingOps
-import graft.streaming.StreamingOps.{GapAlert, Meas}
+import graft.streaming.StreamingOps.{GapAlert, Meas, RateSample}
 
 /** Structured Streaming semantics with MemoryStream (SURVEY.md §2 K):
   * watermark late-drop, streaming dedup, and custom keyed state
@@ -263,6 +263,39 @@ class StreamingSpec extends SparkSpec {
       assert(alerts.length == 1, s"expected 1 alert, got ${alerts.toSeq}")
       assert(alerts.head.from_us == 60L * 1000000L &&
         alerts.head.to_us == 36000L * 1000000L)
+    } finally q.stop()
+  }
+
+  test("online rates: wrap + heartbeat drop + state across microbatches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val M = 1000000L
+    val in = MemoryStream[Meas]
+    val q = StreamingOps.onlineRates(in.toDS(), hbUs = 3600L * M, wrapCap = 1000L)
+      .writeStream.format("memory").queryName("rates")
+      .outputMode("append").start()
+    try {
+      in.addData(Meas(1L, "click", 0L, 100L), Meas(1L, "click", 60L * M, 300L))
+      q.processAllAvailable()
+      // batch 2: predecessor comes from STATE; the counter wrapped
+      // (300 → 50 under cap 1000 ⇒ delta 750); then a 10 h gap sample
+      // whose delta must be dropped (heartbeat), but which still
+      // becomes the new last-seen
+      val gapTs = 120L * M + 36000L * M
+      in.addData(Meas(1L, "click", 120L * M, 50L), Meas(1L, "click", gapTs, 60L))
+      q.processAllAvailable()
+      // batch 3: delta off the post-gap sample (state updated even
+      // when the gap delta was invalid — same as the batch cascade)
+      in.addData(Meas(1L, "click", gapTs + 60L * M, 160L))
+      q.processAllAvailable()
+      val out = spark.table("rates").as[RateSample].collect().sortBy(_.ts_us)
+      assert(out.map(r => (r.ts_us, r.delta_cents, r.dt_us)).toSeq == Seq(
+        (60L * M, 200L, 60L * M),
+        (120L * M, 750L, 60L * M),
+        (gapTs + 60L * M, 100L, 60L * M)),
+        s"got ${out.toSeq}")
+      // rate = delta_cents/100 per second
+      assert(out.head.rate == 200.0 / 100.0 / 60.0)
     } finally q.stop()
   }
 }
