@@ -95,6 +95,34 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    QueryDef("q_mix_temperature",
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |z AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list(sqrt(CAST(n AS DOUBLE)) ORDER BY source)),
+        |        (a, x) -> a + x) AS z FROM c)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  round(sqrt(CAST(n AS DOUBLE)) / z.z, 6) AS p
+        |FROM c, z ORDER BY source""".stripMargin) { (s, d) =>
+      // temperature-based mixture weights (p_i ∝ n_i^α, α = 0.5 — the
+      // standard multilingual/multi-source upsampling curve): exact
+      // integer counts per source; the normalizer is a SEQUENTIAL fold
+      // over the source-ordered weight list (§7.4 — a parallel double
+      // sum would be partial-agg-order dependent), which is fine
+      // because the fold is over n_sources values, not rows. The final
+      // 1-row normalizer joins back by broadcast.
+      val counts = Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("n"))
+      val tot = counts.agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("source"), col("n")))),
+            x => sqrt(x("n").cast("double"))),
+          lit(0.0), (a, x) => a + x).as("z"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n"),
+          round(sqrt(col("n").cast("double")) / col("z"), 6).as("p"))
+        .orderBy("source")
+    },
+
     QueryDef("q_doc_chunk",
       """WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
         |st AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1, 40)) AS start FROM arrs)

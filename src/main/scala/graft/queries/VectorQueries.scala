@@ -48,6 +48,30 @@ object VectorQueries {
         .orderBy("a_id", "rn")
     },
 
+    QueryDef("q_vec_norm_stats",
+      """WITH n2 AS (
+        |  SELECT label, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |        x -> x * x)), (a, x) -> a + x)) AS nrm
+        |  FROM embeddings)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm
+        |FROM n2 GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      // per-label embedding norm profile — the sanity scan before any
+      // cosine work (zero/degenerate norms are what normalized() drops).
+      // Norms use the same sequential-fold dot as every kernel; min/max
+      // are order-independent, so no rounding hazards beyond the final
+      // display round. Narrow per-row work + one small agg.
+      Tables.embeddings(s, d)
+        .select(col("label").cast("bigint").as("label"),
+          VectorOps.norm(VectorOps.asDouble(col("embedding"))).as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(min("nrm"), 4).as("min_norm"),
+          round(max("nrm"), 4).as("max_norm"))
+        .orderBy("label")
+    },
+
     QueryDef("q_multimodal_join",
       """SELECT d.doc_id, d.lang, d.n_chars,
         |  round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

@@ -12,7 +12,8 @@ class PlanAuditSpec extends SparkSpec {
   // all-pairs by construction (bounded or intentionally blocked):
   private val bnljAllowed = Set(
     "q_sim_cosine_topk", "q_dedup_embed", "q_join_cross",
-    "q_text_tfidf") // tfidf: 1-row count broadcast
+    "q_text_tfidf",       // tfidf: 1-row count broadcast
+    "q_mix_temperature")  // 1-row normalizer broadcast
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
