@@ -156,7 +156,10 @@ object DedupOps {
     // fixpoint: an unchanged sum IS convergence — one map-side-combined
     // agg over checkpointed data, vs a join-based change detector
     def lblSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(sum("lbl")).head().getLong(0)
+      // coalesce: sum over an EMPTY node set is NULL — an empty corpus
+      // (e.g. semanticDedup over an empty embeddings table) must
+      // converge in one round, not NPE on the null sum
+      df.agg(coalesce(sum("lbl"), lit(0L))).head().getLong(0)
     var prevSum = lblSum(labels)
     var converged = false
     var it = 0

@@ -191,6 +191,43 @@ object AggQueries {
         .orderBy("l_returnflag")
     },
 
+    QueryDef("q_agg_median_exact",
+      """WITH c AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents, event_id
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM c
+        |)
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN rn = (n+1)//2 OR rn = (n+2)//2 THEN cents END) AS DOUBLE)
+        |    / CAST(count(CASE WHEN rn = (n+1)//2 OR rn = (n+2)//2 THEN 1 END) AS DOUBLE)
+        |    / 100.0 AS median
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      // EXACT per-group median via explicit middle-rank selection —
+      // builtin interpolating percentiles differ across engines at the
+      // last ulp (different a+(b-a)g vs (1-g)a+gb formulas), so the
+      // midpoint is computed the same way in both: integer cents at
+      // the middle rank(s), one exact sum, one division. The window
+      // ranks within each group partition — at scale this is the
+      // standard sort-based exact quantile, one shuffle by group
+      val c = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(round(value*100) AS BIGINT)").as("cents"), col("event_id"))
+      val w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+      val wn = Window.partitionBy("event_type")
+      c.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .filter(col("rn") === expr("(n+1) div 2") || col("rn") === expr("(n+2) div 2"))
+        .groupBy("event_type")
+        .agg((sum("cents").cast("double") / count(lit(1)).cast("double")
+          / lit(100.0)).as("median"))
+        .orderBy("event_type")
+    },
+
     QueryDef("q_agg_mode",
       """WITH c AS (
         |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents,

@@ -93,6 +93,17 @@ class DedupSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("connected components: empty node set converges to empty, no NPE") {
+    import spark.implicits._
+    // sum-over-empty is NULL — the convergence check must treat it as
+    // the (trivially reached) fixpoint, the empty-corpus case every
+    // composed pipeline (e.g. semanticDedup) can legitimately hit
+    val out = DedupOps.connectedComponents(
+      Seq.empty[Long].toDF("node"),
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id"))
+    assert(out.count() == 0)
+  }
+
   test("connected components: long path converges within iteration cap") {
     import spark.implicits._
     // a 12-node path: worst case for label propagation depth

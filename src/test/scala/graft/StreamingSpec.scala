@@ -198,6 +198,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Misra-Gries heavy hitters build statefully across microbatches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mg = udaf(new graft.functions.MisraGries(3))
+    val in = MemoryStream[String]
+    // frequent-items summary carried in the state store across
+    // microbatches — the online form of the per-day corpus heavy
+    // hitters. Counter values are merge-order dependent (only the
+    // bound is canonical — MisraGries scaladoc), so the assertion is
+    // the GUARANTEE, not bit equality.
+    val q = in.toDF().toDF("w")
+      .agg(mg(col("w")).as("summary"))
+      .writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete").start()
+    try {
+      in.addData("a", "b", "a", "c", "a")
+      q.processAllAvailable()
+      in.addData("a", "d", "a", "e", "a", "b")
+      q.processAllAvailable()
+      val row = spark.table("mg_stream").select("summary.*").head()
+      val sum = graft.functions.MgSummary(
+        row.getAs[scala.collection.Seq[String]](0).toArray,
+        row.getAs[scala.collection.Seq[Long]](1).toArray)
+      // n=11 rows, k=3 ⇒ error ≤ n/(k+1) = 2; f(a)=6 > 2 ⇒ "a" must
+      // be present with 4 ≤ estimate ≤ 6
+      val est = sum.estimate("a")
+      assert(est >= 4L && est <= 6L, s"estimate for 'a' out of bound: $est")
+    } finally q.stop()
+  }
+
   test("sliding windows emit one row per overlapping window (streaming)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
