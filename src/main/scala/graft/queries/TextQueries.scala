@@ -316,6 +316,43 @@ object TextQueries {
         // shingles are distinct per doc, so count(*) == distinct hits
         .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
         .orderBy("doc_id")
+    },
+
+    QueryDef("q_dedup_chunks",
+      """WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |st AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1, 50)) AS start
+        |       FROM arrs),
+        |ch AS (SELECT doc_id,
+        |         md5(array_to_string(list_slice(arr, start, start + 49), ' ')) AS h,
+        |         CAST(len(list_slice(arr, start, start + 49)) AS BIGINT) AS n_tok
+        |       FROM st)
+        |SELECT h AS chunk_hash, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM ch WHERE n_tok = 50
+        |GROUP BY h HAVING count(DISTINCT doc_id) > 1
+        |ORDER BY chunk_hash""".stripMargin) { (s, d) =>
+      // sub-document boilerplate detection: non-overlapping 50-token
+      // chunks hashed and grouped — a chunk appearing in >1 document is
+      // repeated boilerplate (headers, license blocks, templates), the
+      // chunk-granular complement of whole-doc exact dedup. Only
+      // 128-bit digests shuffle, never chunk text; at 100 TB this is
+      // the same map-side-combined digest groupBy as q_dedup_exact
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .select(col("doc_id"), col("arr"),
+          explode(expr("sequence(1, size(arr), 50)")).as("start"))
+        .select(col("doc_id"),
+          md5(expr("array_join(slice(arr, start, 50), ' ')").cast("binary")).as("h"),
+          expr("CAST(size(slice(arr, start, 50)) AS BIGINT)").as("n_tok"))
+        .filter(col("n_tok") === 50L)
+        .groupBy(col("h").as("chunk_hash"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct("doc_id").as("n_docs"),
+          min("doc_id").as("first_doc"))
+        .filter(col("n_docs") > 1)
+        .select(col("chunk_hash"), col("n_occurrences"), col("n_docs"), col("first_doc"))
+        .orderBy("chunk_hash")
     }
   )
 }
