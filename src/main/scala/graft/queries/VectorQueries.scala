@@ -48,6 +48,45 @@ object VectorQueries {
         .orderBy("a_id", "rn")
     },
 
+    QueryDef("q_multimodal_embed_topk",
+      """WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 21 = 2),
+        |v AS (SELECT media_id, list_transform(range(1, 17),
+        |        j -> CAST(((media_id * 1009 + j * 7919) * 69069) % 4294967296 AS DOUBLE)
+        |             / 4294967296.0 - 0.5) AS v
+        |      FROM m),
+        |n AS (SELECT media_id, v,
+        |        sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |            list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+        |      FROM v),
+        |p AS (SELECT a.media_id AS a_id, b.media_id AS b_id,
+        |        round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |            list_transform(range(1, 17), i -> a.v[i] * b.v[i])),
+        |          (x, y) -> x + y) / a.nrm / b.nrm, 4) AS sim
+        |      FROM n a JOIN n b ON a.media_id <> b.media_id),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY a_id
+        |                    ORDER BY sim DESC, b_id) AS rn FROM p)
+        |SELECT a_id, CAST(rn AS BIGINT) AS rn, b_id, sim
+        |FROM rk WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin) { (s, d) =>
+      // the multimodal → embedding → ANN pipeline end to end: a STUB
+      // feature extractor (deterministic integer-arithmetic fake — the
+      // image/audio encoders aren't in this container, per the north
+      // star the PLUMBING is the deliverable) produces a 16-dim vector
+      // per media asset, which feeds the same block-grid cosine top-k
+      // kernel the real embeddings use. Exact BIGINT feature arithmetic
+      // (no overflow: ids*1009*69069 ≪ 2^63) makes the stub
+      // oracle-expressible, so the whole path is hash-checked
+      val emb = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(21)) === 2)
+        .select(col("doc_id").as("vec_id"))
+        .withColumn("embedding", expr(
+          """transform(sequence(1, 16),
+            |  j -> CAST(((vec_id * 1009 + CAST(j AS BIGINT) * 7919) * 69069)
+            |            % 4294967296 AS DOUBLE) / 4294967296.0 - 0.5)""".stripMargin))
+      VectorOps.cosineTopK(emb, 3)
+        .select(col("a_id"), col("rn"), col("b_id"), col("sim"))
+        .orderBy("a_id", "rn")
+    },
+
     QueryDef("q_vec_norm_stats",
       """WITH n2 AS (
         |  SELECT label, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
