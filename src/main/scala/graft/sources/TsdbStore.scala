@@ -694,6 +694,7 @@ object TsdbStore {
                 userId: Long, eventType: String,
                 beginSec: Long, endSec: Long,
                 resolutionSec: Long, cf: String = "average"): (Long, DataFrame) = {
+    require(resolutionSec > 0, s"resolutionSec must be positive: $resolutionSec")
     val layout = readLayout(spark, path)
     val step = layout.steps.filter(s => s <= resolutionSec && resolutionSec % s == 0)
       .maxOption.getOrElse(0L)

@@ -25,7 +25,8 @@ object PlanDump extends App {
     "q_ts_gap_fill" -> "dense grid via explode(sequence) generator per series - no BNLJ, no broadcast of a slots table",
     "q_store_fetch_rate" -> "cf=delta reads the materialized rate cascade: PartitionFilters on dt (directory pruning) + PushedFilters on slot_ts/series - raw samples never scanned",
     "q_sim_ann_ivf" -> "IVF candidate pairs with DISTRIBUTED inverted lists: the (cell, subA, subB) grid equi-join replaces the former full-corpus broadcast - no BroadcastExchange of the probed corpus (VERDICT r3 weak #1); vectors re-attach by id after the skewed stage",
-    "q_text_decontaminate" -> "decontamination probe: the test-set shingle dictionary is the BROADCAST side of the join - the training corpus scan is never shuffled")
+    "q_text_decontaminate" -> "decontamination probe: the test-set shingle dictionary is the BROADCAST side of the join - the training corpus scan is never shuffled",
+    "q_pipeline_prep" -> "whole prep pipeline in one DAG: quality gate + hash-sample gate FUSED into scans/filters, content-hash dedup as one map-side-combined agg, decontamination dictionary broadcast, one per-source pack window - no stage materializes between operators")
   val sb = new StringBuilder
   sb ++= "# PLANS - physical-plan audit evidence (round 5)\n\n"
   sb ++= "Generated from `.queryExecution.executedPlan` at sf0.001, local[4].\n"
