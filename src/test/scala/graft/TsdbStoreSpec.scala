@@ -429,6 +429,25 @@ class TsdbStoreSpec extends SparkSpec {
     }
   }
 
+  test("fetchAuto: coarsest dividing step wins; raw fallback; bad input loud") {
+    val b = 1704844800L; val e = 1705708800L
+    // 12 h resolution over the default (6 h, 1 d) chain → the 6 h
+    // cascade (coarsest step dividing 43200)
+    val (s1, _) = TsdbStore.fetchAuto(spark, store, 7L, "click", b, e, 43200L)
+    assert(s1 == 21600L)
+    // a full day divides by the 1 d step → daily cascade
+    val (s2, _) = TsdbStore.fetchAuto(spark, store, 7L, "click", b, e, 86400L)
+    assert(s2 == 86400L)
+    // nothing divides 10 s → raw samples, same rows as a base fetch
+    val (s3, df3) = TsdbStore.fetchAuto(spark, store, 7L, "click", b, e, 10L)
+    assert(s3 == 0L)
+    val base = TsdbStore.fetch(spark, store, 7L, "click", b, e)
+    assert(df3.exceptAll(base).isEmpty && base.exceptAll(df3).isEmpty)
+    intercept[IllegalArgumentException] {
+      TsdbStore.fetchAuto(spark, store, 7L, "click", b, e, 0L)
+    }
+  }
+
   test("bucketed store rejects plain-parquet upserts (bucket-file metadata)") {
     import graft.sources.StoreLayout
     val p = Files.createTempDirectory("graft-store-bkt-guard").toString
