@@ -703,19 +703,30 @@ object TsdbStore {
 
   /** Bulk fetch (POST /bulk): many series in one plan — a single
     * pruned scan with an IN-list of series keys, not a per-series
-    * loop (the reference iterated; Spark shouldn't). */
+    * loop (the reference iterated; Spark shouldn't). `aggStep = 0`
+    * serves raw samples (the bulk twin of [[fetch]]'s base path);
+    * otherwise the consolidated average from the materialized cascade. */
   def fetchBulk(spark: SparkSession, path: String,
                 series: Seq[(Long, String)],
                 beginSec: Long, endSec: Long, aggStep: Long): DataFrame = {
     val layout = readLayout(spark, path)
-    require(layout.steps.contains(aggStep), s"no such aggregate: $aggStep")
+    require(aggStep == 0L || layout.steps.contains(aggStep), s"no such aggregate: $aggStep")
     val keys = series.map { case (u, e) => struct(lit(u), lit(e)) }
-    spark.read.parquet(s"$path/agg_$aggStep")
-      .filter(dtPrune(layout, beginSec, endSec)) // partition prune
-      .filter(struct(col("user_id"), col("event_type")).isin(keys: _*))
-      .filter(col("slot_ts") >= beginSec && col("slot_ts") < endSec)
-      .select(col("user_id"), col("event_type"), col("slot_ts"),
-        (col("sum_cents").cast("double") / 100.0 / col("n").cast("double")).as("value"))
-      .orderBy("user_id", "event_type", "slot_ts")
+    if (aggStep == 0L)
+      spark.read.parquet(s"$path/base")
+        .filter(dtPrune(layout, beginSec, endSec)) // partition prune
+        .filter(struct(col("user_id"), col("event_type")).isin(keys: _*))
+        .filter(col("ts_us") >= beginSec * 1000000L && col("ts_us") < endSec * 1000000L)
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          (col("cents").cast("double") / 100.0).as("value"))
+        .orderBy("user_id", "event_type", "ts_us")
+    else
+      spark.read.parquet(s"$path/agg_$aggStep")
+        .filter(dtPrune(layout, beginSec, endSec)) // partition prune
+        .filter(struct(col("user_id"), col("event_type")).isin(keys: _*))
+        .filter(col("slot_ts") >= beginSec && col("slot_ts") < endSec)
+        .select(col("user_id"), col("event_type"), col("slot_ts"),
+          (col("sum_cents").cast("double") / 100.0 / col("n").cast("double")).as("value"))
+        .orderBy("user_id", "event_type", "slot_ts")
   }
 }

@@ -77,6 +77,17 @@ class TsdbStoreSpec extends SparkSpec {
     assert(series == 2)
   }
 
+  test("bulk fetch at aggStep=0 serves raw samples (per-series == fetch)") {
+    val b = 1704844800L; val e = 1705708800L
+    val out = TsdbStore.fetchBulk(spark, store,
+      Seq((7L, "click"), (3L, "view")), b, e, 0L)
+    val one = out.filter(col("user_id") === 7L && col("event_type") === "click")
+      .select("ts_us", "value")
+    val single = TsdbStore.fetch(spark, store, 7L, "click", b, e)
+    assert(one.exceptAll(single).isEmpty && single.exceptAll(one).isEmpty)
+    assert(out.select("user_id", "event_type").distinct().count() == 2)
+  }
+
   test("upsert: replayed rows win by generation, counts unchanged") {
     import spark.implicits._
     val replay = Seq((7L, "click", 424242L, // synthetic new event id
