@@ -50,6 +50,17 @@ class AnnLshSpec extends SparkSpec {
     assert(rows.count(_._3) == 30, "expected 30 clusters for 32 vectors")
   }
 
+  test("semantic dedup is partitioning-invariant (1000-executor contract)") {
+    // cluster assignment, pair generation, and component resolution
+    // must be pure functions of the data — repartitioning the input
+    // arbitrarily cannot change a single cluster label
+    val base = VectorOps.semanticDedup(vectors, kCells = 4, minSim = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val repart = VectorOps.semanticDedup(vectors.repartition(7), kCells = 4, minSim = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(base == repart, "semantic dedup depends on input partitioning")
+  }
+
   test("IVF: identical vectors share a cell; sims match brute force") {
     val ivf = VectorOps.ivfCosine(vectors, k = 4, nprobe = 2)
     val pairs = ivf.select("a_id", "b_id", "sim").collect()
