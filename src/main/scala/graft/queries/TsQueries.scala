@@ -498,6 +498,48 @@ object TsQueries {
         .orderBy("user_id", "event_type", "slot_ts")
     },
 
+    QueryDef("q_ts_sessionize",
+      """WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        |           FROM events),
+        |g AS (SELECT user_id, event_type, ts_us, event_id,
+        |        CASE WHEN lag(ts_us) OVER w IS NULL
+        |               OR ts_us - lag(ts_us) OVER w > 1800000000
+        |             THEN 1 ELSE 0 END AS new_sess
+        |      FROM s WINDOW w AS (PARTITION BY user_id, event_type
+        |                          ORDER BY ts_us, event_id)),
+        |i AS (SELECT user_id, event_type, ts_us,
+        |        sum(new_sess) OVER (PARTITION BY user_id, event_type
+        |          ORDER BY ts_us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |      FROM g)
+        |SELECT user_id, event_type, CAST(sess_id AS BIGINT) AS sess_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(ts_us) AS BIGINT) AS sess_start,
+        |  CAST(max(ts_us) AS BIGINT) AS sess_end
+        |FROM i GROUP BY user_id, event_type, sess_id
+        |ORDER BY user_id, event_type, sess_id""".stripMargin) { (s, d) =>
+      // gap-based sessionization with explicit session IDS (the
+      // complement of session_window's boundaries-only shape): a new
+      // session starts after a >30 min silence; id = running count of
+      // session starts. Both windows share one (series, ts) sort, the
+      // session agg groups on the derived id — one shuffle + sort
+      // total, all integer arithmetic
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+      val run = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        .withColumn("new_sess",
+          when(lag("ts_us", 1).over(w).isNull ||
+            col("ts_us") - lag("ts_us", 1).over(w) > 1800000000L, 1L).otherwise(0L))
+        .withColumn("sess_id", sum("new_sess").over(run))
+        .groupBy("user_id", "event_type", "sess_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts_us").as("sess_start"), max("ts_us").as("sess_end"))
+        .orderBy("user_id", "event_type", "sess_id")
+    },
+
     QueryDef("q_ts_availability",
       """WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
         |           FROM events),
