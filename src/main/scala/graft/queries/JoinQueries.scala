@@ -142,6 +142,44 @@ object JoinQueries {
         .orderBy("event_id")
     },
 
+    QueryDef("q_join_asof_nearest",
+      """WITH p AS (
+        |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_ts_us
+        |  FROM events WHERE event_type = 'purchase'
+        |), j AS (
+        |  SELECT e.event_id, p.p_id,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |             ORDER BY abs(p.p_ts_us - epoch_us(e.ts)) ASC NULLS LAST,
+        |                      p.p_ts_us ASC NULLS LAST,
+        |                      p.p_id ASC NULLS LAST) AS rn
+        |  FROM events e LEFT JOIN p ON p.user_id = e.user_id
+        |    AND abs(p.p_ts_us - epoch_us(e.ts)) <= 3600000000
+        |  WHERE e.event_type = 'click'
+        |)
+        |SELECT event_id, p_id FROM j WHERE rn = 1
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      // NEAREST-direction as-of (q_join_asof is backward; forward is
+      // the mirror): closest right row by |Δt| within a 1 h tolerance,
+      // ties broken toward the EARLIER timestamp then id. The
+      // tolerance is what makes nearest scale — it bounds the
+      // candidate band per left row, where an unbounded nearest must
+      // search both directions arbitrarily far
+      val clicks = Tables.events(s, d).filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+          unix_micros(col("ts")).as("p_ts_us"))
+      val dist = abs(col("p_ts_us") - col("ts_us"))
+      val w = Window.partitionBy("event_id")
+        .orderBy(dist.asc_nulls_last, col("p_ts_us").asc_nulls_last,
+          col("p_id").asc_nulls_last)
+      clicks.join(broadcast(p),
+          col("p_user") === col("user_id") && dist <= 3600000000L, "left")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("event_id", "p_id")
+        .orderBy("event_id")
+    },
+
     QueryDef("q_join_asof_merge",
       """WITH p AS (
         |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_ts_us
