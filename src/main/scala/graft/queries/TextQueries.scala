@@ -318,6 +318,38 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    QueryDef("q_text_lang_entropy",
+      """WITH c AS (SELECT source, lang, count(*) AS n FROM documents
+        |           GROUP BY source, lang),
+        |t AS (SELECT source, sum(n) AS tot FROM c GROUP BY source),
+        |p AS (SELECT c.source, c.lang,
+        |        CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+        |      FROM c JOIN t ON c.source = t.source)
+        |SELECT source,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(-p * ln(p) ORDER BY lang)), (a, x) -> a + x), 6) AS entropy
+        |FROM p GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      // language-distribution entropy per source shard — the corpus
+      // balance metric a mixture designer watches (0 = monolingual
+      // shard, ln(k) = uniform over k languages). Counts are exact;
+      // the -p·ln(p) terms fold SEQUENTIALLY in lang order (§7.4 — a
+      // parallel double sum over transcendentals would be
+      // partial-agg-order dependent), which is fine because the fold
+      // is over languages, not rows
+      val c = Tables.documents(s, d).groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"))
+      val t = c.groupBy("source").agg(sum("n").as("tot"))
+      c.join(t, "source")
+        .select(col("source"), col("lang"),
+          (col("n").cast("double") / col("tot").cast("double")).as("p"))
+        .groupBy("source")
+        .agg(round(aggregate(
+          transform(array_sort(collect_list(struct(col("lang"), col("p")))),
+            x => -x("p") * log(x("p"))),
+          lit(0.0), (a, x) => a + x), 6).as("entropy"))
+        .orderBy("source")
+    },
+
     QueryDef("q_dedup_chunks",
       """WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
         |st AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1, 50)) AS start

@@ -498,6 +498,42 @@ object TsQueries {
         .orderBy("user_id", "event_type", "slot_ts")
     },
 
+    QueryDef("q_ts_trend",
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |         epoch_us(ts) // 60000000 - 28401120 AS x,
+        |         CAST(round(value*100) AS BIGINT) AS y
+        |  FROM events),
+        |a AS (SELECT user_id, event_type, count(*) AS n,
+        |        sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+        |      FROM s GROUP BY user_id, event_type)
+        |SELECT user_id, event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n * sxx - sx * sx > 0 THEN
+        |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |  END AS slope_cents_per_min
+        |FROM a ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      // per-series OLS trend slope — the drift detector behind
+      // capacity alerts. NOT regr_slope: builtin regression aggregates
+      // accumulate doubles (partial-agg-order dependent); here every
+      // sum is exact BIGINT — x in minutes offset from 2024-01-01
+      // (28401120 = 1704067200/60) keeps n·Σxx ≤ ~10^15, far from
+      // overflow — and the single double division at the end is
+      // deterministic. Map-side-combined integer sums: one shuffle
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          (expr("unix_micros(ts) div 60000000") - 28401120L).as("x"),
+          expr("CAST(round(value*100) AS BIGINT)").as("y"))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(col("user_id"), col("event_type"), col("n"),
+          when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("slope_cents_per_min"))
+        .orderBy("user_id", "event_type")
+    },
+
     QueryDef("q_ts_ema",
       """WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
         |             CAST(round(value*100) AS BIGINT) AS cents FROM events),
