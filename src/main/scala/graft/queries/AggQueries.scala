@@ -191,6 +191,23 @@ object AggQueries {
         .orderBy("l_returnflag")
     },
 
+    QueryDef("q_agg_string_agg",
+      """SELECT l_returnflag,
+        |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+        |  CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_statuses
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // ordered string aggregation (the group-members report column):
+      // DISTINCT + explicit ORDER is what makes it deterministic under
+      // any partial-agg schedule — collect_set's order is undefined, so
+      // the sort happens explicitly before joining
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+            .as("statuses"),
+          countDistinct("l_linestatus").as("n_statuses"))
+        .orderBy("l_returnflag")
+    },
+
     QueryDef("q_agg_median_exact",
       """WITH c AS (
         |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents, event_id
