@@ -661,24 +661,96 @@ object TsdbStore {
         .select(col("ts_us"), (col("cents").cast("double") / 100.0).as("value"))
         .orderBy("ts_us")
     } else {
-      val (table, cfCol) = cf match {
-        case "average" => ("agg", col("sum_cents").cast("double") / 100.0 / col("n").cast("double"))
-        case "min"     => ("agg", col("min_cents").cast("double") / 100.0)
-        case "max"     => ("agg", col("max_cents").cast("double") / 100.0)
-        case "sum"     => ("agg", col("sum_cents").cast("double") / 100.0)
-        case "raw"     => ("agg", col("n").cast("double"))
-        case "delta"   => ("rate", col("delta_cents").cast("double") / 100.0)
-        case "rate"    => ("rate", when(col("dt_us") > 0,
-          (col("delta_cents").cast("double") / 100.0) /
-            (col("dt_us").cast("double") / 1000000.0)))
-        case other     => throw new IllegalArgumentException(s"unknown cf: $other")
-      }
-      spark.read.parquet(s"$path/${table}_$aggStep")
-        .filter(dtPrune(layout, beginSec, endSec))
-        .filter(col("user_id") === userId && col("event_type") === eventType)
-        .filter(col("slot_ts") >= beginSec && col("slot_ts") < endSec)
-        .select(col("slot_ts"), cfCol.as("value"))
+      slotRead(spark, path, layout, userId, eventType, beginSec, endSec, aggStep, cf)
         .orderBy("slot_ts")
+    }
+  }
+
+  /** cf → (cascade family, value expression), shared by every
+    * consolidated read path ([[fetch]], [[fetchBulk]], [[fetchFilled]]).
+    * Value cfs {average, min, max, sum, raw} read `agg_<step>`; counter
+    * cfs {delta, rate} read `rate_<step>`. */
+  private def cfColumn(cf: String): (String, Column) = cf match {
+    case "average" => ("agg", col("sum_cents").cast("double") / 100.0 / col("n").cast("double"))
+    case "min"     => ("agg", col("min_cents").cast("double") / 100.0)
+    case "max"     => ("agg", col("max_cents").cast("double") / 100.0)
+    case "sum"     => ("agg", col("sum_cents").cast("double") / 100.0)
+    case "raw"     => ("agg", col("n").cast("double"))
+    case "delta"   => ("rate", col("delta_cents").cast("double") / 100.0)
+    case "rate"    => ("rate", when(col("dt_us") > 0,
+      (col("delta_cents").cast("double") / 100.0) /
+        (col("dt_us").cast("double") / 1000000.0)))
+    case other     => throw new IllegalArgumentException(s"unknown cf: $other")
+  }
+
+  /** One-series consolidated read: pruned cascade scan → (slot_ts,
+    * value), UNORDERED (callers order or join as they need). */
+  private def slotRead(spark: SparkSession, path: String, layout: StoreLayout,
+                       userId: Long, eventType: String,
+                       beginSec: Long, endSec: Long,
+                       aggStep: Long, cf: String): DataFrame = {
+    val (table, cfCol) = cfColumn(cf)
+    spark.read.parquet(s"$path/${table}_$aggStep")
+      .filter(dtPrune(layout, beginSec, endSec))
+      .filter(col("user_id") === userId && col("event_type") === eventType)
+      .filter(col("slot_ts") >= beginSec && col("slot_ts") < endSec)
+      .select(col("slot_ts"), cfCol.as("value"))
+  }
+
+  /** Dense-slot fetch — the REST-parity read shape [pub: esxsnmp
+    * newdb.py JSON `data:[[ts,v],…]` — unverified, SURVEY.md §0]: one
+    * row per step slot over the requested range, present slots carrying
+    * the consolidated value, absent slots NULL (`fill = "null"`) or
+    * linearly interpolated between their nearest valid neighbours
+    * (`fill = "interp"`; leading/trailing gaps stay NULL — no
+    * extrapolation). The grid covers every step slot overlapping
+    * [beginSec, endSec): the first slot is beginSec floor-aligned.
+    *
+    * Scale shape: the grid is a `spark.range` generator (nothing
+    * driver-sized, no cross join); the store side is the same pruned
+    * cascade read as [[fetch]] (PartitionFilters intact —
+    * PlanAuditSpec), and re-attaches to the grid by a broadcast hash
+    * join on slot_ts — the fetched side carries ≤ one row per grid
+    * slot by construction, so it is always the small side. The interp
+    * pass is two RUNNING window frames over the grid — O(slots), the
+    * same trees as q_ts_gap_interp (§7.4: UNROUNDED; identical IEEE
+    * expression trees are bit-equal cross-engine). */
+  def fetchFilled(spark: SparkSession, path: String,
+                  userId: Long, eventType: String,
+                  beginSec: Long, endSec: Long,
+                  aggStep: Long, cf: String = "average",
+                  fill: String = "null"): DataFrame = {
+    val layout = readLayout(spark, path)
+    require(layout.steps.contains(aggStep),
+      s"fetchFilled needs a materialized slot resolution, got $aggStep (steps: ${layout.steps})")
+    require(endSec > beginSec, s"empty range: [$beginSec, $endSec)")
+    val firstSlot = Math.floorDiv(beginSec, aggStep) * aggStep
+    val grid = spark.range(firstSlot, endSec, aggStep).select(col("id").as("slot_ts"))
+    val present =
+      slotRead(spark, path, layout, userId, eventType, firstSlot, endSec, aggStep, cf)
+    val filled = grid.join(broadcast(present), Seq("slot_ts"), "left")
+    fill match {
+      case "null" => filled.orderBy("slot_ts")
+      case "interp" =>
+        // one series ⇒ one window partition; frame length = grid size,
+        // bounded by (endSec − beginSec) / aggStep by construction
+        val wp = Window.orderBy(col("slot_ts").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wf = Window.orderBy(col("slot_ts").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        filled
+          .withColumn("prev_ts", max(when(col("value").isNotNull, col("slot_ts"))).over(wp))
+          .withColumn("prev_val", last("value", ignoreNulls = true).over(wp))
+          .withColumn("next_ts", min(when(col("value").isNotNull, col("slot_ts"))).over(wf))
+          .withColumn("next_val", last("value", ignoreNulls = true).over(wf))
+          .select(col("slot_ts"),
+            when(col("value").isNotNull, col("value"))
+              .when(col("prev_val").isNull || col("next_val").isNull, lit(null))
+              .otherwise(col("prev_val") + (col("next_val") - col("prev_val")) *
+                ((col("slot_ts") - col("prev_ts")).cast("double") /
+                 (col("next_ts") - col("prev_ts")).cast("double"))).as("value"))
+          .orderBy("slot_ts")
+      case other => throw new IllegalArgumentException(s"unknown fill: $other")
     }
   }
 
@@ -694,21 +766,29 @@ object TsdbStore {
                 userId: Long, eventType: String,
                 beginSec: Long, endSec: Long,
                 resolutionSec: Long, cf: String = "average"): (Long, DataFrame) = {
-    require(resolutionSec > 0, s"resolutionSec must be positive: $resolutionSec")
-    val layout = readLayout(spark, path)
-    val step = layout.steps.filter(s => s <= resolutionSec && resolutionSec % s == 0)
-      .maxOption.getOrElse(0L)
+    val step = bestStep(readLayout(spark, path), resolutionSec)
     (step, fetch(spark, path, userId, eventType, beginSec, endSec, step, cf))
+  }
+
+  /** The coarsest materialized step that still divides the requested
+    * output resolution evenly; 0 (raw samples) when none does. */
+  private def bestStep(layout: StoreLayout, resolutionSec: Long): Long = {
+    require(resolutionSec > 0, s"resolutionSec must be positive: $resolutionSec")
+    layout.steps.filter(s => s <= resolutionSec && resolutionSec % s == 0)
+      .maxOption.getOrElse(0L)
   }
 
   /** Bulk fetch (POST /bulk): many series in one plan — a single
     * pruned scan with an IN-list of series keys, not a per-series
     * loop (the reference iterated; Spark shouldn't). `aggStep = 0`
     * serves raw samples (the bulk twin of [[fetch]]'s base path);
-    * otherwise the consolidated average from the materialized cascade. */
+    * otherwise the full cf dispatch [[fetch]] has — value cfs from
+    * `agg_<step>`, counter cfs {delta, rate} from `rate_<step>`
+    * (VERDICT r5 missing #2: bulk was average-only). */
   def fetchBulk(spark: SparkSession, path: String,
                 series: Seq[(Long, String)],
-                beginSec: Long, endSec: Long, aggStep: Long): DataFrame = {
+                beginSec: Long, endSec: Long, aggStep: Long,
+                cf: String = "average"): DataFrame = {
     val layout = readLayout(spark, path)
     require(aggStep == 0L || layout.steps.contains(aggStep), s"no such aggregate: $aggStep")
     val keys = series.map { case (u, e) => struct(lit(u), lit(e)) }
@@ -720,13 +800,25 @@ object TsdbStore {
         .select(col("user_id"), col("event_type"), col("ts_us"),
           (col("cents").cast("double") / 100.0).as("value"))
         .orderBy("user_id", "event_type", "ts_us")
-    else
-      spark.read.parquet(s"$path/agg_$aggStep")
+    else {
+      val (table, cfCol) = cfColumn(cf)
+      spark.read.parquet(s"$path/${table}_$aggStep")
         .filter(dtPrune(layout, beginSec, endSec)) // partition prune
         .filter(struct(col("user_id"), col("event_type")).isin(keys: _*))
         .filter(col("slot_ts") >= beginSec && col("slot_ts") < endSec)
         .select(col("user_id"), col("event_type"), col("slot_ts"),
-          (col("sum_cents").cast("double") / 100.0 / col("n").cast("double")).as("value"))
+          cfCol.as("value"))
         .orderBy("user_id", "event_type", "slot_ts")
+    }
+  }
+
+  /** Bulk best-aggregate selection — [[fetchAuto]]'s step choice over
+    * [[fetchBulk]]'s many-series single-scan plan. */
+  def fetchBulkAuto(spark: SparkSession, path: String,
+                    series: Seq[(Long, String)],
+                    beginSec: Long, endSec: Long,
+                    resolutionSec: Long, cf: String = "average"): (Long, DataFrame) = {
+    val step = bestStep(readLayout(spark, path), resolutionSec)
+    (step, fetchBulk(spark, path, series, beginSec, endSec, step, cf))
   }
 }
