@@ -545,29 +545,23 @@ object TsQueries {
         |FROM l ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
       // per-series exponential moving average at the last sample
       // (α = 0.2, seeded with the first value) — the classic smoothing
-      // the RRD world applies before alerting. A fold is inherently
-      // sequential per series, so it runs as the §7.4 pattern: one
-      // ordered collect per series, one sequential `aggregate` lambda
-      // — identical evaluation order to DuckDB's list_reduce, so the
-      // rolled-up double is bit-identical before the single round.
-      // Series fit in memory by the fixture contract (same as the
-      // bigram-LM fold); the collect shuffles each series to one task,
-      // which is exactly the parallelism EMA admits
-      val sorted = array_sort(collect_list(struct(
-        col("ts_us"), col("event_id"), col("cents").cast("double").as("v"))))
-      Tables.events(s, d)
-        .select(col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("ts_us"), col("event_id"),
-          expr("CAST(round(value*100) AS BIGINT)").as("cents"))
-        .groupBy("user_id", "event_type")
-        .agg(sorted.as("rows"))
-        .select(col("user_id"), col("event_type"),
-          size(col("rows")).cast("bigint").as("n"),
-          round(expr(
-            """aggregate(slice(transform(rows, r -> r.v), 2, size(rows) - 1),
-              |          element_at(transform(rows, r -> r.v), 1),
-              |          (acc, x) -> 0.2 * x + 0.8 * acc) / 100.0""".stripMargin), 4)
-            .as("ema"))
+      // the RRD world applies before alerting. The fold LOOKS
+      // inherently sequential, but each EMA step is an affine map and
+      // affine composition is associative, so it runs as the chunked
+      // two-level form (TimeSeriesOps.emaChunked — VERDICT r5 wrong
+      // #1: the old whole-series collect put a multi-year series into
+      // one task array; chunking bounds task memory at chunkSize).
+      // The regrouped doubles agree with DuckDB's sequential
+      // list_reduce far inside the declared round(…, 4) — EmaSpec pins
+      // the bound; this oracle pins the hash
+      TimeSeriesOps.emaChunked(
+          Tables.events(s, d)
+            .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("ts_us"), col("event_id"),
+              expr("CAST(round(value*100) AS BIGINT)").cast("double").as("v")),
+          alpha = 0.2, beta = 0.8)
+        .select(col("user_id"), col("event_type"), col("n"),
+          round(col("ema") / 100.0, 4).as("ema"))
         .orderBy("user_id", "event_type")
     },
 
