@@ -29,7 +29,7 @@ object StoreFixture {
 
   /** Bump when the ingest/export layout changes, so cached fixtures
     * built by older code rebuild instead of being served stale. */
-  private val LayoutVersion = 3
+  private val LayoutVersion = 4
 
   private def stampOf(src: File): String =
     s"v$LayoutVersion:${src.lastModified()}:${src.length()}"
@@ -46,11 +46,24 @@ object StoreFixture {
       }
     }
 
-  /** dt-partitioned store (base + 6h/1d value + rate cascades). */
+  /** dt-partitioned store (base + 6h/1d value + rate cascades) plus
+    * the IfRef-shaped metadata sidecar: metadata VERSIONS are derived
+    * from purchase events per user (ver_id = event_id, the versioned
+    * attribute = the purchase amount in cents) — the same derivation
+    * JoinQueries' interval fixture uses, so oracles can rebuild the
+    * validity intervals from raw events. */
   def store(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
     val tgt = s"/tmp/graft_store/${new File(sfDir).getName}"
     buildOnce(new File(s"$sfDir/events.parquet"), tgt) {
       TsdbStore.ingest(spark, Tables.events(spark, sfDir), tgt)
+      TsdbStore.ingestMetadata(spark,
+        Tables.events(spark, sfDir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("ver_id"),
+            unix_micros(col("ts")).as("valid_from_us"),
+            expr("CAST(round(value*100) AS BIGINT)").as("speed_cents")),
+        tgt)
     }
     tgt
   }

@@ -574,6 +574,63 @@ object TsdbStore {
     fs.delete(retired, true)
   }
 
+  // ---- metadata sidecar (IfRef-shaped temporal validity) --------------
+
+  /** Persist the store's metadata sidecar — the reference's IfRef-style
+    * temporal interface metadata [pub: esxsnmp/sql.py IfRef —
+    * unverified, SURVEY.md §0]: one row per metadata VERSION with a
+    * half-open validity interval [valid_from_us, valid_to_us). Input
+    * rows carry BIGINT (user_id, ver_id, valid_from_us) plus any
+    * attribute columns; valid_to_us is DERIVED here (next version's
+    * start per key, open tail = Long.MaxValue), so intervals are
+    * non-overlapping and gap-free by construction — the invariant that
+    * makes as-of resolution and interval containment agree. Stored
+    * sorted by (user_id, valid_from_us): metadata is version-count-
+    * sized, not sample-sized, so one sorted parquet table serves both
+    * the as-of merge and interval scans. */
+  def ingestMetadata(spark: SparkSession, meta: DataFrame, path: String): Unit = {
+    val w = Window.partitionBy("user_id").orderBy("valid_from_us", "ver_id")
+    meta
+      .withColumn("valid_to_us",
+        coalesce(lead("valid_from_us", 1).over(w), lit(Long.MaxValue)))
+      .sortWithinPartitions("user_id", "valid_from_us")
+      .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      .parquet(s"$path/meta")
+  }
+
+  def readMetadata(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/meta")
+
+  /** Point-in-time metadata resolution served FROM the store: each
+    * sample joins to the metadata version valid at its timestamp via
+    * the native co-partitioned AsofJoin exec (graft.plans.AsofJoin —
+    * GraftExtensions must be installed). No broadcast and no
+    * (sample × earlier-version) pair blow-up: the scale path even when
+    * the sidecar outgrows broadcast reach. `samples` needs BIGINT
+    * (user_id, ts_us); metadata columns come back nullable (samples
+    * before the first version resolve to NULL). */
+  def metaAsof(spark: SparkSession, path: String, samples: DataFrame): DataFrame = {
+    val meta = readMetadata(spark, path).withColumnRenamed("user_id", "m_user")
+    graft.operators.JoinOps.asofJoinMerge(samples, meta,
+      leftKey = "user_id", leftTs = "ts_us",
+      rightKey = "m_user", rightTs = "valid_from_us", rightTie = "ver_id")
+  }
+
+  /** Range fetch with point-in-time metadata attached — the reference's
+    * "samples with the IfRef that was valid when they were taken" read:
+    * pruned base scan over [beginSec, endSec) for one event_type (all
+    * series), as-of joined to the sidecar through [[metaAsof]]. */
+  def fetchMetaAsof(spark: SparkSession, path: String, eventType: String,
+                    beginSec: Long, endSec: Long): DataFrame = {
+    val layout = readLayout(spark, path)
+    val samples = spark.read.parquet(s"$path/base")
+      .filter(dtPrune(layout, beginSec, endSec)) // partition prune
+      .filter(col("event_type") === eventType)
+      .filter(col("ts_us") >= beginSec * 1000000L && col("ts_us") < endSec * 1000000L)
+      .select("user_id", "event_type", "event_id", "ts_us", "cents")
+    metaAsof(spark, path, samples)
+  }
+
   /** Retention: drop every base + cascade partition strictly older
     * than `cutoffSec` — the reference's chunk-file deletion policy
     * [pub: RRD-style retention — unverified, SURVEY.md §0] as pure

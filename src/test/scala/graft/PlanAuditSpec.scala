@@ -45,7 +45,7 @@ class PlanAuditSpec extends SparkSpec {
     Seq("q_store_fetch", "q_store_fetch_agg", "q_store_bulk",
       "q_store_fetch_rate", "q_store_fetch_rate_avg", "q_store_fetch_month",
       "q_store_fetch_auto", "q_store_fetch_filled", "q_store_fetch_interp",
-      "q_store_bulk_rate", "q_store_bulk_auto")
+      "q_store_bulk_rate", "q_store_bulk_auto", "q_store_meta_asof")
       .foreach { n =>
       val p = plan(n)
       val line = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
