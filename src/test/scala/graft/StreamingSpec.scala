@@ -169,6 +169,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest maintains the RATE cascade: parity with batch after N microbatches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // VERDICT r5 next-round #6: the microbatch ingest path must leave
+    // rate_<step> identical to one batch ingest of the same feed —
+    // including a wrap, a heartbeat-spanning gap, and a LATE row that
+    // splits an earlier batch's delta and re-derives the successor
+    // partition's boundary delta
+    val store = java.nio.file.Files.createTempDirectory("graft-stream-rate").toString
+    val in = MemoryStream[(Long, String, Long, Timestamp, Double)]
+    val q = StreamingOps.streamIngestIncremental(
+        in.toDF().toDF("user_id", "event_type", "event_id", "ts", "value"), store)
+      .outputMode("update")
+      .option("checkpointLocation", s"$store/_ckpt")
+      .start()
+    val batches = Seq(
+      Seq((1L, "ctr", 1L, ts("2024-01-01 10:00:00"), 1.00),
+        (1L, "ctr", 2L, ts("2024-01-01 12:00:00"), 3.00)),
+      // crosses the day boundary within heartbeat, and WRAPS (counter
+      // drops 9999.00 → 2.00: delta = 300 cents mod 1e6)
+      Seq((1L, "ctr", 3L, ts("2024-01-01 23:00:00"), 9999.00),
+        (1L, "ctr", 4L, ts("2024-01-02 01:00:00"), 2.00)),
+      // 47 h gap (dropped past heartbeat) + late row INSIDE day 1:
+      // 12:00→23:00 (11 h, invalid) becomes 12:00→13:00 (valid) +
+      // 13:00→23:00 (invalid), and day 2's boundary delta re-derives
+      Seq((1L, "ctr", 5L, ts("2024-01-04 01:00:00"), 50.00),
+        (1L, "ctr", 6L, ts("2024-01-01 13:00:00"), 4.00)))
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val p2 = java.nio.file.Files.createTempDirectory("graft-stream-rate-batch").toString
+    graft.sources.TsdbStore.ingest(spark,
+      batches.flatten.toDF("user_id", "event_type", "event_id", "ts", "value"), p2)
+    Seq("rate_21600", "rate_86400", "agg_21600", "agg_86400").foreach { t =>
+      val a = spark.read.parquet(s"$store/$t")
+      val b = spark.read.parquet(s"$p2/$t")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"streaming $t differs from the batch cascade")
+    }
+    // the wrap delta actually landed (sanity that the case fired)
+    val wrapSlot = spark.read.parquet(s"$store/rate_21600")
+      .filter(col("slot_ts") === ts("2024-01-02 00:00:00").getTime / 1000)
+      .select("delta_cents").head().getLong(0)
+    assert(wrapSlot == 300L, s"wrap delta wrong: $wrapSlot")
+  }
+
   test("HLL sketch aggregates incrementally across microbatches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
