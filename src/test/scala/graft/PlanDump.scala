@@ -26,9 +26,17 @@ object PlanDump extends App {
     "q_store_fetch_rate" -> "cf=delta reads the materialized rate cascade: PartitionFilters on dt (directory pruning) + PushedFilters on slot_ts/series - raw samples never scanned",
     "q_sim_ann_ivf" -> "IVF candidate pairs with DISTRIBUTED inverted lists: the (cell, subA, subB) grid equi-join replaces the former full-corpus broadcast - no BroadcastExchange of the probed corpus (VERDICT r3 weak #1); vectors re-attach by id after the skewed stage",
     "q_text_decontaminate" -> "decontamination probe: the test-set shingle dictionary is the BROADCAST side of the join - the training corpus scan is never shuffled",
-    "q_pipeline_prep" -> "whole prep pipeline in one DAG: quality gate + hash-sample gate FUSED into scans/filters, content-hash dedup as one map-side-combined agg, decontamination dictionary broadcast, one per-source pack window - no stage materializes between operators")
+    "q_pipeline_prep" -> "whole prep pipeline in one DAG: quality gate + hash-sample gate FUSED into scans/filters, content-hash dedup as one map-side-combined agg, decontamination dictionary broadcast, one per-source pack window - no stage materializes between operators",
+    "q_dedup_minhash" -> "MinHash-LSH banding: candidates meet on a (band, bucket) equi-join of signature bands - only (id, band, bucket) rows travel through the join, never shingle sets or document text; no cartesian anywhere",
+    "q_dedup_simhash" -> "SimHash pigeonhole banding: 64-bit signatures split into bit-chunks, candidates equi-join on (chunk index, chunk value); the popcount Hamming check is a post-join filter on banding survivors only (filter BEFORE distinct - never all-pairs)",
+    "q_dedup_editdist" -> "edit-distance verification confined to candidates: levenshtein() sits in a Project ABOVE the banding equi-join - the quadratic scorer never sees the all-pairs space",
+    "q_dedup_cluster" -> "connected components, final-round plan: per round = one hash equi-join + one map-side-combined min agg over checkpointed label RDDs (lineage truncated each round; Sum-of-labels convergence CHECK bounds rounds) - no driver-side graph",
+    "q_sim_ann_ivf_topk" -> "IVF top-k search on the (cell, subA, subB) sub-block grid (VERDICT r5 wrong #2 fixed): ids-only rows through the skewed join, vectors re-attach by id equi-join, then bounded-heap partial_topkbyvalue - the post-score shuffle carries at most k rows per (query, partition)",
+    "q_store_fetch_filled" -> "REST-parity dense slot grid: Range generator LEFT-joined (BroadcastHashJoin, build right) to the pruned cascade read - dt PartitionFilters survive under the grid join (the store side still prunes directories)",
+    "q_store_meta_asof" -> "store metadata sidecar lookup: native AsofJoin exec with declared hash exchanges + (key, ts) sorts on both sides; the base-sample scan keeps dt PartitionFilters, the sidecar scan reads the version table only",
+    "q_ts_ema" -> "chunked-associative EMA (r5 wrong #1 fixed): one per-series window for row_number, then chunk-level ObjectHashAggregate (task memory = chunkSize) and series-level in-order pair combine - no whole-series collect in any task")
   val sb = new StringBuilder
-  sb ++= "# PLANS - physical-plan audit evidence (round 5)\n\n"
+  sb ++= "# PLANS - physical-plan audit evidence (round 6)\n\n"
   sb ++= "Generated from `.queryExecution.executedPlan` at sf0.001, local[4].\n"
   sb ++= "What to look for in each plan is noted per query; regenerate with\n`sbt \"Test/runMain PlanDump\"`.\n"
   for ((n, note) <- picks) {
