@@ -46,6 +46,17 @@ object VectorOps {
       .withColumn("nrm", norm(col("v")))
       .filter(col("nrm") > 0)
 
+  /** [[normalized]] with v scaled to UNIT length (nrm folded in, so
+    * plain dots are cosines) — the space the PQ path quantizes in:
+    * codebooks, cells, codes, and ADC scores all live on the sphere,
+    * which is what makes sim_adc directly comparable to `sim`. */
+  private[graft] def unitized(emb: DataFrame): DataFrame = {
+    val n = normalized(emb)
+    n.select(col("vec_id"),
+        transform(col("v"), x => x / col("nrm")).as("v"))
+      .withColumn("nrm", lit(1.0))
+  }
+
   /** All-pairs cosine with the small side broadcast; `cond` restricts
     * the pair space (a≠b for top-k, a<b for near-dup). */
   def cosinePairs(emb: DataFrame, cond: (Column, Column) => Column): DataFrame = {
@@ -318,8 +329,13 @@ object VectorOps {
     val total = n.count()
     val cap = math.max(k * 256L, 2048L)
     val every = math.max(1L, total / cap)
+    // the orderBy is what makes "id-ordered" TRUE under any input
+    // partitioning: a bare collect returns rows in partition order, so
+    // a repartitioned corpus would seed different centroids (caught by
+    // AnnLshSpec's invariance case) — the sample is capped, so the sort
+    // is O(cap log cap) on the driver side of a tiny exchange
     val sample = n.filter(pmod(col("vec_id"), lit(every)) === 0)
-      .select("v").as[Array[Double]].collect()
+      .orderBy("vec_id").select("v").as[Array[Double]].collect()
     if (sample.isEmpty) None
     else Some(trainCentroids(sample, k).zipWithIndex.map { case (c, i) => (i, c) })
   }
@@ -448,6 +464,192 @@ object VectorOps {
         entries.iterator.zipWithIndex.map { case (e, i) =>
           (aid, (i + 1).toLong, e.id, e.v) }
       }.toDF("a_id", "rn", "b_id", "sim")
+  }
+
+  /** Nearest coarse centroid by exact L2 — shared by training, encode,
+    * and assignment; sequential scan, ties to the lower cell id. */
+  private def nearestCell(cents: Array[(Int, Array[Double])],
+                          v: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)._2
+      var d = 0.0; var j = 0
+      while (j < v.length) { val t = v(j) - cv(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF-PQ top-k search — the IVFADC recipe [pub: Jégou, Douze,
+    * Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
+    * 2011]: corpus vectors are stored as their home cell plus `m`
+    * one-byte sub-quantizer codes of the coarse RESIDUAL (v − cell
+    * centroid). That compression is the entire point at 100 TB: the
+    * inverted lists carry m bytes per vector instead of dim×8 (64× for
+    * the fixture's 64-dim doubles at m=8), so the candidate join
+    * shuffles codes, never raw vectors — the memory class that makes
+    * billion-vector ANN fit a cluster. Scoring is ASYMMETRIC distance
+    * computation: the query stays exact and each candidate scores as
+    * dot(q, cell_centroid) + Σⱼ dot(qⱼ, bookⱼ[codeⱼ]) — semantically
+    * dot(q, decode(code)); AnnLshSpec recomputes the SAME blocked
+    * grouping from the code and pins bit-equality (a flat dot over the
+    * decoded vector would differ in the last ulp — FP addition does not
+    * redistribute). (The classic per-query m×kSub lookup table
+    * amortizes the sub-dots across one cell's list; per-row evaluation
+    * here computes the same sums in the same order — an executor-local
+    * constant factor, not a plan-shape difference.)
+    *
+    * Training (coarse centroids AND sub-codebooks) runs on the same
+    * capped deterministic driver sample as [[ivfCosine]] — O(1) in
+    * corpus size, the standard recipe. Everything after is distributed:
+    * encode is a broadcast-codebook map over the scan, the candidate
+    * join runs on [[ivfTopK]]'s (cell, subA, subB) sub-block grid
+    * (ids+codes only), queries re-attach their exact vectors by id
+    * equi-join, and ranking is the bounded-heap [[graft.functions.TopKByValue]]
+    * (≤k rows per query×partition through the final shuffle).
+    * Deterministic end to end: id-ordered sample, fixed seeding and
+    * iteration count, index-order folds — AnnLshSpec pins recall vs
+    * brute force and partitioning-invariance.
+    * @return (a_id, rn, b_id, sim_adc) — rn 1..k by (sim_adc DESC, b_id) */
+  /** PQ model: coarse centroids + per-subspace residual codebooks,
+    * trained on the capped id-ordered driver sample (deterministic —
+    * the spec rebuilds the identical model to verify codes/scores).
+    * None when the corpus is empty. */
+  private[graft] def pqModel(n: DataFrame, kCells: Int, m: Int, kSub: Int)
+      : Option[(Array[(Int, Array[Double])], Array[Array[Array[Double]]])] = {
+    val spark = n.sparkSession
+    import spark.implicits._
+    ivfCentroids(n, kCells).map { cents =>
+      val total = n.count()
+      val cap = math.max(kSub * 256L, 2048L)
+      val every = math.max(1L, total / cap)
+      // id-ordered for the same partitioning-invariance reason as
+      // ivfCentroids
+      val sample = n.filter(pmod(col("vec_id"), lit(every)) === 0)
+        .orderBy("vec_id").select("v").as[Array[Double]].collect()
+      val dim = sample.head.length
+      require(dim % m == 0, s"pqModel: dim $dim not divisible by m=$m")
+      val sd = dim / m
+      val residuals = sample.map { v =>
+        val cv = cents(nearestCell(cents, v))._2
+        Array.tabulate(dim)(j => v(j) - cv(j))
+      }
+      val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+        trainCentroids(residuals.map(_.slice(j * sd, (j + 1) * sd)), kSub)
+      }
+      (cents, books)
+    }
+  }
+
+  /** Encode one vector: home cell + per-subspace nearest residual
+    * code. Ties to the lower code, sequential scan — deterministic. */
+  private[graft] def pqEncode(cents: Array[(Int, Array[Double])],
+                              books: Array[Array[Array[Double]]],
+                              v: Array[Double]): (Int, Array[Byte]) = {
+    val m = books.length
+    val sd = v.length / m
+    val ci = nearestCell(cents, v)
+    val cv = cents(ci)._2
+    val code = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      val bk = books(j)
+      var best = 0; var bestD = Double.MaxValue
+      var b = 0
+      while (b < bk.length) {
+        val sub = bk(b)
+        var d = 0.0; var x = 0
+        while (x < sd) {
+          val t = (v(j * sd + x) - cv(j * sd + x)) - sub(x)
+          d += t * t; x += 1
+        }
+        if (d < bestD) { bestD = d; best = b }
+        b += 1
+      }
+      code(j) = best.toByte
+      j += 1
+    }
+    (ci, code)
+  }
+
+  /** ADC score of one (query, cell, code): dot(q, cell centroid) plus
+    * the per-subspace book dots, in subspace order — the exact grouping
+    * the spec recomputes. */
+  private[graft] def pqScore(cents: Array[(Int, Array[Double])],
+                             books: Array[Array[Array[Double]]],
+                             qv: Array[Double], cell: Int,
+                             code: Array[Byte]): Double = {
+    val m = books.length
+    val sd = qv.length / m
+    var s = dotSeq(qv, cents(cell)._2)
+    var j = 0
+    while (j < m) {
+      val sub = books(j)(code(j) & 0xff)
+      var t = 0.0; var x = 0
+      while (x < sd) { t += qv(j * sd + x) * sub(x); x += 1 }
+      s += t; j += 1
+    }
+    s
+  }
+
+  def ivfPqTopK(emb: DataFrame, kCells: Int, nprobe: Int, k: Int,
+                m: Int = 8, kSub: Int = 16, subBlocks: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // the whole path runs on UNIT vectors: codebooks quantize the
+    // sphere and ADC sums are cosines, directly comparable to `sim`
+    val n = unitized(emb)
+    val (cents, books) = pqModel(n, kCells, m, kSub) match {
+      case Some(cb) => cb
+      case None =>
+        return spark.emptyDataset[(Long, Long, Long, Double)]
+          .toDF("a_id", "rn", "b_id", "sim_adc")
+    }
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val bcBooks = spark.sparkContext.broadcast(books)
+    // encode: one pass over the scan; only (id, cell, m bytes) leave it
+    val codes = n.select("vec_id", "v").as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bcCents.value; val bks = bcBooks.value
+        it.map { case (id, v) =>
+          val (ci, code) = pqEncode(cs, bks, v)
+          (id, ci, code)
+        }
+      }.toDF("b_id", "cell", "code")
+    // same ids-only sub-block grid as ivfTopK; the corpus side carries
+    // its code through the join — still narrow (m bytes)
+    val qsig = ivfAssign(n, cents, nprobe).toDF("a_id", "av", "anrm", "cell")
+      .select(col("a_id"), col("cell"),
+        pmod(hash(col("a_id")), lit(subBlocks)).as("sub_a"))
+      .withColumn("sub_b", explode(sequence(lit(0), lit(subBlocks - 1))))
+    val csig = codes
+      .select(col("b_id"), col("cell"), col("code"),
+        pmod(hash(col("b_id")), lit(subBlocks)).as("sub_b"))
+      .withColumn("sub_a", explode(sequence(lit(0), lit(subBlocks - 1))))
+    val cand = qsig.join(csig, Seq("cell", "sub_a", "sub_b"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id", "cell", "code")
+    val av = n.select(col("vec_id").as("a_id"), col("v").as("qv"))
+    val scored = cand.join(av, "a_id")
+      .select(col("a_id"), col("b_id"), col("cell"), col("code"), col("qv"))
+      .as[(Long, Long, Int, Array[Byte], Array[Double])]
+      .mapPartitions { it =>
+        val cs = bcCents.value; val bks = bcBooks.value
+        it.map { case (aid, bid, cell, code, qv) =>
+          (aid, bid, round4(pqScore(cs, bks, qv, cell, code)))
+        }
+      }
+    val topk = new graft.functions.TopKByValue(k).toColumn
+    scored
+      .groupByKey(_._1)
+      .mapValues(t => graft.functions.TopKEntry(t._2, t._3))
+      .agg(topk)
+      .flatMap { case (aid, entries) =>
+        entries.iterator.zipWithIndex.map { case (e, i) =>
+          (aid, (i + 1).toLong, e.id, e.v) }
+      }.toDF("a_id", "rn", "b_id", "sim_adc")
   }
 
   /** Semantic dedup (the SemDeDup recipe [pub: Abbas et al. 2023,

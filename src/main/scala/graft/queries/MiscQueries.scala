@@ -45,6 +45,16 @@ object MiscQueries {
         .orderBy("a_id", "rn")
     },
 
+    // IVFADC: corpus compressed to per-subspace byte codes, asymmetric
+    // distance scoring against exact queries — the memory-class scale
+    // path for billion-vector ANN (codes shuffle, never raw vectors);
+    // recall + code/score determinism pinned in AnnLshSpec
+    QueryDef.noOracle("q_sim_ann_ivf_pq") { (s, d) =>
+      VectorOps.ivfPqTopK(Tables.embeddings(s, d), kCells = 8, nprobe = 2,
+          k = 5, m = 8, kSub = 16)
+        .orderBy("a_id", "rn")
+    },
+
     // SemDeDup: within-cell cosine pairs → connected components → one
     // representative per component; kmeans cells have no DuckDB twin,
     // so semantics are pinned by DedupSpec (planted duplicates
@@ -83,6 +93,29 @@ object MiscQueries {
           xxhash64(col("user_id")).as("h"))
         .groupBy("event_type", "day").agg(build(col("h")).as("sketch"))
         .groupBy("event_type").agg(merge(col("sketch")).as("approx_users"))
+        .orderBy("event_type")
+    },
+
+    // bottom-k priority sample: the mergeable QUANTILE sketch (the
+    // family's missing member next to HLL/Bloom/count-min/MG). The
+    // sample is a semilattice (bit-identical under any partial-agg
+    // schedule — BottomKSpec pins it), so the rows-only output is
+    // stable; nearest-rank reads come straight off the value-sorted
+    // sample array with plain column ops. Exact-rank twins
+    // (q_agg_median_exact, q_ts_p95_billing) remain the bit-exact
+    // tools; this is the one-pass 8 KB-per-group estimate
+    QueryDef.noOracle("q_agg_quantile_sketch") { (s, d) =>
+      val bk = udaf(new graft.functions.BottomKQuantile)
+      Tables.events(s, d)
+        .select(col("event_type"),
+          xxhash64(col("event_id")).as("pri"), col("value"))
+        .groupBy("event_type")
+        .agg(bk(col("pri"), col("value")).as("sample"))
+        .select(col("event_type"), size(col("sample")).as("n_sample"),
+          expr("element_at(sample, int(greatest(1, ceil(0.5 * size(sample)))))")
+            .as("p50_est"),
+          expr("element_at(sample, int(greatest(1, ceil(0.95 * size(sample)))))")
+            .as("p95_est"))
         .orderBy("event_type")
     },
 

@@ -647,6 +647,123 @@ object TsQueries {
             col("covered_us").cast("double") / col("span_us").cast("double"))
             .as("availability"))
         .orderBy("user_id", "event_type")
+    },
+
+    QueryDef("q_ts_p95_billing",
+      MeasurementsSql +
+      """,
+        |r AS (
+        |  SELECT user_id, event_type, event_id, ts_us, wrapped,
+        |         lag(wrapped) OVER w AS prev_wrapped,
+        |         lag(ts_us) OVER w AS prev_ts_us
+        |  FROM m WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
+        |),
+        |v AS (
+        |  SELECT user_id, event_type, event_id,
+        |    (CAST(((wrapped - prev_wrapped) % 1000000 + 1000000) % 1000000 AS DOUBLE) / 100.0)
+        |      / (CAST(ts_us - prev_ts_us AS DOUBLE) / 1000000.0) AS rate
+        |  FROM r
+        |  WHERE prev_ts_us IS NOT NULL
+        |    AND ts_us - prev_ts_us > 0 AND ts_us - prev_ts_us <= 21600000000
+        |),
+        |k AS (
+        |  SELECT user_id, event_type, event_id, rate,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY rate, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, event_type) AS n
+        |  FROM v
+        |)
+        |SELECT user_id, event_type, CAST(n AS BIGINT) AS n_rates, rate AS p95_rate
+        |FROM k WHERE rn = (95*n + 99) // 100
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      // 95th-percentile billing — THE canonical network-operator
+      // computation on SNMP counter data (burstable billing ranks the
+      // period's 5-min rates and bills the 95th). NEAREST-RANK exact
+      // percentile: rank ceil(0.95·n) selected by row_number over
+      // (rate, event_id) — no interpolation formula to disagree across
+      // engines, the answer is one double already present in the data.
+      // Heartbeat-valid deltas only, same wrap arithmetic as the rate
+      // cascade. At scale: one window shuffle by series for the lag,
+      // one for the ranking — the standard sort-based exact quantile;
+      // a 100 TB deployment ranks within (series, billing-month)
+      // partitions so no single sort exceeds one series-month
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+      val v = Tables.measurements(s, d)
+        .withColumn("prev_wrapped", lag("wrapped", 1).over(w))
+        .withColumn("prev_ts_us", lag("ts_us", 1).over(w))
+        .filter(col("prev_ts_us").isNotNull &&
+          col("ts_us") - col("prev_ts_us") > 0 &&
+          col("ts_us") - col("prev_ts_us") <= HbUs)
+        .withColumn("rate",
+          expr("""(CAST(((wrapped - prev_wrapped) % 1000000 + 1000000) % 1000000 AS DOUBLE) / 100.0)
+                 | / (CAST(ts_us - prev_ts_us AS DOUBLE) / 1000000.0)""".stripMargin))
+      val wr = Window.partitionBy("user_id", "event_type").orderBy("rate", "event_id")
+      val wn = Window.partitionBy("user_id", "event_type")
+      v.withColumn("rn", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(wn))
+        .filter(col("rn") === expr("(95*n + 99) div 100"))
+        .select(col("user_id"), col("event_type"),
+          col("n").as("n_rates"), col("rate").as("p95_rate"))
+        .orderBy("user_id", "event_type")
+    },
+
+    QueryDef("q_ts_busy_hour",
+      MeasurementsSql +
+      """,
+        |r AS (
+        |  SELECT user_id, event_type, ts_us, wrapped,
+        |         lag(wrapped) OVER w AS prev_wrapped,
+        |         lag(ts_us) OVER w AS prev_ts_us
+        |  FROM m WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
+        |),
+        |h AS (
+        |  SELECT user_id, event_type,
+        |    ts_us // 86400000000 AS day_no,
+        |    (ts_us // 3600000000) % 24 AS hour_utc,
+        |    sum(((wrapped - prev_wrapped) % 1000000 + 1000000) % 1000000) AS hour_delta
+        |  FROM r
+        |  WHERE prev_ts_us IS NOT NULL
+        |    AND ts_us - prev_ts_us > 0 AND ts_us - prev_ts_us <= 21600000000
+        |  GROUP BY 1, 2, 3, 4
+        |),
+        |k AS (
+        |  SELECT user_id, event_type, day_no, hour_utc, hour_delta,
+        |    row_number() OVER (PARTITION BY user_id, event_type, day_no
+        |                       ORDER BY hour_delta DESC, hour_utc) AS rn
+        |  FROM h
+        |)
+        |SELECT user_id, event_type, CAST(day_no AS BIGINT) AS day_no,
+        |  CAST(hour_utc AS BIGINT) AS busy_hour, CAST(hour_delta AS BIGINT) AS hour_delta
+        |FROM k WHERE rn = 1
+        |ORDER BY user_id, event_type, day_no""".stripMargin) { (s, d) =>
+      // telecom busy hour: per series per UTC day, the hour with the
+      // largest heartbeat-valid traffic (wrap-corrected delta sum); tie
+      // breaks to the earliest hour. Exact integer cents throughout.
+      // Shuffle shape at scale: the lag window by series, then a
+      // map-side-combined hourly agg, then a top-1 window over ≤24 rows
+      // per (series, day) group — nothing grows with sample rate after
+      // the hourly rollup
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+      val h = Tables.measurements(s, d)
+        .withColumn("prev_wrapped", lag("wrapped", 1).over(w))
+        .withColumn("prev_ts_us", lag("ts_us", 1).over(w))
+        .filter(col("prev_ts_us").isNotNull &&
+          col("ts_us") - col("prev_ts_us") > 0 &&
+          col("ts_us") - col("prev_ts_us") <= HbUs)
+        .withColumn("day_no", expr("ts_us div 86400000000"))
+        .withColumn("hour_utc", expr("(ts_us div 3600000000) % 24"))
+        .groupBy("user_id", "event_type", "day_no", "hour_utc")
+        .agg(sum(expr("((wrapped - prev_wrapped) % 1000000 + 1000000) % 1000000"))
+          .as("hour_delta"))
+      val wk = Window.partitionBy("user_id", "event_type", "day_no")
+        .orderBy(col("hour_delta").desc, col("hour_utc"))
+      h.withColumn("rn", row_number().over(wk))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("day_no").cast("bigint").as("day_no"),
+          col("hour_utc").cast("bigint").as("busy_hour"),
+          col("hour_delta").cast("bigint").as("hour_delta"))
+        .orderBy("user_id", "event_type", "day_no")
     }
   )
 }

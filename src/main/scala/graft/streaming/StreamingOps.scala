@@ -23,6 +23,10 @@ object StreamingOps {
       from_us: Long, to_us: Long, gap_us: Long)
   case class RateSample(user_id: Long, event_type: String, ts_us: Long,
       delta_cents: Long, dt_us: Long, rate: Double)
+  /** [[Meas]] plus its event-time twin column — the analyzer insists the
+    * watermarked column itself reaches a stateful operator's input. */
+  case class MeasEt(user_id: Long, event_type: String, ts_us: Long,
+      cents: Long, et: java.sql.Timestamp)
 
   /** File-source stream over the events fixture (one parquet = one
     * microbatch replay; on a cluster this is a directory listener). */
@@ -124,30 +128,79 @@ object StreamingOps {
     * 16 bytes per live series, so 10⁸ series fit one state store
     * comfortably. Within-batch rows process in ts order, making the
     * emitted multiset independent of microbatch boundary placement
-    * (StreamingSpec pins stream == batch). */
-  def onlineRates(m: Dataset[Meas], hbUs: Long, wrapCap: Long): Dataset[RateSample] = {
+    * (StreamingSpec pins stream == batch).
+    *
+    * `stateTtlUs > 0` bounds state for CHURNING series populations
+    * (interfaces get deleted; "live series" is not monotone): a series
+    * whose last sample falls `stateTtlUs` behind the EVENT-TIME
+    * watermark has its 16 bytes dropped, and a sample arriving after
+    * expiry re-seeds like a fresh series (its would-be delta is NOT
+    * emitted). Expiry is event-time on purpose — a function of the
+    * data, not the wall clock, so replays and backlogged catch-up runs
+    * expire exactly the same states (a processing-time TTL would also
+    * never quiesce: Spark reruns empty batches forever to poll wall
+    * time, so processAllAvailable hangs). With ttl ≥ hbUs the emitted
+    * rates are IDENTICAL to the unbounded-state form: any delta expiry
+    * can lose spans an event-time gap > ttl ≥ heartbeat, which the
+    * heartbeat rule drops anyway — the spec pins this equivalence.
+    * Standard watermark contract applies: rows at-or-behind the
+    * watermark are dropped before the operator, so `wmDelay` must cover
+    * the source's out-of-orderness. With ttl = 0 (default) state is
+    * unbounded, timeouts off, no watermark required. */
+  def onlineRates(m: Dataset[Meas], hbUs: Long, wrapCap: Long,
+                  stateTtlUs: Long = 0L,
+                  wmDelay: String = "0 microseconds"): Dataset[RateSample] = {
     val spark = m.sparkSession
     import spark.implicits._
-    m.groupByKey(x => (x.user_id, x.event_type))
+    val timeout =
+      if (stateTtlUs > 0) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    // EventTimeTimeout needs a watermark, and the analyzer requires the
+    // watermarked COLUMN to reach the stateful operator's input — so the
+    // event-time column rides along in the typed row instead of being
+    // projected away
+    val src: Dataset[MeasEt] =
+      if (stateTtlUs > 0)
+        m.withColumn("et", timestamp_micros(col("ts_us")))
+          .withWatermark("et", wmDelay).as[MeasEt]
+      else
+        m.withColumn("et", timestamp_micros(col("ts_us"))).as[MeasEt]
+    src.groupByKey(x => (x.user_id, x.event_type))
       .flatMapGroupsWithState[(Long, Long), RateSample](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         case ((uid, etype), it, state: GroupState[(Long, Long)]) =>
-          val sorted = it.toSeq.sortBy(x => x.ts_us)
-          val out = Seq.newBuilder[RateSample]
-          var last = state.getOption
-          sorted.foreach { x =>
-            last.foreach { case (pts, pcents) =>
-              val dtUs = x.ts_us - pts
-              if (dtUs > 0 && dtUs <= hbUs) {
-                val d = ((x.cents - pcents) % wrapCap + wrapCap) % wrapCap
-                out += RateSample(uid, etype, x.ts_us, d, dtUs,
-                  d / 100.0 / (dtUs / 1000000.0))
+          if (state.hasTimedOut) {
+            // watermark passed last_seen + ttl: drop the 16 bytes; the
+            // series re-seeds on its next sample
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(x => x.ts_us)
+            val out = Seq.newBuilder[RateSample]
+            var last = state.getOption
+            sorted.foreach { x =>
+              last.foreach { case (pts, pcents) =>
+                val dtUs = x.ts_us - pts
+                if (dtUs > 0 && dtUs <= hbUs) {
+                  val d = ((x.cents - pcents) % wrapCap + wrapCap) % wrapCap
+                  out += RateSample(uid, etype, x.ts_us, d, dtUs,
+                    d / 100.0 / (dtUs / 1000000.0))
+                }
               }
+              last = Some((x.ts_us, x.cents))
             }
-            last = Some((x.ts_us, x.cents))
+            last.foreach { s =>
+              state.update(s)
+              // a timeout behind the watermark is rejected by Spark, so
+              // a late row (ts + ttl ≤ wm) clamps to wm+1: it expires at
+              // the next watermark advance, same as if it had timed out
+              if (stateTtlUs > 0)
+                state.setTimeoutTimestamp(
+                  math.max((s._1 + stateTtlUs) / 1000L,
+                    state.getCurrentWatermarkMs + 1))
+            }
+            out.result().iterator
           }
-          last.foreach(state.update)
-          out.result().iterator
       }
   }
 

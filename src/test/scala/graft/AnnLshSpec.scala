@@ -106,6 +106,48 @@ class AnnLshSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@5 = $recall too low")
   }
 
+  test("IVF-PQ: scores are exactly the ADC of the codes, dup found, recall holds") {
+    import spark.implicits._
+    val pq = VectorOps.ivfPqTopK(vectors, kCells = 4, nprobe = 2, k = 5,
+      m = 8, kSub = 16)
+    val rows = pq.select("a_id", "b_id", "sim_adc").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // every ADC score is a cosine on the quantized sphere: bounded
+    assert(rows.values.forall(s => s >= -1.01 && s <= 1.01),
+      "sim_adc outside the cosine range — not scoring unit vectors")
+    // rebuild the (deterministic) model and recompute every returned
+    // score from the candidate's CODE alone — bit-for-bit: the engine
+    // never consulted the raw corpus vector after encoding
+    val n = VectorOps.unitized(vectors)
+    val Some((cents, books)) = VectorOps.pqModel(n, kCells = 4, m = 8, kSub = 16)
+    val vecs = n.select("vec_id", "v").as[(Long, Array[Double])].collect().toMap
+    val enc = vecs.map { case (id, v) => id -> VectorOps.pqEncode(cents, books, v) }
+    rows.foreach { case ((a, b), s) =>
+      val (cell, code) = enc(b)
+      val expect = VectorOps.round4(VectorOps.pqScore(cents, books, vecs(a), cell, code))
+      assert(s == expect, s"ADC mismatch at ($a,$b): $s vs $expect")
+    }
+    // the planted exact copy encodes identically to its original (same
+    // home cell, same codes) and must surface in the original's list
+    assert(enc(3L)._1 == enc(200L)._1 &&
+      java.util.Arrays.equals(enc(3L)._2, enc(200L)._2),
+      "identical vectors encoded differently")
+    assert(rows.contains((3L, 200L)), "exact duplicate missed by IVF-PQ")
+    // recall@5 vs brute force: quantized ranking may swap near-ties, so
+    // the bar sits below ivfTopK's, but a solid majority must survive
+    val brute = VectorOps.cosineTopK(vectors, 5)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count { case (a, b) => rows.contains((a, b)) }.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@5 = $recall too low")
+    // partitioning-invariance: the 1000-executor contract
+    val reparted = VectorOps.ivfPqTopK(vectors.repartition(7), kCells = 4,
+        nprobe = 2, k = 5, m = 8, kSub = 16)
+      .select("a_id", "b_id", "sim_adc").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(reparted == rows, "result depends on input partitioning")
+  }
+
   test("banded LSH spreads a dense bucket across the sub-block grid") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -374,4 +374,62 @@ class StreamingSpec extends SparkSpec {
       assert(out.head.rate == 200.0 / 100.0 / 60.0)
     } finally q.stop()
   }
+
+  test("online rates with event-time state TTL: silent series expire, " +
+      "output equals the unbounded-state form when ttl >= heartbeat") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val M = 1000000L
+    val hb = 90L * M                    // 90 s heartbeat
+    // ttl == heartbeat: the boundary case of the scaladoc's equivalence
+    // claim — expiry driven purely by the WATERMARK (event time, wmDelay
+    // 0), so every batch below is deterministic, no wall clock anywhere
+    // base offset: rows at-or-behind the watermark are dropped before
+    // the stateful operator, and the INITIAL watermark is epoch 0 — so
+    // the fixture lives strictly after it (the standard contract: pick
+    // wmDelay for your out-of-orderness; here everything is in order)
+    val T0 = 1000L * M
+    def run(name: String, ttlUs: Long): Seq[(Long, Long, Long)] = {
+      val in = MemoryStream[Meas]
+      val q = StreamingOps.onlineRates(in.toDS(), hbUs = hb,
+          wrapCap = 1000L, stateTtlUs = ttlUs)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // seeds A and B; watermark after this batch: T0
+        in.addData(Meas(1L, "a", T0, 100L), Meas(2L, "b", T0, 500L))
+        q.processAllAvailable()
+        // B keeps polling; A is silent. A's timeout ts = T0 + 90 s; the
+        // watermark reaches it only after the T0+120 s batch commits, so
+        // A's state drops during the T0+180 s batch
+        in.addData(Meas(2L, "b", T0 + 60L * M, 600L))
+        q.processAllAvailable()
+        in.addData(Meas(2L, "b", T0 + 120L * M, 700L))
+        q.processAllAvailable()
+        in.addData(Meas(2L, "b", T0 + 180L * M, 800L))
+        q.processAllAvailable()
+        // A returns after a 200 s silence: state expired → re-seed, no
+        // delta. The SAME sample also violates the 90 s heartbeat, so
+        // the unbounded-state run drops its delta too — equivalence
+        in.addData(Meas(1L, "a", T0 + 200L * M, 130L))
+        q.processAllAvailable()
+        // post-re-seed delta flows again (60 s ≤ hb)
+        in.addData(Meas(1L, "a", T0 + 260L * M, 190L))
+        q.processAllAvailable()
+        spark.table(name).as[RateSample].collect()
+          .map(r => (r.user_id, r.ts_us, r.delta_cents))
+          .sortBy(x => (x._1, x._2)).toSeq
+      } finally q.stop()
+    }
+    val withTtl = run("rates_ttl", ttlUs = hb)
+    assert(withTtl == Seq(
+      (1L, T0 + 260L * M, 60L),  // A: only the post-re-seed delta
+      (2L, T0 + 60L * M, 100L),  // B: uninterrupted — its own data
+      (2L, T0 + 120L * M, 100L), //   keeps pushing the timeout ahead
+      (2L, T0 + 180L * M, 100L)),
+      s"got $withTtl")
+    // the equivalence claim itself: identical input, ttl=0 (unbounded
+    // state), identical output multiset
+    assert(run("rates_nottl", ttlUs = 0L) == withTtl)
+  }
 }
