@@ -64,6 +64,43 @@ object TextOps {
 
   def jaccardPairs(docs: DataFrame, n: Int, minJacc: Double,
                    subBlocks: Int = 8, forceGrid: Boolean = false): DataFrame = {
+    val jacc = col("i").cast("double") /
+      (col("na") + col("nb") - col("i")).cast("double")
+    pairIntersections(docs, n, subBlocks, forceGrid) { ixsz =>
+      ixsz.filter(jacc >= minJacc)
+        .select(col("a_id"), col("b_id"), round(jacc, 4).as("jacc"))
+    }
+  }
+
+  /** Shingle CONTAINMENT pairs [pub: Broder 1997, "On the resemblance
+    * and containment of documents"]: C(A→B) = |A∩B| / |A| — the
+    * asymmetric twin of Jaccard that catches doc-in-doc near-dups
+    * (a short document quoted inside a long one scores C(A→B) → 1
+    * while Jaccard stays ≈ |A|/|B|, far below any dedup threshold).
+    * Exactly jaccardPairs' candidate machinery (same equi-join bound,
+    * same hot-shingle grid de-skew) with both directed scores projected
+    * from the one intersection count; a pair survives when EITHER
+    * direction clears minCont. */
+  def containmentPairs(docs: DataFrame, n: Int, minCont: Double,
+                       subBlocks: Int = 8, forceGrid: Boolean = false): DataFrame = {
+    val contAb = col("i").cast("double") / col("na").cast("double")
+    val contBa = col("i").cast("double") / col("nb").cast("double")
+    pairIntersections(docs, n, subBlocks, forceGrid) { ixsz =>
+      ixsz.filter(contAb >= minCont || contBa >= minCont)
+        .select(col("a_id"), col("b_id"),
+          round(contAb, 4).as("cont_ab"), round(contBa, 4).as("cont_ba"))
+    }
+  }
+
+  /** Shared candidate machinery for the exact shingle-set metrics:
+    * produces (a_id, b_id, i, na, nb) — intersection count plus both
+    * shingle-set sizes, a_id < b_id — and applies `project` while the
+    * shingle cache (hot-probe branch) is still alive. Every metric over
+    * shingle intersections (Jaccard, containment, overlap coefficient)
+    * is a projection of these three integers. */
+  private def pairIntersections(docs: DataFrame, n: Int, subBlocks: Int,
+                                forceGrid: Boolean)
+                               (project: DataFrame => DataFrame): DataFrame = {
     val sh = shingles(docs, n)
 
     def plainJoin(rel: DataFrame): DataFrame = {
@@ -84,18 +121,15 @@ object TextOps {
         .select("a_id", "b_id")
     }
 
-    // intersection counts → sizes → Jaccard filter, from a pair stream
-    // and the shingle relation the per-doc sizes are computed from
+    // intersection counts → sizes → metric projection, from a pair
+    // stream and the shingle relation the per-doc sizes come from
     def finish(paired: DataFrame, rel: DataFrame): DataFrame = {
       val sz = rel.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val ix = paired
         .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
-      val jacc = col("i").cast("double") /
-        (col("na") + col("nb") - col("i")).cast("double")
-      ix.join(sz.toDF("a_id", "na"), "a_id")
-        .join(sz.toDF("b_id", "nb"), "b_id")
-        .filter(jacc >= minJacc)
-        .select(col("a_id"), col("b_id"), round(jacc, 4).as("jacc"))
+      project(
+        ix.join(sz.toDF("a_id", "na"), "a_id")
+          .join(sz.toDF("b_id", "nb"), "b_id"))
     }
 
     // cheap count first (parquet metadata); the shingle-frequency

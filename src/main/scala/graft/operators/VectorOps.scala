@@ -514,21 +514,26 @@ object VectorOps {
     * brute force and partitioning-invariance.
     * @return (a_id, rn, b_id, sim_adc) — rn 1..k by (sim_adc DESC, b_id) */
   /** PQ model: coarse centroids + per-subspace residual codebooks,
-    * trained on the capped id-ordered driver sample (deterministic —
-    * the spec rebuilds the identical model to verify codes/scores).
-    * None when the corpus is empty. */
+    * trained on ONE capped id-ordered driver sample shared by both fits
+    * (one count + one collect, not ivfCentroids' pair plus another —
+    * the coarse quantizer here is pq-internal, so it need not match
+    * [[ivfCentroids]]' sample cap). Deterministic — the spec rebuilds
+    * the identical model to verify codes/scores. None when empty. */
   private[graft] def pqModel(n: DataFrame, kCells: Int, m: Int, kSub: Int)
       : Option[(Array[(Int, Array[Double])], Array[Array[Array[Double]]])] = {
     val spark = n.sparkSession
     import spark.implicits._
-    ivfCentroids(n, kCells).map { cents =>
-      val total = n.count()
-      val cap = math.max(kSub * 256L, 2048L)
-      val every = math.max(1L, total / cap)
-      // id-ordered for the same partitioning-invariance reason as
-      // ivfCentroids
-      val sample = n.filter(pmod(col("vec_id"), lit(every)) === 0)
-        .orderBy("vec_id").select("v").as[Array[Double]].collect()
+    val total = n.count()
+    val cap = math.max(math.max(kCells, kSub) * 256L, 2048L)
+    val every = math.max(1L, total / cap)
+    // id-ordered for the same partitioning-invariance reason as
+    // ivfCentroids
+    val sample = n.filter(pmod(col("vec_id"), lit(every)) === 0)
+      .orderBy("vec_id").select("v").as[Array[Double]].collect()
+    if (sample.isEmpty) None
+    else {
+      val cents = trainCentroids(sample, kCells).zipWithIndex
+        .map { case (c, i) => (i, c) }
       val dim = sample.head.length
       require(dim % m == 0, s"pqModel: dim $dim not divisible by m=$m")
       val sd = dim / m
@@ -539,7 +544,7 @@ object VectorOps {
       val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
         trainCentroids(residuals.map(_.slice(j * sd, (j + 1) * sd)), kSub)
       }
-      (cents, books)
+      Some((cents, books))
     }
   }
 

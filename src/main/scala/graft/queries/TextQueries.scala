@@ -210,6 +210,33 @@ object TextQueries {
         .orderBy("a_id", "b_id")
     },
 
+    QueryDef("q_dedup_containment",
+      """WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(arr) - 1),
+        |        i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS sh
+        |    FROM arrs WHERE len(arr) >= 3) t),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |ix AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |       GROUP BY a.doc_id, b.doc_id)
+        |SELECT a_id, b_id,
+        |  round(CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE), 4) AS cont_ab,
+        |  round(CAST(i AS DOUBLE) / CAST(sb.n AS DOUBLE), 4) AS cont_ba
+        |FROM ix JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+        |WHERE CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.5
+        |   OR CAST(i AS DOUBLE) / CAST(sb.n AS DOUBLE) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      // Broder containment C(A→B) = |A∩B|/|A|: the asymmetric dedup
+      // metric Jaccard misses — a short doc quoted inside a long one
+      // scores ~1 in one direction while its Jaccard stays ~|A|/|B|.
+      // Shares the exact-Jaccard candidate machinery (equi-join bound,
+      // hot-shingle de-skew grid at scale); both directed scores
+      // project from ONE intersection count
+      TextOps.containmentPairs(Tables.documents(s, d), 3, 0.5)
+        .orderBy("a_id", "b_id")
+    },
+
     QueryDef("q_text_ngram_lm",
       """WITH tok AS (
         |  SELECT doc_id, CAST(generate_subscripts(string_split(text,' '), 1) AS BIGINT) AS pos,
