@@ -102,6 +102,36 @@ object BottomKSample {
   }
 }
 
+/** Weighted sample WITHOUT replacement (A-ES [pub: Efraimidis &
+  * Spirakis 2006, "Weighted random sampling with a reservoir"]): item i
+  * gets the exponential race time e_i = −ln(u_i)/w_i from a
+  * DETERMINISTIC uniform u_i (hash of the row id, shifted off zero);
+  * the k smallest e_i are exactly a weighted k-sample without
+  * replacement. POSITIVE doubles order identically to their raw IEEE-754
+  * bits read as signed longs, so e_i rides the proven [[BottomKSample]]
+  * semilattice unchanged — same idempotent set-union merge, same
+  * ≤K-pairs-per-(group × partition) partial-agg shape. The buffer keeps
+  * the full K=512 race leaders, which serves ANY k ≤ K: the first k of
+  * the priority-ordered finish IS the A-ES k-sample (bottom-k of
+  * bottom-K = bottom-k). Input (e_i, id); finish returns ids in race
+  * order (winner first). Requires e_i > 0 finite — guaranteed by any
+  * u ∈ (0,1), w > 0. */
+class WeightedSampleIds extends Aggregator[(Double, Long), BottomKSample.Buf, Array[Long]] {
+  override def zero: BottomKSample.Buf = BottomKSample.empty
+  // priority = raw bits of the positive race time (order-preserving);
+  // value = the id (exact in a double for ids < 2^53)
+  override def reduce(b: BottomKSample.Buf, x: (Double, Long)): BottomKSample.Buf =
+    BottomKSample.add(b, java.lang.Double.doubleToLongBits(x._1), x._2.toDouble)
+  override def merge(a: BottomKSample.Buf, b: BottomKSample.Buf): BottomKSample.Buf =
+    BottomKSample.merge(a, b)
+  override def finish(r: BottomKSample.Buf): Array[Long] =
+    r.value.map(_.toLong)
+  override def bufferEncoder: Encoder[BottomKSample.Buf] =
+    ExpressionEncoder[BottomKSample.Buf]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+}
+
 /** `agg(new BottomKQuantile().toColumn)` over (priority, value) rows →
   * the sample's values, VALUE-sorted ascending (quantile-ready). */
 class BottomKQuantile extends Aggregator[(Long, Double), BottomKSample.Buf, Array[Double]] {

@@ -119,6 +119,32 @@ object MiscQueries {
         .orderBy("event_type")
     },
 
+    // exact-k weighted sampling WITHOUT replacement (A-ES): one pass,
+    // mergeable — the exponential race keys ride the bottom-k
+    // semilattice, so the sample is partitioning-invariant and the
+    // shuffle carries <=512 pairs per (group, partition). Completes the
+    // sampling family: hash gate (q_sample_hash), stratified rates
+    // (q_sample_stratified), mixture weights (q_mix_weighted) are all
+    // Bernoulli-style with random SIZE; this is the fixed-size form.
+    // ln() has no bit-stable cross-engine twin (SURVEY §7.4), so
+    // semantics are spec-pinned (BottomKSpec: equals a driver-side
+    // brute-force recompute bit-for-bit, weights skew the sample)
+    QueryDef.noOracle("q_sample_weighted_k") { (s, d) =>
+      val ws = udaf(new graft.functions.WeightedSampleIds)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          // u in (0,1) strictly (half-ulp shift off zero), then the
+          // exponential race time -ln(u)/w with weight w = n_chars
+          expr("""-ln((cast(shiftrightunsigned(xxhash64(doc_id), 11) as double) + 0.5)
+                 |  * 1.1102230246251565e-16) / cast(n_chars as double)""".stripMargin)
+            .as("race"))
+        .groupBy("source")
+        .agg(ws(col("race"), col("doc_id")).as("sample"))
+        .select(col("source"),
+          posexplode(expr("slice(sample, 1, 10)")).as(Seq("rank", "doc_id")))
+        .orderBy("source", "rank")
+    },
+
     // count-min frequency estimation: one 64 KB sketch answers point
     // frequency queries for ANY key; merge is a cell-wise sum (exact
     // monoid) so the sketch — unlike Misra-Gries counters — is

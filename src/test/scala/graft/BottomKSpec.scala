@@ -71,4 +71,34 @@ class BottomKSpec extends SparkSpec {
     assert(st == Seq(0.0, 10.0, 20.0, 30.0, 40.0, 50.0, 60.0))
     assert(BottomKSample.quantile(st.toArray, 0.5) == 30.0)
   }
+
+  test("A-ES weighted sample: equals brute force bit-for-bit, weights skew it") {
+    import spark.implicits._
+    // two weight classes, equal counts: w=10 for even ids, w=1 for odd
+    val df = spark.range(N)
+      .select(col("id"),
+        when(col("id") % 2 === 0, 10.0).otherwise(1.0).as("w"))
+      .withColumn("race", expr(
+        """-ln((cast(shiftrightunsigned(xxhash64(id), 11) as double) + 0.5)
+          |  * 1.1102230246251565e-16) / w""".stripMargin))
+    val ws = udaf(new graft.functions.WeightedSampleIds)
+    def sample(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.agg(ws(col("race"), col("id"))).as[Seq[Long]].head()
+    val s1 = sample(df)
+    assert(s1 == sample(df.repartition(11)), "sample depends on partitioning")
+    assert(s1.length == BottomKSample.K)
+    assert(s1.distinct.length == s1.length, "without-replacement violated")
+    // brute-force driver recompute with the IDENTICAL expressions (same
+    // JVM libm for ln, same hash) — race order must match bit-for-bit
+    val race = df.select("id", "race").as[(Long, Double)].collect()
+    val expect = race.sortBy { case (id, r) =>
+      (java.lang.Double.doubleToLongBits(r), id.toDouble) }
+      .take(BottomKSample.K).map(_._1).toSeq
+    assert(s1 == expect, "sample is not the k smallest race times")
+    // A-ES inclusion: P(i sampled) rises with w_i — with a 512-of-10000
+    // sample and 10:1 weights, the heavy class must dominate strongly
+    // (expected ~90% heavy; deterministic data makes this a fixed count)
+    val heavy = s1.count(_ % 2 == 0)
+    assert(heavy >= (s1.length * 3) / 4, s"only $heavy/${s1.length} heavy ids")
+  }
 }
