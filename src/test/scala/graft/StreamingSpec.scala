@@ -274,6 +274,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bottom-k quantile sample builds statefully across microbatches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bk = udaf(new graft.functions.BottomKQuantile)
+    val in = MemoryStream[(Long, Double)]
+    // the quantile sketch carried in the state store across
+    // microbatches — the semilattice merge makes the streaming build
+    // IDENTICAL to one batch build (bit for bit, like HLL and unlike
+    // Misra-Gries counters), regardless of how rows split into batches
+    val q = in.toDF().toDF("id", "value")
+      .agg(bk(xxhash64(col("id")), col("value")).as("sample"))
+      .writeStream.format("memory").queryName("bk_stream")
+      .outputMode("complete").start()
+    try {
+      val rows = (0L until 2000L).map(i => (i, (i % 100).toDouble))
+      in.addData(rows.take(700))
+      q.processAllAvailable()
+      in.addData(rows.drop(700))
+      q.processAllAvailable()
+      val stream = spark.table("bk_stream").as[Seq[Double]].head()
+      val batch = rows.toDF("id", "value")
+        .agg(bk(xxhash64(col("id")), col("value"))).as[Seq[Double]].head()
+      assert(stream == batch,
+        "streaming sample differs from batch build over the same rows")
+      assert(stream.length == graft.functions.BottomKSample.K)
+      // values are 0..99 uniform ⇒ the sample median sits near 50
+      val p50 = graft.functions.BottomKSample.quantile(stream.toArray, 0.5)
+      assert(math.abs(p50 - 50.0) < 10.0, s"sample median $p50 far from 50")
+    } finally q.stop()
+  }
+
   test("sliding windows emit one row per overlapping window (streaming)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
