@@ -412,6 +412,56 @@ object TextQueries {
         .filter(col("n_docs") > 1)
         .select(col("chunk_hash"), col("n_occurrences"), col("n_docs"), col("first_doc"))
         .orderBy("chunk_hash")
+    },
+
+    QueryDef("q_dedup_substring",
+      """WITH arrs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8
+        |),
+        |w AS (
+        |  SELECT doc_id, unnest(range(1, len(arr) - 6)) AS i, arr FROM arrs
+        |),
+        |h AS (
+        |  SELECT doc_id, md5(array_to_string(list_slice(arr, i, i + 7), ' ')) AS h
+        |  FROM w
+        |),
+        |dup AS (SELECT h FROM h GROUP BY h HAVING count(DISTINCT doc_id) > 1)
+        |SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_win,
+        |  CAST(count(dup.h) AS BIGINT) AS n_dup,
+        |  CAST(count(dup.h) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_frac
+        |FROM h LEFT JOIN dup ON h.h = dup.h
+        |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin) { (s, d) =>
+      // duplicated-SPAN detection — the sliding-window (stride-1)
+      // complement of q_dedup_chunks and the distributed, n-gram-
+      // granular approximation of exact substring dedup
+      // [pub: Lee et al. 2022, "Deduplicating Training Data Makes
+      // Language Models Better" — suffix-array substring dedup]: every
+      // 8-token window is hashed; a window seen in >1 distinct doc
+      // marks that span as duplicated text (quotes, mirrored passages,
+      // boilerplate that chunk alignment misses). Per doc: window
+      // count, duplicated-window count, duplicated fraction — the
+      // score a prep pipeline thresholds to drop or trim docs. At
+      // 100 TB only 128-bit digests ever shuffle (never window text):
+      // one digest groupBy finds cross-doc hashes, one digest
+      // equi-join marks the spans, one map-side-combined per-doc count
+      val win = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .filter(size(col("arr")) >= 8)
+        .select(col("doc_id"),
+          explode(expr("sequence(1, size(arr) - 7)")).as("i"), col("arr"))
+        .select(col("doc_id"),
+          md5(expr("array_join(slice(arr, i, 8), ' ')").cast("binary")).as("h"))
+      val dup = win.groupBy("h")
+        .agg(countDistinct("doc_id").as("n_docs"))
+        .filter(col("n_docs") > 1)
+        .select(col("h").as("dup_h"))
+      win.join(dup, win("h") === dup("dup_h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_win"), count(col("dup_h")).as("n_dup"))
+        .select(col("doc_id"), col("n_win"), col("n_dup"),
+          (col("n_dup").cast("double") / col("n_win").cast("double")).as("dup_frac"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -764,6 +764,67 @@ object TsQueries {
           col("hour_utc").cast("bigint").as("busy_hour"),
           col("hour_delta").cast("bigint").as("hour_delta"))
         .orderBy("user_id", "event_type", "day_no")
+    },
+
+    QueryDef("q_ts_seasonal_baseline",
+      """WITH m AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us,
+        |         CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events
+        |),
+        |h AS (
+        |  SELECT event_type,
+        |    ts_us // 3600000000 AS hour_no,
+        |    (ts_us // 3600000000) % 24 AS hour_utc,
+        |    sum(cents) AS cents_h
+        |  FROM m GROUP BY 1, 2, 3
+        |),
+        |b AS (
+        |  SELECT event_type, hour_no, hour_utc, cents_h,
+        |    sum(cents_h) OVER (PARTITION BY event_type, hour_utc) AS base_s1,
+        |    count(*) OVER (PARTITION BY event_type, hour_utc) AS base_n
+        |  FROM h
+        |)
+        |SELECT event_type, CAST(hour_no AS BIGINT) AS hour_no,
+        |  CAST(hour_utc AS BIGINT) AS hour_utc, CAST(cents_h AS BIGINT) AS cents_h,
+        |  CAST(base_n AS BIGINT) AS base_n, CAST(base_s1 AS BIGINT) AS base_s1,
+        |  CAST(cents_h AS DOUBLE) * CAST(base_n AS DOUBLE) / CAST(base_s1 AS DOUBLE)
+        |    AS lift
+        |FROM b
+        |WHERE base_n > 1 AND cents_h * base_n > 2 * base_s1
+        |ORDER BY event_type, hour_no""".stripMargin) { (s, d) =>
+      // seasonal-baseline deviation — the network-weather-map view the
+      // reference's consumers build on top of the raw fetch: each
+      // metric's hourly traffic vs that metric's hour-of-day profile
+      // over the whole period, flagging hours running >2× their
+      // seasonal norm. The threshold is an EXACT integer cross-multiply
+      // (cents_h·n > 2·Σ) so the cut is bit-deterministic; the double
+      // `lift` only decorates rows that already passed. Shuffle shape
+      // at scale: one map-side-combined hourly rollup (nothing after it
+      // grows with sample rate), then a window over ≤days rows per
+      // (metric, hour-of-day) — at 100 TB the rollup is the only pass
+      // that sees raw data, and it prunes to the scanned columns
+      val h = Tables.events(s, d)
+        .select(col("event_type"),
+          unix_micros(col("ts")).as("ts_us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("hour_no", expr("ts_us div 3600000000"))
+        .withColumn("hour_utc", expr("(ts_us div 3600000000) % 24"))
+        .groupBy("event_type", "hour_no", "hour_utc")
+        .agg(sum("cents").as("cents_h"))
+      val wb = Window.partitionBy("event_type", "hour_utc")
+      h.withColumn("base_s1", sum("cents_h").over(wb))
+        .withColumn("base_n", count(lit(1)).over(wb))
+        .filter(col("base_n") > 1 &&
+          col("cents_h") * col("base_n") > lit(2L) * col("base_s1"))
+        .select(col("event_type"), col("hour_no").cast("bigint").as("hour_no"),
+          col("hour_utc").cast("bigint").as("hour_utc"),
+          col("cents_h").cast("bigint").as("cents_h"),
+          col("base_n").cast("bigint").as("base_n"),
+          col("base_s1").cast("bigint").as("base_s1"),
+          (col("cents_h").cast("double") * col("base_n").cast("double") /
+            col("base_s1").cast("double")).as("lift"))
+        .orderBy("event_type", "hour_no")
     }
   )
 }
