@@ -64,6 +64,23 @@ object BottomKSample {
     Buf(np, nv)
   }
 
+  /** Set-semantics insert: like [[add]] but a (priority, value) pair
+    * already present is left alone — the reduce-side twin of the
+    * merge's equal-pair collapse. This is what turns the bottom-k
+    * buffer into a KMV/theta DISTINCT sketch: feeding the same element
+    * (same hash) any number of times yields the same buffer. */
+  def addDistinct(b: Buf, p: Long, v: Double): Buf = {
+    val n = b.pri.length
+    var lo = 0; var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (lt(b.pri(mid), b.value(mid), p, v)) lo = mid + 1 else hi = mid
+    }
+    if (lo < n && b.pri(lo) == p &&
+      java.lang.Double.compare(b.value(lo), v) == 0) b
+    else add(b, p, v)
+  }
+
   /** Two-pointer SET-union merge keeping the K smallest — the
     * semilattice join: commutative, associative, and idempotent. Equal
     * (priority, value) pairs collapse to one (that is what makes

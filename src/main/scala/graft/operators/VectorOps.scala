@@ -599,8 +599,14 @@ object VectorOps {
     s
   }
 
-  def ivfPqTopK(emb: DataFrame, kCells: Int, nprobe: Int, k: Int,
-                m: Int = 8, kSub: Int = 16, subBlocks: Int = 8): DataFrame = {
+  /** ADC-scored probe stream shared by [[ivfPqTopK]] and
+    * [[ivfPqRefineTopK]]: one (a_id, b_id, sim_adc) row per probed
+    * (query, candidate) pair, produced by the inverted-list sub-block
+    * grid with only ids + m-byte codes in the skewed join. None when
+    * the corpus is too small to train a PQ model. */
+  private def pqAdcScored(emb: DataFrame, kCells: Int, nprobe: Int,
+                          m: Int, kSub: Int, subBlocks: Int)
+      : Option[org.apache.spark.sql.Dataset[(Long, Long, Double)]] = {
     val spark = emb.sparkSession
     import spark.implicits._
     // the whole path runs on UNIT vectors: codebooks quantize the
@@ -608,9 +614,7 @@ object VectorOps {
     val n = unitized(emb)
     val (cents, books) = pqModel(n, kCells, m, kSub) match {
       case Some(cb) => cb
-      case None =>
-        return spark.emptyDataset[(Long, Long, Long, Double)]
-          .toDF("a_id", "rn", "b_id", "sim_adc")
+      case None => return None
     }
     val bcCents = spark.sparkContext.broadcast(cents)
     val bcBooks = spark.sparkContext.broadcast(books)
@@ -646,6 +650,19 @@ object VectorOps {
           (aid, bid, round4(pqScore(cs, bks, qv, cell, code)))
         }
       }
+    Some(scored)
+  }
+
+  def ivfPqTopK(emb: DataFrame, kCells: Int, nprobe: Int, k: Int,
+                m: Int = 8, kSub: Int = 16, subBlocks: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val scored = pqAdcScored(emb, kCells, nprobe, m, kSub, subBlocks) match {
+      case Some(sc) => sc
+      case None =>
+        return spark.emptyDataset[(Long, Long, Long, Double)]
+          .toDF("a_id", "rn", "b_id", "sim_adc")
+    }
     val topk = new graft.functions.TopKByValue(k).toColumn
     scored
       .groupByKey(_._1)
@@ -655,6 +672,60 @@ object VectorOps {
         entries.iterator.zipWithIndex.map { case (e, i) =>
           (aid, (i + 1).toLong, e.id, e.v) }
       }.toDF("a_id", "rn", "b_id", "sim_adc")
+  }
+
+  /** IVFADC with exact RE-RANKING [pub: Jégou et al., TPAMI 2011 §VII
+    * "IVFADC+R"]: the quantized ADC ranking selects a short list of
+    * `rerank ≥ k` candidates per query, then ONLY those pairs re-score
+    * against the true vectors (bit-identical arithmetic to the
+    * brute-force kernel: round4(dot/anrm/bnrm)) and the exact top-k is
+    * taken. Buys back the near-tie swaps PQ quantization causes while
+    * keeping the memory-class storage story: the corpus-wide join still
+    * carries ids + m-byte codes; full vectors attach to just
+    * queries × rerank rows. At 100 TB that re-attach is an id equi-join
+    * whose right side is the corpus — pruned to the vec_id + v columns,
+    * AQE-sized — instead of an all-pairs pass. */
+  def ivfPqRefineTopK(emb: DataFrame, kCells: Int, nprobe: Int, k: Int,
+                      rerank: Int = 32, m: Int = 8, kSub: Int = 16,
+                      subBlocks: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(rerank >= k, s"rerank $rerank must be >= k=$k")
+    val scored = pqAdcScored(emb, kCells, nprobe, m, kSub, subBlocks) match {
+      case Some(sc) => sc
+      case None =>
+        return spark.emptyDataset[(Long, Long, Long, Double)]
+          .toDF("a_id", "rn", "b_id", "sim")
+    }
+    // ADC short list: ids only, bounded-heap map-side combine
+    val topR = new graft.functions.TopKByValue(rerank).toColumn
+    val shortList = scored
+      .groupByKey(_._1)
+      .mapValues(t => graft.functions.TopKEntry(t._2, t._3))
+      .agg(topR)
+      .flatMap { case (aid, entries) => entries.iterator.map(e => (aid, e.id)) }
+      .toDF("a_id", "b_id")
+    // exact re-score of the short list with the brute-force expression
+    val nv = normalized(emb)
+    val bv = nv.select(col("vec_id").as("b_id"), col("v").as("bv"),
+      col("nrm").as("bnrm"))
+    val av = nv.select(col("vec_id").as("a_id"), col("v").as("av"),
+      col("nrm").as("anrm"))
+    val exact = shortList.join(bv, "b_id").join(av, "a_id")
+      .select(col("a_id"), col("b_id"), col("av"), col("anrm"),
+        col("bv"), col("bnrm"))
+      .as[(Long, Long, Array[Double], Double, Array[Double], Double)]
+      .map { case (aid, bid, qv, anrm, cv, bnrm) =>
+        (aid, bid, round4(dotSeq(qv, cv) / anrm / bnrm)) }
+    val topk = new graft.functions.TopKByValue(k).toColumn
+    exact
+      .groupByKey(_._1)
+      .mapValues(t => graft.functions.TopKEntry(t._2, t._3))
+      .agg(topk)
+      .flatMap { case (aid, entries) =>
+        entries.iterator.zipWithIndex.map { case (e, i) =>
+          (aid, (i + 1).toLong, e.id, e.v) }
+      }.toDF("a_id", "rn", "b_id", "sim")
   }
 
   /** Semantic dedup (the SemDeDup recipe [pub: Abbas et al. 2023,

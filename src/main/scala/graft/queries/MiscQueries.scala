@@ -55,6 +55,18 @@ object MiscQueries {
         .orderBy("a_id", "rn")
     },
 
+    // IVFADC+R: the ADC short list (ids + codes only through the
+    // corpus-wide join) re-scored EXACTLY for just queries x rerank
+    // pairs — quantized recall cost bought back at a vanishing exact
+    // -compute cost. AnnLshSpec pins: every refined sim is the
+    // brute-force cosine bit-for-bit, recall@k >= the unrefined PQ
+    // ranking, partitioning-invariant
+    QueryDef.noOracle("q_sim_ann_ivf_pq_refine") { (s, d) =>
+      VectorOps.ivfPqRefineTopK(Tables.embeddings(s, d), kCells = 8,
+          nprobe = 2, k = 5, rerank = 20, m = 8, kSub = 16)
+        .orderBy("a_id", "rn")
+    },
+
     // SemDeDup: within-cell cosine pairs → connected components → one
     // representative per component; kmeans cells have no DuckDB twin,
     // so semantics are pinned by DedupSpec (planted duplicates
@@ -191,6 +203,46 @@ object MiscQueries {
         .agg(count(when(col("bloom_pass"), 1)).as("n_bloom"),
           count(when(col("is_flagged").isNotNull, 1)).as("n_exact"))
         .orderBy("event_type")
+    },
+
+    // theta/KMV set-expression sketch: distinct-audience OVERLAP between
+    // every pair of metrics (|A∪B|, |A∩B|, |A\B|) — the question HLL
+    // cannot answer (it unions but never intersects). One sketch per
+    // group (<=512 63-bit hashes through the shuffle, same map-side
+    // -combined shape as sum()); pair arithmetic is O(K) on two tiny
+    // arrays, so the pair join never touches raw data — at 100 TB the
+    // corpus is read ONCE regardless of how many pairs are compared.
+    // Deterministic (pure function of the input set; ThetaSpec pins
+    // exactness below K, the error bound above, partitioning
+    // invariance, and inclusion-exclusion); no SQL twin ⇒ oracle-exempt
+    QueryDef.noOracle("q_agg_theta") { (s, d) =>
+      import org.apache.spark.sql.functions.udf
+      val th = udaf(new graft.functions.ThetaSketchAgg)
+      // element = ACTIVE USER-DAY (user_id, utc day): "how many of A's
+      // active user-days were also active on B" — overlap structure the
+      // all-users-touch-every-metric fixture would otherwise flatten
+      val sk = Tables.events(s, d)
+        .select(col("event_type"),
+          (xxhash64(col("user_id"),
+            expr("unix_micros(ts) div 86400000000"))
+            .bitwiseAND(lit(Long.MaxValue))).as("h63"))
+        .groupBy("event_type").agg(th(col("h63")).as("sk"))
+      val pair = udf((a: Seq[Long], b: Seq[Long]) => {
+        val (u, i, ab, ba) = graft.functions.ThetaSketch
+          .pairEstimates(a.toArray, b.toArray)
+        (u, i, ab, ba)
+      })
+      val est = udf((a: Seq[Long]) =>
+        graft.functions.ThetaSketch.estimate(a.toArray))
+      val l = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+      val r = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
+      l.join(r, col("type_a") < col("type_b"))
+        .withColumn("e", pair(col("sk_a"), col("sk_b")))
+        .select(col("type_a"), col("type_b"),
+          est(col("sk_a")).as("est_a"), est(col("sk_b")).as("est_b"),
+          col("e._1").as("est_union"), col("e._2").as("est_inter"),
+          col("e._3").as("est_a_only"), col("e._4").as("est_b_only"))
+        .orderBy("type_a", "type_b")
     }
   )
 }

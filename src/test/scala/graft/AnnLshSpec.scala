@@ -148,6 +148,41 @@ class AnnLshSpec extends SparkSpec {
     assert(reparted == rows, "result depends on input partitioning")
   }
 
+  test("IVF-PQ+R: refined sims are exact brute-force cosines; recall >= plain PQ") {
+    val refined = VectorOps.ivfPqRefineTopK(vectors, kCells = 4, nprobe = 2,
+        k = 5, rerank = 12, m = 8, kSub = 16)
+      .select("a_id", "b_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // the re-score abandons the quantized space entirely: every
+    // reported sim must be the exact all-pairs cosine, bit for bit
+    val allSims = VectorOps.cosinePairs(vectors, (a, b) => a =!= b)
+      .select("a_id", "b_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    refined.foreach { case (k, v) => assert(allSims(k) == v, s"sim mismatch at $k") }
+    // planted exact duplicate surfaces with sim exactly 1.0
+    assert(refined.contains((3L, 200L)) && refined((3L, 200L)) == 1.0)
+    assert(refined.contains((200L, 3L)) && refined((200L, 3L)) == 1.0)
+    // re-ranking can only improve on the ADC ordering: recall@5 vs
+    // brute force must be at least the unrefined PQ path's
+    val brute = VectorOps.cosineTopK(vectors, 5)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = VectorOps.ivfPqTopK(vectors, kCells = 4, nprobe = 2, k = 5,
+        m = 8, kSub = 16)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallR = brute.count(refined.contains).toDouble / brute.size
+    val recallP = brute.count(plain.contains).toDouble / brute.size
+    assert(recallR >= recallP,
+      s"refine lowered recall: $recallR < $recallP")
+    // partitioning-invariance: the 1000-executor contract
+    val reparted = VectorOps.ivfPqRefineTopK(vectors.repartition(7),
+        kCells = 4, nprobe = 2, k = 5, rerank = 12, m = 8, kSub = 16)
+      .select("a_id", "b_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(reparted == refined, "result depends on input partitioning")
+  }
+
   test("banded LSH spreads a dense bucket across the sub-block grid") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
