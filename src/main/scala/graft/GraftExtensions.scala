@@ -15,6 +15,7 @@ import graft.plans.SimplifyEpochRoundTrips
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => SimplifyEpochRoundTrips)
+    ext.injectOptimizerRule(session => graft.plans.RollupSubstitution(session))
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("wrap_delta"),

@@ -1,0 +1,239 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.LongType
+
+import graft.sources.TsdbStore
+
+/** Materialized-rollup substitution — the aggregate-navigation rewrite
+  * of classical OLAP servers (and the reason the reference maintains
+  * its aggregate cascade at all [pub: tsdb/aggregator.py precomputed
+  * multi-res aggregates — unverified, SURVEY.md §0]), done the Catalyst
+  * way: an optimizer `Rule[LogicalPlan]` that recognizes an ad-hoc
+  * slot aggregation over a [[TsdbStore]] BASE table
+  *
+  *   base.groupBy(user_id, event_type, (ts_us div S·10⁶)·S as slot)
+  *       .agg(count(1) / sum(cents) / min(cents) / max(cents))
+  *
+  * and substitutes the store's materialized `agg_T` table for the raw
+  * scan, where T is the COARSEST cascade step dividing S. The cascade
+  * row (n, sum_cents, min_cents, max_cents) is an exact monoid image
+  * of the raw rows it covers, so count ⇒ sum(n), sum ⇒ sum(sum_cents),
+  * min ⇒ min(min_cents), max ⇒ max(max_cents) — and when T == S the
+  * aggregation disappears entirely (a Project over the cascade, ZERO
+  * shuffle). Substituted outputs keep the original exprIds, so parent
+  * operators are untouched.
+  *
+  * Scope guards (all must hold, else the plan is left alone):
+  *  - `spark.graft.rollup.rewrite` is "true" (default off — ingest and
+  *    cascade-maintenance jobs must never read the table they are
+  *    writing; [[TsdbStore]] additionally never enables it);
+  *  - the scan is a store base dir (`…/base` beside a `_LAYout` stamp)
+  *    and the chosen `agg_T` table exists on the same filesystem;
+  *  - the only plan between Aggregate and scan is column pruning
+  *    and/or a Filter touching series-identity columns ONLY (user_id /
+  *    event_type — those transfer to the rollup verbatim; a ts_us
+  *    filter does NOT transfer exactly and blocks the rewrite);
+  *  - aggregates are the monoid four over `cents`, no DISTINCT, no
+  *    FILTER clause.
+  *
+  * At 100 TB this is the difference between re-scanning raw samples
+  * and reading ≤ |series|·(day/T) cascade rows: the same query text
+  * gets the reference's "reads never touch raw" property with no
+  * application-side dispatch. PlanAuditSpec pins the rewrite (agg_T in
+  * the scan, base gone, zero exchanges in the T == S form) and
+  * TsdbStoreSpec pins bit-identical results with the rule on and off.
+  */
+case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
+
+  private val FlagKey = "spark.graft.rollup.rewrite"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!session.conf.get(FlagKey, "false").toBoolean) return plan
+    plan.transformUp {
+      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+    }
+  }
+
+  /** (ts_us div S·10⁶) · S — the engine's canonical slot quantization
+    * (TimeSeriesOps.slotSec). Returns S. */
+  private object SlotExpr {
+    def unapply(e: Expression): Option[(AttributeReference, Long)] = e match {
+      case Multiply(
+          IntegralDivide(ts: AttributeReference, Literal(stepUs: Long, LongType), _),
+          Literal(stepSec: Long, LongType), _)
+          if ts.name == "ts_us" && stepSec > 0 && stepUs == stepSec * 1000000L =>
+        Some((ts, stepSec))
+      case _ => None
+    }
+  }
+
+  /** Unwrap the plans the optimizer leaves between an Aggregate and
+    * its scan: column-pruning Projects, the grouping-expression
+    * pull-out Project (PullOutGroupingExpressions aliases complex
+    * groupings below the Aggregate), and a series-only Filter. Returns
+    * (relation, filter condition, exprId → relation-level expression)
+    * so grouping/aggregate expressions can be resolved back to the raw
+    * columns they compute over. */
+  private def unwrap(p: LogicalPlan)
+      : Option[(LogicalRelation, Option[Expression], Map[ExprId, Expression])] =
+    p match {
+      case rel: LogicalRelation => Some((rel, None, Map.empty))
+      case Project(projList, child) =>
+        unwrap(child).flatMap { case (rel, c0, m0) =>
+          def resolve(e: Expression): Expression = e.transform {
+            case a: AttributeReference if m0.contains(a.exprId) => m0(a.exprId)
+          }
+          val entries = projList.map {
+            case a: AttributeReference => Some(a.exprId -> resolve(a))
+            case al: Alias => Some(al.exprId -> resolve(al.child))
+            case _ => None
+          }
+          if (entries.contains(None)) None
+          else Some((rel, c0, entries.flatten.toMap))
+        }
+      case Filter(cond, child) if cond.references.forall(a =>
+          a.name == "user_id" || a.name == "event_type") =>
+        unwrap(child).map { case (rel, c0, m) =>
+          (rel, Some(c0.map(And(_, cond)).getOrElse(cond)), m) }
+      case _ => None
+    }
+
+  /** The store root when the relation scans `<root>/base` of an
+    * ingested [[TsdbStore]] layout. */
+  private def storeRootOf(rel: LogicalRelation): Option[String] = rel.relation match {
+    case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
+      val p = fs.location.rootPaths.head
+      if (p.getName != "base") None
+      else {
+        val root = p.getParent
+        val hfs = root.getFileSystem(session.sparkContext.hadoopConfiguration)
+        if (hfs.exists(new org.apache.hadoop.fs.Path(root, "_LAYOUT"))) Some(root.toString)
+        else None
+      }
+    case _ => None
+  }
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val (rel, cond, exprMap) = unwrap(agg.child) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val store = storeRootOf(rel) match {
+      case Some(s) => s
+      case None => return None
+    }
+    def resolve(e: Expression): Expression = e.transform {
+      case a: AttributeReference if exprMap.contains(a.exprId) => exprMap(a.exprId)
+    }
+    // grouping: exactly {user_id, event_type, slot(S)}
+    var stepSec = 0L
+    var ok = agg.groupingExpressions.length == 3
+    agg.groupingExpressions.map(resolve).foreach {
+      case a: AttributeReference if a.name == "user_id" || a.name == "event_type" => ()
+      case SlotExpr(_, s) => stepSec = s
+      case _ => ok = false
+    }
+    if (!ok || stepSec == 0L) return None
+    // coarsest materialized step dividing the query's slot step
+    val layout = TsdbStore.readLayout(session, store)
+    val t = layout.steps.filter(stepSec % _ == 0).sorted.lastOption match {
+      case Some(x) => x
+      case None => return None
+    }
+    val aggPath = s"$store/agg_$t"
+    val hfs = new org.apache.hadoop.fs.Path(aggPath)
+      .getFileSystem(session.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(new org.apache.hadoop.fs.Path(aggPath))) return None
+
+    // fresh analyzed scan of the cascade table (new exprIds throughout)
+    val cascade = session.read.parquet(aggPath).queryExecution.analyzed
+    def att(name: String): AttributeReference =
+      cascade.output.find(_.name == name).get match { case a: AttributeReference => a }
+    val (uid, etype, slot) = (att("user_id"), att("event_type"), att("slot_ts"))
+    val (nC, sumC, minC, maxC) =
+      (att("n"), att("sum_cents"), att("min_cents"), att("max_cents"))
+    val child2: LogicalPlan = cond match {
+      case Some(c) =>
+        val rebased = c.transform {
+          case a: AttributeReference => att(a.name)
+        }
+        Filter(rebased, cascade)
+      case None => cascade
+    }
+
+    val exact = t == stepSec
+    // cascade-side replacements for the four monoid aggregates and the
+    // grouping columns. On an exact-resolution hit the cascade rows ARE
+    // the requested slots, so the aggregates collapse to plain columns;
+    // on a coarser request they re-aggregate (monoid composition).
+    def ae(f: AggregateFunction): Expression =
+      AggregateExpression(f, Complete, isDistinct = false)
+    val slot2: Expression =
+      if (exact) slot
+      else Multiply(IntegralDivide(slot, Literal(stepSec, LongType)),
+        Literal(stepSec, LongType))
+    // count(1) over base rows is non-nullable; sum(n) over the (always
+    // non-empty) cascade group never evaluates to null — KnownNotNull
+    // keeps the substituted output's nullability identical
+    val countRepl: Expression = KnownNotNull(if (exact) nC else ae(Sum(nC)))
+    val sumRepl: Expression = if (exact) sumC else ae(Sum(sumC))
+    val minRepl: Expression = if (exact) minC else ae(Min(minC))
+    val maxRepl: Expression = if (exact) maxC else ae(Max(maxC))
+
+    // substitute aggregate leaves and grouping references inside each
+    // output expression — arbitrary derived outputs (CollapseProject
+    // folds things like sum/count arithmetic into the Aggregate's
+    // output list) survive as long as every leaf converts. transform
+    // recurses into replacement subtrees, so cascade-side attributes
+    // must pass through untouched (the exprId guard).
+    val newIds = cascade.output.map(_.exprId).toSet
+    var failed = false
+    def convert(e: Expression): Expression = e.transform {
+      case ag @ AggregateExpression(f, Complete, false, None, _)
+          if ag.references.forall(a => !newIds.contains(a.exprId)) =>
+        f match {
+          case Count(Seq(Literal(_, _))) => countRepl
+          case Sum(c, _) => resolve(c) match {
+            case a: AttributeReference if a.name == "cents" => sumRepl
+            case _ => failed = true; e
+          }
+          case Min(c) => resolve(c) match {
+            case a: AttributeReference if a.name == "cents" => minRepl
+            case _ => failed = true; e
+          }
+          case Max(c) => resolve(c) match {
+            case a: AttributeReference if a.name == "cents" => maxRepl
+            case _ => failed = true; e
+          }
+          case _ => failed = true; e
+        }
+      case a: AttributeReference if !newIds.contains(a.exprId) =>
+        resolve(a) match {
+          case r: AttributeReference if r.name == "user_id" => uid
+          case r: AttributeReference if r.name == "event_type" => etype
+          case SlotExpr(_, _) => slot2
+          case _ => failed = true; a
+        }
+    }
+    val newOutputs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        Alias(convert(a), a.name)(exprId = a.exprId)
+      case al: Alias =>
+        Alias(convert(al.child), al.name)(exprId = al.exprId)
+      case other => failed = true; other
+    }
+    if (failed) return None
+    // nothing from the old subtree may survive the conversion
+    if (newOutputs.exists(_.references.exists(a => !newIds.contains(a.exprId))))
+      return None
+
+    if (exact) Some(Project(newOutputs, child2))
+    else Some(Aggregate(Seq(uid, etype, slot2), newOutputs, child2))
+  }
+}

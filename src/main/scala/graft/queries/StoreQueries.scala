@@ -314,6 +314,43 @@ object StoreQueries {
         .orderBy("event_id")
     },
 
+    QueryDef("q_store_rollup",
+      """WITH c AS (
+        |  SELECT user_id, event_type,
+        |    (epoch_us(ts) // 43200000000) * 43200 AS slot_ts,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |)
+        |SELECT user_id, event_type, slot_ts,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(min(cents) AS BIGINT) AS min_cents,
+        |  CAST(max(cents) AS BIGINT) AS max_cents,
+        |  CAST(sum(cents) AS DOUBLE)/100.0/CAST(count(*) AS DOUBLE) AS avg_value
+        |FROM c GROUP BY 1, 2, 3
+        |ORDER BY user_id, event_type, slot_ts""".stripMargin) { (s, d) =>
+      // materialized-rollup substitution (graft.plans.RollupSubstitution,
+      // the OLAP aggregate-navigation rewrite as a Catalyst rule): the
+      // query TEXT aggregates the raw base table at 12 h slots, but the
+      // optimizer substitutes the 6 h cascade and re-aggregates it —
+      // the oracle recomputes from raw events, so the hash match proves
+      // the rewritten plan is answer-identical; RollupSpec proves the
+      // plan actually switched tables (and that maintenance paths are
+      // immune). At 100 TB: |series|·4 rows/day scanned instead of
+      // every raw sample
+      val store = StoreFixture.store(s, d)
+      s.conf.set("spark.graft.rollup.rewrite", "true")
+      s.read.parquet(s"$store/base")
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(col("user_id"), col("event_type"),
+          graft.operators.TimeSeriesOps.slotSec(43200L).as("slot_ts"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("cents").as("min_cents"), max("cents").as("max_cents"))
+        .withColumn("avg_value",
+          col("sum_cents").cast("double") / 100.0 / col("n").cast("double"))
+        .orderBy("user_id", "event_type", "slot_ts")
+    },
+
     QueryDef("q_source_jsonl",
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,

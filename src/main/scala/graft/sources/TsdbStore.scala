@@ -231,8 +231,22 @@ object TsdbStore {
   /** Batch ingest: normalize an events-shaped feed into the base
     * measurements table (partitioned by dt, optionally series-bucketed)
     * + the value-aggregate and rate-aggregate cascades. */
+  /** Cascade-maintenance jobs must never have their own base-table
+    * reads substituted onto the very agg tables they are rewriting
+    * ([[graft.plans.RollupSubstitution]]): force the rewrite flag off
+    * for the duration of any maintenance entry point. */
+  private def withRollupRewriteOff[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.graft.rollup.rewrite"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def ingest(spark: SparkSession, events: DataFrame, path: String,
-             layout: StoreLayout = StoreLayout()): Unit = {
+             layout: StoreLayout = StoreLayout()): Unit = withRollupRewriteOff(spark) {
     val m = normalize(events, layout)
     if (layout.buckets > 0) {
       // Hive-bucketed layout: per-series windows / joins read
@@ -336,7 +350,8 @@ object TsdbStore {
   /** Idempotent re-ingest of late/replayed rows: last write per
     * (series, event_id) wins — offset-addressing upsert semantics as a
     * dedup-by-key pass over the union of old + new. */
-  def upsert(spark: SparkSession, newEvents: DataFrame, path: String): Unit = {
+  def upsert(spark: SparkSession, newEvents: DataFrame, path: String): Unit =
+      withRollupRewriteOff(spark) {
     val layout = readLayout(spark, path)
     require(layout.buckets == 0,
       "upsert writes plain parquet, which would not honor the bucketed " +
@@ -385,7 +400,8 @@ object TsdbStore {
     * full recompute). */
   def upsertIncremental(spark: SparkSession, newEvents: DataFrame,
                         path: String,
-                        verifyNoPartitionMoves: Boolean = false): Seq[String] = {
+                        verifyNoPartitionMoves: Boolean = false): Seq[String] =
+      withRollupRewriteOff(spark) {
     import org.apache.hadoop.fs.Path
     val layout = readLayout(spark, path)
     // same guard as compactPartition: swapIn would install plain
@@ -517,7 +533,7 @@ object TsdbStore {
     * stores compact through table rewrites, not partition-dir swaps —
     * rejected loudly here. */
   def compactPartition(spark: SparkSession, path: String, dt: String,
-                       targetFiles: Int = 1): Unit = {
+                       targetFiles: Int = 1): Unit = withRollupRewriteOff(spark) {
     val layout = readLayout(spark, path)
     require(layout.buckets == 0,
       "compactPartition would destroy bucket-file metadata; rewrite the bucketed table instead")

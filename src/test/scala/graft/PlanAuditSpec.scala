@@ -13,7 +13,8 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljAllowed = Set(
     "q_sim_cosine_topk", "q_dedup_embed", "q_join_cross",
     "q_text_tfidf",       // tfidf: 1-row count broadcast
-    "q_mix_temperature")  // 1-row normalizer broadcast
+    "q_mix_temperature",  // 1-row normalizer broadcast
+    "q_agg_theta")        // |metrics|-row sketch pair join (type_a < type_b)
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { n =>

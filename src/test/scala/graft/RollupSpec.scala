@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeriesOps
+import graft.sources.TsdbStore
+
+/** RollupSubstitution: ad-hoc slot aggregates over the store's base
+  * table are rewritten onto the materialized cascade — plan-audited
+  * (agg table in, base gone) and result-audited (bit-identical to the
+  * raw-scan plan) for the exact-step, coarser-step, and filtered
+  * forms; maintenance entry points and non-transferable filters are
+  * never rewritten. */
+class RollupSpec extends SparkSpec {
+
+  private val Flag = "spark.graft.rollup.rewrite"
+
+  private lazy val store: String = {
+    val dir = Files.createTempDirectory("graft_rollup").toString
+    TsdbStore.ingest(spark, Tables.events(spark, Sf), dir)
+    dir
+  }
+
+  private def slotAgg(stepSec: Long, filtered: Boolean = false): DataFrame = {
+    val base = spark.read.parquet(s"$store/base")
+    val src = if (filtered) base.filter(col("event_type") === "click") else base
+    src.groupBy(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(stepSec).as("slot_ts"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+  }
+
+  private def withFlag[A](on: Boolean)(body: => A): A = {
+    spark.conf.set(Flag, on.toString)
+    try body finally spark.conf.unset(Flag)
+  }
+
+  /** Root paths of every file scan in the optimized plan. */
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+
+  private def hasAggregate(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("exact-step hit becomes a pure Project over the cascade (no aggregate, no base scan)") {
+    val (paths, reagg, got) = withFlag(on = true) {
+      val df = slotAgg(21600L)
+      (scanPaths(df), hasAggregate(df), rows(df))
+    }
+    assert(paths.exists(_.endsWith("agg_21600")), s"cascade not substituted: $paths")
+    assert(!paths.exists(_.endsWith("/base")), s"base scan survived: $paths")
+    assert(!reagg, "exact-step hit should not re-aggregate")
+    val expect = withFlag(on = false)(rows(slotAgg(21600L)))
+    assert(got == expect, "rewritten result differs from the raw-scan result")
+    assert(got.nonEmpty)
+  }
+
+  test("coarser request re-aggregates the finer cascade level") {
+    // 43200 s is not materialized; 21600 divides it
+    val (paths, got) = withFlag(on = true) {
+      val df = slotAgg(43200L)
+      (scanPaths(df), rows(df))
+    }
+    assert(paths.exists(_.endsWith("agg_21600")), s"finer cascade not substituted: $paths")
+    assert(!paths.exists(_.endsWith("/base")), s"base scan survived: $paths")
+    val expect = withFlag(on = false)(rows(slotAgg(43200L)))
+    assert(got == expect, "rewritten rollup differs from the raw-scan result")
+  }
+
+  test("series-identity filters transfer onto the cascade; the day level wins for day slots") {
+    val (paths, plan, got) = withFlag(on = true) {
+      val df = slotAgg(86400L, filtered = true)
+      (scanPaths(df), df.queryExecution.optimizedPlan.toString, rows(df))
+    }
+    // coarsest dividing step: the materialized day level itself
+    assert(paths.exists(_.endsWith("agg_86400")), s"day cascade not substituted: $paths")
+    assert(plan.contains("click"), s"filter lost in the rewrite:\n$plan")
+    assert(!paths.exists(_.endsWith("/base")), s"base scan survived: $paths")
+    val expect = withFlag(on = false)(rows(slotAgg(86400L, filtered = true)))
+    assert(got == expect)
+    assert(got.nonEmpty && got.forall(_(1) == "click"))
+  }
+
+  test("derived outputs (CollapseProject-merged avg) convert leaf-by-leaf") {
+    def q: DataFrame = slotAgg(43200L)
+      .withColumn("avg_value",
+        col("sum_cents").cast("double") / 100.0 / col("n").cast("double"))
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("agg_21600")), s"not substituted: $paths")
+    assert(!paths.exists(_.endsWith("/base")), s"base scan survived: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect, "derived-output rewrite changed the result")
+  }
+
+  test("time filters and flag-off leave the plan alone; maintenance is immune") {
+    // flag off: no rewrite even on the perfect shape
+    val offPaths = withFlag(on = false)(scanPaths(slotAgg(21600L)))
+    assert(offPaths.exists(_.endsWith("/base")) &&
+      !offPaths.exists(_.endsWith("agg_21600")))
+    // a ts_us filter does not transfer exactly -> blocked
+    val tsPaths = withFlag(on = true) {
+      val base = spark.read.parquet(s"$store/base")
+        .filter(col("ts_us") >= 1704844800000000L)
+      scanPaths(base.groupBy(col("user_id"), col("event_type"),
+          TimeSeriesOps.slotSec(21600L).as("slot_ts"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("cents").as("min_cents"), max("cents").as("max_cents")))
+    }
+    assert(tsPaths.exists(_.endsWith("/base")) &&
+      !tsPaths.exists(_.endsWith("agg_21600")),
+      "ts_us-filtered aggregate must not be substituted")
+    // maintenance entry points force the flag off internally: an upsert
+    // under a live flag rebuilds a correct cascade (its internal
+    // downsample-from-base is NOT substituted onto the stale cascade)
+    withFlag(on = true) {
+      val late = Tables.events(spark, Sf).limit(50)
+      TsdbStore.upsertIncremental(spark, late, store)
+    }
+    val cascade = spark.read.parquet(s"$store/agg_21600")
+    val recomputed = withFlag(on = false) {
+      TimeSeriesOps.downsample(spark.read.parquet(s"$store/base"), 21600L)
+    }
+    assert(rows(cascade.select("user_id", "event_type", "slot_ts", "n",
+        "sum_cents", "min_cents", "max_cents")) == rows(recomputed),
+      "maintenance under a live flag corrupted the cascade")
+  }
+}
