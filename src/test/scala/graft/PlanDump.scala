@@ -38,7 +38,12 @@ object PlanDump extends App {
     "q_sim_ann_ivf_pq" -> "IVFADC: the candidate join carries (id, cell, 8-byte code) only - no raw-vector shuffle anywhere on the corpus side; query vectors re-attach by id equi-join, scoring is a broadcast-codebook map, ranking the bounded-heap partial_topkbyvalue",
     "q_ts_p95_billing" -> "nearest-rank p95 of heartbeat-valid rates: two series-partitioned window exchanges (lag, then rank) and nothing else - the exact sort-based quantile; at 100 TB the rank partitions by (series, billing month)",
     "q_dedup_containment" -> "Broder containment: identical candidate machinery as exact Jaccard (shingle equi-join bound, map-side-combined intersection counts, broadcast-able size joins); both directed scores project from ONE count - no second pair pass",
-    "q_agg_quantile_sketch" -> "mergeable bottom-k quantile sketch: partial_bottomkquantile ObjectHashAggregate BEFORE the exchange - the shuffle carries one <=512-pair sample per (group, partition), the same map-side-combined class as sum()")
+    "q_agg_quantile_sketch" -> "mergeable bottom-k quantile sketch: partial_bottomkquantile ObjectHashAggregate BEFORE the exchange - the shuffle carries one <=512-pair sample per (group, partition), the same map-side-combined class as sum()",
+    "q_store_rollup" -> "RollupSubstitution fired: the query text groups the BASE table at 12h slots, but the plan scans agg_21600 (the 6h cascade) and re-aggregates the monoid - no base-table scan anywhere; the series filter transferred onto the cascade scan's PushedFilters",
+    "q_dedup_substring" -> "duplicated-span detection: only 128-bit window digests shuffle (never window text) - one digest groupBy finds cross-doc hashes, one digest equi-join marks spans, one map-side-combined per-doc count",
+    "q_agg_theta" -> "theta set-expression sketch: partial_thetasketchagg ObjectHashAggregate BEFORE the exchange (<=512 hashes per group x partition); the pair join is a |metrics|-row BNLJ over finished sketches - the corpus is read ONCE for any number of pairs",
+    "q_sim_ann_ivf_pq_refine" -> "IVFADC+R: same ids+codes candidate grid as plain PQ, then the ADC short list (bounded-heap partial_topkbyvalue) re-attaches TRUE vectors by id equi-join for queries x rerank rows only - the exact re-score never sees the all-pairs space",
+    "q_ts_seasonal_baseline" -> "seasonal profile: map-side-combined hourly rollup is the ONLY pass over raw rows; the hour-of-day baseline window runs over <=days rows per (metric, hour) - nothing after the rollup grows with sample rate")
   val sb = new StringBuilder
   sb ++= "# PLANS - physical-plan audit evidence (round 6)\n\n"
   sb ++= "Generated from `.queryExecution.executedPlan` at sf0.001, local[4].\n"

@@ -305,6 +305,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("theta sketch builds statefully across microbatches, with duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val th = udaf(new graft.functions.ThetaSketchAgg)
+    val in = MemoryStream[Long]
+    // the distinct sketch in streaming state: a true set-union
+    // semilattice, so (a) microbatch placement is invisible and (b)
+    // re-delivered elements (at-least-once sources!) cannot change the
+    // sketch — the distinct-add absorbs them, completing the in-state
+    // family (HLL, MG, count-min, bottom-k, theta)
+    val q = in.toDF().toDF("id")
+      .select((xxhash64(col("id")).bitwiseAND(lit(Long.MaxValue))).as("h63"))
+      .agg(th(col("h63")).as("sk"))
+      .writeStream.format("memory").queryName("theta_stream")
+      .outputMode("complete").start()
+    try {
+      in.addData(0L until 900L)
+      q.processAllAvailable()
+      in.addData(600L until 2000L)  // 300 re-delivered duplicates
+      q.processAllAvailable()
+      val stream = spark.table("theta_stream").as[Seq[Long]].head()
+      val batch = (0L until 2000L).toDF("id")
+        .select((xxhash64(col("id")).bitwiseAND(lit(Long.MaxValue))).as("h63"))
+        .agg(th(col("h63"))).as[Seq[Long]].head()
+      assert(stream == batch,
+        "streaming sketch differs from batch build over the same set")
+      val est = graft.functions.ThetaSketch.estimate(stream.toArray)
+      assert(math.abs(est - 2000.0) <= 4 * 2000.0 /
+        math.sqrt(graft.functions.ThetaSketch.K - 2.0),
+        s"estimate $est far from 2000")
+    } finally q.stop()
+  }
+
   test("sliding windows emit one row per overlapping window (streaming)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
