@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -359,6 +360,72 @@ object JoinQueries {
         .saltedEquiJoin(fact, dim, "o_custkey", col("o_orderkey"), nSalts = 8)
         .select("o_orderkey", "o_custkey", "c_name", "c_nationkey")
         .orderBy("o_orderkey")
+    },
+
+    QueryDef("q_join_interval_overlap",
+      """WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        |           FROM events),
+        |g AS (SELECT user_id, event_type, ts_us, event_id,
+        |        CASE WHEN lag(ts_us) OVER w IS NULL
+        |               OR ts_us - lag(ts_us) OVER w > 1800000000
+        |             THEN 1 ELSE 0 END AS new_sess
+        |      FROM s WINDOW w AS (PARTITION BY user_id, event_type
+        |                          ORDER BY ts_us, event_id)),
+        |i AS (SELECT user_id, event_type, ts_us,
+        |        sum(new_sess) OVER (PARTITION BY user_id, event_type
+        |          ORDER BY ts_us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |      FROM g),
+        |sess AS (SELECT user_id, event_type, sess_id,
+        |           min(ts_us) AS s, max(ts_us) AS e
+        |         FROM i GROUP BY 1, 2, 3)
+        |SELECT a.event_type, a.user_id AS a_user,
+        |  CAST(a.sess_id AS BIGINT) AS a_sess,
+        |  b.user_id AS b_user, CAST(b.sess_id AS BIGINT) AS b_sess,
+        |  CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_us
+        |FROM sess a JOIN sess b
+        |  ON a.event_type = b.event_type AND a.user_id < b.user_id
+        |  AND a.s <= b.e AND b.s <= a.e
+        |ORDER BY a.event_type, a_user, a_sess, b_user, b_sess""".stripMargin) { (s, d) =>
+      // INTERVAL-OVERLAP join — the temporal shape the point-in-interval
+      // forms (q_join_range_ifref, as-of) don't cover: which session
+      // intervals of DIFFERENT users overlap in time, per metric
+      // ("who was on the network together"). The oracle states the pure
+      // overlap predicate; the Spark plan BINS each interval onto the
+      // 6 h slots it covers and equi-joins on (metric, slot) — the
+      // standard distributed interval-join recipe: candidate pairs meet
+      // only inside a shared slot (a pair spanning two slots meets
+      // twice -> distinct), so there is no all-pairs stage anywhere and
+      // skew is bounded by interval length / slot width. At 100 TB the
+      // slot width tunes the replication-vs-selectivity trade exactly
+      // like the jaccard grid's subBlocks
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+      val run = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        .withColumn("new_sess",
+          when(lag("ts_us", 1).over(w).isNull ||
+            col("ts_us") - lag("ts_us", 1).over(w) > 1800000000L, 1L).otherwise(0L))
+        .withColumn("sess_id", sum("new_sess").over(run))
+        .groupBy("user_id", "event_type", "sess_id")
+        .agg(min("ts_us").as("s"), max("ts_us").as("e"))
+      val slotUs = 21600000000L
+      def binned(side: DataFrame, p: String): DataFrame = side.select(
+        col("event_type"), col("user_id").as(s"${p}_user"),
+        col("sess_id").as(s"${p}_sess"), col("s").as(s"${p}_s"),
+        col("e").as(s"${p}_e"),
+        explode(expr(s"sequence(s div $slotUs, e div $slotUs)")).as("slot"))
+      binned(sess, "a").join(binned(sess, "b"), Seq("event_type", "slot"))
+        .filter(col("a_user") < col("b_user") &&
+          col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+        .select(col("event_type"), col("a_user"), col("a_sess"),
+          col("b_user"), col("b_sess"),
+          (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+            .as("overlap_us"))
+        .distinct()
+        .orderBy("event_type", "a_user", "a_sess", "b_user", "b_sess")
     }
   )
 }

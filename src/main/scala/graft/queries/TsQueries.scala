@@ -825,6 +825,44 @@ object TsQueries {
           (col("cents_h").cast("double") * col("base_n").cast("double") /
             col("base_s1").cast("double")).as("lift"))
         .orderBy("event_type", "hour_no")
+    },
+
+    QueryDef("q_ts_cume_users",
+      """WITH f AS (
+        |  SELECT event_type, user_id,
+        |    min(epoch_us(ts) // 86400000000) AS first_day
+        |  FROM events GROUP BY event_type, user_id
+        |),
+        |d AS (SELECT event_type, first_day AS day_no, count(*) AS new_users
+        |      FROM f GROUP BY 1, 2)
+        |SELECT event_type, CAST(day_no AS BIGINT) AS day_no,
+        |  CAST(new_users AS BIGINT) AS new_users,
+        |  CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day_no
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cume_users
+        |FROM d ORDER BY event_type, day_no""".stripMargin) { (s, d) =>
+      // cumulative distinct users per metric per day — the growth curve
+      // every dashboard wants, computed WITHOUT running set-union
+      // state: a user contributes to (metric, day D) iff their FIRST
+      // event on that metric is <= D, so cumulative-distinct = running
+      // sum of first-appearance counts. Two map-side-combined aggs
+      // (per-(metric, user) min, per-(metric, day) count) and one
+      // running window over <=days rows per metric — the exact-distinct
+      // running count at 100 TB with nothing resembling a
+      // distinct-state store, and the window partitions by metric so no
+      // single task sees more than one metric's <=days-row rollup
+      val f = Tables.events(s, d)
+        .groupBy("event_type", "user_id")
+        .agg(min(expr("unix_micros(ts) div 86400000000")).as("first_day"))
+      val wd = Window.partitionBy("event_type").orderBy("day_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      f.groupBy(col("event_type"), col("first_day").as("day_no"))
+        .agg(count(lit(1)).as("new_users"))
+        .withColumn("cume_users", sum("new_users").over(wd))
+        .select(col("event_type"), col("day_no").cast("bigint").as("day_no"),
+          col("new_users").cast("bigint").as("new_users"),
+          col("cume_users").cast("bigint").as("cume_users"))
+        .orderBy("event_type", "day_no")
     }
   )
 }

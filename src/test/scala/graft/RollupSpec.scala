@@ -96,6 +96,25 @@ class RollupSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_(1) == "click"))
   }
 
+  test("the bucketed catalog table's base scan substitutes too") {
+    import graft.sources.StoreLayout
+    val dir = Files.createTempDirectory("graft_rollup_bkt").toString
+    TsdbStore.ingest(spark, Tables.events(spark, Sf), dir,
+      StoreLayout(buckets = 4))
+    val name = TsdbStore.bucketedBaseTable(spark, dir)
+    def q: DataFrame = spark.table(name)
+      .groupBy(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(21600L).as("slot_ts"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("agg_21600")),
+      s"catalog-table base scan not substituted: $paths")
+    assert(!paths.exists(_.endsWith("/base")), s"base scan survived: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("derived outputs (CollapseProject-merged avg) convert leaf-by-leaf") {
     def q: DataFrame = slotAgg(43200L)
       .withColumn("avg_value",
