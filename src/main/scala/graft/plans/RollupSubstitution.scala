@@ -132,10 +132,18 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
       case a: AttributeReference if exprMap.contains(a.exprId) => exprMap(a.exprId)
     }
     // grouping: exactly {user_id, event_type, slot(S)}
+    // grouping: the slot plus ANY subset of the series-identity keys —
+    // groupBy(user_id, event_type, slot) is the per-series fetch shape,
+    // groupBy(event_type, slot) the fleet-wide dashboard rollup,
+    // groupBy(slot) the whole-store profile; all are monoid images of
+    // the cascade (dropping a key just re-aggregates more rows)
     var stepSec = 0L
-    var ok = agg.groupingExpressions.length == 3
+    var hasUid = false; var hasEtype = false
+    var ok = agg.groupingExpressions.nonEmpty &&
+      agg.groupingExpressions.length <= 3
     agg.groupingExpressions.map(resolve).foreach {
-      case a: AttributeReference if a.name == "user_id" || a.name == "event_type" => ()
+      case a: AttributeReference if a.name == "user_id" => hasUid = true
+      case a: AttributeReference if a.name == "event_type" => hasEtype = true
       case SlotExpr(_, s) => stepSec = s
       case _ => ok = false
     }
@@ -167,7 +175,10 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
       case None => cascade
     }
 
-    val exact = t == stepSec
+    // exact hit = the cascade's own granularity requested: both series
+    // keys present AND the step matches — cascade rows ARE the answer
+    // rows. Dropping a key or coarsening the step re-aggregates.
+    val exact = t == stepSec && hasUid && hasEtype
     // cascade-side replacements for the four monoid aggregates and the
     // grouping columns. On an exact-resolution hit the cascade rows ARE
     // the requested slots, so the aggregates collapse to plain columns;
@@ -175,7 +186,7 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     def ae(f: AggregateFunction): Expression =
       AggregateExpression(f, Complete, isDistinct = false)
     val slot2: Expression =
-      if (exact) slot
+      if (t == stepSec) slot  // already step-aligned: regrouping is identity
       else Multiply(IntegralDivide(slot, Literal(stepSec, LongType)),
         Literal(stepSec, LongType))
     // count(1) over base rows is non-nullable; sum(n) over the (always
@@ -234,6 +245,11 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
       return None
 
     if (exact) Some(Project(newOutputs, child2))
-    else Some(Aggregate(Seq(uid, etype, slot2), newOutputs, child2))
+    else {
+      val groupings2 =
+        (if (hasUid) Seq(uid) else Nil) ++
+        (if (hasEtype) Seq(etype) else Nil) ++ Seq(slot2)
+      Some(Aggregate(groupings2, newOutputs, child2))
+    }
   }
 }

@@ -96,6 +96,19 @@ class RollupSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_(1) == "click"))
   }
 
+  test("fleet-wide rollup (series key dropped from grouping) re-aggregates the cascade") {
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .groupBy(col("event_type"), TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("agg_86400")), s"not substituted: $paths")
+    assert(!paths.exists(_.endsWith("/base")), s"base scan survived: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty,
+      "fleet rollup differs from the raw-scan result")
+  }
+
   test("the bucketed catalog table's base scan substitutes too") {
     import graft.sources.StoreLayout
     val dir = Files.createTempDirectory("graft_rollup_bkt").toString
