@@ -1,8 +1,9 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 import graft.functions.{DotProduct, WrapDelta}
 import graft.plans.SimplifyEpochRoundTrips
@@ -25,5 +26,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "vec_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    // the reference's flagship REST fetch as a SQL TABLE FUNCTION —
+    // entry point 1 [pub: esxsnmp newdb.py GET .../<series>?begin=&end=
+    // &agg=&cf= — unverified, SURVEY.md §0] becomes
+    //   SELECT * FROM graft_fetch('<store>', user, 'type', begin, end
+    //                             [, agg_step [, cf]])
+    // resolving to the SAME pruned logical plan the Scala API builds
+    // (partition pruning, cascade reads, cf dispatch all intact).
+    // Arguments must be literals: the plan is built at resolution time.
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_fetch"),
+      new ExpressionInfo("graft.sources.TsdbStore", "graft_fetch"),
+      (args: Seq[Expression]) => GraftExtensions.fetchPlan(args)))
+  }
+}
+
+object GraftExtensions {
+  private def strArg(e: Expression): String =
+    String.valueOf(e.eval(org.apache.spark.sql.catalyst.InternalRow.empty))
+  private def longArg(e: Expression): Long =
+    e.eval(org.apache.spark.sql.catalyst.InternalRow.empty) match {
+      case l: java.lang.Long => l
+      case i: java.lang.Integer => i.toLong
+      case other => throw new IllegalArgumentException(
+        s"graft_fetch: expected an integer literal, got $other")
+    }
+
+  /** Resolve graft_fetch(...) literal arguments to the fetch plan. */
+  private[graft] def fetchPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 5 && args.length <= 7 && args.forall(_.foldable),
+      "usage: graft_fetch(path, user_id, event_type, begin_sec, end_sec" +
+        "[, agg_step[, cf]]) with literal arguments")
+    val spark = SparkSession.active
+    graft.sources.TsdbStore.fetch(spark,
+        strArg(args(0)), longArg(args(1)), strArg(args(2)),
+        longArg(args(3)), longArg(args(4)),
+        aggStep = if (args.length >= 6) longArg(args(5)) else 0L,
+        cf = if (args.length >= 7) strArg(args(6)) else "average")
+      .queryExecution.analyzed
   }
 }

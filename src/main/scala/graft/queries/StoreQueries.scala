@@ -314,6 +314,25 @@ object StoreQueries {
         .orderBy("event_id")
     },
 
+    QueryDef("q_sql_fetch_tvf",
+      s"""WITH c AS (
+         |  SELECT (epoch_us(ts) // 21600000000) * 21600 AS slot_ts,
+         |         CAST(round(value*100) AS BIGINT) AS cents
+         |  FROM events WHERE user_id = 5 AND event_type = 'error'
+         |)
+         |SELECT slot_ts, CAST(max(cents) AS DOUBLE)/100.0 AS value
+         |FROM c WHERE slot_ts >= $B AND slot_ts < $E
+         |GROUP BY slot_ts ORDER BY slot_ts""".stripMargin) { (s, d) =>
+      // the reference's REST fetch as a SQL TABLE FUNCTION
+      // (injectTableFunction via GraftExtensions): the SQL text resolves
+      // to the SAME pruned plan the Scala API builds — partition
+      // pruning, cascade read, cf dispatch intact — so SQL-only
+      // consumers get entry point 1 without touching the Scala API.
+      // Oracle recomputes the 6h max consolidation from raw events
+      val store = StoreFixture.store(s, d)
+      s.sql(s"SELECT * FROM graft_fetch('$store', 5, 'error', $B, $E, 21600, 'max')")
+    },
+
     QueryDef("q_store_rollup",
       """WITH c AS (
         |  SELECT user_id, event_type,

@@ -462,6 +462,60 @@ object TextQueries {
         .select(col("doc_id"), col("n_win"), col("n_dup"),
           (col("n_dup").cast("double") / col("n_win").cast("double")).as("dup_frac"))
         .orderBy("doc_id")
+    },
+
+    QueryDef("q_dedup_rewrite",
+      """WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |st AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1, 50)) AS start
+        |       FROM arrs),
+        |ch AS (SELECT doc_id, start,
+        |        array_to_string(list_slice(arr, start, start + 49), ' ') AS chunk,
+        |        len(list_slice(arr, start, start + 49)) AS n_tok FROM st),
+        |h AS (SELECT *, md5(chunk) AS h FROM ch),
+        |dup AS (SELECT h, min(doc_id) AS keeper FROM h WHERE n_tok = 50
+        |        GROUP BY h HAVING count(DISTINCT doc_id) > 1)
+        |SELECT h.doc_id,
+        |  CAST(count(*) FILTER (WHERE dup.h IS NULL OR h.doc_id = dup.keeper)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(count(*) FILTER (WHERE dup.h IS NOT NULL AND h.doc_id != dup.keeper)
+        |    AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(chunk, ' ' ORDER BY start)
+        |    FILTER (WHERE dup.h IS NULL OR h.doc_id = dup.keeper), '') AS new_text
+        |FROM h LEFT JOIN dup ON h.h = dup.h
+        |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin) { (s, d) =>
+      // the WRITE side of boilerplate dedup — q_dedup_chunks detects,
+      // this REWRITES: every 50-token chunk duplicated across docs is
+      // kept only in the lowest-id doc; each doc's surviving chunks
+      // reassemble in position order into the cleaned text (the actual
+      // corpus-prep transformation, not just the report). Shuffle
+      // economics at 100 TB: dup detection is the same digest-only
+      // groupBy as q_dedup_chunks; the rewrite join keys on the digest
+      // (the dup side carries 2 columns); only each doc's OWN chunks
+      // travel to its reassembly group — text is shuffled once, to the
+      // group that rebuilds it, never pairwise
+      val ch = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .select(col("doc_id"),
+          explode(expr("sequence(1, size(arr), 50)")).as("start"), col("arr"))
+        .select(col("doc_id"), col("start"),
+          expr("array_join(slice(arr, start, 50), ' ')").as("chunk"),
+          expr("size(slice(arr, start, 50))").as("n_tok"))
+        .withColumn("h", md5(col("chunk").cast("binary")))
+      val dup = ch.filter(col("n_tok") === 50)
+        .groupBy(col("h").as("dup_h"))
+        .agg(min("doc_id").as("keeper"), countDistinct("doc_id").as("nd"))
+        .filter(col("nd") > 1)
+        .select("dup_h", "keeper")
+      val keep = col("dup_h").isNull || col("doc_id") === col("keeper")
+      ch.join(dup, ch("h") === dup("dup_h"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(when(keep, 1)).as("n_kept"),
+          count(when(!keep, 1)).as("n_dropped"),
+          array_join(transform(
+            array_sort(collect_list(when(keep, struct(col("start"), col("chunk"))))),
+            x => x.getField("chunk")), " ").as("new_text"))
+        .orderBy("doc_id")
     }
   )
 }
