@@ -314,6 +314,37 @@ object StoreQueries {
         .orderBy("event_id")
     },
 
+    QueryDef("q_store_bulk_filled",
+      s"""WITH c AS (
+         |  SELECT user_id, event_type,
+         |         (epoch_us(ts) // 21600000000) * 21600 AS slot_ts,
+         |         CAST(round(value*100) AS BIGINT) AS cents
+         |  FROM events
+         |  WHERE (user_id = 7 AND event_type = 'click')
+         |     OR (user_id = 3 AND event_type = 'view')
+         |), h AS (
+         |  SELECT user_id, event_type, slot_ts,
+         |    CAST(sum(cents) AS DOUBLE)/100.0/CAST(count(*) AS DOUBLE) AS v
+         |  FROM c WHERE slot_ts >= $B AND slot_ts < $E
+         |  GROUP BY user_id, event_type, slot_ts
+         |)
+         |SELECT CAST(k.user_id AS BIGINT) AS user_id, k.event_type,
+         |  g.slot_ts, h.v AS value
+         |FROM range($B, $E, 21600) g(slot_ts)
+         |CROSS JOIN (VALUES (7, 'click'), (3, 'view')) k(user_id, event_type)
+         |LEFT JOIN h ON h.user_id = k.user_id AND h.event_type = k.event_type
+         |  AND h.slot_ts = g.slot_ts
+         |ORDER BY k.user_id, k.event_type, g.slot_ts""".stripMargin) { (s, d) =>
+      // the bulk REST surface completed: dense per-series slot grids for
+      // a MULTI-series request served from ONE pruned cascade scan —
+      // the request list is literal (request-sized), the grid a range
+      // generator, the re-attach a broadcast of the <=one-row-per-cell
+      // fetched side. Oracle rebuilds both grids from raw events
+      TsdbStore.fetchBulkFilled(s, StoreFixture.store(s, d),
+        Seq((7L, "click"), (3L, "view")), B, E, aggStep = 21600L,
+        cf = "average")
+    },
+
     QueryDef("q_sql_fetch_tvf",
       s"""WITH c AS (
          |  SELECT (epoch_us(ts) // 21600000000) * 21600 AS slot_ts,

@@ -863,6 +863,50 @@ object TsQueries {
           col("new_users").cast("bigint").as("new_users"),
           col("cume_users").cast("bigint").as("cume_users"))
         .orderBy("event_type", "day_no")
+    },
+
+    QueryDef("q_ts_retention",
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week_no
+        |  FROM events
+        |),
+        |f AS (SELECT user_id, min(week_no) AS cohort FROM a GROUP BY user_id),
+        |cs AS (SELECT cohort, count(*) AS n_cohort FROM f GROUP BY cohort),
+        |m AS (SELECT f.cohort, a.week_no - f.cohort AS offset_w,
+        |        count(*) AS n_active
+        |      FROM a JOIN f ON a.user_id = f.user_id
+        |      GROUP BY 1, 2)
+        |SELECT CAST(m.cohort AS BIGINT) AS cohort,
+        |  CAST(m.offset_w AS BIGINT) AS offset_w,
+        |  CAST(m.n_active AS BIGINT) AS n_active,
+        |  CAST(cs.n_cohort AS BIGINT) AS n_cohort,
+        |  CAST(m.n_active AS DOUBLE) / CAST(cs.n_cohort AS DOUBLE) AS retention
+        |FROM m JOIN cs ON cs.cohort = m.cohort
+        |ORDER BY cohort, offset_w""".stripMargin) { (s, d) =>
+      // cohort retention matrix — the device-uptime / user-stickiness
+      // view: users grouped by first-active week, fraction still active
+      // N weeks later. All exact integers until the final ratio; the
+      // (user, week) distinct is the only row-scaled shuffle, the
+      // cohort map is user-sized, and the matrix itself is
+      // weeks x weeks tiny. At 100 TB: one map-side-combined distinct,
+      // one user-keyed equi-join, nothing driver-sized
+      val a = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("week_no"))
+        .distinct()
+      val f = a.groupBy("user_id").agg(min("week_no").as("cohort"))
+      val cs = f.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+      a.join(f, "user_id")
+        .groupBy(col("cohort"), (col("week_no") - col("cohort")).as("offset_w"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(cs, "cohort")
+        .select(col("cohort").cast("bigint").as("cohort"),
+          col("offset_w").cast("bigint").as("offset_w"),
+          col("n_active").cast("bigint").as("n_active"),
+          col("n_cohort").cast("bigint").as("n_cohort"),
+          (col("n_active").cast("double") / col("n_cohort").cast("double"))
+            .as("retention"))
+        .orderBy("cohort", "offset_w")
     }
   )
 }

@@ -885,6 +885,33 @@ object TsdbStore {
     }
   }
 
+  /** Bulk DENSE-slot fetch — [[fetchFilled]]'s REST-parity grid for
+    * MANY series in one pruned scan: one row per (requested series,
+    * step slot) over [begin, end), absent slots NULL. The grid is a
+    * range generator exploded onto the literal request list (a bulk
+    * request names tens of series — request-sized, never corpus-sized);
+    * the store side is [[fetchBulk]]'s single-scan plan, re-attached by
+    * a broadcast join (≤ one row per grid cell by construction, so the
+    * fetched side is always the small side). */
+  def fetchBulkFilled(spark: SparkSession, path: String,
+                      series: Seq[(Long, String)],
+                      beginSec: Long, endSec: Long, aggStep: Long,
+                      cf: String = "average"): DataFrame = {
+    val layout = readLayout(spark, path)
+    require(layout.steps.contains(aggStep),
+      s"fetchBulkFilled needs a materialized slot resolution, got $aggStep (steps: ${layout.steps})")
+    require(endSec > beginSec, s"empty range: [$beginSec, $endSec)")
+    val firstSlot = Math.floorDiv(beginSec, aggStep) * aggStep
+    val keys = series.map { case (u, e) =>
+      struct(lit(u).as("user_id"), lit(e).as("event_type")) }
+    val grid = spark.range(firstSlot, endSec, aggStep)
+      .select(explode(array(keys: _*)).as("k"), col("id").as("slot_ts"))
+      .select(col("k.user_id"), col("k.event_type"), col("slot_ts"))
+    val present = fetchBulk(spark, path, series, firstSlot, endSec, aggStep, cf)
+    grid.join(broadcast(present), Seq("user_id", "event_type", "slot_ts"), "left")
+      .orderBy("user_id", "event_type", "slot_ts")
+  }
+
   /** Bulk best-aggregate selection — [[fetchAuto]]'s step choice over
     * [[fetchBulk]]'s many-series single-scan plan. */
   def fetchBulkAuto(spark: SparkSession, path: String,
