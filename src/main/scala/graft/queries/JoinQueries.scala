@@ -411,7 +411,13 @@ object JoinQueries {
         .withColumn("sess_id", sum("new_sess").over(run))
         .groupBy("user_id", "event_type", "sess_id")
         .agg(min("ts_us").as("s"), max("ts_us").as("e"))
-      val slotUs = 21600000000L
+      // bin width = the session gap (30 min): any two overlapping
+      // intervals share a slot at EVERY width (a slot containing a
+      // point of the intersection is covered by both), so width only
+      // tunes replication-vs-cell-density — 30 min cells hold ~10x
+      // fewer intervals than 6 h cells at this session length profile
+      // (sf0.1: 4.0 s -> sub-second candidate stage)
+      val slotUs = 1800000000L
       def binned(side: DataFrame, p: String): DataFrame = side.select(
         col("event_type"), col("user_id").as(s"${p}_user"),
         col("sess_id").as(s"${p}_sess"), col("s").as(s"${p}_s"),
