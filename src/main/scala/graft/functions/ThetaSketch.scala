@@ -47,6 +47,19 @@ object ThetaSketch {
     if (pris.length < K) pris.length.toDouble
     else (K - 1).toDouble / theta(pris)
 
+  /** Set-union merge of finished sketches (sorted hash arrays) — the
+    * semilattice join lifted to the serialized form, so PRE-BUILT
+    * sketches (e.g. one per day, stored like a cascade level) answer
+    * any window/rollup by merging without rescanning raw rows. */
+  def mergeArrays(sketches: Seq[Array[Long]]): Array[Long] = {
+    var acc = BottomKSample.empty
+    sketches.foreach { s =>
+      acc = BottomKSample.merge(acc,
+        BottomKSample.Buf(s, new Array[Double](s.length)))
+    }
+    acc.pri
+  }
+
   /** (|A∪B|, |A∩B|, |A\B|, |B\A|) estimates from two sorted hash
     * arrays. Both are trimmed to the common threshold (strictly below
     * the smaller K-th hash; everything when both sketches are exact),

@@ -243,6 +243,38 @@ object MiscQueries {
           col("e._1").as("est_union"), col("e._2").as("est_inter"),
           col("e._3").as("est_a_only"), col("e._4").as("est_b_only"))
         .orderBy("type_a", "type_b")
+    },
+
+    // the sketch CASCADE pattern — mergeability doing the job it
+    // exists for: per-(metric, day) theta sketches are the stored
+    // object (built once from raw, like the agg_<step> tables), and the
+    // trailing-7-day distinct-users trend derives from WINDOW MERGES of
+    // those sketches — raw rows are never rescanned for any window
+    // width. The window frame holds <=7 tiny arrays per row; the merge
+    // is the semilattice join, so the derived sketch is bit-identical
+    // to building from the window's raw rows (ThetaSpec pins it, with
+    // the estimate-vs-exact bound)
+    QueryDef.noOracle("q_agg_theta_window") { (s, d) =>
+      import org.apache.spark.sql.functions.udf
+      import org.apache.spark.sql.expressions.Window
+      val th = udaf(new graft.functions.ThetaSketchAgg)
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day_no"),
+          (xxhash64(col("user_id")).bitwiseAND(lit(Long.MaxValue))).as("h63"))
+        .groupBy("event_type", "day_no")
+        .agg(th(col("h63")).as("sk"))
+      val mergeEst = udf((sks: Seq[Seq[Long]]) =>
+        graft.functions.ThetaSketch.estimate(
+          graft.functions.ThetaSketch.mergeArrays(sks.map(_.toArray))))
+      val w = Window.partitionBy("event_type").orderBy("day_no")
+        .rowsBetween(-6, Window.currentRow)
+      daily
+        .withColumn("n_days", count(lit(1)).over(w))
+        .withColumn("users_7d", mergeEst(collect_list(col("sk")).over(w)))
+        .select(col("event_type"), col("day_no").cast("bigint").as("day_no"),
+          col("n_days"), col("users_7d"))
+        .orderBy("event_type", "day_no")
     }
   )
 }

@@ -43,7 +43,11 @@ object PlanDump extends App {
     "q_dedup_substring" -> "duplicated-span detection: only 128-bit window digests shuffle (never window text) - one digest groupBy finds cross-doc hashes, one digest equi-join marks spans, one map-side-combined per-doc count",
     "q_agg_theta" -> "theta set-expression sketch: partial_thetasketchagg ObjectHashAggregate BEFORE the exchange (<=512 hashes per group x partition); the pair join is a |metrics|-row BNLJ over finished sketches - the corpus is read ONCE for any number of pairs",
     "q_sim_ann_ivf_pq_refine" -> "IVFADC+R: same ids+codes candidate grid as plain PQ, then the ADC short list (bounded-heap partial_topkbyvalue) re-attaches TRUE vectors by id equi-join for queries x rerank rows only - the exact re-score never sees the all-pairs space",
-    "q_ts_seasonal_baseline" -> "seasonal profile: map-side-combined hourly rollup is the ONLY pass over raw rows; the hour-of-day baseline window runs over <=days rows per (metric, hour) - nothing after the rollup grows with sample rate")
+    "q_ts_seasonal_baseline" -> "seasonal profile: map-side-combined hourly rollup is the ONLY pass over raw rows; the hour-of-day baseline window runs over <=days rows per (metric, hour) - nothing after the rollup grows with sample rate",
+    "q_join_interval_overlap" -> "distributed interval-overlap join: intervals binned onto 30-min slots (the session gap), candidates meet ONLY inside a shared (metric, slot) equi-join cell - no all-pairs stage, no BNLJ; the overlap predicate and a<b cut are post-join filters on cell-mates",
+    "q_dedup_rewrite" -> "boilerplate rewrite: digest-only dup groupBy + digest equi-join; each doc's own chunks shuffle ONCE to the reassembly group (array_sort + array_join) - text is never shuffled pairwise",
+    "q_store_bulk_filled" -> "bulk dense grids: range generator exploded onto the literal request list, ONE pruned cascade scan re-attached by broadcast - dt PartitionFilters intact under the multi-series grid join",
+    "q_sql_fetch_tvf" -> "SQL table function resolves to the SAME plan as the Scala fetch API: pruned cascade scan with dt PartitionFilters + slot/series PushedFilters - the TVF adds zero plan overhead")
   val sb = new StringBuilder
   sb ++= "# PLANS - physical-plan audit evidence (round 6)\n\n"
   sb ++= "Generated from `.queryExecution.executedPlan` at sf0.001, local[4].\n"

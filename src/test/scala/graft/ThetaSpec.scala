@@ -58,6 +58,27 @@ class ThetaSpec extends SparkSpec {
       "inclusion-exclusion violated")
   }
 
+  test("window merges of stored daily sketches equal a direct build (cascade pattern)") {
+    // simulate 10 daily sketches over overlapping user populations
+    val daily = (0 until 10).map { day =>
+      buildLocal((day * 500L) until (day * 500L + 2000L))
+    }
+    // trailing-3-day window via merge of finished sketches
+    val merged = ThetaSketch.mergeArrays(daily.slice(5, 8))
+    // direct build from the same raw ids — must be bit-identical: the
+    // stored form loses nothing the semilattice needs
+    val direct = buildLocal(
+      ((5 * 500L) until (5 * 500L + 2000L)) ++
+      ((6 * 500L) until (6 * 500L + 2000L)) ++
+      ((7 * 500L) until (7 * 500L + 2000L)))
+    assert(merged.toSeq == direct.toSeq,
+      "merged daily sketches differ from the direct build")
+    // estimate vs exact distinct (ids 2500..5499 = 3000 distinct)
+    val est = ThetaSketch.estimate(merged)
+    assert(math.abs(est - 3000.0) <=
+      4 * 3000.0 / math.sqrt(ThetaSketch.K - 2.0), s"estimate $est far from 3000")
+  }
+
   test("distributed build is partitioning-invariant and matches the local fold") {
     import spark.implicits._
     val th = udaf(new ThetaSketchAgg)
