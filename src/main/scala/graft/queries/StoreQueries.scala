@@ -25,6 +25,42 @@ object StoreQueries {
   private val B = 1704844800L
   private val E = 1705708800L
 
+  /** The rollup A/B pair's shared query shape: a DAY slot aggregation
+    * over the store's BASE table. With the rewrite on this is an
+    * EXACT-step hit on the materialized day cascade — a pure Project,
+    * no aggregation, no shuffle; off, it re-scans and re-aggregates
+    * every raw sample. (At this fixture's sampling density the day
+    * cascade holds ~4x fewer rows than base; at a production 10 s poll
+    * rate the ratio is ~8600x — the bench delta understates the
+    * production win by that factor.) */
+  private def rollupShape(s: org.apache.spark.sql.SparkSession,
+                          store: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(s"$store/base")
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(col("user_id"), col("event_type"),
+        graft.operators.TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+      .withColumn("avg_value",
+        col("sum_cents").cast("double") / 100.0 / col("n").cast("double"))
+      .orderBy("user_id", "event_type", "slot_ts")
+
+  private val RollupOracle =
+    """WITH c AS (
+      |  SELECT user_id, event_type,
+      |    (epoch_us(ts) // 86400000000) * 86400 AS slot_ts,
+      |    CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |)
+      |SELECT user_id, event_type, slot_ts,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  CAST(min(cents) AS BIGINT) AS min_cents,
+      |  CAST(max(cents) AS BIGINT) AS max_cents,
+      |  CAST(sum(cents) AS DOUBLE)/100.0/CAST(count(*) AS DOUBLE) AS avg_value
+      |FROM c GROUP BY 1, 2, 3
+      |ORDER BY user_id, event_type, slot_ts""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("q_store_fetch",
@@ -365,20 +401,7 @@ object StoreQueries {
     },
 
     QueryDef("q_store_rollup",
-      """WITH c AS (
-        |  SELECT user_id, event_type,
-        |    (epoch_us(ts) // 43200000000) * 43200 AS slot_ts,
-        |    CAST(round(value*100) AS BIGINT) AS cents
-        |  FROM events WHERE event_type IN ('click', 'view')
-        |)
-        |SELECT user_id, event_type, slot_ts,
-        |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
-        |  CAST(min(cents) AS BIGINT) AS min_cents,
-        |  CAST(max(cents) AS BIGINT) AS max_cents,
-        |  CAST(sum(cents) AS DOUBLE)/100.0/CAST(count(*) AS DOUBLE) AS avg_value
-        |FROM c GROUP BY 1, 2, 3
-        |ORDER BY user_id, event_type, slot_ts""".stripMargin) { (s, d) =>
+      RollupOracle) { (s, d) =>
       // materialized-rollup substitution (graft.plans.RollupSubstitution,
       // the OLAP aggregate-navigation rewrite as a Catalyst rule): the
       // query TEXT aggregates the raw base table at 12 h slots, but the
@@ -390,15 +413,20 @@ object StoreQueries {
       // every raw sample
       val store = StoreFixture.store(s, d)
       s.conf.set("spark.graft.rollup.rewrite", "true")
-      s.read.parquet(s"$store/base")
-        .filter(col("event_type").isin("click", "view"))
-        .groupBy(col("user_id"), col("event_type"),
-          graft.operators.TimeSeriesOps.slotSec(43200L).as("slot_ts"))
-        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
-          min("cents").as("min_cents"), max("cents").as("max_cents"))
-        .withColumn("avg_value",
-          col("sum_cents").cast("double") / 100.0 / col("n").cast("double"))
-        .orderBy("user_id", "event_type", "slot_ts")
+      rollupShape(s, store)
+    },
+
+    QueryDef("q_store_rollup_raw",
+      RollupOracle) { (s, d) =>
+      // the A/B control for q_store_rollup: the IDENTICAL query text
+      // with the rewrite flag off, so BENCH carries the
+      // substituted-vs-raw pair side by side (and the driver's hash
+      // gate proves both answer-identical). Harness sequencing note:
+      // Verify and Bench both build AND execute each query within its
+      // own loop iteration, so the per-query flag set is effective
+      val store = StoreFixture.store(s, d)
+      s.conf.set("spark.graft.rollup.rewrite", "false")
+      rollupShape(s, store)
     },
 
     QueryDef("q_source_jsonl",
