@@ -37,7 +37,7 @@ object JoinOps {
       right.columns.filter(_ != key).map { c =>
         col(s"__r.$c").as(if (leftNames(c)) s"${c}_right" else c)
       }
-    joined.select(outCols: _*)
+    joined.select(outCols.toIndexedSeq: _*)
   }
 
   /** Distributed as-of join via the native merge operator

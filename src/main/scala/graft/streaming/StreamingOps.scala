@@ -197,7 +197,7 @@ object StreamingOps {
               if (stateTtlUs > 0)
                 state.setTimeoutTimestamp(
                   math.max((s._1 + stateTtlUs) / 1000L,
-                    state.getCurrentWatermarkMs + 1))
+                    state.getCurrentWatermarkMs() + 1))
             }
             out.result().iterator
           }
