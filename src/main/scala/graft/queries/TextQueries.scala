@@ -464,6 +464,47 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    QueryDef("q_dedup_keep_best",
+      """WITH k AS (
+        |  SELECT doc_id, n_chars,
+        |    md5(array_to_string(list_slice(string_split(text, ' '), 1, 30), ' ')) AS h
+        |  FROM documents
+        |),
+        |r AS (
+        |  SELECT doc_id, n_chars, h,
+        |    count(*) OVER (PARTITION BY h) AS n_docs,
+        |    row_number() OVER (PARTITION BY h
+        |                       ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM k
+        |)
+        |SELECT h AS family, CAST(n_docs AS BIGINT) AS n_docs,
+        |  doc_id AS keeper_doc, CAST(n_chars AS BIGINT) AS keeper_chars
+        |FROM r WHERE rn = 1 AND n_docs > 1
+        |ORDER BY family""".stripMargin) { (s, d) =>
+      // representative SELECTION policy — the step after family
+      // detection that real prep pipelines actually apply: docs sharing
+      // a 30-token opening (template/boilerplate families) keep the
+      // LONGEST member (most complete copy), ties to the lowest id —
+      // the complement of q_dedup_exact's keep-min-id and the policy
+      // knob dedup literature tunes (keep longest / highest quality).
+      // Only 128-bit prefix digests shuffle; the top-1 window ranks
+      // inside each family partition
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+      val wr = org.apache.spark.sql.expressions.Window.partitionBy("h")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          md5(expr("array_join(slice(split(text, ' '), 1, 30), ' ')")
+            .cast("binary")).as("h"))
+        .withColumn("n_docs", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") === 1 && col("n_docs") > 1)
+        .select(col("h").as("family"), col("n_docs"),
+          col("doc_id").as("keeper_doc"),
+          col("n_chars").cast("bigint").as("keeper_chars"))
+        .orderBy("family")
+    },
+
     QueryDef("q_dedup_rewrite",
       """WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
         |st AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1, 50)) AS start
