@@ -97,10 +97,18 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
           if (entries.contains(None)) None
           else Some((rel, c0, entries.flatten.toMap))
         }
-      case Filter(cond, child) if cond.references.forall(a =>
-          a.name == "user_id" || a.name == "event_type") =>
+      case Filter(cond, child) =>
         unwrap(child).map { case (rel, c0, m) =>
-          (rel, Some(c0.map(And(_, cond)).getOrElse(cond)), m) }
+          // resolve the condition through the projections BELOW the
+          // filter right here — the map returned upward carries only
+          // the outermost project's entries, so a later resolve could
+          // miss these exprIds. Whether the resolved condition may
+          // transfer at all is validated in tryRewrite against the
+          // relation's own attributes (ADVICE r6 #2).
+          val rc = cond.transform {
+            case a: AttributeReference if m.contains(a.exprId) => m(a.exprId)
+          }
+          (rel, Some(c0.map(And(_, rc)).getOrElse(rc)), m) }
       case _ => None
     }
 
@@ -131,6 +139,18 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     def resolve(e: Expression): Expression = e.transform {
       case a: AttributeReference if exprMap.contains(a.exprId) => exprMap(a.exprId)
     }
+    // a transferred filter may only touch the relation's OWN series
+    // identity columns: the rebase below maps attributes onto the
+    // cascade BY NAME, which is sound only once every reference is
+    // proven (by exprId) to be the relation's actual user_id /
+    // event_type attribute — an alias masquerading under those names
+    // that resolved to anything else blocks the rewrite (ADVICE r6 #2)
+    val identityIds = rel.output
+      .filter(a => a.name == "user_id" || a.name == "event_type")
+      .map(_.exprId).toSet
+    cond.foreach { c =>
+      if (!c.references.forall(a => identityIds.contains(a.exprId))) return None
+    }
     // grouping: exactly {user_id, event_type, slot(S)}
     // grouping: the slot plus ANY subset of the series-identity keys —
     // groupBy(user_id, event_type, slot) is the per-series fetch shape,
@@ -144,7 +164,11 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     agg.groupingExpressions.map(resolve).foreach {
       case a: AttributeReference if a.name == "user_id" => hasUid = true
       case a: AttributeReference if a.name == "event_type" => hasEtype = true
-      case SlotExpr(_, s) => stepSec = s
+      case SlotExpr(_, s) =>
+        // two slot expressions at DIFFERENT steps would silently keep
+        // only the last and regroup both at it (ADVICE r6 #1):
+        // duplicate identity keys are harmless, duplicate steps are not
+        if (stepSec != 0L && stepSec != s) ok = false else stepSec = s
       case _ => ok = false
     }
     if (!ok || stepSec == 0L) return None
@@ -209,7 +233,10 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
       case ag @ AggregateExpression(f, Complete, false, None, _)
           if ag.references.forall(a => !newIds.contains(a.exprId)) =>
         f match {
-          case Count(Seq(Literal(_, _))) => countRepl
+          // non-null literals only: count(NULL) counts zero rows, not
+          // sum(n) — NullPropagation normally folds it away first, but
+          // the rewrite must not depend on that (ADVICE r6 #3)
+          case Count(Seq(Literal(v, _))) if v != null => countRepl
           case Sum(c, _) => resolve(c) match {
             case a: AttributeReference if a.name == "cents" => sumRepl
             case _ => failed = true; e

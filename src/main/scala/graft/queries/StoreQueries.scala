@@ -45,6 +45,26 @@ object StoreQueries {
         col("sum_cents").cast("double") / 100.0 / col("n").cast("double"))
       .orderBy("user_id", "event_type", "slot_ts")
 
+  /** Build `body`'s frame with the rollup-rewrite flag pinned to `on`,
+    * restoring the session's previous value before returning (ADVICE r6
+    * #4: the old set-and-leave leaked the flag into every later query —
+    * correctness only held because _raw happened to run next). The flag
+    * is read at OPTIMIZATION time, which a lazily-executed harness hits
+    * after this closure returns — so the optimized plan is materialized
+    * inside the scope; QueryExecution memoizes it, and the later action
+    * reuses the already-rewritten (or deliberately raw) plan. */
+  private def withRollupFlag(s: org.apache.spark.sql.SparkSession, on: Boolean)
+      (body: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val key = "spark.graft.rollup.rewrite"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, on.toString)
+    try { val df = body; df.queryExecution.optimizedPlan; df }
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   private val RollupOracle =
     """WITH c AS (
       |  SELECT user_id, event_type,
@@ -412,8 +432,7 @@ object StoreQueries {
       // immune). At 100 TB: |series|·4 rows/day scanned instead of
       // every raw sample
       val store = StoreFixture.store(s, d)
-      s.conf.set("spark.graft.rollup.rewrite", "true")
-      rollupShape(s, store)
+      withRollupFlag(s, on = true)(rollupShape(s, store))
     },
 
     QueryDef("q_store_rollup_raw",
@@ -421,12 +440,9 @@ object StoreQueries {
       // the A/B control for q_store_rollup: the IDENTICAL query text
       // with the rewrite flag off, so BENCH carries the
       // substituted-vs-raw pair side by side (and the driver's hash
-      // gate proves both answer-identical). Harness sequencing note:
-      // Verify and Bench both build AND execute each query within its
-      // own loop iteration, so the per-query flag set is effective
+      // gate proves both answer-identical)
       val store = StoreFixture.store(s, d)
-      s.conf.set("spark.graft.rollup.rewrite", "false")
-      rollupShape(s, store)
+      withRollupFlag(s, on = false)(rollupShape(s, store))
     },
 
     QueryDef("q_source_jsonl",

@@ -139,6 +139,70 @@ class RollupSpec extends SparkSpec {
     assert(got == expect, "derived-output rewrite changed the result")
   }
 
+  test("two slot expressions at different steps block the rewrite (ADVICE r6 #1)") {
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .groupBy(col("user_id"),
+        TimeSeriesOps.slotSec(21600L).as("slot6h"),
+        TimeSeriesOps.slotSec(86400L).as("slot_day"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("/base")) &&
+      !paths.exists(_.contains("agg_")),
+      s"mixed-step slot grouping must not be substituted: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("an alias masquerading as user_id blocks the filter transfer (ADVICE r6 #2)") {
+    // "user_id" here is really cents — a name-based rebase would filter
+    // the cascade's series ids by a cents threshold
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .select(col("ts_us"), col("cents"), col("event_type"),
+        col("cents").as("user_id"))
+      .filter(col("user_id") > 100L)
+      .groupBy(col("event_type"), TimeSeriesOps.slotSec(21600L).as("slot_ts"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("/base")) &&
+      !paths.exists(_.contains("agg_")),
+      s"masqueraded identity filter must not be substituted: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("a REAL identity column under a different output name still transfers") {
+    // the inverse of the masquerade: the filter references the
+    // relation's actual user_id attribute, merely renamed — exprId
+    // validation accepts it and the rebase maps it by its true name
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .select(col("ts_us"), col("cents"), col("event_type"),
+        col("user_id").as("series"))
+      .filter(col("series") === 7L)
+      .groupBy(col("event_type"), TimeSeriesOps.slotSec(21600L).as("slot_ts"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("agg_21600")) &&
+      !paths.exists(_.endsWith("/base")),
+      s"renamed real identity filter should transfer: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("count(NULL) never rewrites to sum(n) (ADVICE r6 #3)") {
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .groupBy(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(21600L).as("slot_ts"))
+      .agg(count(lit(null)).as("n_null"), sum("cents").as("sum_cents"))
+    val got = withFlag(on = true)(rows(q))
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty,
+      "count(NULL) result changed under the rewrite flag")
+    assert(got.forall(_(3) == 0L), "count(NULL) must be zero")
+  }
+
   test("time filters and flag-off leave the plan alone; maintenance is immune") {
     // flag off: no rewrite even on the perfect shape
     val offPaths = withFlag(on = false)(scanPaths(slotAgg(21600L)))
