@@ -36,9 +36,14 @@ import graft.sources.TsdbStore
   *  - the scan is a store base dir (`…/base` beside a `_LAYout` stamp)
   *    and the chosen `agg_T` table exists on the same filesystem;
   *  - the only plan between Aggregate and scan is column pruning
-  *    and/or a Filter touching series-identity columns ONLY (user_id /
-  *    event_type — those transfer to the rollup verbatim; a ts_us
-  *    filter does NOT transfer exactly and blocks the rewrite);
+  *    and/or a Filter whose conjuncts each either touch series-identity
+  *    columns ONLY (user_id / event_type — those transfer to the rollup
+  *    verbatim) or are half-open `ts_us` range bounds whose literals
+  *    are multiples of the scanned cascade step T (slot membership is
+  *    decided by the floor-div, so every T-cell is entirely inside or
+  *    outside such a range — the bound transfers EXACTLY as a slot_ts
+  *    bound, plus a derived dt partition-prune twin). An unaligned
+  *    ts_us bound, or any other predicate shape, blocks the rewrite;
   *  - aggregates are the monoid four over `cents`, no DISTINCT, no
   *    FILTER clause.
   *
@@ -112,6 +117,11 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case x => Seq(x)
+  }
+
   /** The store root when the relation scans `<root>/base` of an
     * ingested [[TsdbStore]] layout. */
   private def storeRootOf(rel: LogicalRelation): Option[String] = rel.relation match {
@@ -139,17 +149,38 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     def resolve(e: Expression): Expression = e.transform {
       case a: AttributeReference if exprMap.contains(a.exprId) => exprMap(a.exprId)
     }
-    // a transferred filter may only touch the relation's OWN series
-    // identity columns: the rebase below maps attributes onto the
-    // cascade BY NAME, which is sound only once every reference is
-    // proven (by exprId) to be the relation's actual user_id /
-    // event_type attribute — an alias masquerading under those names
-    // that resolved to anything else blocks the rewrite (ADVICE r6 #2)
+    // classify the filter's conjuncts. Identity conjuncts transfer
+    // verbatim — the rebase below maps attributes onto the cascade BY
+    // NAME, which is sound only once every reference is proven (by
+    // exprId) to be the relation's actual user_id / event_type
+    // attribute; an alias masquerading under those names that resolved
+    // to anything else blocks the rewrite (ADVICE r6 #2). Half-open
+    // ts_us bounds are collected for the alignment check below
+    // (VERDICT r6 #1); any other conjunct blocks the rewrite.
     val identityIds = rel.output
       .filter(a => a.name == "user_id" || a.name == "event_type")
       .map(_.exprId).toSet
-    cond.foreach { c =>
-      if (!c.references.forall(a => identityIds.contains(a.exprId))) return None
+    val tsUsId = rel.output.find(_.name == "ts_us").map(_.exprId)
+    def isTs(e: Expression): Boolean = e match {
+      case a: AttributeReference => tsUsId.contains(a.exprId)
+      case _ => false
+    }
+    var seriesCond: Option[Expression] = None
+    var lowerUs = Seq.empty[Long] // conjuncts of the form ts_us >= L
+    var upperUs = Seq.empty[Long] // conjuncts of the form ts_us <  U
+    cond.toSeq.flatMap(splitConjuncts).foreach {
+      case c if c.references.nonEmpty &&
+          c.references.forall(a => identityIds.contains(a.exprId)) =>
+        seriesCond = Some(seriesCond.map(And(_, c)).getOrElse(c))
+      case GreaterThanOrEqual(t, Literal(l: Long, LongType)) if isTs(t) =>
+        lowerUs :+= l
+      case LessThanOrEqual(Literal(l: Long, LongType), t) if isTs(t) =>
+        lowerUs :+= l
+      case LessThan(t, Literal(u: Long, LongType)) if isTs(t) =>
+        upperUs :+= u
+      case GreaterThan(Literal(u: Long, LongType), t) if isTs(t) =>
+        upperUs :+= u
+      case _ => return None
     }
     // grouping: exactly {user_id, event_type, slot(S)}
     // grouping: the slot plus ANY subset of the series-identity keys —
@@ -164,7 +195,7 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     agg.groupingExpressions.map(resolve).foreach {
       case a: AttributeReference if a.name == "user_id" => hasUid = true
       case a: AttributeReference if a.name == "event_type" => hasEtype = true
-      case SlotExpr(_, s) =>
+      case SlotExpr(ts, s) if isTs(ts) =>
         // two slot expressions at DIFFERENT steps would silently keep
         // only the last and regroup both at it (ADVICE r6 #1):
         // duplicate identity keys are harmless, duplicate steps are not
@@ -183,6 +214,14 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
       .getFileSystem(session.sparkContext.hadoopConfiguration)
     if (!hfs.exists(new org.apache.hadoop.fs.Path(aggPath))) return None
 
+    // a half-open ts_us range transfers EXACTLY iff every bound is a
+    // multiple of the SCANNED cascade step T: each T-cell is then
+    // entirely inside or entirely outside the range. An unaligned
+    // bound would split a cell and is rejected (conservative — no
+    // interior/boundary union here).
+    val stepUs = t * 1000000L
+    if ((lowerUs ++ upperUs).exists(_ % stepUs != 0L)) return None
+
     // fresh analyzed scan of the cascade table (new exprIds throughout)
     val cascade = session.read.parquet(aggPath).queryExecution.analyzed
     def att(name: String): AttributeReference =
@@ -190,14 +229,35 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     val (uid, etype, slot) = (att("user_id"), att("event_type"), att("slot_ts"))
     val (nC, sumC, minC, maxC) =
       (att("n"), att("sum_cents"), att("min_cents"), att("max_cents"))
-    val child2: LogicalPlan = cond match {
-      case Some(c) =>
-        val rebased = c.transform {
-          case a: AttributeReference => att(a.name)
-        }
-        Filter(rebased, cascade)
-      case None => cascade
+    // cascade-side predicate: identity conjuncts rebased by (validated)
+    // name, ts_us bounds as slot_ts bounds, plus dt partition-prune
+    // twins of the slot bounds — slot_ts is a data column, and the
+    // planner cannot derive the dt partition key from it (the same
+    // reason TsdbStore.slotRead filters dt explicitly)
+    val rebasedSeries: Seq[Expression] = seriesCond.toSeq.map(_.transform {
+      case a: AttributeReference => att(a.name)
+    })
+    val slotBounds: Seq[Expression] =
+      lowerUs.map(l => GreaterThanOrEqual(slot, Literal(l / 1000000L, LongType))) ++
+      upperUs.map(u => LessThan(slot, Literal(u / 1000000L, LongType)))
+    def dtLit(sec: Long): Expression = {
+      val day = java.time.LocalDate.ofEpochDay(Math.floorDiv(sec, 86400L))
+      if (layout.monthly)
+        Literal.create(f"${day.getYear}%04d-${day.getMonthValue}%02d",
+          org.apache.spark.sql.types.StringType)
+      else Literal(day.toEpochDay.toInt, org.apache.spark.sql.types.DateType)
     }
+    val dtBounds: Seq[Expression] =
+      cascade.output.collect { case a: AttributeReference if a.name == "dt" => a }
+        .headOption.toSeq.flatMap { dt =>
+          lowerUs.map(l => GreaterThanOrEqual(dt, dtLit(l / 1000000L))) ++
+          upperUs.map(u => LessThanOrEqual(dt, dtLit(u / 1000000L)))
+        }
+    val child2: LogicalPlan =
+      (rebasedSeries ++ slotBounds ++ dtBounds).reduceOption(And) match {
+        case Some(c) => Filter(c, cascade)
+        case None => cascade
+      }
 
     // exact hit = the cascade's own granularity requested: both series
     // keys present AND the step matches — cascade rows ARE the answer

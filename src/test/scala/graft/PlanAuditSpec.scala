@@ -55,6 +55,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("range-rollup substitution prunes dt partitions on the cascade side") {
+    // q_store_rollup_range: the ts_us range transferred through
+    // RollupSubstitution must reach the CASCADE scan as directory-level
+    // dt pruning (the derived dt twins), not just a slot_ts data filter
+    val p = plan("q_store_rollup_range")
+    assert(p.contains("agg_86400"), s"cascade not substituted:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("FileScan") && l.contains("/base")),
+      "base scan survived the range rollup rewrite")
+    val line = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(line.nonEmpty && line.contains("dt") && !line.contains("PartitionFilters: []"),
+      s"range rollup has no dt partition pruning: $line")
+  }
+
   test("gap interpolation plans only running window frames") {
     // a [currentRow, unboundedFollowing] frame is recomputed per row
     // (O(n²) per series on the dense grid); both neighbor lookups must

@@ -203,15 +203,85 @@ class RollupSpec extends SparkSpec {
     assert(got.forall(_(3) == 0L), "count(NULL) must be zero")
   }
 
+  // 2024-01-12T00Z / 2024-01-18T00Z — midnight-UTC epochs, multiples of
+  // both cascade steps
+  private val RB = 1705017600L
+  private val RE = 1705536000L
+
+  private def rangeAgg(stepSec: Long, bUs: Long, eUs: Long): DataFrame =
+    spark.read.parquet(s"$store/base")
+      .filter(col("ts_us") >= bUs && col("ts_us") < eUs)
+      .groupBy(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(stepSec).as("slot_ts"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+
+  test("a T-aligned ts_us range transfers as slot bounds + dt pruning (VERDICT r6 #1)") {
+    val (paths, plan, got) = withFlag(on = true) {
+      val df = rangeAgg(86400L, RB * 1000000L, RE * 1000000L)
+      (scanPaths(df), df.queryExecution.optimizedPlan.toString, rows(df))
+    }
+    assert(paths.exists(_.endsWith("agg_86400")), s"cascade not substituted: $paths")
+    assert(!paths.exists(_.endsWith("/base")), s"base scan survived: $paths")
+    assert(plan.contains(RB.toString) && plan.contains(RE.toString),
+      s"slot bounds missing from the transferred filter:\n$plan")
+    assert(plan.contains("dt#") || plan.contains("dt "),
+      s"dt partition-prune twin missing:\n$plan")
+    val expect = withFlag(on = false)(rows(rangeAgg(86400L, RB * 1000000L, RE * 1000000L)))
+    assert(got == expect && got.nonEmpty,
+      "range-transferred rewrite differs from the raw-scan result")
+  }
+
+  test("a T-aligned range on a COARSER-slot request transfers and re-aggregates") {
+    // grouping at 43200 chooses the 21600 cascade; bounds are
+    // multiples of 21600 (and of 43200 — midnights)
+    val (paths, got) = withFlag(on = true) {
+      val df = rangeAgg(43200L, RB * 1000000L, RE * 1000000L)
+      (scanPaths(df), rows(df))
+    }
+    assert(paths.exists(_.endsWith("agg_21600")), s"not substituted: $paths")
+    assert(!paths.exists(_.endsWith("/base")), s"base scan survived: $paths")
+    val expect = withFlag(on = false)(rows(rangeAgg(43200L, RB * 1000000L, RE * 1000000L)))
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("a range aligned to T but not to the requested slot step still transfers exactly") {
+    // bounds at a 6h boundary that is NOT a 12h boundary: the edge
+    // 12h groups legitimately cover half their span — both plans
+    // compute the same partial groups
+    val b = (RB + 21600L) * 1000000L
+    val (paths, got) = withFlag(on = true) {
+      val df = rangeAgg(43200L, b, RE * 1000000L)
+      (scanPaths(df), rows(df))
+    }
+    assert(paths.exists(_.endsWith("agg_21600")), s"not substituted: $paths")
+    val expect = withFlag(on = false)(rows(rangeAgg(43200L, b, RE * 1000000L)))
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("an unaligned ts_us bound blocks the rewrite") {
+    val b = (RB + 3600L) * 1000000L // 1h offset: not a 21600 multiple
+    val (paths, got) = withFlag(on = true) {
+      val df = rangeAgg(21600L, b, RE * 1000000L)
+      (scanPaths(df), rows(df))
+    }
+    assert(paths.exists(_.endsWith("/base")) &&
+      !paths.exists(_.contains("agg_")),
+      s"unaligned range must not be substituted: $paths")
+    val expect = withFlag(on = false)(rows(rangeAgg(21600L, b, RE * 1000000L)))
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("time filters and flag-off leave the plan alone; maintenance is immune") {
     // flag off: no rewrite even on the perfect shape
     val offPaths = withFlag(on = false)(scanPaths(slotAgg(21600L)))
     assert(offPaths.exists(_.endsWith("/base")) &&
       !offPaths.exists(_.endsWith("agg_21600")))
-    // a ts_us filter does not transfer exactly -> blocked
+    // an UNALIGNED ts_us filter does not transfer exactly -> blocked
+    // (aligned bounds transfer — see the range tests above)
     val tsPaths = withFlag(on = true) {
       val base = spark.read.parquet(s"$store/base")
-        .filter(col("ts_us") >= 1704844800000000L)
+        .filter(col("ts_us") >= 1704844801000000L)
       scanPaths(base.groupBy(col("user_id"), col("event_type"),
           TimeSeriesOps.slotSec(21600L).as("slot_ts"))
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
