@@ -38,6 +38,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_fetch"),
       new ExpressionInfo("graft.sources.TsdbStore", "graft_fetch"),
       (args: Seq[Expression]) => GraftExtensions.fetchPlan(args)))
+    // entry point 3 (POST /bulk) for SQL-only consumers: many series in
+    // one pruned scan —
+    //   SELECT * FROM graft_fetch_bulk('<store>', begin, end, agg_step,
+    //                                  cf, uid1, 'type1'[, uid2, 'type2' …])
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_fetch_bulk"),
+      new ExpressionInfo("graft.sources.TsdbStore", "graft_fetch_bulk"),
+      (args: Seq[Expression]) => GraftExtensions.fetchBulkPlan(args)))
+    // the REST-parity dense grid for SQL-only consumers —
+    //   SELECT * FROM graft_fetch_filled('<store>', user, 'type', begin,
+    //                                    end, agg_step[, cf[, fill]])
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_fetch_filled"),
+      new ExpressionInfo("graft.sources.TsdbStore", "graft_fetch_filled"),
+      (args: Seq[Expression]) => GraftExtensions.fetchFilledPlan(args)))
   }
 }
 
@@ -63,6 +78,40 @@ object GraftExtensions {
         longArg(args(3)), longArg(args(4)),
         aggStep = if (args.length >= 6) longArg(args(5)) else 0L,
         cf = if (args.length >= 7) strArg(args(6)) else "average")
+      .queryExecution.analyzed
+  }
+
+  /** Resolve graft_fetch_bulk(...) literal arguments to the bulk fetch
+    * plan: fixed head (path, begin, end, agg_step, cf) + a flat
+    * alternating (user_id, event_type) tail — SQL has no tuple-array
+    * literal worth forcing on callers, and a bulk request list is
+    * request-sized by contract. */
+  private[graft] def fetchBulkPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 7 && (args.length - 5) % 2 == 0 &&
+        args.forall(_.foldable),
+      "usage: graft_fetch_bulk(path, begin_sec, end_sec, agg_step, cf, " +
+        "user_id, event_type[, user_id, event_type ...]) with literal arguments")
+    val series = args.drop(5).grouped(2).map {
+      case Seq(u, e) => (longArg(u), strArg(e))
+    }.toSeq
+    graft.sources.TsdbStore.fetchBulk(SparkSession.active,
+        strArg(args(0)), series, longArg(args(1)), longArg(args(2)),
+        aggStep = longArg(args(3)), cf = strArg(args(4)))
+      .queryExecution.analyzed
+  }
+
+  /** Resolve graft_fetch_filled(...) literal arguments to the dense-grid
+    * fetch plan (one row per step slot, absent slots NULL or
+    * interpolated). */
+  private[graft] def fetchFilledPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 6 && args.length <= 8 && args.forall(_.foldable),
+      "usage: graft_fetch_filled(path, user_id, event_type, begin_sec, " +
+        "end_sec, agg_step[, cf[, fill]]) with literal arguments")
+    graft.sources.TsdbStore.fetchFilled(SparkSession.active,
+        strArg(args(0)), longArg(args(1)), strArg(args(2)),
+        longArg(args(3)), longArg(args(4)), aggStep = longArg(args(5)),
+        cf = if (args.length >= 7) strArg(args(6)) else "average",
+        fill = if (args.length >= 8) strArg(args(7)) else "null")
       .queryExecution.analyzed
   }
 }

@@ -428,6 +428,50 @@ object StoreQueries {
       s.sql(s"SELECT * FROM graft_fetch('$store', 5, 'error', $B, $E, 21600, 'max')")
     },
 
+    QueryDef("q_sql_fetch_bulk_tvf",
+      s"""WITH c AS (
+         |  SELECT user_id, event_type,
+         |         (epoch_us(ts) // 21600000000) * 21600 AS slot_ts,
+         |         CAST(round(value*100) AS BIGINT) AS cents
+         |  FROM events
+         |  WHERE (user_id = 4 AND event_type = 'click')
+         |     OR (user_id = 9 AND event_type = 'view')
+         |)
+         |SELECT user_id, event_type, slot_ts,
+         |  CAST(sum(cents) AS DOUBLE)/100.0 AS value
+         |FROM c WHERE slot_ts >= $B AND slot_ts < $E
+         |GROUP BY user_id, event_type, slot_ts
+         |ORDER BY user_id, event_type, slot_ts""".stripMargin) { (s, d) =>
+      // POST /bulk for SQL-only consumers (VERDICT r6 next #2): the
+      // flat alternating (uid, type) tail resolves to fetchBulk's ONE
+      // pruned scan with an IN-list of series keys — the same plan the
+      // Scala API builds. Oracle recomputes the 6h sums from raw events
+      val store = StoreFixture.store(s, d)
+      s.sql(s"""SELECT * FROM graft_fetch_bulk('$store', $B, $E, 21600, 'sum',
+               |  4, 'click', 9, 'view')""".stripMargin)
+    },
+
+    QueryDef("q_sql_fetch_filled_tvf",
+      s"""WITH c AS (
+         |  SELECT (epoch_us(ts) // 21600000000) * 21600 AS slot_ts,
+         |         CAST(round(value*100) AS BIGINT) AS cents
+         |  FROM events WHERE user_id = 2 AND event_type = 'view'
+         |), h AS (
+         |  SELECT slot_ts, CAST(min(cents) AS DOUBLE)/100.0 AS v
+         |  FROM c WHERE slot_ts >= $B AND slot_ts < $E GROUP BY slot_ts
+         |)
+         |SELECT g.slot_ts, h.v AS value
+         |FROM range($B, $E, 21600) g(slot_ts)
+         |LEFT JOIN h ON h.slot_ts = g.slot_ts
+         |ORDER BY g.slot_ts""".stripMargin) { (s, d) =>
+      // the REST-parity dense grid for SQL-only consumers: graft_fetch_
+      // filled resolves to fetchFilled's grid-generator + pruned-scan
+      // plan. Oracle rebuilds the grid from raw events via range()
+      val store = StoreFixture.store(s, d)
+      s.sql(
+        s"SELECT * FROM graft_fetch_filled('$store', 2, 'view', $B, $E, 21600, 'min')")
+    },
+
     QueryDef("q_store_rollup",
       rollupOracle()) { (s, d) =>
       // materialized-rollup substitution (graft.plans.RollupSubstitution,

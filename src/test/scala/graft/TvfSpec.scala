@@ -35,6 +35,54 @@ class TvfSpec extends SparkSpec {
         aggStep = 21600L, cf = "rate")))
   }
 
+  test("graft_fetch_bulk: SQL parity with the Scala API, incl. counter cf") {
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_fetch_bulk('$store', $B, $E, 21600, 'average', " +
+          "1, 'click', 2, 'view')")) ==
+      rows(TsdbStore.fetchBulk(spark, store,
+        Seq((1L, "click"), (2L, "view")), B, E, aggStep = 21600L)))
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_fetch_bulk('$store', $B, $E, 21600, 'delta', " +
+          "7, 'click')")) ==
+      rows(TsdbStore.fetchBulk(spark, store,
+        Seq((7L, "click")), B, E, aggStep = 21600L, cf = "delta")))
+  }
+
+  test("graft_fetch_filled: SQL parity for null and interp fills") {
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_fetch_filled('$store', 7, 'click', $B, $E, 21600)")) ==
+      rows(TsdbStore.fetchFilled(spark, store, 7L, "click", B, E,
+        aggStep = 21600L)))
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_fetch_filled('$store', 65, 'error', $B, $E, " +
+          "21600, 'max', 'interp')")) ==
+      rows(TsdbStore.fetchFilled(spark, store, 65L, "error", B, E,
+        aggStep = 21600L, cf = "max", fill = "interp")))
+  }
+
+  test("bad bulk/filled calls fail with the usage message") {
+    val oddTail = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_fetch_bulk('$store', $B, $E, 21600, " +
+        "'sum', 4, 'click', 9)").collect()
+    }
+    assert(oddTail.getMessage.contains("usage: graft_fetch_bulk"), oddTail.getMessage)
+    val noSeries = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_fetch_bulk('$store', $B, $E, 21600, 'sum')")
+        .collect()
+    }
+    assert(noSeries.getMessage.contains("usage: graft_fetch_bulk"), noSeries.getMessage)
+    val rawFill = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_fetch_filled('$store', 7, 'click', $B, $E)")
+        .collect()
+    }
+    assert(rawFill.getMessage.contains("usage: graft_fetch_filled"), rawFill.getMessage)
+    val badFill = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_fetch_filled('$store', 7, 'click', $B, $E, " +
+        "21600, 'max', 'zeroes')").collect()
+    }
+    assert(badFill.getMessage.contains("unknown fill"), badFill.getMessage)
+  }
+
   test("bad calls fail with the usage message, not a planner stack trace") {
     val tooFew = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_fetch('$store', 7)").collect()
