@@ -440,6 +440,44 @@ class TsdbStoreSpec extends SparkSpec {
     }
   }
 
+  test("filled fetch gates the broadcast by grid size: identical rows, shuffle join past the gate") {
+    val (b, e) = (1704844800L, 1705708800L) // 40 six-hour slots
+    val key = "spark.graft.fill.broadcastCells"
+    def exec(df: org.apache.spark.sql.DataFrame) = df.queryExecution.executedPlan.toString
+    def run() = (
+      TsdbStore.fetchFilled(spark, store, 7L, "click", b, e, aggStep = 21600L),
+      TsdbStore.fetchBulkFilled(spark, store,
+        Seq((7L, "click"), (3L, "view")), b, e, aggStep = 21600L))
+    val (f1, bf1) = run()
+    assert(exec(f1).contains("BroadcastHashJoin"),
+      "request-sized grid should broadcast the fetched side")
+    val (small, smallB) = (f1.collect().toSeq, bf1.collect().toSeq)
+    // past the gate the explicit broadcast HINT is dropped and the
+    // planner chooses from its own stats — emulate the at-scale
+    // estimate (far above autoBroadcastJoinThreshold) by disabling
+    // auto-broadcast, the way a multi-million-row present side would
+    // exceed it naturally
+    val auto = "spark.sql.autoBroadcastJoinThreshold"
+    spark.conf.set(auto, "-1")
+    try {
+      // gate NOT crossed: the hint still forces a broadcast — small
+      // requests broadcast regardless of planner stats
+      val (f1b, _) = run()
+      assert(exec(f1b).contains("BroadcastHashJoin"),
+        "below the gate the hint must force the broadcast even with auto off")
+      spark.conf.set(key, "10") // force the gate: 40 cells > 10
+      val (f2, bf2) = run()
+      assert(!exec(f2).contains("BroadcastHashJoin") &&
+        exec(f2).contains("SortMergeJoin"),
+        s"past the gate the re-attach must shuffle-join:\n${exec(f2)}")
+      assert(!exec(bf2).contains("BroadcastHashJoin") &&
+        exec(bf2).contains("SortMergeJoin"),
+        "bulk filled fetch did not gate its broadcast")
+      assert(f2.collect().toSeq == small, "gated fetchFilled changed rows")
+      assert(bf2.collect().toSeq == smallB, "gated fetchBulkFilled changed rows")
+    } finally { spark.conf.unset(key); spark.conf.unset(auto) }
+  }
+
   test("fetchAuto: coarsest dividing step wins; raw fallback; bad input loud") {
     val b = 1704844800L; val e = 1705708800L
     // 12 h resolution over the default (6 h, 1 d) chain → the 6 h
