@@ -3,10 +3,10 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.sources.TsdbStore
 
@@ -61,7 +61,8 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!session.conf.get(FlagKey, "false").toBoolean) return plan
     plan.transformUp {
-      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+      case agg: Aggregate =>
+        tryRewrite(agg).orElse(tryRewriteRate(agg)).getOrElse(agg)
     }
   }
 
@@ -328,6 +329,291 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     }
     if (failed) return None
     // nothing from the old subtree may survive the conversion
+    if (newOutputs.exists(_.references.exists(a => !newIds.contains(a.exprId))))
+      return None
+
+    if (exact) Some(Project(newOutputs, child2))
+    else {
+      val groupings2 =
+        (if (hasUid) Seq(uid) else Nil) ++
+        (if (hasEtype) Seq(etype) else Nil) ++ Seq(slot2)
+      Some(Aggregate(groupings2, newOutputs, child2))
+    }
+  }
+
+  /** Unwrap Projects and Filters between an Aggregate and a Window —
+    * the delta-aggregate twin of [[unwrap]]: returns the window node,
+    * the combined (projection-resolved) filter condition found ABOVE
+    * the window, and the exprId→expression map of the projections.
+    * References in the returned expressions may be window outputs (the
+    * lag columns) or deeper columns. */
+  private def unwrapToWindow(p: LogicalPlan)
+      : Option[(Window, Option[Expression], Map[ExprId, Expression])] =
+    p match {
+      case w: Window => Some((w, None, Map.empty))
+      case Project(projList, child) =>
+        unwrapToWindow(child).flatMap { case (w, c0, m0) =>
+          def resolve(e: Expression): Expression = e.transform {
+            case a: AttributeReference if m0.contains(a.exprId) => m0(a.exprId)
+          }
+          val entries = projList.map {
+            case a: AttributeReference => Some(a.exprId -> resolve(a))
+            case al: Alias => Some(al.exprId -> resolve(al.child))
+            case _ => None
+          }
+          if (entries.contains(None)) None
+          else Some((w, c0, entries.flatten.toMap))
+        }
+      case Filter(cond, child) =>
+        unwrapToWindow(child).map { case (w, c0, m) =>
+          val rc = cond.transform {
+            case a: AttributeReference if m.contains(a.exprId) => m(a.exprId)
+          }
+          (w, Some(c0.map(And(_, rc)).getOrElse(rc)), m)
+        }
+      case _ => None
+    }
+
+  /** Rate-cascade substitution (VERDICT r6 next #6): the wrap-corrected,
+    * heartbeat-validated counter-delta aggregate
+    *
+    *   base → lag(cents), lag(ts_us) over (series, ORDER ts_us, event_id)
+    *        → filter(prev_ts_us IS NOT NULL ∧ ts_us − prev_ts_us ≤ hb·10⁶)
+    *        → groupBy(series keys?, slot(S))
+    *        → agg(count(1), sum(wrap-delta), sum(ts_us − prev_ts_us))
+    *
+    * is the SAME computation the store materializes as `rate_T`
+    * ([[TsdbStore]] validDeltas → rateAggFromDeltas), so it substitutes
+    * the way the monoid four substitute `agg_T`: exact-step hits
+    * collapse to a Project over the rate cascade, coarser steps re-sum
+    * (each cascade row is already a per-cell sum of deltas — summing
+    * sums is the monoid composition). The match is deliberately exact:
+    * the heartbeat literal must equal the store's STAMPED heartbeatSec
+    * (a different heartbeat is a different validity rule), the delta
+    * must be the engine's canonical ((c−p) % cap + cap) % cap with
+    * cap = WrapCap (or the native wrap_delta), the window exactly
+    * lag(1) over (user_id, event_type) ordered (ts_us, event_id) asc —
+    * any deviation leaves the plan alone. Series filters transfer from
+    * either side of the window; T-aligned ts_us bounds transfer from
+    * ABOVE it only (a time filter BELOW the window changes which sample
+    * is "previous" — that is not the cascade's content). */
+  private def tryRewriteRate(agg: Aggregate): Option[LogicalPlan] = {
+    val (win, condAbove, exprMap) = unwrapToWindow(agg.child) match {
+      case Some(x) => x
+      case None => return None
+    }
+    // below the window: column pruning + pushed-down series filters
+    val (rel, condBelow, mBelow) = unwrap(win.child) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val store = storeRootOf(rel) match {
+      case Some(s) => s
+      case None => return None
+    }
+    val layout = TsdbStore.readLayout(session, store)
+    def relId(name: String): Option[ExprId] =
+      rel.output.find(_.name == name).map(_.exprId)
+    val (uidId, etypeId, tsId, evId, centsId) =
+      (relId("user_id"), relId("event_type"), relId("ts_us"),
+        relId("event_id"), relId("cents")) match {
+        case (Some(a), Some(b), Some(c), Some(d), Some(e)) => (a, b, c, d, e)
+        case _ => return None
+      }
+    def resolveBelow(e: Expression): Expression = e.transform {
+      case a: AttributeReference if mBelow.contains(a.exprId) => mBelow(a.exprId)
+    }
+    def isRel(e: Expression, id: ExprId): Boolean = resolveBelow(e) match {
+      case a: AttributeReference => a.exprId == id
+      case _ => false
+    }
+
+    // the window must be EXACTLY the canonical delta window — series
+    // partition, (ts_us, event_id) ascending order, two lag(1) columns
+    // over cents and ts_us
+    if (win.partitionSpec.map(resolveBelow).collect {
+        case a: AttributeReference => a.exprId
+      }.toSet != Set(uidId, etypeId)) return None
+    win.orderSpec.map(o => (resolveBelow(o.child), o.direction)) match {
+      case Seq((t: AttributeReference, Ascending), (ev: AttributeReference, Ascending))
+          if t.exprId == tsId && ev.exprId == evId => ()
+      case _ => return None
+    }
+    if (win.windowExpressions.length != 2) return None
+    var prevCentsId: Option[ExprId] = None
+    var prevTsId: Option[ExprId] = None
+    win.windowExpressions.foreach {
+      case al @ Alias(WindowExpression(
+          Lag(in, Literal(1, IntegerType), Literal(null, _), false), _), _) =>
+        if (isRel(in, centsId)) prevCentsId = Some(al.exprId)
+        else if (isRel(in, tsId)) prevTsId = Some(al.exprId)
+      case _ => ()
+    }
+    val (pcId, ptId) = (prevCentsId, prevTsId) match {
+      case (Some(a), Some(b)) => (a, b)
+      case _ => return None
+    }
+    def isAtt(e: Expression, id: ExprId): Boolean = e match {
+      case a: AttributeReference => a.exprId == id
+      case _ => false
+    }
+
+    // the engine's canonical wrap-corrected delta and elapsed time
+    val cap = graft.Tables.WrapCap
+    def isDelta(e: Expression): Boolean = e match {
+      case Remainder(Add(Remainder(Subtract(c, p, _), Literal(c1: Long, LongType), _),
+          Literal(c2: Long, LongType), _), Literal(c3: Long, LongType), _)
+          if c1 == cap && c2 == cap && c3 == cap &&
+            isRel(c, centsId) && isAtt(p, pcId) => true
+      case graft.functions.WrapDelta(p, c, Literal(c1: Long, LongType))
+          if c1 == cap && isAtt(p, pcId) && isRel(c, centsId) => true
+      case _ => false
+    }
+    def isDt(e: Expression): Boolean = e match {
+      case Subtract(t, p, _) if isRel(t, tsId) && isAtt(p, ptId) => true
+      case _ => false
+    }
+
+    // filter classification. ABOVE the window: the heartbeat gate
+    // (REQUIRED, must equal the stamped heartbeat) and
+    // isnotnull(prev_ts_us) (REQUIRED) — together the cascade's
+    // validity rule; inferred isnotnull(ts_us) is implied by the
+    // heartbeat conjunct in both engines and may be dropped; identity
+    // conjuncts and T-aligned ts_us bounds transfer. BELOW the window:
+    // identity conjuncts ONLY.
+    val identityIds = Set(uidId, etypeId)
+    var hbOk = false; var prevNotNull = false
+    var seriesCond: Option[Expression] = None
+    var lowerUs = Seq.empty[Long]; var upperUs = Seq.empty[Long]
+    def addSeries(c: Expression): Unit =
+      seriesCond = Some(seriesCond.map(And(_, c)).getOrElse(c))
+    var badConjunct = false
+    condAbove.toSeq.flatMap(splitConjuncts).foreach {
+      case c if c.references.nonEmpty &&
+          c.references.forall(a => identityIds.contains(a.exprId)) =>
+        addSeries(c)
+      case LessThanOrEqual(d, Literal(hb: Long, LongType))
+          if isDt(d) && hb == layout.heartbeatSec * 1000000L => hbOk = true
+      case IsNotNull(a: AttributeReference) if a.exprId == ptId =>
+        prevNotNull = true
+      case IsNotNull(e) if isRel(e, tsId) => () // implied by the heartbeat gate
+      case GreaterThanOrEqual(t, Literal(l: Long, LongType)) if isRel(t, tsId) =>
+        lowerUs :+= l
+      case LessThanOrEqual(Literal(l: Long, LongType), t) if isRel(t, tsId) =>
+        lowerUs :+= l
+      case LessThan(t, Literal(u: Long, LongType)) if isRel(t, tsId) =>
+        upperUs :+= u
+      case GreaterThan(Literal(u: Long, LongType), t) if isRel(t, tsId) =>
+        upperUs :+= u
+      case _ => badConjunct = true
+    }
+    condBelow.toSeq.flatMap(splitConjuncts).foreach {
+      case c if c.references.nonEmpty &&
+          c.references.forall(a => identityIds.contains(a.exprId)) =>
+        addSeries(c)
+      case _ => badConjunct = true
+    }
+    if (badConjunct || !hbOk || !prevNotNull) return None
+
+    // grouping: slot(S) plus any subset of the series keys, like the
+    // value path (dropping a key re-sums more cascade rows)
+    def resolve(e: Expression): Expression = e.transform {
+      case a: AttributeReference if exprMap.contains(a.exprId) => exprMap(a.exprId)
+    }
+    var stepSec = 0L
+    var hasUid = false; var hasEtype = false
+    var ok = agg.groupingExpressions.nonEmpty &&
+      agg.groupingExpressions.length <= 3
+    agg.groupingExpressions.map(e => resolveBelow(resolve(e))).foreach {
+      case a: AttributeReference if a.exprId == uidId => hasUid = true
+      case a: AttributeReference if a.exprId == etypeId => hasEtype = true
+      case SlotExpr(ts, s) if ts.exprId == tsId =>
+        if (stepSec != 0L && stepSec != s) ok = false else stepSec = s
+      case _ => ok = false
+    }
+    if (!ok || stepSec == 0L) return None
+    val t = layout.steps.filter(stepSec % _ == 0).sorted.lastOption match {
+      case Some(x) => x
+      case None => return None
+    }
+    val ratePath = s"$store/rate_$t"
+    val hfs = new org.apache.hadoop.fs.Path(ratePath)
+      .getFileSystem(session.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(new org.apache.hadoop.fs.Path(ratePath))) return None
+    val stepUs = t * 1000000L
+    if ((lowerUs ++ upperUs).exists(_ % stepUs != 0L)) return None
+
+    val cascade = session.read.parquet(ratePath).queryExecution.analyzed
+    def att(name: String): AttributeReference =
+      cascade.output.find(_.name == name).get match { case a: AttributeReference => a }
+    val (uid, etype, slot) = (att("user_id"), att("event_type"), att("slot_ts"))
+    val (nvC, dC, dtC) = (att("n_valid"), att("delta_cents"), att("dt_us"))
+    val rebasedSeries: Seq[Expression] = seriesCond.toSeq.map(_.transform {
+      case a: AttributeReference => att(a.name)
+    })
+    val slotBounds: Seq[Expression] =
+      lowerUs.map(l => GreaterThanOrEqual(slot, Literal(l / 1000000L, LongType))) ++
+      upperUs.map(u => LessThan(slot, Literal(u / 1000000L, LongType)))
+    def dtLit(sec: Long): Expression = {
+      val day = java.time.LocalDate.ofEpochDay(Math.floorDiv(sec, 86400L))
+      if (layout.monthly)
+        Literal.create(f"${day.getYear}%04d-${day.getMonthValue}%02d",
+          org.apache.spark.sql.types.StringType)
+      else Literal(day.toEpochDay.toInt, org.apache.spark.sql.types.DateType)
+    }
+    val dtBounds: Seq[Expression] =
+      cascade.output.collect { case a: AttributeReference if a.name == "dt" => a }
+        .headOption.toSeq.flatMap { dt =>
+          lowerUs.map(l => GreaterThanOrEqual(dt, dtLit(l / 1000000L))) ++
+          upperUs.map(u => LessThanOrEqual(dt, dtLit(u / 1000000L)))
+        }
+    val child2: LogicalPlan =
+      (rebasedSeries ++ slotBounds ++ dtBounds).reduceOption(And) match {
+        case Some(c) => Filter(c, cascade)
+        case None => cascade
+      }
+
+    val exact = t == stepSec && hasUid && hasEtype
+    def ae(f: AggregateFunction): Expression =
+      AggregateExpression(f, Complete, isDistinct = false)
+    val slot2: Expression =
+      if (t == stepSec) slot
+      else Multiply(IntegralDivide(slot, Literal(stepSec, LongType)),
+        Literal(stepSec, LongType))
+    val countRepl: Expression = KnownNotNull(if (exact) nvC else ae(Sum(nvC)))
+    val deltaRepl: Expression = if (exact) dC else ae(Sum(dC))
+    val dtRepl: Expression = if (exact) dtC else ae(Sum(dtC))
+
+    val newIds = cascade.output.map(_.exprId).toSet
+    var failed = false
+    def convert(e: Expression): Expression = e.transform {
+      case ag @ AggregateExpression(f, Complete, false, None, _)
+          if ag.references.forall(a => !newIds.contains(a.exprId)) =>
+        f match {
+          case Count(Seq(Literal(v, _))) if v != null => countRepl
+          case Sum(c, _) =>
+            val rc = resolveBelow(resolve(c))
+            if (isDelta(rc)) deltaRepl
+            else if (isDt(rc)) dtRepl
+            else { failed = true; e }
+          case _ => failed = true; e
+        }
+      case a: AttributeReference if !newIds.contains(a.exprId) =>
+        resolveBelow(resolve(a)) match {
+          case r: AttributeReference if r.exprId == uidId => uid
+          case r: AttributeReference if r.exprId == etypeId => etype
+          case SlotExpr(ts, _) if ts.exprId == tsId => slot2
+          case _ => failed = true; a
+        }
+    }
+    val newOutputs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        Alias(convert(a), a.name)(exprId = a.exprId)
+      case al: Alias =>
+        Alias(convert(al.child), al.name)(exprId = al.exprId)
+      case other => failed = true; other
+    }
+    if (failed) return None
     if (newOutputs.exists(_.references.exists(a => !newIds.contains(a.exprId))))
       return None
 

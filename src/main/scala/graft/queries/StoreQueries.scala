@@ -73,6 +73,53 @@ object StoreQueries {
     }
   }
 
+  /** The rate-rollup A/B pair's shared query shape: the canonical
+    * wrap-corrected, heartbeat-validated counter-delta aggregate over
+    * the store's BASE table at the 6h slot — textually a window + two
+    * derived columns + filter + groupBy, which the rate-cascade
+    * substitution collapses to a pure Project over `rate_21600`
+    * (no window sort, no shuffle, raw never scanned). */
+  private def rateRollupShape(s: org.apache.spark.sql.SparkSession,
+                              store: String): org.apache.spark.sql.DataFrame = {
+    val cap = graft.Tables.WrapCap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    s.read.parquet(s"$store/base")
+      .filter(col("event_type").isin("click", "view"))
+      .withColumn("prev_cents", lag("cents", 1).over(w))
+      .withColumn("prev_ts_us", lag("ts_us", 1).over(w))
+      .withColumn("dt_us", col("ts_us") - col("prev_ts_us"))
+      .withColumn("delta_cents",
+        ((col("cents") - col("prev_cents")) % cap + cap) % cap)
+      .filter(col("prev_ts_us").isNotNull && col("dt_us") <= 21600L * 1000000L)
+      .groupBy(col("user_id"), col("event_type"),
+        graft.operators.TimeSeriesOps.slotSec(21600L).as("slot_ts"))
+      .agg(count(lit(1)).as("n_valid"), sum("delta_cents").as("delta_cents"),
+        sum("dt_us").as("dt_us"))
+      .orderBy("user_id", "event_type", "slot_ts")
+  }
+
+  private val RateRollupOracle =
+    """WITH s AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+      |         CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |), r AS (
+      |  SELECT user_id, event_type, ts_us, cents,
+      |         lag(cents) OVER w AS prev_cents,
+      |         lag(ts_us) OVER w AS prev_ts_us
+      |  FROM s WINDOW w AS (PARTITION BY user_id, event_type
+      |                      ORDER BY ts_us, event_id)
+      |)
+      |SELECT user_id, event_type, (ts_us // 21600000000) * 21600 AS slot_ts,
+      |  CAST(count(*) AS BIGINT) AS n_valid,
+      |  CAST(sum(((cents - prev_cents) % 1000000 + 1000000) % 1000000) AS BIGINT) AS delta_cents,
+      |  CAST(sum(ts_us - prev_ts_us) AS BIGINT) AS dt_us
+      |FROM r
+      |WHERE prev_ts_us IS NOT NULL AND ts_us - prev_ts_us <= 21600000000
+      |GROUP BY 1, 2, 3
+      |ORDER BY user_id, event_type, slot_ts""".stripMargin
+
   private def rollupOracle(rangePred: String = ""): String =
     s"""WITH c AS (
       |  SELECT user_id, event_type,
@@ -521,6 +568,29 @@ object StoreQueries {
       // substituted-vs-raw range pair side by side
       val store = StoreFixture.store(s, d)
       withRollupFlag(s, on = false)(rollupShape(s, store, Some((B, E))))
+    },
+
+    QueryDef("q_store_rollup_rate",
+      RateRollupOracle) { (s, d) =>
+      // rate-cascade substitution (VERDICT r6 next #6): the query TEXT
+      // is the full wrap-corrected, heartbeat-validated delta pipeline
+      // (window + filter + groupBy over raw samples), but the optimizer
+      // recognizes it as EXACTLY the computation the store materializes
+      // as rate_21600 and substitutes the cascade — the window sort,
+      // the lag exchange, and the raw scan all disappear (a pure
+      // Project at the exact step). The heartbeat literal must equal
+      // the store's stamped heartbeat or the rewrite declines. Oracle
+      // recomputes the deltas from raw events in DuckDB
+      val store = StoreFixture.store(s, d)
+      withRollupFlag(s, on = true)(rateRollupShape(s, store))
+    },
+
+    QueryDef("q_store_rollup_rate_raw",
+      RateRollupOracle) { (s, d) =>
+      // A/B control: identical text, flag off — the full window
+      // pipeline over raw samples, side by side in BENCH
+      val store = StoreFixture.store(s, d)
+      withRollupFlag(s, on = false)(rateRollupShape(s, store))
     },
 
     QueryDef("q_source_jsonl",

@@ -272,6 +272,118 @@ class RollupSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  // ---- rate-cascade substitution (the delta aggregate → rate_T) ----
+
+  private def deltaAgg(stepSec: Long,
+                       heartbeatSec: Long = 21600L,
+                       nativeWrap: Boolean = false,
+                       rangeAboveUs: Option[(Long, Long)] = None,
+                       rangeBelowUs: Option[(Long, Long)] = None): DataFrame = {
+    val cap = Tables.WrapCap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    val base = spark.read.parquet(s"$store/base")
+    val src = rangeBelowUs match {
+      case Some((b, e)) => base.filter(col("ts_us") >= b && col("ts_us") < e)
+      case None => base
+    }
+    val winged = src
+      .withColumn("prev_cents", lag("cents", 1).over(w))
+      .withColumn("prev_ts_us", lag("ts_us", 1).over(w))
+      .withColumn("dt_us", col("ts_us") - col("prev_ts_us"))
+      .withColumn("delta_cents",
+        if (nativeWrap) expr(s"wrap_delta(prev_cents, cents, ${cap}L)")
+        else ((col("cents") - col("prev_cents")) % cap + cap) % cap)
+      .filter(col("prev_ts_us").isNotNull &&
+        col("dt_us") <= heartbeatSec * 1000000L)
+    val ranged = rangeAboveUs match {
+      case Some((b, e)) => winged.filter(col("ts_us") >= b && col("ts_us") < e)
+      case None => winged
+    }
+    ranged
+      .groupBy(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(stepSec).as("slot_ts"))
+      .agg(count(lit(1)).as("n_valid"), sum("delta_cents").as("delta_cents"),
+        sum("dt_us").as("dt_us"))
+  }
+
+  private def hasWindow(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.nonEmpty
+
+  test("exact-step delta aggregate collapses to a Project over the rate cascade") {
+    val (paths, win, reagg, got) = withFlag(on = true) {
+      val df = deltaAgg(21600L)
+      (scanPaths(df), hasWindow(df), hasAggregate(df), rows(df))
+    }
+    assert(paths.exists(_.endsWith("rate_21600")), s"rate cascade not substituted: $paths")
+    assert(!paths.exists(_.endsWith("/base")), s"base scan survived: $paths")
+    assert(!win, "the lag window must disappear with the rewrite")
+    assert(!reagg, "exact-step rate hit should not re-aggregate")
+    val expect = withFlag(on = false)(rows(deltaAgg(21600L)))
+    assert(got == expect && got.nonEmpty,
+      "rate-substituted result differs from the raw window pipeline")
+  }
+
+  test("coarser delta request re-sums the finer rate level") {
+    val (paths, got) = withFlag(on = true) {
+      val df = deltaAgg(43200L)
+      (scanPaths(df), rows(df))
+    }
+    assert(paths.exists(_.endsWith("rate_21600")), s"not substituted: $paths")
+    assert(!paths.exists(_.endsWith("/base")), s"base scan survived: $paths")
+    val expect = withFlag(on = false)(rows(deltaAgg(43200L)))
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("the native wrap_delta form substitutes like the arithmetic form") {
+    val (paths, got) = withFlag(on = true) {
+      val df = deltaAgg(21600L, nativeWrap = true)
+      (scanPaths(df), rows(df))
+    }
+    assert(paths.exists(_.endsWith("rate_21600")), s"not substituted: $paths")
+    val expect = withFlag(on = false)(rows(deltaAgg(21600L, nativeWrap = true)))
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("a heartbeat different from the stamped one blocks the rate rewrite") {
+    val (paths, got) = withFlag(on = true) {
+      val df = deltaAgg(21600L, heartbeatSec = 7200L)
+      (scanPaths(df), rows(df))
+    }
+    assert(paths.exists(_.endsWith("/base")) &&
+      !paths.exists(_.contains("rate_")),
+      s"a 2h-heartbeat delta is NOT the cascade's content: $paths")
+    val expect = withFlag(on = false)(rows(deltaAgg(21600L, heartbeatSec = 7200L)))
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("a T-aligned ts_us range ABOVE the window transfers onto the rate cascade") {
+    val r = Some((RB * 1000000L, RE * 1000000L))
+    val (paths, got) = withFlag(on = true) {
+      val df = deltaAgg(21600L, rangeAboveUs = r)
+      (scanPaths(df), rows(df))
+    }
+    assert(paths.exists(_.endsWith("rate_21600")), s"not substituted: $paths")
+    assert(!paths.exists(_.endsWith("/base")), s"base scan survived: $paths")
+    val expect = withFlag(on = false)(rows(deltaAgg(21600L, rangeAboveUs = r)))
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("a ts_us range BELOW the window blocks the rate rewrite (changes the previous sample)") {
+    val r = Some((RB * 1000000L, RE * 1000000L))
+    val (paths, got) = withFlag(on = true) {
+      val df = deltaAgg(21600L, rangeBelowUs = r)
+      (scanPaths(df), rows(df))
+    }
+    assert(paths.exists(_.endsWith("/base")) &&
+      !paths.exists(_.contains("rate_")),
+      s"a pre-window time filter is NOT the cascade's content: $paths")
+    val expect = withFlag(on = false)(rows(deltaAgg(21600L, rangeBelowUs = r)))
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("time filters and flag-off leave the plan alone; maintenance is immune") {
     // flag off: no rewrite even on the perfect shape
     val offPaths = withFlag(on = false)(scanPaths(slotAgg(21600L)))
