@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness (VERDICT r6 next #5): the empirical check
+  * behind every "scales to 100 TB" claim — replicate the sf corpus
+  * `factor`× and demand the heavy operator family grows ~linearly.
+  *
+  * The replicas are deliberately made structurally INDEPENDENT, not
+  * byte-identical: byte-identical copies would turn every document
+  * into a `factor`-member near-dup family and grow the candidate-pair
+  * space quadratically — a different workload, not a bigger one.
+  *  - documents: per-replica Caesar-shifted text (a bijective char
+  *    map preserves within-replica shingle structure exactly while
+  *    cross-replica shingle overlap drops to ~0), offset doc_ids;
+  *  - embeddings: per-replica array rotation (orthogonal, norm- and
+  *    within-replica-cosine-preserving; cross-replica cosines
+  *    scrambled), offset vec_ids;
+  *  - events: offset user_ids — `factor`× the series over the same
+  *    time range, the natural scale direction of a TSDB.
+  *
+  * Run:  sbt "runMain graft.ScaleStress [sfDir] [factor] [workDir]"
+  * Emits one JSON line per query {name, sec_1x, sec_Nx, ratio} plus a
+  * summary; ratios land in BASELINE.md. A ratio well above `factor`
+  * flags superlinear behavior (pair blow-up, spill, a driver-side
+  * collect) in that operator.
+  */
+object ScaleStress {
+
+  private val Heavy = Seq(
+    "q_dedup_cluster", "q_dedup_jaccard_grid", "q_dedup_containment",
+    "q_dedup_substring", "q_sim_ann_ivf_pq", "q_sim_ann_ivf_pq_refine",
+    "q_ts_gap_interp")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val work = if (args.length > 2) args(2) else "/tmp/graft_scale"
+    require(factor >= 2 && factor <= 26, s"factor must be in [2, 26]: $factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val big = s"$work/x$factor"
+    buildCorpus(spark, sfDir, big, factor)
+
+    // JVM/codegen warmup (untimed), like Bench
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val rows = Heavy.map { name =>
+      val t1 = time(name, sfDir)
+      val tN = time(name, big)
+      val ratio = tN / t1
+      println(f"""{"query":"$name","sec_1x":$t1%.3f,"sec_${factor}x":$tN%.3f,"ratio":$ratio%.2f}""")
+      (name, t1, tN, ratio)
+    }
+    val worst = rows.maxBy(_._4)
+    val sum1 = rows.map(_._2).sum; val sumN = rows.map(_._3).sum
+    println(f"""{"metric":"scale_stress","factor":$factor,"sum_1x_sec":$sum1%.3f,"sum_${factor}x_sec":$sumN%.3f,"sum_ratio":${sumN / sum1}%.2f,"worst":"${worst._1}","worst_ratio":${worst._4}%.2f}""")
+    spark.stop()
+  }
+
+  /** Replicate documents / embeddings / events `factor`× into `out`
+    * with the per-replica decorrelating transforms described above.
+    * Replica 0 is the original corpus unchanged. */
+  def buildCorpus(spark: SparkSession, sfDir: String, out: String,
+                  factor: Int): Unit = {
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    def shifted(s: String, k: Int): String = s.drop(k) + s.take(k)
+
+    val docs = Tables.documents(spark, sfDir)
+    (0 until factor).map { k =>
+      docs.select(
+        (col("doc_id") + lit(k * 100000000L)).as("doc_id"),
+        (if (k == 0) col("text")
+         else translate(col("text"), lower + upper,
+           shifted(lower, k) + shifted(upper, k))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+
+    val emb = Tables.embeddings(spark, sfDir)
+    (0 until factor).map { k =>
+      emb.select(
+        (col("vec_id") + lit(k * 100000000L)).as("vec_id"),
+        (if (k == 0) col("embedding")
+         else expr(s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
+           s"slice(embedding, 1, $k))")).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+
+    // events: read raw (nanos-as-long shim like Tables.events) so the
+    // written file round-trips through the same loader branch
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    (0 until factor).map { k =>
+      ev.withColumn("user_id", col("user_id") + lit(k * 1000000L))
+        .withColumn("event_id", col("event_id") + lit(k * 1000000000000L))
+    }.reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
+  }
+}

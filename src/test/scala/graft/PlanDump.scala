@@ -47,9 +47,17 @@ object PlanDump extends App {
     "q_join_interval_overlap" -> "distributed interval-overlap join: intervals binned onto 30-min slots (the session gap), candidates meet ONLY inside a shared (metric, slot) equi-join cell - no all-pairs stage, no BNLJ; the overlap predicate and a<b cut are post-join filters on cell-mates",
     "q_dedup_rewrite" -> "boilerplate rewrite: digest-only dup groupBy + digest equi-join; each doc's own chunks shuffle ONCE to the reassembly group (array_sort + array_join) - text is never shuffled pairwise",
     "q_store_bulk_filled" -> "bulk dense grids: range generator exploded onto the literal request list, ONE pruned cascade scan re-attached by broadcast - dt PartitionFilters intact under the multi-series grid join",
-    "q_sql_fetch_tvf" -> "SQL table function resolves to the SAME plan as the Scala fetch API: pruned cascade scan with dt PartitionFilters + slot/series PushedFilters - the TVF adds zero plan overhead")
+    "q_sql_fetch_tvf" -> "SQL table function resolves to the SAME plan as the Scala fetch API: pruned cascade scan with dt PartitionFilters + slot/series PushedFilters - the TVF adds zero plan overhead",
+    "q_agg_theta_window" -> "windowed theta cascade: per-(metric, day) partial_thetasketchagg ObjectHashAggregate BEFORE the exchange (<=512 hashes per group x partition), then the 7-day merge runs over <=7 FINISHED sketches per window frame - raw rows are scanned once and never rescanned per window position",
+    "q_ts_busy_hour" -> "telecom busy hour: one series-partitioned lag window, then a map-side-combined hourly agg, then the top-1 window ranks <=24 rows per (series, day) - nothing after the hourly rollup grows with sample rate",
+    "q_ts_cume_users" -> "cumulative distinct users WITHOUT distinct-state: two map-side-combined aggs (per-(metric,user) min, per-(metric,day) count) + one running window over <=days rows per metric - no set-union state anywhere",
+    "q_ts_retention" -> "cohort retention matrix: one map-side-combined (user, week) distinct is the only row-scaled shuffle; the cohort map is user-sized, joined by user-key equi-join; the weeks x weeks matrix itself is tiny - nothing driver-sized",
+    "q_dedup_keep_best" -> "representative selection: only 128-bit prefix digests shuffle (never text); family size + top-1 rank come from two windows over the same hash partitioning - one exchange serves both",
+    "q_store_rollup_range" -> "RollupSubstitution with a time range: the T-aligned ts_us bounds transferred as slot_ts bounds AND as dt PartitionFilters on the substituted cascade scan - directory pruning survives the rewrite; no base scan",
+    "q_store_rollup_rate" -> "rate-cascade substitution fired: the query text is the full lag-window delta pipeline over raw samples, but the plan is a bare pruned scan of rate_21600 - the window SORT, the lag exchange and the raw scan are all GONE (pure Project at the exact step)",
+    "q_sql_fetch_bulk_tvf" -> "bulk SQL table function: the alternating series tail resolves to fetchBulk's ONE pruned scan with a struct IN-list - dt PartitionFilters + series/slot PushedFilters identical to the Scala API plan")
   val sb = new StringBuilder
-  sb ++= "# PLANS - physical-plan audit evidence (round 6)\n\n"
+  sb ++= "# PLANS - physical-plan audit evidence (round 7)\n\n"
   sb ++= "Generated from `.queryExecution.executedPlan` at sf0.001, local[4].\n"
   sb ++= "What to look for in each plan is noted per query; regenerate with\n`sbt \"Test/runMain PlanDump\"`.\n"
   for ((n, note) <- picks) {
