@@ -53,6 +53,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_fetch_filled"),
       new ExpressionInfo("graft.sources.TsdbStore", "graft_fetch_filled"),
       (args: Seq[Expression]) => GraftExtensions.fetchFilledPlan(args)))
+    // bulk dense grids — the last Scala-only read surface:
+    //   SELECT * FROM graft_fetch_bulk_filled('<store>', begin, end,
+    //     agg_step, cf, uid1, 'type1'[, uid2, 'type2' …])
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_fetch_bulk_filled"),
+      new ExpressionInfo("graft.sources.TsdbStore", "graft_fetch_bulk_filled"),
+      (args: Seq[Expression]) => GraftExtensions.fetchBulkFilledPlan(args)))
   }
 }
 
@@ -95,6 +102,22 @@ object GraftExtensions {
       case Seq(u, e) => (longArg(u), strArg(e))
     }.toSeq
     graft.sources.TsdbStore.fetchBulk(SparkSession.active,
+        strArg(args(0)), series, longArg(args(1)), longArg(args(2)),
+        aggStep = longArg(args(3)), cf = strArg(args(4)))
+      .queryExecution.analyzed
+  }
+
+  /** Resolve graft_fetch_bulk_filled(...) — [[fetchBulkPlan]]'s flat
+    * alternating series tail over the dense-grid bulk fetch. */
+  private[graft] def fetchBulkFilledPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 7 && (args.length - 5) % 2 == 0 &&
+        args.forall(_.foldable),
+      "usage: graft_fetch_bulk_filled(path, begin_sec, end_sec, agg_step, " +
+        "cf, user_id, event_type[, user_id, event_type ...]) with literal arguments")
+    val series = args.drop(5).grouped(2).map {
+      case Seq(u, e) => (longArg(u), strArg(e))
+    }.toSeq
+    graft.sources.TsdbStore.fetchBulkFilled(SparkSession.active,
         strArg(args(0)), series, longArg(args(1)), longArg(args(2)),
         aggStep = longArg(args(3)), cf = strArg(args(4)))
       .queryExecution.analyzed

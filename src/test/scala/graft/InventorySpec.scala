@@ -16,9 +16,9 @@ class InventorySpec extends AnyFunSuite {
 
   test("oracle keys are a subset of query keys; inventory is substantial") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size >= 108,
+    assert(SparkEntry.queries.size >= 173,
       s"inventory shrank: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size >= 101,
+    assert(SparkEntry.oracleSql.size >= 155,
       s"oracled set shrank: ${SparkEntry.oracleSql.size}")
   }
 }

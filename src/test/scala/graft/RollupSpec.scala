@@ -272,6 +272,27 @@ class RollupSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("monthly-layout store: range transfer emits 'YYYY-MM' dt prune literals") {
+    import graft.sources.StoreLayout
+    val dir = Files.createTempDirectory("graft_rollup_month").toString
+    TsdbStore.ingest(spark, Tables.events(spark, Sf), dir,
+      StoreLayout(monthly = true))
+    def q: DataFrame = spark.read.parquet(s"$dir/base")
+      .filter(col("ts_us") >= RB * 1000000L && col("ts_us") < RE * 1000000L)
+      .groupBy(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+    val (paths, plan, got) = withFlag(on = true) {
+      val df = q
+      (scanPaths(df), df.queryExecution.optimizedPlan.toString, rows(df))
+    }
+    assert(paths.exists(_.endsWith("agg_86400")), s"not substituted: $paths")
+    assert(plan.contains("2024-01"), s"monthly dt prune literal missing:\n$plan")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+  }
+
   // ---- rate-cascade substitution (the delta aggregate → rate_T) ----
 
   private def deltaAgg(stepSec: Long,

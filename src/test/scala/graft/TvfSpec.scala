@@ -60,6 +60,20 @@ class TvfSpec extends SparkSpec {
         aggStep = 21600L, cf = "max", fill = "interp")))
   }
 
+  test("graft_fetch_bulk_filled: SQL parity with the Scala API") {
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_fetch_bulk_filled('$store', $B, $E, 21600, " +
+          "'average', 7, 'click', 3, 'view')")) ==
+      rows(TsdbStore.fetchBulkFilled(spark, store,
+        Seq((7L, "click"), (3L, "view")), B, E, aggStep = 21600L)))
+    val oddTail = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_fetch_bulk_filled('$store', $B, $E, " +
+        "21600, 'sum', 4)").collect()
+    }
+    assert(oddTail.getMessage.contains("usage: graft_fetch_bulk_filled"),
+      oddTail.getMessage)
+  }
+
   test("bad bulk/filled calls fail with the usage message") {
     val oddTail = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_fetch_bulk('$store', $B, $E, 21600, " +
