@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Union, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -42,8 +42,12 @@ import graft.sources.TsdbStore
   *    are multiples of the scanned cascade step T (slot membership is
   *    decided by the floor-div, so every T-cell is entirely inside or
   *    outside such a range — the bound transfers EXACTLY as a slot_ts
-  *    bound, plus a derived dt partition-prune twin). An unaligned
-  *    ts_us bound, or any other predicate shape, blocks the rewrite;
+  *    bound, plus a derived dt partition-prune twin). An UNALIGNED
+  *    bound splits: the largest T-aligned interior serves from the
+  *    cascade, the ≤2 sub-cell boundary pieces serve from raw rows
+  *    (dt-pruned to ≤1 partition each) unioned as monoid tuples under
+  *    one re-aggregation — arbitrary now()-anchored dashboard ranges
+  *    fire the rewrite. Any other predicate shape blocks it;
   *  - aggregates are the monoid four over `cents`, no DISTINCT, no
   *    FILTER clause.
   *
@@ -215,13 +219,30 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
       .getFileSystem(session.sparkContext.hadoopConfiguration)
     if (!hfs.exists(new org.apache.hadoop.fs.Path(aggPath))) return None
 
-    // a half-open ts_us range transfers EXACTLY iff every bound is a
-    // multiple of the SCANNED cascade step T: each T-cell is then
-    // entirely inside or entirely outside the range. An unaligned
-    // bound would split a cell and is rejected (conservative — no
-    // interior/boundary union here).
+    // a half-open ts_us range transfers EXACTLY as slot bounds iff its
+    // bounds are multiples of the SCANNED cascade step T: each T-cell
+    // is then entirely inside or entirely outside the range. An
+    // UNALIGNED bound splits into the largest T-aligned INTERIOR
+    // (served from the cascade) plus a sub-cell BOUNDARY piece (served
+    // from ≤ a partition's worth of raw rows) unioned as monoid tuples
+    // under one re-aggregation — the shape arbitrary now()-anchored
+    // dashboard ranges actually hit. Bounds conjoin, so the effective
+    // range is [max(lowers), min(uppers)).
     val stepUs = t * 1000000L
-    if ((lowerUs ++ upperUs).exists(_ % stepUs != 0L)) return None
+    val loOpt = lowerUs.maxOption
+    val hiOpt = upperUs.minOption
+    val bupUs = loOpt.map(l => Math.floorDiv(l + stepUs - 1, stepUs) * stepUs)
+    val edownUs = hiOpt.map(h => Math.floorDiv(h, stepUs) * stepUs)
+    (bupUs, edownUs) match {
+      // no T-aligned interior at all (the whole range is inside one
+      // cell, or empty): nothing to serve from the cascade — stay raw
+      case (Some(b), Some(e)) if b >= e => return None
+      case _ => ()
+    }
+    // boundary pieces, each nonempty only when its bound is unaligned
+    val leftPiece = for { l <- loOpt; b <- bupUs if l < b } yield (l, b)
+    val rightPiece = for { h <- hiOpt; e <- edownUs if e < h } yield (e, h)
+    val pieces = leftPiece.toSeq ++ rightPiece.toSeq
 
     // fresh analyzed scan of the cascade table (new exprIds throughout)
     val cascade = session.read.parquet(aggPath).queryExecution.analyzed
@@ -231,16 +252,16 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     val (nC, sumC, minC, maxC) =
       (att("n"), att("sum_cents"), att("min_cents"), att("max_cents"))
     // cascade-side predicate: identity conjuncts rebased by (validated)
-    // name, ts_us bounds as slot_ts bounds, plus dt partition-prune
-    // twins of the slot bounds — slot_ts is a data column, and the
-    // planner cannot derive the dt partition key from it (the same
-    // reason TsdbStore.slotRead filters dt explicitly)
+    // name, the INTERIOR as slot_ts bounds, plus dt partition-prune
+    // twins — slot_ts is a data column, and the planner cannot derive
+    // the dt partition key from it (the same reason TsdbStore.slotRead
+    // filters dt explicitly)
     val rebasedSeries: Seq[Expression] = seriesCond.toSeq.map(_.transform {
       case a: AttributeReference => att(a.name)
     })
     val slotBounds: Seq[Expression] =
-      lowerUs.map(l => GreaterThanOrEqual(slot, Literal(l / 1000000L, LongType))) ++
-      upperUs.map(u => LessThan(slot, Literal(u / 1000000L, LongType)))
+      bupUs.map(b => GreaterThanOrEqual(slot, Literal(b / 1000000L, LongType))).toSeq ++
+      edownUs.map(e => LessThan(slot, Literal(e / 1000000L, LongType))).toSeq
     def dtLit(sec: Long): Expression = {
       val day = java.time.LocalDate.ofEpochDay(Math.floorDiv(sec, 86400L))
       if (layout.monthly)
@@ -251,44 +272,89 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     val dtBounds: Seq[Expression] =
       cascade.output.collect { case a: AttributeReference if a.name == "dt" => a }
         .headOption.toSeq.flatMap { dt =>
-          lowerUs.map(l => GreaterThanOrEqual(dt, dtLit(l / 1000000L))) ++
-          upperUs.map(u => LessThanOrEqual(dt, dtLit(u / 1000000L)))
+          bupUs.map(b => GreaterThanOrEqual(dt, dtLit(b / 1000000L))).toSeq ++
+          edownUs.map(e => LessThanOrEqual(dt, dtLit(e / 1000000L))).toSeq
         }
-    val child2: LogicalPlan =
+    val interior: LogicalPlan =
       (rebasedSeries ++ slotBounds ++ dtBounds).reduceOption(And) match {
         case Some(c) => Filter(c, cascade)
         case None => cascade
       }
 
-    // exact hit = the cascade's own granularity requested: both series
-    // keys present AND the step matches — cascade rows ARE the answer
-    // rows. Dropping a key or coarsening the step re-aggregates.
-    val exact = t == stepSec && hasUid && hasEtype
-    // cascade-side replacements for the four monoid aggregates and the
-    // grouping columns. On an exact-resolution hit the cascade rows ARE
-    // the requested slots, so the aggregates collapse to plain columns;
-    // on a coarser request they re-aggregate (monoid composition).
+    // a boundary piece as a union branch: raw rows of [loUs, hiUs)
+    // mapped to the cascade's monoid-tuple shape (n=1, cents³). One
+    // branch per piece — plain per-branch conjuncts keep the dt
+    // partition-filter extraction live, where an OR across pieces
+    // would defeat it.
+    def rawPiece(loUs: Long, hiUs: Long): LogicalPlan = {
+      val base = session.read.parquet(s"$store/base").queryExecution.analyzed
+      def batt(n: String): AttributeReference =
+        base.output.find(_.name == n).get match { case a: AttributeReference => a }
+      val (bu, be, bts, bc) =
+        (batt("user_id"), batt("event_type"), batt("ts_us"), batt("cents"))
+      val series2 = seriesCond.toSeq.map(_.transform {
+        case a: AttributeReference => batt(a.name)
+      })
+      val tsB: Seq[Expression] = Seq(
+        GreaterThanOrEqual(bts, Literal(loUs, LongType)),
+        LessThan(bts, Literal(hiUs, LongType)))
+      val dtB: Seq[Expression] =
+        base.output.collect { case a: AttributeReference if a.name == "dt" => a }
+          .headOption.toSeq.flatMap { d => Seq(
+            GreaterThanOrEqual(d, dtLit(Math.floorDiv(loUs, 1000000L))),
+            LessThanOrEqual(d, dtLit(Math.floorDiv(hiUs - 1, 1000000L)))) }
+      val slotRaw = Multiply(
+        IntegralDivide(bts, Literal(stepUs, LongType)), Literal(t, LongType))
+      Project(Seq(
+          Alias(bu, "user_id")(), Alias(be, "event_type")(),
+          Alias(slotRaw, "slot_ts")(),
+          Alias(Literal(1L, LongType), "n")(),
+          Alias(bc, "sum_cents")(), Alias(bc, "min_cents")(),
+          Alias(bc, "max_cents")()),
+        Filter((series2 ++ tsB ++ dtB).reduce(And), base))
+    }
+
+    // source of the re-aggregation: the filtered cascade alone (the
+    // aligned fast path — exact hits stay a pure Project), or the
+    // cascade interior unioned with the boundary pieces
+    val (child2, uidR, etypeR, slotR, nR, sumR, minR, maxR) =
+      if (pieces.isEmpty)
+        (interior: LogicalPlan, uid: Attribute, etype: Attribute,
+          slot: Attribute, nC: Expression, sumC: Expression,
+          minC: Expression, maxC: Expression)
+      else {
+        val branch0 = Project(Seq(uid, etype, slot, nC, sumC, minC, maxC), interior)
+        val u = Union(branch0 +: pieces.map { case (l, h) => rawPiece(l, h) })
+        val Seq(uU, eU, sU, nU, smU, mnU, mxU) = u.output
+        (u: LogicalPlan, uU: Attribute, eU: Attribute, sU: Attribute,
+          nU: Expression, smU: Expression, mnU: Expression, mxU: Expression)
+      }
+
+    // exact hit = the cascade's own granularity requested with no
+    // boundary pieces: cascade rows ARE the answer rows. Dropping a
+    // key, coarsening the step, or a split range re-aggregates.
+    val exact = pieces.isEmpty && t == stepSec && hasUid && hasEtype
     def ae(f: AggregateFunction): Expression =
       AggregateExpression(f, Complete, isDistinct = false)
     val slot2: Expression =
-      if (t == stepSec) slot  // already step-aligned: regrouping is identity
-      else Multiply(IntegralDivide(slot, Literal(stepSec, LongType)),
+      if (t == stepSec) slotR  // already step-aligned: regrouping is identity
+      else Multiply(IntegralDivide(slotR, Literal(stepSec, LongType)),
         Literal(stepSec, LongType))
     // count(1) over base rows is non-nullable; sum(n) over the (always
     // non-empty) cascade group never evaluates to null — KnownNotNull
     // keeps the substituted output's nullability identical
-    val countRepl: Expression = KnownNotNull(if (exact) nC else ae(Sum(nC)))
-    val sumRepl: Expression = if (exact) sumC else ae(Sum(sumC))
-    val minRepl: Expression = if (exact) minC else ae(Min(minC))
-    val maxRepl: Expression = if (exact) maxC else ae(Max(maxC))
+    val countRepl: Expression = KnownNotNull(if (exact) nR else ae(Sum(nR)))
+    val sumRepl: Expression = if (exact) sumR else ae(Sum(sumR))
+    val minRepl: Expression = if (exact) minR else ae(Min(minR))
+    val maxRepl: Expression = if (exact) maxR else ae(Max(maxR))
 
     // substitute aggregate leaves and grouping references inside each
     // output expression — arbitrary derived outputs (CollapseProject
     // folds things like sum/count arithmetic into the Aggregate's
     // output list) survive as long as every leaf converts. transform
-    // recurses into replacement subtrees, so cascade-side attributes
-    // must pass through untouched (the exprId guard).
-    val newIds = cascade.output.map(_.exprId).toSet
+    // recurses into replacement subtrees, so replacement-side
+    // attributes must pass through untouched (the exprId guard).
+    val newIds = child2.output.map(_.exprId).toSet
     var failed = false
     def convert(e: Expression): Expression = e.transform {
       case ag @ AggregateExpression(f, Complete, false, None, _)
@@ -314,8 +380,8 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
         }
       case a: AttributeReference if !newIds.contains(a.exprId) =>
         resolve(a) match {
-          case r: AttributeReference if r.name == "user_id" => uid
-          case r: AttributeReference if r.name == "event_type" => etype
+          case r: AttributeReference if r.name == "user_id" => uidR
+          case r: AttributeReference if r.name == "event_type" => etypeR
           case SlotExpr(_, _) => slot2
           case _ => failed = true; a
         }
@@ -335,8 +401,8 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     if (exact) Some(Project(newOutputs, child2))
     else {
       val groupings2 =
-        (if (hasUid) Seq(uid) else Nil) ++
-        (if (hasEtype) Seq(etype) else Nil) ++ Seq(slot2)
+        (if (hasUid) Seq(uidR) else Nil) ++
+        (if (hasEtype) Seq(etypeR) else Nil) ++ Seq(slot2)
       Some(Aggregate(groupings2, newOutputs, child2))
     }
   }

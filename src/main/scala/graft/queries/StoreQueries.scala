@@ -570,6 +570,29 @@ object StoreQueries {
       withRollupFlag(s, on = false)(rollupShape(s, store, Some((B, E))))
     },
 
+    QueryDef("q_store_rollup_split",
+      rollupOracle(
+        s"\n    AND epoch_us(ts) >= ${B + 3600}000000 AND epoch_us(ts) < ${E - 7200}000000")) { (s, d) =>
+      // the UNALIGNED dashboard range (now()-anchored bounds are almost
+      // never step-aligned): the rewrite SPLITS it — the largest
+      // day-aligned interior serves from the agg_86400 cascade, the two
+      // sub-cell boundary pieces serve from raw rows dt-pruned to one
+      // partition each, unioned as monoid tuples under one
+      // re-aggregation. Oracle recomputes the whole range from raw
+      val store = StoreFixture.store(s, d)
+      withRollupFlag(s, on = true)(
+        rollupShape(s, store, Some((B + 3600L, E - 7200L))))
+    },
+
+    QueryDef("q_store_rollup_split_raw",
+      rollupOracle(
+        s"\n    AND epoch_us(ts) >= ${B + 3600}000000 AND epoch_us(ts) < ${E - 7200}000000")) { (s, d) =>
+      // A/B control: identical text, flag off
+      val store = StoreFixture.store(s, d)
+      withRollupFlag(s, on = false)(
+        rollupShape(s, store, Some((B + 3600L, E - 7200L))))
+    },
+
     QueryDef("q_store_rollup_rate",
       RateRollupOracle) { (s, d) =>
       // rate-cascade substitution (VERDICT r6 next #6): the query TEXT

@@ -16,9 +16,9 @@ class InventorySpec extends AnyFunSuite {
 
   test("oracle keys are a subset of query keys; inventory is substantial") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size >= 173,
+    assert(SparkEntry.queries.size >= 175,
       s"inventory shrank: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size >= 155,
+    assert(SparkEntry.oracleSql.size >= 157,
       s"oracled set shrank: ${SparkEntry.oracleSql.size}")
   }
 }

@@ -259,16 +259,56 @@ class RollupSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
-  test("an unaligned ts_us bound blocks the rewrite") {
+  test("an unaligned ts_us bound SPLITS: cascade interior + raw boundary union") {
     val b = (RB + 3600L) * 1000000L // 1h offset: not a 21600 multiple
     val (paths, got) = withFlag(on = true) {
       val df = rangeAgg(21600L, b, RE * 1000000L)
       (scanPaths(df), rows(df))
     }
+    assert(paths.exists(_.endsWith("agg_21600")),
+      s"interior must serve from the cascade: $paths")
+    assert(paths.exists(_.endsWith("/base")),
+      s"the sub-cell boundary must serve from raw rows: $paths")
+    val expect = withFlag(on = false)(rows(rangeAgg(21600L, b, RE * 1000000L)))
+    assert(got == expect && got.nonEmpty,
+      "split rewrite differs from the raw-scan result")
+  }
+
+  test("both bounds unaligned: two boundary pieces, still answer-identical") {
+    val b = (RB + 3600L) * 1000000L
+    val e = (RE - 7200L) * 1000000L
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .filter(col("ts_us") >= b && col("ts_us") < e)
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+    val (paths, plan, got) = withFlag(on = true) {
+      val df = q
+      (scanPaths(df), df.queryExecution.optimizedPlan.toString, rows(df))
+    }
+    assert(paths.exists(_.endsWith("agg_86400")), s"interior not substituted: $paths")
+    assert(paths.count(_.endsWith("/base")) == 2,
+      s"expected two boundary branches: $paths")
+    assert(plan.contains("Union"), s"no union in the split plan:\n$plan")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+    // the series filter reached all three branches
+    assert(got.forall(_(1) == "click"))
+  }
+
+  test("a range inside one cell has no interior: stays on the raw scan") {
+    val b = (RB + 3600L) * 1000000L
+    val e = (RB + 7200L) * 1000000L // [1h, 2h) inside the first 6h cell
+    val (paths, got) = withFlag(on = true) {
+      val df = rangeAgg(21600L, b, e)
+      (scanPaths(df), rows(df))
+    }
     assert(paths.exists(_.endsWith("/base")) &&
       !paths.exists(_.contains("agg_")),
-      s"unaligned range must not be substituted: $paths")
-    val expect = withFlag(on = false)(rows(rangeAgg(21600L, b, RE * 1000000L)))
+      s"sub-cell range must not be substituted: $paths")
+    val expect = withFlag(on = false)(rows(rangeAgg(21600L, b, e)))
     assert(got == expect && got.nonEmpty)
   }
 
@@ -410,11 +450,11 @@ class RollupSpec extends SparkSpec {
     val offPaths = withFlag(on = false)(scanPaths(slotAgg(21600L)))
     assert(offPaths.exists(_.endsWith("/base")) &&
       !offPaths.exists(_.endsWith("agg_21600")))
-    // an UNALIGNED ts_us filter does not transfer exactly -> blocked
-    // (aligned bounds transfer — see the range tests above)
+    // a NON-RANGE ts_us predicate does not transfer -> blocked
+    // (aligned bounds transfer, unaligned bounds split — see above)
     val tsPaths = withFlag(on = true) {
       val base = spark.read.parquet(s"$store/base")
-        .filter(col("ts_us") >= 1704844801000000L)
+        .filter(expr("pmod(ts_us, 2) = 0"))
       scanPaths(base.groupBy(col("user_id"), col("event_type"),
           TimeSeriesOps.slotSec(21600L).as("slot_ts"))
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
