@@ -187,16 +187,17 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
         upperUs :+= u
       case _ => return None
     }
-    // grouping: exactly {user_id, event_type, slot(S)}
-    // grouping: the slot plus ANY subset of the series-identity keys —
+    // grouping: ANY subset of {user_id, event_type, slot(S)} —
     // groupBy(user_id, event_type, slot) is the per-series fetch shape,
     // groupBy(event_type, slot) the fleet-wide dashboard rollup,
-    // groupBy(slot) the whole-store profile; all are monoid images of
-    // the cascade (dropping a key just re-aggregates more rows)
+    // groupBy(slot) the whole-store profile, groupBy(user_id,
+    // event_type) the per-series RANGE TOTAL (the commonest dashboard
+    // query of all), and the empty grouping a whole-store total; all
+    // are monoid images of the cascade (dropping a key or the slot
+    // just re-aggregates more rows into coarser groups)
     var stepSec = 0L
     var hasUid = false; var hasEtype = false
-    var ok = agg.groupingExpressions.nonEmpty &&
-      agg.groupingExpressions.length <= 3
+    var ok = agg.groupingExpressions.length <= 3
     agg.groupingExpressions.map(resolve).foreach {
       case a: AttributeReference if a.name == "user_id" => hasUid = true
       case a: AttributeReference if a.name == "event_type" => hasEtype = true
@@ -207,8 +208,10 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
         if (stepSec != 0L && stepSec != s) ok = false else stepSec = s
       case _ => ok = false
     }
-    if (!ok || stepSec == 0L) return None
-    // coarsest materialized step dividing the query's slot step
+    if (!ok) return None
+    // coarsest materialized step dividing the query's slot step; a
+    // slotless aggregate (stepSec = 0) re-aggregates ANY level, so the
+    // coarsest wins outright (0 % s == 0 for every s)
     val layout = TsdbStore.readLayout(session, store)
     val t = layout.steps.filter(stepSec % _ == 0).sorted.lastOption match {
       case Some(x) => x
@@ -336,14 +339,23 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     val exact = pieces.isEmpty && t == stepSec && hasUid && hasEtype
     def ae(f: AggregateFunction): Expression =
       AggregateExpression(f, Complete, isDistinct = false)
+    // slotless aggregates never reference a slot output, so slot2 is
+    // never used there (guarded below — the div-by-0 is unreachable)
     val slot2: Expression =
-      if (t == stepSec) slotR  // already step-aligned: regrouping is identity
+      if (t == stepSec || stepSec == 0L) slotR // step-aligned: regrouping is identity
       else Multiply(IntegralDivide(slotR, Literal(stepSec, LongType)),
         Literal(stepSec, LongType))
-    // count(1) over base rows is non-nullable; sum(n) over the (always
-    // non-empty) cascade group never evaluates to null — KnownNotNull
-    // keeps the substituted output's nullability identical
-    val countRepl: Expression = KnownNotNull(if (exact) nR else ae(Sum(nR)))
+    // count(1) over base rows is non-nullable; sum(n) over a (always
+    // non-empty) cascade GROUP never evaluates to null — KnownNotNull
+    // keeps the substituted output's nullability identical. The one
+    // exception is the GLOBAL (empty-grouping) aggregate over an empty
+    // source: count(1) = 0 but sum(n) = NULL, so the global form
+    // coalesces to 0 (sum/min/max stay NULL in both plans there).
+    val global = !hasUid && !hasEtype && stepSec == 0L
+    val countRepl: Expression = KnownNotNull(
+      if (exact) nR
+      else if (global) Coalesce(Seq(ae(Sum(nR)), Literal(0L, LongType)))
+      else ae(Sum(nR)))
     val sumRepl: Expression = if (exact) sumR else ae(Sum(sumR))
     val minRepl: Expression = if (exact) minR else ae(Min(minR))
     val maxRepl: Expression = if (exact) maxR else ae(Max(maxR))
@@ -402,7 +414,8 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     else {
       val groupings2 =
         (if (hasUid) Seq(uidR) else Nil) ++
-        (if (hasEtype) Seq(etypeR) else Nil) ++ Seq(slot2)
+        (if (hasEtype) Seq(etypeR) else Nil) ++
+        (if (stepSec != 0L) Seq(slot2) else Nil)
       Some(Aggregate(groupings2, newOutputs, child2))
     }
   }

@@ -593,6 +593,64 @@ object StoreQueries {
         rollupShape(s, store, Some((B + 3600L, E - 7200L))))
     },
 
+    QueryDef("q_store_rollup_total",
+      s"""WITH c AS (
+         |  SELECT user_id, event_type,
+         |    CAST(round(value*100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type IN ('click', 'view')
+         |    AND epoch_us(ts) >= ${B}000000 AND epoch_us(ts) < ${E}000000
+         |)
+         |SELECT user_id, event_type,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+         |  CAST(min(cents) AS BIGINT) AS min_cents,
+         |  CAST(max(cents) AS BIGINT) AS max_cents
+         |FROM c GROUP BY 1, 2
+         |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      // the SLOTLESS per-series range total — "totals per series last
+      // N days", the commonest dashboard aggregate of all: no slot in
+      // the grouping, so the rewrite re-aggregates the COARSEST cascade
+      // level over the range (day rows, not raw samples). Oracle
+      // recomputes from raw
+      val store = StoreFixture.store(s, d)
+      withRollupFlag(s, on = true) {
+        s.read.parquet(s"$store/base")
+          .filter(col("ts_us") >= B * 1000000L && col("ts_us") < E * 1000000L)
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+            min("cents").as("min_cents"), max("cents").as("max_cents"))
+          .orderBy("user_id", "event_type")
+      }
+    },
+
+    QueryDef("q_store_rollup_total_raw",
+      s"""WITH c AS (
+         |  SELECT user_id, event_type,
+         |    CAST(round(value*100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type IN ('click', 'view')
+         |    AND epoch_us(ts) >= ${B}000000 AND epoch_us(ts) < ${E}000000
+         |)
+         |SELECT user_id, event_type,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+         |  CAST(min(cents) AS BIGINT) AS min_cents,
+         |  CAST(max(cents) AS BIGINT) AS max_cents
+         |FROM c GROUP BY 1, 2
+         |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      // A/B control: identical text, flag off
+      val store = StoreFixture.store(s, d)
+      withRollupFlag(s, on = false) {
+        s.read.parquet(s"$store/base")
+          .filter(col("ts_us") >= B * 1000000L && col("ts_us") < E * 1000000L)
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+            min("cents").as("min_cents"), max("cents").as("max_cents"))
+          .orderBy("user_id", "event_type")
+      }
+    },
+
     QueryDef("q_store_rollup_rate",
       RateRollupOracle) { (s, d) =>
       // rate-cascade substitution (VERDICT r6 next #6): the query TEXT

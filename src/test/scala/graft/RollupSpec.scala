@@ -312,6 +312,58 @@ class RollupSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("slotless per-series range totals re-aggregate the coarsest cascade") {
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .filter(col("ts_us") >= RB * 1000000L && col("ts_us") < RE * 1000000L)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("agg_86400")),
+      s"range total should re-aggregate the COARSEST level: $paths")
+    assert(!paths.exists(_.endsWith("/base")), s"base scan survived: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("slotless UNALIGNED range totals split like slotted ones") {
+    val b = (RB + 3600L) * 1000000L
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .filter(col("ts_us") >= b && col("ts_us") < RE * 1000000L)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("agg_86400")) &&
+      paths.exists(_.endsWith("/base")),
+      s"expected cascade interior + raw boundary: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("the global (empty-grouping) total substitutes, incl. the empty-store count") {
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("agg_86400")) &&
+      !paths.exists(_.endsWith("/base")),
+      s"global total should read the cascade: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+    // empty INPUT (a filter matching no series): the global count must
+    // be 0, not NULL — sum(n) over zero cascade rows is NULL, which the
+    // coalesced global form papers back to count(1)'s zero
+    def qe: DataFrame = spark.read.parquet(s"$store/base")
+      .filter(col("user_id") === 99999999L)
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+    val (pathsE, gotE) = withFlag(on = true)((scanPaths(qe), rows(qe)))
+    assert(pathsE.exists(_.endsWith("agg_86400")),
+      s"filtered global total should still substitute: $pathsE")
+    val expectE = withFlag(on = false)(rows(qe))
+    assert(gotE == expectE, s"empty-input global total diverged: $gotE vs $expectE")
+    assert(gotE.head.head == 0L, "count over an empty input must be 0")
+  }
+
   test("monthly-layout store: range transfer emits 'YYYY-MM' dt prune literals") {
     import graft.sources.StoreLayout
     val dir = Files.createTempDirectory("graft_rollup_month").toString
