@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Union, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 import graft.sources.TsdbStore
 
@@ -359,6 +359,20 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     val sumRepl: Expression = if (exact) sumR else ae(Sum(sumR))
     val minRepl: Expression = if (exact) minR else ae(Min(minR))
     val maxRepl: Expression = if (exact) maxR else ae(Max(maxR))
+    // avg = sum/n — the cascade stores both halves of the fraction, so
+    // average (the reference's default consolidation function)
+    // substitutes as one division over the monoid image. Spark's raw
+    // Average accumulates a DOUBLE running sum over the samples; the
+    // substituted form divides the EXACT integer sum — bit-identical
+    // whenever the double accumulation is exact (every partial sum an
+    // integer below 2^53), and strictly MORE accurate beyond. LEGACY
+    // eval mode mirrors Average's own internal division (the
+    // denominator is never 0 anyway: groups only exist where rows do,
+    // and the empty global input propagates NULL before the division)
+    def dbl(e: Expression): Expression = Cast(e, DoubleType)
+    val avgRepl: Expression =
+      if (exact) Divide(dbl(sumR), dbl(nR), EvalMode.LEGACY)
+      else Divide(dbl(ae(Sum(sumR))), dbl(ae(Sum(nR))), EvalMode.LEGACY)
 
     // substitute aggregate leaves and grouping references inside each
     // output expression — arbitrary derived outputs (CollapseProject
@@ -386,6 +400,10 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
           }
           case Max(c) => resolve(c) match {
             case a: AttributeReference if a.name == "cents" => maxRepl
+            case _ => failed = true; e
+          }
+          case Average(c, _) => resolve(c) match {
+            case a: AttributeReference if a.name == "cents" => avgRepl
             case _ => failed = true; e
           }
           case _ => failed = true; e

@@ -651,6 +651,67 @@ object StoreQueries {
       }
     },
 
+    QueryDef("q_store_rollup_avg",
+      s"""WITH c AS (
+         |  SELECT user_id, event_type,
+         |    (epoch_us(ts) // 43200000000) * 43200 AS slot_ts,
+         |    CAST(round(value*100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type IN ('click', 'view')
+         |    AND epoch_us(ts) >= ${B}000000 AND epoch_us(ts) < ${E}000000
+         |)
+         |SELECT user_id, event_type, slot_ts,
+         |  CAST(sum(cents) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avg_cents,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM c GROUP BY 1, 2, 3
+         |ORDER BY user_id, event_type, slot_ts""".stripMargin) { (s, d) =>
+      // NATIVE avg() through the rollup substitution: the cascade
+      // stores both halves of the fraction, so average — the
+      // reference's default consolidation function — rewrites to
+      // sum(sum_cents)/sum(n) over the 6h cascade (12h slots
+      // re-aggregate it; the range bounds transfer as slot_ts + dt
+      // prunes). The co-requested count shares the sum(n) leaf. Oracle
+      // recomputes sum/count from raw — the same exact-integer
+      // division the substituted plan performs
+      val store = StoreFixture.store(s, d)
+      withRollupFlag(s, on = true) {
+        s.read.parquet(s"$store/base")
+          .filter(col("ts_us") >= B * 1000000L && col("ts_us") < E * 1000000L)
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy(col("user_id"), col("event_type"),
+            graft.operators.TimeSeriesOps.slotSec(43200L).as("slot_ts"))
+          .agg(avg("cents").as("avg_cents"), count(lit(1)).as("n"))
+          .orderBy("user_id", "event_type", "slot_ts")
+      }
+    },
+
+    QueryDef("q_store_rollup_avg_raw",
+      s"""WITH c AS (
+         |  SELECT user_id, event_type,
+         |    (epoch_us(ts) // 43200000000) * 43200 AS slot_ts,
+         |    CAST(round(value*100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type IN ('click', 'view')
+         |    AND epoch_us(ts) >= ${B}000000 AND epoch_us(ts) < ${E}000000
+         |)
+         |SELECT user_id, event_type, slot_ts,
+         |  CAST(sum(cents) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avg_cents,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM c GROUP BY 1, 2, 3
+         |ORDER BY user_id, event_type, slot_ts""".stripMargin) { (s, d) =>
+      // A/B control: identical text, flag off — native avg() over raw
+      // samples (Spark's double accumulation; identical while every
+      // partial sum is an integer below 2^53, which cents sums are)
+      val store = StoreFixture.store(s, d)
+      withRollupFlag(s, on = false) {
+        s.read.parquet(s"$store/base")
+          .filter(col("ts_us") >= B * 1000000L && col("ts_us") < E * 1000000L)
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy(col("user_id"), col("event_type"),
+            graft.operators.TimeSeriesOps.slotSec(43200L).as("slot_ts"))
+          .agg(avg("cents").as("avg_cents"), count(lit(1)).as("n"))
+          .orderBy("user_id", "event_type", "slot_ts")
+      }
+    },
+
     QueryDef("q_store_rollup_rate",
       RateRollupOracle) { (s, d) =>
       // rate-cascade substitution (VERDICT r6 next #6): the query TEXT

@@ -364,6 +364,46 @@ class RollupSpec extends SparkSpec {
     assert(gotE.head.head == 0L, "count over an empty input must be 0")
   }
 
+  test("native avg() substitutes: exact step is a Project, no aggregate") {
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .groupBy(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(21600L).as("slot_ts"))
+      .agg(avg("cents").as("avg_cents"), count(lit(1)).as("n"))
+    val (paths, reagg, got) = withFlag(on = true)((scanPaths(q), hasAggregate(q), rows(q)))
+    assert(paths.exists(_.endsWith("agg_21600")) &&
+      !paths.exists(_.endsWith("/base")), s"avg not substituted: $paths")
+    assert(!reagg, "exact-step avg should collapse to sum/n division, no aggregate")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty,
+      "substituted sum/n diverged from Spark's native avg accumulation")
+  }
+
+  test("native avg() through a coarser slot with an UNALIGNED range (split path)") {
+    val b = (RB + 3600L) * 1000000L
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .filter(col("ts_us") >= b && col("ts_us") < RE * 1000000L)
+      .groupBy(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(43200L).as("slot_ts"))
+      .agg(avg("cents").as("avg_cents"), count(lit(1)).as("n"))
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("agg_21600")) &&
+      paths.exists(_.endsWith("/base")),
+      s"expected cascade interior + raw boundary for the avg split: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("avg of a non-cents column blocks the rewrite") {
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .groupBy(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(21600L).as("slot_ts"))
+      .agg(avg("ts_us").as("avg_ts"))
+    val paths = withFlag(on = true)(scanPaths(q))
+    assert(paths.exists(_.endsWith("/base")) &&
+      !paths.exists(_.endsWith("agg_21600")),
+      s"avg over a non-materialized column must stay raw: $paths")
+  }
+
   test("monthly-layout store: range transfer emits 'YYYY-MM' dt prune literals") {
     import graft.sources.StoreLayout
     val dir = Files.createTempDirectory("graft_rollup_month").toString
