@@ -48,8 +48,12 @@ import graft.sources.TsdbStore
   *    (dt-pruned to ≤1 partition each) unioned as monoid tuples under
   *    one re-aggregation — arbitrary now()-anchored dashboard ranges
   *    fire the rewrite. Any other predicate shape blocks it;
-  *  - aggregates are the monoid four over `cents`, no DISTINCT, no
-  *    FILTER clause.
+  *  - aggregates are the monoid four over `cents` (avg = sum/n), plus
+  *    count(DISTINCT …) of the GRAIN columns (user_id / event_type /
+  *    a slot the scanned level divides — the cascade holds one row per
+  *    grain tuple, so those distinct sets survive materialization;
+  *    DAU/WAU dashboards never rescan raw). DISTINCT over anything
+  *    else, and FILTER clauses, block.
   *
   * At 100 TB this is the difference between re-scanning raw samples
   * and reading ≤ |series|·(day/T) cascade rows: the same query text
@@ -209,11 +213,24 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => ok = false
     }
     if (!ok) return None
-    // coarsest materialized step dividing the query's slot step; a
-    // slotless aggregate (stepSec = 0) re-aggregates ANY level, so the
-    // coarsest wins outright (0 % s == 0 for every s)
+    // slot steps appearing inside count(DISTINCT slot(s)) operands —
+    // "active periods" aggregates. The scanned level must divide these
+    // too, or the distinct projection below would conflate cells
+    val distinctSlotSteps: Seq[Long] = agg.aggregateExpressions.flatMap(_.collect {
+      case AggregateExpression(Count(Seq(c)), Complete, true, None, _) =>
+        resolve(c) match {
+          case SlotExpr(ts2, s) if isTs(ts2) => Some(s)
+          case _ => None
+        }
+    }.flatten)
+    // coarsest materialized step dividing the query's slot step (and
+    // every distinct-slot step); a slotless aggregate (stepSec = 0)
+    // re-aggregates ANY level, so the coarsest wins outright
+    // (0 % s == 0 for every s)
     val layout = TsdbStore.readLayout(session, store)
-    val t = layout.steps.filter(stepSec % _ == 0).sorted.lastOption match {
+    val t = layout.steps
+      .filter(s => stepSec % s == 0 && distinctSlotSteps.forall(_ % s == 0))
+      .sorted.lastOption match {
       case Some(x) => x
       case None => return None
     }
@@ -335,8 +352,14 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
 
     // exact hit = the cascade's own granularity requested with no
     // boundary pieces: cascade rows ARE the answer rows. Dropping a
-    // key, coarsening the step, or a split range re-aggregates.
-    val exact = pieces.isEmpty && t == stepSec && hasUid && hasEtype
+    // key, coarsening the step, or a split range re-aggregates. A
+    // DISTINCT aggregate always re-aggregates — its replacement is
+    // itself an AggregateExpression, which a pure Project can't host
+    val hasDistinct = agg.aggregateExpressions.exists(_.exists {
+      case ag: AggregateExpression => ag.isDistinct
+      case _ => false
+    })
+    val exact = pieces.isEmpty && t == stepSec && hasUid && hasEtype && !hasDistinct
     def ae(f: AggregateFunction): Expression =
       AggregateExpression(f, Complete, isDistinct = false)
     // slotless aggregates never reference a slot output, so slot2 is
@@ -383,6 +406,33 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     val newIds = child2.output.map(_.exprId).toSet
     var failed = false
     def convert(e: Expression): Expression = e.transform {
+      // count(DISTINCT <grain column>) is exact over the cascade:
+      // agg_T already holds one row per (user_id, event_type, T-slot),
+      // so the grain columns' distinct SETS survive materialization
+      // untouched — sets are a semilattice, coarser groups just union
+      // cells, and the final DISTINCT dedups across cells (boundary
+      // pieces included). count(DISTINCT user_id) — the DAU/WAU
+      // dashboard — never rescans raw. Any other DISTINCT operand
+      // lost its multiplicities in the cascade and blocks; without
+      // these two cases the generic attribute fallback below would
+      // leave an AggregateExpression inside the exact path's Project
+      case ag @ AggregateExpression(Count(Seq(c)), Complete, true, None, _)
+          if ag.references.forall(a => !newIds.contains(a.exprId)) =>
+        def distinctOver(op: Expression): Expression =
+          AggregateExpression(Count(Seq(op)), Complete, isDistinct = true)
+        resolve(c) match {
+          case a: AttributeReference if a.name == "user_id" => distinctOver(uidR)
+          case a: AttributeReference if a.name == "event_type" => distinctOver(etypeR)
+          case SlotExpr(ts2, s) if isTs(ts2) && s % t == 0 =>
+            distinctOver(
+              if (s == t) slotR
+              else Multiply(IntegralDivide(slotR, Literal(s, LongType)),
+                Literal(s, LongType)))
+          case _ => failed = true; ag
+        }
+      case ag: AggregateExpression
+          if ag.isDistinct && ag.references.forall(a => !newIds.contains(a.exprId)) =>
+        failed = true; ag
       case ag @ AggregateExpression(f, Complete, false, None, _)
           if ag.references.forall(a => !newIds.contains(a.exprId)) =>
         f match {
@@ -684,6 +734,12 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     val newIds = cascade.output.map(_.exprId).toSet
     var failed = false
     def convert(e: Expression): Expression = e.transform {
+      // the rate cascade's rows are per-(series, slot) DELTA sums —
+      // no distinct set survives them; block before the attribute
+      // fallback can bury an AggregateExpression inside a Project
+      case ag: AggregateExpression
+          if ag.isDistinct && ag.references.forall(a => !newIds.contains(a.exprId)) =>
+        failed = true; ag
       case ag @ AggregateExpression(f, Complete, false, None, _)
           if ag.references.forall(a => !newIds.contains(a.exprId)) =>
         f match {

@@ -404,6 +404,71 @@ class RollupSpec extends SparkSpec {
       s"avg over a non-materialized column must stay raw: $paths")
   }
 
+  test("count(DISTINCT user_id) — the DAU dashboard — substitutes exactly") {
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .filter(col("ts_us") >= RB * 1000000L && col("ts_us") < RE * 1000000L)
+      .groupBy(col("event_type"), TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(countDistinct("user_id").as("dau"), count(lit(1)).as("events"))
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("agg_86400")) &&
+      !paths.exists(_.endsWith("/base")),
+      s"DAU should count the cascade's grain rows: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("a distinct agg at the EXACT grain regroups instead of crashing (pre-fix: invalid Project)") {
+    // before the distinct handling, the generic attribute fallback
+    // buried a count(DISTINCT uid) AggregateExpression inside the
+    // exact path's Project — optimizing this query THREW
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .groupBy(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(21600L).as("slot_ts"))
+      .agg(countDistinct("user_id").as("du"), count(lit(1)).as("n"))
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("agg_21600")) &&
+      !paths.exists(_.endsWith("/base")), s"not substituted: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("count(DISTINCT slot) — active periods per user — picks a level dividing the distinct step") {
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .groupBy(col("user_id"))
+      .agg(countDistinct(TimeSeriesOps.slotSec(86400L)).as("active_days"),
+        count(lit(1)).as("n"))
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("agg_86400")) &&
+      !paths.exists(_.endsWith("/base")),
+      s"active-days should read the day cascade: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("count(DISTINCT cents) lost its multiplicities in the cascade: blocks") {
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .groupBy(col("event_type"), TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(countDistinct("cents").as("dc"))
+    val paths = withFlag(on = true)(scanPaths(q))
+    assert(paths.exists(_.endsWith("/base")) &&
+      !paths.exists(_.endsWith("agg_86400")),
+      s"distinct over a value column must stay raw: $paths")
+  }
+
+  test("distinct counts survive an unaligned range split (dedup across interior+boundary)") {
+    val b = (RB + 3600L) * 1000000L
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .filter(col("ts_us") >= b && col("ts_us") < RE * 1000000L)
+      .groupBy(col("event_type"), TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(countDistinct("user_id").as("dau"))
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("agg_86400")) &&
+      paths.exists(_.endsWith("/base")),
+      s"expected cascade interior + raw boundary: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("monthly-layout store: range transfer emits 'YYYY-MM' dt prune literals") {
     import graft.sources.StoreLayout
     val dir = Files.createTempDirectory("graft_rollup_month").toString
