@@ -55,7 +55,11 @@ object PlanDump extends App {
     "q_dedup_keep_best" -> "representative selection: only 128-bit prefix digests shuffle (never text); family size + top-1 rank come from two windows over the same hash partitioning - one exchange serves both",
     "q_store_rollup_range" -> "RollupSubstitution with a time range: the T-aligned ts_us bounds transferred as slot_ts bounds AND as dt PartitionFilters on the substituted cascade scan - directory pruning survives the rewrite; no base scan",
     "q_store_rollup_rate" -> "rate-cascade substitution fired: the query text is the full lag-window delta pipeline over raw samples, but the plan is a bare pruned scan of rate_21600 - the window SORT, the lag exchange and the raw scan are all GONE (pure Project at the exact step)",
-    "q_sql_fetch_bulk_tvf" -> "bulk SQL table function: the alternating series tail resolves to fetchBulk's ONE pruned scan with a struct IN-list - dt PartitionFilters + series/slot PushedFilters identical to the Scala API plan")
+    "q_sql_fetch_bulk_tvf" -> "bulk SQL table function: the alternating series tail resolves to fetchBulk's ONE pruned scan with a struct IN-list - dt PartitionFilters + series/slot PushedFilters identical to the Scala API plan",
+    "q_store_rollup_split" -> "unaligned range SPLIT: union of the cascade interior (slot_ts-bounded, dt-pruned agg scan) and <=2 raw boundary pieces (each dt-pruned to <=1 partition, projected to monoid tuples) under ONE re-aggregation - the base scan reads boundary slivers, not the range",
+    "q_store_rollup_total" -> "slotless per-series range total: no slot in the grouping, so the rewrite re-aggregates the COARSEST cascade level over the range - day rows instead of raw samples; slot_ts bounds + dt PartitionFilters still prune the cascade scan",
+    "q_store_rollup_avg" -> "native avg() substituted as sum(sum_cents)/sum(n): the 12h request re-aggregates the 6h cascade, the division is a post-agg Project - no raw scan, no double accumulation over samples",
+    "q_store_rollup_dau" -> "count(DISTINCT user_id) - the DAU dashboard - over the cascade: agg_86400's grain rows ARE the distinct (user, day) pairs, so the distinct shuffle carries cascade rows, never raw events; the co-requested count re-sums n from the same scan")
   val sb = new StringBuilder
   sb ++= "# PLANS - physical-plan audit evidence (round 7)\n\n"
   sb ++= "Generated from `.queryExecution.executedPlan` at sf0.001, local[4].\n"
