@@ -76,6 +76,30 @@ object StreamQueries {
           count(lit(1)).as("n"))
         .select("user_id", "s_begin_us", "s_end_us", "n")
         .orderBy("user_id", "s_begin_us")
+    },
+
+    QueryDef("q_stream_dau",
+      MeasurementsSql +
+      """
+        |SELECT (ts_us // 86400000000) * 86400 AS w_start, event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |FROM m GROUP BY 1, 2
+        |ORDER BY w_start, event_type""".stripMargin) { (s, d) =>
+      // streaming daily-active-users, batch-evaluated: count(DISTINCT)
+      // is unsupported in a streaming aggregation, so the online form
+      // is dedup-then-count — dropDuplicates(user, type, day window)
+      // holds ONE state row per active (user, day), the watermark ages
+      // it out, a windowed count aggregates survivors. The SAME
+      // pipeline runs here in batch (watermark a no-op) against the
+      // oracle's count(DISTINCT); StreamingSpec drives it through
+      // MemoryStream microbatches with late-data closure
+      graft.streaming.StreamingOps.dauCounts(
+          Tables.measurements(s, d)
+            .select(col("user_id"), col("event_type"),
+              timestamp_micros(col("ts_us")).as("ts")))
+        .select(unix_timestamp(col("w_start")).as("w_start"),
+          col("event_type"), col("dau"))
+        .orderBy("w_start", "event_type")
     }
   )
 }

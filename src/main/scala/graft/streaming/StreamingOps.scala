@@ -91,6 +91,26 @@ object StreamingOps {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming daily-active-users. count(DISTINCT …) is unsupported in
+    * a streaming aggregation, so DAU online is the canonical two-stage
+    * rewrite: watermark + dropDuplicates on (user, event_type, day
+    * window) collapses each active (user, day) to exactly ONE state
+    * row — the event-time window among the dedup keys lets the
+    * watermark age that state out — then an ordinary windowed count
+    * aggregates the survivors. State per day = one row per active
+    * user, not per event; the batch twin of this question is
+    * q_store_rollup_dau, which the rollup substitution answers from
+    * the cascade's grain rows. Day windows close only after the
+    * watermark passes midnight, so append mode emits each day once,
+    * final. */
+  def dauCounts(m: DataFrame): DataFrame =
+    m.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_type"), window(col("ts"), "1 day").as("w"))
+      .dropDuplicates("user_id", "event_type", "w")
+      .groupBy(col("w"), col("event_type"))
+      .agg(count(lit(1)).as("dau"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("dau"))
+
   /** Streaming ingest into the TSDB store layout — the poller →
     * persister pipeline end to end: each microbatch appends
     * dt-partitioned base rows (idempotence comes from slot upsert

@@ -74,6 +74,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DAU: dedup-then-count emits one final row per closed day") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingOps.dauCounts(
+        in.toDF().toDF("user_id", "event_type", "ts"))
+      .writeStream.format("memory").queryName("dau")
+      .outputMode("append").start()
+    try {
+      // day 1: users 1,2 click (1 twice — must count once), 1 views
+      in.addData((1L, "click", ts("2024-01-01 09:00:00")),
+        (1L, "click", ts("2024-01-01 15:00:00")),
+        (2L, "click", ts("2024-01-01 10:00:00")),
+        (1L, "view", ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      // advance the watermark past day-1 midnight so day 1 closes
+      in.addData((9L, "click", ts("2024-01-02 06:00:00")))
+      q.processAllAvailable()
+      in.addData((9L, "click", ts("2024-01-03 06:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("dau")
+        .select(col("w_start").cast("string"), col("event_type"), col("dau"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(out.get(("2024-01-01 00:00:00", "click")).contains(2L),
+        s"day-1 click DAU wrong: $out")
+      assert(out.get(("2024-01-01 00:00:00", "view")).contains(1L),
+        s"day-1 view DAU wrong: $out")
+      assert(!out.keys.exists(_._1 == "2024-01-03 00:00:00"),
+        "unclosed day emitted")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within window, ages out state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
