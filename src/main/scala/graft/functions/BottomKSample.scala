@@ -149,6 +149,45 @@ class WeightedSampleIds extends Aggregator[(Double, Long), BottomKSample.Buf, Ar
     ExpressionEncoder[Array[Long]]()
 }
 
+/** The STORED form of the quantile sketch — finish returns the raw
+  * (priority, value) buffer itself so it can persist as two parallel
+  * array columns and be re-merged later. This is what the store's
+  * `quant_<step>` cascade materializes per (series, slot): because the
+  * bottom-k buffer is a semilattice, merging STORED per-slot sketches
+  * is bit-identical to sketching the union of the raw rows — the
+  * materialization is transparent to every later read, at any scale
+  * (QuantCascadeSpec pins the equality). */
+class BottomKState extends Aggregator[(Long, Double), BottomKSample.Buf, BottomKSample.Buf] {
+  override def zero: BottomKSample.Buf = BottomKSample.empty
+  override def reduce(b: BottomKSample.Buf, x: (Long, Double)): BottomKSample.Buf =
+    BottomKSample.add(b, x._1, x._2)
+  override def merge(a: BottomKSample.Buf, b: BottomKSample.Buf): BottomKSample.Buf =
+    BottomKSample.merge(a, b)
+  override def finish(r: BottomKSample.Buf): BottomKSample.Buf = r
+  override def bufferEncoder: Encoder[BottomKSample.Buf] =
+    ExpressionEncoder[BottomKSample.Buf]()
+  override def outputEncoder: Encoder[BottomKSample.Buf] =
+    ExpressionEncoder[BottomKSample.Buf]()
+}
+
+/** Re-merge STORED sketches (the struct<pri, value> column written by
+  * [[BottomKState]]) — the cascade-build and fetch-side re-aggregation:
+  * coarser `quant_<step>` levels merge the finer level's sketches, and
+  * [[graft.sources.TsdbStore.fetchQuantile]] merges the scanned level
+  * up to the requested slot. Same semilattice, so level never matters. */
+class BottomKMergeState extends Aggregator[BottomKSample.Buf, BottomKSample.Buf, BottomKSample.Buf] {
+  override def zero: BottomKSample.Buf = BottomKSample.empty
+  override def reduce(b: BottomKSample.Buf, x: BottomKSample.Buf): BottomKSample.Buf =
+    BottomKSample.merge(b, x)
+  override def merge(a: BottomKSample.Buf, b: BottomKSample.Buf): BottomKSample.Buf =
+    BottomKSample.merge(a, b)
+  override def finish(r: BottomKSample.Buf): BottomKSample.Buf = r
+  override def bufferEncoder: Encoder[BottomKSample.Buf] =
+    ExpressionEncoder[BottomKSample.Buf]()
+  override def outputEncoder: Encoder[BottomKSample.Buf] =
+    ExpressionEncoder[BottomKSample.Buf]()
+}
+
 /** `agg(new BottomKQuantile().toColumn)` over (priority, value) rows →
   * the sample's values, VALUE-sorted ascending (quantile-ready). */
 class BottomKQuantile extends Aggregator[(Long, Double), BottomKSample.Buf, Array[Double]] {

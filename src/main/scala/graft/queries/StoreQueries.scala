@@ -712,6 +712,33 @@ object StoreQueries {
       }
     },
 
+    QueryDef("q_store_quantile",
+      s"""WITH c AS (
+         |  SELECT (epoch_us(ts) // 86400000000) * 86400 AS slot_ts,
+         |    CAST(round(value*100) AS BIGINT) AS cents
+         |  FROM events WHERE user_id = 7 AND event_type = 'click'
+         |    AND epoch_us(ts) >= ${B}000000 AND epoch_us(ts) < ${E}000000
+         |), r AS (
+         |  SELECT slot_ts, cents,
+         |    row_number() OVER (PARTITION BY slot_ts ORDER BY cents) AS rn,
+         |    count(*) OVER (PARTITION BY slot_ts) AS n
+         |  FROM c
+         |)
+         |SELECT slot_ts, CAST(cents AS DOUBLE)/100.0 AS value
+         |FROM r WHERE rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+         |ORDER BY slot_ts""".stripMargin) { (s, d) =>
+      // percentile dashboards from the QUANTILE column family: per-slot
+      // bottom-k sketches materialized at ingest (quant_<step>), merged
+      // at read time — raw samples never rescanned. The buffer is a
+      // semilattice, so the stored-merge read is bit-identical to a
+      // one-pass sketch over raw at ANY scale (QuantCascadeSpec); below
+      // K=512 samples per evaluated slot it holds EVERY sample, so this
+      // p95 is the exact nearest-rank quantile the oracle recomputes
+      // from raw (ceil(q*n), the q_ts_p95_billing convention)
+      TsdbStore.fetchQuantile(s, StoreFixture.store(s, d),
+        7L, "click", B, E, 86400L, 0.95)
+    },
+
     QueryDef("q_store_rollup_dau",
       s"""WITH c AS (
          |  SELECT user_id, event_type,

@@ -218,6 +218,40 @@ object TsdbStore {
       .agg(sum("n").as("n"), sum("sum_cents").as("sum_cents"),
         min("min_cents").as("min_cents"), max("max_cents").as("max_cents"))
 
+  /** Finest-level quantile sketch: a bottom-k (priority, value) buffer
+    * per (series, slot) — the QUANTILE column family the monoid four
+    * can't provide. Priorities hash the full row address so any later
+    * cross-slot (or cross-series) merge keeps distinct rows distinct;
+    * values are cents as doubles. The buffer is a semilattice
+    * ([[graft.functions.BottomKSample]]), so merged stored sketches
+    * are bit-identical to a sketch built over the raw rows directly —
+    * materialization is transparent to every read, and below K=512
+    * rows per evaluated cell the "sketch" holds every sample and
+    * nearest-rank reads are EXACT. */
+  private def quantAggFromBase(base: DataFrame, stepSec: Long): DataFrame = {
+    val st = udaf(new graft.functions.BottomKState)
+    base
+      .select(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(stepSec).as("slot_ts"),
+        xxhash64(col("user_id"), col("event_type"), col("event_id")).as("pri"),
+        col("cents").cast("double").as("v"))
+      .groupBy("user_id", "event_type", "slot_ts")
+      .agg(st(col("pri"), col("v")).as("sk"))
+      .select(col("user_id"), col("event_type"), col("slot_ts"),
+        col("sk.pri").as("pri"), col("sk.value").as("value"))
+  }
+
+  /** Coarser quantile level: semilattice merge of the finer level's
+    * stored buffers (never re-scans raw). */
+  private def quantAggCoarser(fine: DataFrame, coarseSec: Long): DataFrame = {
+    val ms = udaf(new graft.functions.BottomKMergeState)
+    fine.groupBy(col("user_id"), col("event_type"),
+        (expr(s"slot_ts div $coarseSec") * coarseSec).as("slot_ts"))
+      .agg(ms(col("pri"), col("value")).as("sk"))
+      .select(col("user_id"), col("event_type"), col("slot_ts"),
+        col("sk.pri").as("pri"), col("sk.value").as("value"))
+  }
+
   /** Catalog name for the bucketed base table of a store path. 64-bit
     * SHA-256 prefix, not `String.hashCode`: two store paths colliding
     * on a 32-bit hash would silently serve each other's data through
@@ -284,6 +318,20 @@ object TsdbStore {
         valueAggCoarser(spark.read.parquet(s"$path/agg_$fine"), coarse)
           .withColumn("dt", dtFromSlot(layout))
           .write.mode(SaveMode.Overwrite).partitionBy("dt").parquet(s"$path/agg_$coarse")
+      case _ => ()
+    }
+
+    // quantile cascade: per-slot bottom-k sketches from base, coarser
+    // levels by semilattice merge of the finer (never re-scan raw)
+    quantAggFromBase(base, layout.steps.head)
+      .withColumn("dt", dtFromSlot(layout))
+      .write.mode(SaveMode.Overwrite).partitionBy("dt")
+      .parquet(s"$path/quant_${layout.steps.head}")
+    layout.steps.sliding(2).foreach {
+      case Seq(fine, coarse) =>
+        quantAggCoarser(spark.read.parquet(s"$path/quant_$fine"), coarse)
+          .withColumn("dt", dtFromSlot(layout))
+          .write.mode(SaveMode.Overwrite).partitionBy("dt").parquet(s"$path/quant_$coarse")
       case _ => ()
     }
 
@@ -491,6 +539,22 @@ object TsdbStore {
       case _ => ()
     }
 
+    // quantile cascade: same touched-partition recompute — every step
+    // divides a day, so sketches never straddle a partition boundary.
+    // Bootstrap ordering matters like the value cascade's: the finest
+    // level is swapped in first, then read back for the coarser merge.
+    swapIn(s"quant_${layout.steps.head}",
+      quantAggFromBase(newBase, layout.steps.head)
+        .withColumn("dt", dtFromSlot(layout)), touched)
+    layout.steps.sliding(2).foreach {
+      case Seq(fine, coarse) =>
+        val f = spark.read.parquet(s"$path/quant_$fine")
+          .filter(col("dt").isin(dtLits(touched): _*))
+        swapIn(s"quant_$coarse",
+          quantAggCoarser(f, coarse).withColumn("dt", dtFromSlot(layout)), touched)
+      case _ => ()
+    }
+
     // rate cascade: the last sample of a touched partition feeds the
     // FIRST delta of its successor, so successors are recomputed too;
     // the window reads predecessors for the same reason. All pruned.
@@ -672,7 +736,8 @@ object TsdbStore {
         else LocalDate.parse(dt).isBefore(cutoffDay)
       }.getOrElse(false) // skip non-date dirs (__HIVE_DEFAULT_PARTITION__)
     val tables = "base" +: (layout.steps.map(s => s"agg_$s") ++
-      layout.steps.map(s => s"rate_$s"))
+      layout.steps.map(s => s"rate_$s") ++
+      layout.steps.map(s => s"quant_$s"))
     tables.map { t =>
       val dir = new Path(s"$path/$t")
       val dropped =
@@ -737,6 +802,41 @@ object TsdbStore {
       slotRead(spark, path, layout, userId, eventType, beginSec, endSec, aggStep, cf)
         .orderBy("slot_ts")
     }
+  }
+
+  /** Percentile read path — the dashboard quantile the monoid cascade
+    * cannot answer, served from the `quant_<step>` column family:
+    * merge the scanned level's STORED sketches up to the requested
+    * slot, then read the nearest-rank quantile off the merged sample
+    * (ceil(q·n), the q_ts_p95_billing convention). The scanned level
+    * is the coarsest materialized step dividing `aggStep` — the
+    * semilattice makes the level choice result-invisible, exactly like
+    * the monoid cascade's. Below K=512 samples per evaluated slot the
+    * merged buffer holds EVERY sample and the read is the EXACT
+    * nearest-rank quantile; beyond, it is the bottom-k uniform-sample
+    * estimate with O(1/√K) rank error. Raw samples are never
+    * rescanned either way (QuantCascadeSpec pins bit-equality with a
+    * one-pass sketch over raw). */
+  def fetchQuantile(spark: SparkSession, path: String,
+                    userId: Long, eventType: String,
+                    beginSec: Long, endSec: Long,
+                    aggStep: Long, q: Double): DataFrame = {
+    val layout = readLayout(spark, path)
+    require(q > 0.0 && q <= 1.0, s"quantile out of (0, 1]: $q")
+    val t = layout.steps.filter(aggStep % _ == 0).sorted.lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no materialized level divides step $aggStep (steps: ${layout.steps})"))
+    val ms = udaf(new graft.functions.BottomKMergeState)
+    spark.read.parquet(s"$path/quant_$t")
+      .filter(dtPrune(layout, beginSec, endSec))
+      .filter(col("user_id") === userId && col("event_type") === eventType)
+      .filter(col("slot_ts") >= beginSec && col("slot_ts") < endSec)
+      .groupBy((expr(s"slot_ts div $aggStep") * aggStep).as("slot_ts"))
+      .agg(ms(col("pri"), col("value")).as("sk"))
+      .select(col("slot_ts"),
+        (expr(s"element_at(array_sort(sk.value), " +
+          s"int(greatest(1, ceil($q * size(sk.value)))))") / 100.0).as("value"))
+      .orderBy("slot_ts")
   }
 
   /** cf → (cascade family, value expression), shared by every

@@ -19,7 +19,8 @@ class TsdbStoreSpec extends SparkSpec {
   test("ingest writes dt-partitioned base + value and rate cascades + layout stamp") {
     val dirs = new java.io.File(store).listFiles().filter(_.isDirectory)
       .map(_.getName).toSet
-    assert(dirs == Set("base", "agg_21600", "agg_86400", "rate_21600", "rate_86400"))
+    assert(dirs == Set("base", "agg_21600", "agg_86400", "rate_21600", "rate_86400",
+      "quant_21600", "quant_86400"))
     assert(new java.io.File(s"$store/_LAYOUT").exists(), "layout stamp missing")
     assert(TsdbStore.readLayout(spark, store) == graft.sources.StoreLayout())
     val parts = new java.io.File(s"$store/base").listFiles()
@@ -313,7 +314,8 @@ class TsdbStoreSpec extends SparkSpec {
     val dirs = new java.io.File(p).listFiles().filter(_.isDirectory)
       .map(_.getName).toSet
     assert(dirs == Set("base", "agg_300", "agg_3600", "agg_86400",
-      "rate_300", "rate_3600", "rate_86400"))
+      "rate_300", "rate_3600", "rate_86400",
+      "quant_300", "quant_3600", "quant_86400"))
 
     // fetch at the middle level equals direct downsample of raw
     val got = TsdbStore.fetch(spark, p, 3L, "view",
@@ -346,10 +348,11 @@ class TsdbStoreSpec extends SparkSpec {
           s"incremental $t differs from full recompute at 3-level chain")
       }
 
-    // retention drops pre-cutoff partitions at all seven tables
+    // retention drops pre-cutoff partitions at all ten tables
     val dropped = TsdbStore.dropBefore(spark, p, 1704844800L)
     assert(dropped.keySet ==
-      ("base" +: layout.steps.flatMap(s => Seq(s"agg_$s", s"rate_$s"))).toSet)
+      ("base" +: layout.steps.flatMap(s =>
+        Seq(s"agg_$s", s"rate_$s", s"quant_$s"))).toSet)
     assert(dropped.values.forall(_.nonEmpty), s"dropped=$dropped")
   }
 
