@@ -60,6 +60,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_fetch_bulk_filled"),
       new ExpressionInfo("graft.sources.TsdbStore", "graft_fetch_bulk_filled"),
       (args: Seq[Expression]) => GraftExtensions.fetchBulkFilledPlan(args)))
+    // percentile dashboards from the quantile column family in SQL —
+    //   SELECT * FROM graft_fetch_quantile('<store>', user, 'type',
+    //                                      begin, end, agg_step, q)
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_fetch_quantile"),
+      new ExpressionInfo("graft.sources.TsdbStore", "graft_fetch_quantile"),
+      (args: Seq[Expression]) => GraftExtensions.fetchQuantilePlan(args)))
   }
 }
 
@@ -73,6 +80,31 @@ object GraftExtensions {
       case other => throw new IllegalArgumentException(
         s"graft_fetch: expected an integer literal, got $other")
     }
+
+  private def doubleArg(e: Expression): Double =
+    e.eval(org.apache.spark.sql.catalyst.InternalRow.empty) match {
+      case d: java.lang.Double => d
+      case f: java.lang.Float => f.toDouble
+      case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+      case l: java.lang.Long => l.toDouble
+      case i: java.lang.Integer => i.toDouble
+      case other => throw new IllegalArgumentException(
+        s"graft_fetch_quantile: expected a numeric literal, got $other")
+    }
+
+  /** Resolve graft_fetch_quantile(...) — the quantile column family's
+    * read path for SQL-only consumers (same plan as the Scala API). */
+  private[graft] def fetchQuantilePlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 7 && args.forall(_.foldable),
+      "usage: graft_fetch_quantile(path, user_id, event_type, begin_sec, " +
+        "end_sec, agg_step, q) with literal arguments")
+    val spark = SparkSession.active
+    graft.sources.TsdbStore.fetchQuantile(spark,
+        strArg(args(0)), longArg(args(1)), strArg(args(2)),
+        longArg(args(3)), longArg(args(4)), longArg(args(5)),
+        doubleArg(args(6)))
+      .queryExecution.analyzed
+  }
 
   /** Resolve graft_fetch(...) literal arguments to the fetch plan. */
   private[graft] def fetchPlan(args: Seq[Expression]): LogicalPlan = {

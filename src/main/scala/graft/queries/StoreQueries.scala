@@ -739,6 +739,28 @@ object StoreQueries {
         7L, "click", B, E, 86400L, 0.95)
     },
 
+    QueryDef("q_sql_fetch_quantile_tvf",
+      s"""WITH c AS (
+         |  SELECT (epoch_us(ts) // 86400000000) * 86400 AS slot_ts,
+         |    CAST(round(value*100) AS BIGINT) AS cents
+         |  FROM events WHERE user_id = 3 AND event_type = 'view'
+         |    AND epoch_us(ts) >= ${B}000000 AND epoch_us(ts) < ${E}000000
+         |), r AS (
+         |  SELECT slot_ts, cents,
+         |    row_number() OVER (PARTITION BY slot_ts ORDER BY cents) AS rn,
+         |    count(*) OVER (PARTITION BY slot_ts) AS n
+         |  FROM c
+         |)
+         |SELECT slot_ts, CAST(cents AS DOUBLE)/100.0 AS value
+         |FROM r WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+         |ORDER BY slot_ts""".stripMargin) { (s, d) =>
+      // the quantile column family for SQL-only consumers: the TVF
+      // resolves to fetchQuantile's merge-and-read plan (sub-K exact;
+      // oracle recomputes the per-day median nearest-rank from raw)
+      val store = StoreFixture.store(s, d)
+      s.sql(s"SELECT * FROM graft_fetch_quantile('$store', 3, 'view', $B, $E, 86400, 0.5)")
+    },
+
     QueryDef("q_store_rollup_dau",
       s"""WITH c AS (
          |  SELECT user_id, event_type,

@@ -74,6 +74,26 @@ class TvfSpec extends SparkSpec {
       oddTail.getMessage)
   }
 
+  test("graft_fetch_quantile: SQL parity with the Scala API") {
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_fetch_quantile('$store', 7, 'click', $B, $E, 86400, 0.95)")) ==
+      rows(TsdbStore.fetchQuantile(spark, store, 7L, "click", B, E, 86400L, 0.95)))
+    // integer quantile literal (q = 1 → the per-slot maximum)
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_fetch_quantile('$store', 7, 'click', $B, $E, 86400, 1)")) ==
+      rows(TsdbStore.fetchQuantile(spark, store, 7L, "click", B, E, 86400L, 1.0)))
+    val tooFew = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_fetch_quantile('$store', 7, 'click', $B, $E)")
+        .collect()
+    }
+    assert(tooFew.getMessage.contains("usage: graft_fetch_quantile"), tooFew.getMessage)
+    val badQ = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_fetch_quantile('$store', 7, 'click', $B, $E, " +
+        "86400, 1.5)").collect()
+    }
+    assert(badQ.getMessage.contains("quantile out of"), badQ.getMessage)
+  }
+
   test("bad bulk/filled calls fail with the usage message") {
     val oddTail = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_fetch_bulk('$store', $B, $E, 21600, " +
