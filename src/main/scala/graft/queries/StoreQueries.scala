@@ -761,6 +761,33 @@ object StoreQueries {
       s.sql(s"SELECT * FROM graft_fetch_quantile('$store', 3, 'view', $B, $E, 86400, 0.5)")
     },
 
+    QueryDef("q_store_bulk_quantile",
+      s"""WITH c AS (
+         |  SELECT user_id, event_type,
+         |    (epoch_us(ts) // 86400000000) * 86400 AS slot_ts,
+         |    CAST(round(value*100) AS BIGINT) AS cents
+         |  FROM events
+         |  WHERE ((user_id = 7 AND event_type = 'click')
+         |      OR (user_id = 3 AND event_type = 'view'))
+         |    AND epoch_us(ts) >= ${B}000000 AND epoch_us(ts) < ${E}000000
+         |), r AS (
+         |  SELECT user_id, event_type, slot_ts, cents,
+         |    row_number() OVER (PARTITION BY user_id, event_type, slot_ts
+         |                       ORDER BY cents) AS rn,
+         |    count(*) OVER (PARTITION BY user_id, event_type, slot_ts) AS n
+         |  FROM c
+         |)
+         |SELECT user_id, event_type, slot_ts, CAST(cents AS DOUBLE)/100.0 AS value
+         |FROM r WHERE rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+         |ORDER BY user_id, event_type, slot_ts""".stripMargin) { (s, d) =>
+      // bulk percentile: many series' p95 grids from ONE pruned
+      // quant-cascade scan (struct IN-list, the fetchBulk shape) —
+      // per-(series, slot) semilattice merge, sub-K exact, oracle
+      // recomputing each nearest rank from raw
+      TsdbStore.fetchBulkQuantile(s, StoreFixture.store(s, d),
+        Seq((7L, "click"), (3L, "view")), B, E, 86400L, 0.95)
+    },
+
     QueryDef("q_store_rollup_dau",
       s"""WITH c AS (
          |  SELECT user_id, event_type,

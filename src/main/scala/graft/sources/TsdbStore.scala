@@ -839,6 +839,36 @@ object TsdbStore {
       .orderBy("slot_ts")
   }
 
+  /** [[fetchQuantile]] for MANY series in one pruned scan — the bulk
+    * percentile twin of [[fetchBulk]]: a struct IN-list of series keys
+    * over the same `quant_<t>` scan, per-(series, slot) semilattice
+    * merge, one nearest-rank read each. Returns (user_id, event_type,
+    * slot_ts, value). */
+  def fetchBulkQuantile(spark: SparkSession, path: String,
+                        series: Seq[(Long, String)],
+                        beginSec: Long, endSec: Long,
+                        aggStep: Long, q: Double): DataFrame = {
+    val layout = readLayout(spark, path)
+    require(q > 0.0 && q <= 1.0, s"quantile out of (0, 1]: $q")
+    require(series.nonEmpty, "empty series request")
+    val t = layout.steps.filter(aggStep % _ == 0).sorted.lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no materialized level divides step $aggStep (steps: ${layout.steps})"))
+    val keys = series.map { case (u, e) => struct(lit(u), lit(e)) }
+    val ms = udaf(new graft.functions.BottomKMergeState)
+    spark.read.parquet(s"$path/quant_$t")
+      .filter(dtPrune(layout, beginSec, endSec))
+      .filter(struct(col("user_id"), col("event_type")).isin(keys: _*))
+      .filter(col("slot_ts") >= beginSec && col("slot_ts") < endSec)
+      .groupBy(col("user_id"), col("event_type"),
+        (expr(s"slot_ts div $aggStep") * aggStep).as("slot_ts"))
+      .agg(ms(col("pri"), col("value")).as("sk"))
+      .select(col("user_id"), col("event_type"), col("slot_ts"),
+        (expr(s"element_at(array_sort(sk.value), " +
+          s"int(greatest(1, ceil($q * size(sk.value)))))") / 100.0).as("value"))
+      .orderBy("user_id", "event_type", "slot_ts")
+  }
+
   /** cf → (cascade family, value expression), shared by every
     * consolidated read path ([[fetch]], [[fetchBulk]], [[fetchFilled]]).
     * Value cfs {average, min, max, sum, raw} read `agg_<step>`; counter

@@ -133,6 +133,17 @@ class QuantCascadeSpec extends SparkSpec {
     assert(got == expect, "incremental quant cascade != full recompute")
   }
 
+  test("bulk quantile == the per-series fetches, from one scan") {
+    val bulk = TsdbStore.fetchBulkQuantile(spark, store,
+        Seq((7L, "click"), (3L, "view")), B, E, 86400L, 0.95)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    val singles =
+      fetched(7L, "click", 86400L, 0.95).map { case (s2, v) => (7L, "click", s2) -> v } ++
+      fetched(3L, "view", 86400L, 0.95).map { case (s2, v) => (3L, "view", s2) -> v }
+    assert(bulk.nonEmpty && bulk == singles)
+  }
+
   test("fetchQuantile validates its arguments loudly") {
     intercept[IllegalArgumentException] {
       TsdbStore.fetchQuantile(spark, store, 7L, "click", B, E, 86400L, 1.5)
