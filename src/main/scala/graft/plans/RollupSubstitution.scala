@@ -224,20 +224,34 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
         }
     }.flatten)
     // coarsest materialized step dividing the query's slot step (and
-    // every distinct-slot step); a slotless aggregate (stepSec = 0)
-    // re-aggregates ANY level, so the coarsest wins outright
-    // (0 % s == 0 for every s)
+    // every distinct-slot step) WHOSE ALIGNED INTERIOR IS NON-EMPTY
+    // for the query's range: a range shorter than one coarse cell
+    // (the "totals for the last 6 hours" slotless dashboard) falls
+    // through to a finer level instead of rescanning raw. A slotless
+    // aggregate (stepSec = 0) re-aggregates ANY level (0 % s == 0 for
+    // every s), so only the range constrains its choice.
     val layout = TsdbStore.readLayout(session, store)
+    val loOpt = lowerUs.maxOption
+    val hiOpt = upperUs.minOption
+    def interiorNonEmpty(tc: Long): Boolean = (loOpt, hiOpt) match {
+      case (Some(l), Some(h)) =>
+        val su = tc * 1000000L
+        Math.floorDiv(l + su - 1, su) * su < Math.floorDiv(h, su) * su
+      case _ => true // unbounded on a side: the interior is unbounded too
+    }
+    val hconf = session.sparkContext.hadoopConfiguration
+    def tableExists(tc: Long): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$store/agg_$tc")
+      p.getFileSystem(hconf).exists(p)
+    }
     val t = layout.steps
       .filter(s => stepSec % s == 0 && distinctSlotSteps.forall(_ % s == 0))
-      .sorted.lastOption match {
+      .sorted.reverse
+      .find(s => tableExists(s) && interiorNonEmpty(s)) match {
       case Some(x) => x
       case None => return None
     }
     val aggPath = s"$store/agg_$t"
-    val hfs = new org.apache.hadoop.fs.Path(aggPath)
-      .getFileSystem(session.sparkContext.hadoopConfiguration)
-    if (!hfs.exists(new org.apache.hadoop.fs.Path(aggPath))) return None
 
     // a half-open ts_us range transfers EXACTLY as slot bounds iff its
     // bounds are multiples of the SCANNED cascade step T: each T-cell
@@ -249,8 +263,6 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     // dashboard ranges actually hit. Bounds conjoin, so the effective
     // range is [max(lowers), min(uppers)).
     val stepUs = t * 1000000L
-    val loOpt = lowerUs.maxOption
-    val hiOpt = upperUs.minOption
     val bupUs = loOpt.map(l => Math.floorDiv(l + stepUs - 1, stepUs) * stepUs)
     val edownUs = hiOpt.map(h => Math.floorDiv(h, stepUs) * stepUs)
     (bupUs, edownUs) match {
@@ -430,9 +442,6 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
                 Literal(s, LongType)))
           case _ => failed = true; ag
         }
-      case ag: AggregateExpression
-          if ag.isDistinct && ag.references.forall(a => !newIds.contains(a.exprId)) =>
-        failed = true; ag
       case ag @ AggregateExpression(f, Complete, false, None, _)
           if ag.references.forall(a => !newIds.contains(a.exprId)) =>
         f match {
@@ -458,6 +467,16 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
           }
           case _ => failed = true; e
         }
+      // any OTHER aggregate over old attributes — FILTER clauses,
+      // distinct over non-grain operands, multi-arg distincts,
+      // non-Complete modes — must BLOCK here: the attribute fallback
+      // below would otherwise rewrite its children and leave a
+      // half-converted aggregate over cascade rows (silently wrong
+      // counts), or on the exact path an AggregateExpression inside a
+      // Project — the crash class the distinct handling closed
+      case ag: AggregateExpression
+          if ag.references.forall(a => !newIds.contains(a.exprId)) =>
+        failed = true; ag
       case a: AttributeReference if !newIds.contains(a.exprId) =>
         resolve(a) match {
           case r: AttributeReference if r.name == "user_id" => uidR
@@ -734,12 +753,6 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     val newIds = cascade.output.map(_.exprId).toSet
     var failed = false
     def convert(e: Expression): Expression = e.transform {
-      // the rate cascade's rows are per-(series, slot) DELTA sums —
-      // no distinct set survives them; block before the attribute
-      // fallback can bury an AggregateExpression inside a Project
-      case ag: AggregateExpression
-          if ag.isDistinct && ag.references.forall(a => !newIds.contains(a.exprId)) =>
-        failed = true; ag
       case ag @ AggregateExpression(f, Complete, false, None, _)
           if ag.references.forall(a => !newIds.contains(a.exprId)) =>
         f match {
@@ -751,6 +764,13 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
             else { failed = true; e }
           case _ => failed = true; e
         }
+      // the rate cascade's rows are per-(series, slot) DELTA sums — no
+      // distinct set (or FILTER-clause semantics) survives them; block
+      // every unhandled aggregate shape before the attribute fallback
+      // can bury a half-converted AggregateExpression in the output
+      case ag: AggregateExpression
+          if ag.references.forall(a => !newIds.contains(a.exprId)) =>
+        failed = true; ag
       case a: AttributeReference if !newIds.contains(a.exprId) =>
         resolveBelow(resolve(a)) match {
           case r: AttributeReference if r.exprId == uidId => uid

@@ -822,10 +822,7 @@ object TsdbStore {
                     beginSec: Long, endSec: Long,
                     aggStep: Long, q: Double): DataFrame = {
     val layout = readLayout(spark, path)
-    require(q > 0.0 && q <= 1.0, s"quantile out of (0, 1]: $q")
-    val t = layout.steps.filter(aggStep % _ == 0).sorted.lastOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"no materialized level divides step $aggStep (steps: ${layout.steps})"))
+    val t = quantLevelOf(layout, aggStep, q)
     val ms = udaf(new graft.functions.BottomKMergeState)
     spark.read.parquet(s"$path/quant_$t")
       .filter(dtPrune(layout, beginSec, endSec))
@@ -833,11 +830,28 @@ object TsdbStore {
       .filter(col("slot_ts") >= beginSec && col("slot_ts") < endSec)
       .groupBy((expr(s"slot_ts div $aggStep") * aggStep).as("slot_ts"))
       .agg(ms(col("pri"), col("value")).as("sk"))
-      .select(col("slot_ts"),
-        (expr(s"element_at(array_sort(sk.value), " +
-          s"int(greatest(1, ceil($q * size(sk.value)))))") / 100.0).as("value"))
+      .select(col("slot_ts"), quantRankRead(q).as("value"))
       .orderBy("slot_ts")
   }
+
+  /** Shared by [[fetchQuantile]]/[[fetchBulkQuantile]]: validate the
+    * request and pick the coarsest materialized level dividing the
+    * requested slot. Unlike [[fetch]], there is no aggStep = 0 raw
+    * path — a quantile over raw samples IS the sketch read (sub-K
+    * exact), so a zero/negative step is a caller error, not a mode. */
+  private def quantLevelOf(layout: StoreLayout, aggStep: Long, q: Double): Long = {
+    require(q > 0.0 && q <= 1.0, s"quantile out of (0, 1]: $q")
+    require(aggStep > 0, s"aggStep must be a positive slot step, got $aggStep")
+    layout.steps.filter(aggStep % _ == 0).sorted.lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no materialized level divides step $aggStep (steps: ${layout.steps})"))
+  }
+
+  /** Nearest-rank read off the merged sketch column `sk` — ceil(q·n),
+    * the q_ts_p95_billing convention, cents → value units. */
+  private def quantRankRead(q: Double): Column =
+    expr(s"element_at(array_sort(sk.value), " +
+      s"int(greatest(1, ceil($q * size(sk.value)))))") / 100.0
 
   /** [[fetchQuantile]] for MANY series in one pruned scan — the bulk
     * percentile twin of [[fetchBulk]]: a struct IN-list of series keys
@@ -849,11 +863,8 @@ object TsdbStore {
                         beginSec: Long, endSec: Long,
                         aggStep: Long, q: Double): DataFrame = {
     val layout = readLayout(spark, path)
-    require(q > 0.0 && q <= 1.0, s"quantile out of (0, 1]: $q")
     require(series.nonEmpty, "empty series request")
-    val t = layout.steps.filter(aggStep % _ == 0).sorted.lastOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"no materialized level divides step $aggStep (steps: ${layout.steps})"))
+    val t = quantLevelOf(layout, aggStep, q)
     val keys = series.map { case (u, e) => struct(lit(u), lit(e)) }
     val ms = udaf(new graft.functions.BottomKMergeState)
     spark.read.parquet(s"$path/quant_$t")
@@ -864,8 +875,7 @@ object TsdbStore {
         (expr(s"slot_ts div $aggStep") * aggStep).as("slot_ts"))
       .agg(ms(col("pri"), col("value")).as("sk"))
       .select(col("user_id"), col("event_type"), col("slot_ts"),
-        (expr(s"element_at(array_sort(sk.value), " +
-          s"int(greatest(1, ceil($q * size(sk.value)))))") / 100.0).as("value"))
+        quantRankRead(q).as("value"))
       .orderBy("user_id", "event_type", "slot_ts")
   }
 

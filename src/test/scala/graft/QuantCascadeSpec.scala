@@ -151,5 +151,14 @@ class QuantCascadeSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TsdbStore.fetchQuantile(spark, store, 7L, "click", B, E, 1234L, 0.5)
     }
+    // no aggStep = 0 raw mode here (unlike fetch): a quantile over raw
+    // IS the sketch read — zero/negative steps are caller errors, and
+    // slot_ts div 0 would otherwise return one NULL-keyed garbage row
+    intercept[IllegalArgumentException] {
+      TsdbStore.fetchQuantile(spark, store, 7L, "click", B, E, 0L, 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      TsdbStore.fetchBulkQuantile(spark, store, Seq((7L, "click")), B, E, -86400L, 0.5)
+    }
   }
 }

@@ -469,6 +469,47 @@ class RollupSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("a FILTER-clause aggregate blocks the rewrite (both rules)") {
+    // pre-fix, the filtered aggregate matched none of convert's
+    // AggregateExpression cases and the attribute fallback rewrote its
+    // children — a half-converted aggregate over cascade rows (wrong
+    // counts at coarser grain, an invalid Project at the exact grain)
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .groupBy(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(43200L).as("slot_ts"))
+      .agg(expr("count(*) FILTER (WHERE event_type = 'click')").as("n_click"),
+        sum("cents").as("sum_cents"))
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("/base")) &&
+      !paths.exists(_.contains("agg_")),
+      s"FILTER-clause aggregate must stay raw: $paths")
+    assert(got == withFlag(on = false)(rows(q)) && got.nonEmpty)
+    // exact grain: the pre-fix crash shape — must not throw AND stay raw
+    def qe: DataFrame = spark.read.parquet(s"$store/base")
+      .groupBy(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(21600L).as("slot_ts"))
+      .agg(expr("count(*) FILTER (WHERE cents > 0)").as("n_pos"))
+    val pathsE = withFlag(on = true)(scanPaths(qe))
+    assert(pathsE.exists(_.endsWith("/base")) && !pathsE.exists(_.contains("agg_")))
+  }
+
+  test("a sub-day range falls through to the FINER level instead of raw") {
+    // slotless "totals for the last 6 hours": the day level has no
+    // aligned interior, but agg_21600 serves the range entirely
+    val b = (RB + 21600L) * 1000000L
+    val e = (RB + 43200L) * 1000000L
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .filter(col("ts_us") >= b && col("ts_us") < e)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("agg_21600")) &&
+      !paths.exists(_.endsWith("/base")),
+      s"sub-day range should serve from the finer level: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("monthly-layout store: range transfer emits 'YYYY-MM' dt prune literals") {
     import graft.sources.StoreLayout
     val dir = Files.createTempDirectory("graft_rollup_month").toString
