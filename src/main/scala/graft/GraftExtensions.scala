@@ -67,6 +67,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_fetch_quantile"),
       new ExpressionInfo("graft.sources.TsdbStore", "graft_fetch_quantile"),
       (args: Seq[Expression]) => GraftExtensions.fetchQuantilePlan(args)))
+    // bulk percentiles — the alternating series tail, like graft_fetch_bulk:
+    //   SELECT * FROM graft_fetch_bulk_quantile('<store>', begin, end,
+    //     agg_step, q, uid1, 'type1'[, uid2, 'type2' …])
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_fetch_bulk_quantile"),
+      new ExpressionInfo("graft.sources.TsdbStore", "graft_fetch_bulk_quantile"),
+      (args: Seq[Expression]) => GraftExtensions.fetchBulkQuantilePlan(args)))
   }
 }
 
@@ -103,6 +110,23 @@ object GraftExtensions {
         strArg(args(0)), longArg(args(1)), strArg(args(2)),
         longArg(args(3)), longArg(args(4)), longArg(args(5)),
         doubleArg(args(6)))
+      .queryExecution.analyzed
+  }
+
+  /** Resolve graft_fetch_bulk_quantile(...) — bulk percentiles with the
+    * flat alternating (user_id, event_type) tail graft_fetch_bulk uses. */
+  private[graft] def fetchBulkQuantilePlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 7 && (args.length - 5) % 2 == 0 &&
+        args.forall(_.foldable),
+      "usage: graft_fetch_bulk_quantile(path, begin_sec, end_sec, agg_step, " +
+        "q, user_id, event_type[, user_id, event_type ...]) with literal arguments")
+    val series = args.drop(5).grouped(2).map {
+      case Seq(u, e) => (longArg(u), strArg(e))
+    }.toSeq
+    val spark = SparkSession.active
+    graft.sources.TsdbStore.fetchBulkQuantile(spark,
+        strArg(args(0)), series, longArg(args(1)), longArg(args(2)),
+        longArg(args(3)), doubleArg(args(4)))
       .queryExecution.analyzed
   }
 

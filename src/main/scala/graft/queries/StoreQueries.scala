@@ -788,6 +788,33 @@ object StoreQueries {
         Seq((7L, "click"), (3L, "view")), B, E, 86400L, 0.95)
     },
 
+    QueryDef("q_sql_fetch_bulk_quantile_tvf",
+      s"""WITH c AS (
+         |  SELECT user_id, event_type,
+         |    (epoch_us(ts) // 86400000000) * 86400 AS slot_ts,
+         |    CAST(round(value*100) AS BIGINT) AS cents
+         |  FROM events
+         |  WHERE ((user_id = 1 AND event_type = 'click')
+         |      OR (user_id = 9 AND event_type = 'view'))
+         |    AND epoch_us(ts) >= ${B}000000 AND epoch_us(ts) < ${E}000000
+         |), r AS (
+         |  SELECT user_id, event_type, slot_ts, cents,
+         |    row_number() OVER (PARTITION BY user_id, event_type, slot_ts
+         |                       ORDER BY cents) AS rn,
+         |    count(*) OVER (PARTITION BY user_id, event_type, slot_ts) AS n
+         |  FROM c
+         |)
+         |SELECT user_id, event_type, slot_ts, CAST(cents AS DOUBLE)/100.0 AS value
+         |FROM r WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+         |ORDER BY user_id, event_type, slot_ts""".stripMargin) { (s, d) =>
+      // bulk percentiles in SQL: the alternating series tail resolves
+      // to fetchBulkQuantile's single pruned quant scan — every read
+      // entry point, bulk forms included, now reachable from pure SQL
+      val store = StoreFixture.store(s, d)
+      s.sql(s"""SELECT * FROM graft_fetch_bulk_quantile('$store', $B, $E, 86400,
+               |  0.5, 1, 'click', 9, 'view')""".stripMargin)
+    },
+
     QueryDef("q_store_rollup_dau",
       s"""WITH c AS (
          |  SELECT user_id, event_type,

@@ -94,6 +94,25 @@ class TvfSpec extends SparkSpec {
     assert(badQ.getMessage.contains("quantile out of"), badQ.getMessage)
   }
 
+  test("graft_fetch_bulk_quantile: SQL parity and loud rejections") {
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_fetch_bulk_quantile('$store', $B, $E, 86400, 0.95, " +
+          "7, 'click', 3, 'view')")) ==
+      rows(TsdbStore.fetchBulkQuantile(spark, store,
+        Seq((7L, "click"), (3L, "view")), B, E, 86400L, 0.95)))
+    val oddTail = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_fetch_bulk_quantile('$store', $B, $E, 86400, " +
+        "0.95, 7, 'click', 3)").collect()
+    }
+    assert(oddTail.getMessage.contains("usage: graft_fetch_bulk_quantile"),
+      oddTail.getMessage)
+    val zeroStep = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_fetch_bulk_quantile('$store', $B, $E, 0, " +
+        "0.95, 7, 'click')").collect()
+    }
+    assert(zeroStep.getMessage.contains("positive slot step"), zeroStep.getMessage)
+  }
+
   test("bad bulk/filled calls fail with the usage message") {
     val oddTail = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_fetch_bulk('$store', $B, $E, 21600, " +
