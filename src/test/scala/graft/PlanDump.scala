@@ -61,7 +61,8 @@ object PlanDump extends App {
     "q_store_rollup_avg" -> "native avg() substituted as sum(sum_cents)/sum(n): the 12h request re-aggregates the 6h cascade, the division is a post-agg Project - no raw scan, no double accumulation over samples",
     "q_store_rollup_dau" -> "count(DISTINCT user_id) - the DAU dashboard - over the cascade: agg_86400's grain rows ARE the distinct (user, day) pairs, so the distinct shuffle carries cascade rows, never raw events; the co-requested count re-sums n from the same scan",
     "q_store_quantile" -> "quantile column family read: dt-pruned scan of quant_86400, per-slot ObjectHashAggregate semilattice merge (partial BEFORE the exchange - each stored sketch is <=8 KB, the same map-side-combined class as sum), nearest-rank read off the merged sample - raw samples never scanned",
-    "q_stream_dau" -> "streaming-legal DAU, batch-evaluated: dedup (user, type, day) via HashAggregate-as-distinct, then the windowed count - ONE exchange on the dedup grain serves both stages (the count regroups a subset of the dedup keys)")
+    "q_stream_dau" -> "streaming-legal DAU, batch-evaluated: dedup (user, type, day) via HashAggregate-as-distinct, then the windowed count - ONE exchange on the dedup grain serves both stages (the count regroups a subset of the dedup keys)",
+    "q_store_bulk_quantile" -> "bulk percentiles: ONE dt-pruned quant scan with the struct IN-list (the fetchBulk shape), per-(series, slot) ObjectHashAggregate semilattice merge partial-before-exchange - many series' p95 grids, raw never scanned")
   val sb = new StringBuilder
   sb ++= "# PLANS - physical-plan audit evidence (round 7)\n\n"
   sb ++= "Generated from `.queryExecution.executedPlan` at sf0.001, local[4].\n"
