@@ -198,6 +198,12 @@ class StreamingSpec extends SparkSpec {
       val day1 = agg1d.filter(col("slot_ts") === 1704067200L).select("sum_cents")
       assert(day1.head().getLong(0) == 500L, "cascade not updated by replay")
       assert(agg1d.count() == 3, "one daily slot per day expected")
+      // the QUANTILE cascade follows the same per-microbatch contract:
+      // the replayed value (not the original) is what the sketch holds
+      val q1 = spark.read.parquet(s"$store/quant_86400")
+        .filter(col("slot_ts") === 1704067200L).select("value")
+        .head().getSeq[Double](0)
+      assert(q1 == Seq(500.0), s"quant cascade not updated by replay: $q1")
     } finally q.stop()
   }
 
