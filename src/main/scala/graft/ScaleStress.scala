@@ -33,6 +33,15 @@ object ScaleStress {
     "q_dedup_substring", "q_sim_ann_ivf_pq", "q_sim_ann_ivf_pq_refine",
     "q_ts_gap_interp")
 
+  /** Store family: `factor`× the series over the same range. The
+    * per-series reads (fetch, quantile) should be ~factor-INVARIANT —
+    * series-key pushdown + dt pruning reach one series' row groups no
+    * matter how many neighbors exist; the fleet-wide reads (rollup,
+    * DAU) and the ingest itself should grow ~linearly. */
+  private val Store = Seq(
+    "q_store_fetch", "q_store_quantile", "q_store_rollup",
+    "q_store_rollup_raw", "q_store_rollup_dau")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 10
@@ -71,6 +80,30 @@ object ScaleStress {
     val worst = rows.maxBy(_._4)
     val sum1 = rows.map(_._2).sum; val sumN = rows.map(_._3).sum
     println(f"""{"metric":"scale_stress","factor":$factor,"sum_1x_sec":$sum1%.3f,"sum_${factor}x_sec":$sumN%.3f,"sum_ratio":${sumN / sum1}%.2f,"worst":"${worst._1}","worst_ratio":${worst._4}%.2f}""")
+
+    // store family: time the full ingest (base + value/rate/quant
+    // cascades) at both scales into fresh work dirs, then the declared
+    // store reads (fixture builds pre-warmed untimed so the first read
+    // doesn't absorb an ingest)
+    def timeIngest(dir: String, tgt: String): Double = {
+      val t0 = System.nanoTime()
+      graft.sources.TsdbStore.ingest(spark, Tables.events(spark, dir), tgt)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ing1 = timeIngest(sfDir, s"$work/store_1x")
+    val ingN = timeIngest(big, s"$work/store_${factor}x")
+    println(f"""{"query":"store_ingest","sec_1x":$ing1%.3f,"sec_${factor}x":$ingN%.3f,"ratio":${ingN / ing1}%.2f}""")
+    graft.sources.StoreFixture.store(spark, sfDir)
+    graft.sources.StoreFixture.store(spark, big)
+    val storeRows = Store.map { name =>
+      val t1 = time(name, sfDir)
+      val tN = time(name, big)
+      println(f"""{"query":"$name","sec_1x":$t1%.3f,"sec_${factor}x":$tN%.3f,"ratio":${tN / t1}%.2f}""")
+      (name, t1, tN, tN / t1)
+    }
+    val sSum1 = ing1 + storeRows.map(_._2).sum
+    val sSumN = ingN + storeRows.map(_._3).sum
+    println(f"""{"metric":"scale_stress_store","factor":$factor,"sum_1x_sec":$sSum1%.3f,"sum_${factor}x_sec":$sSumN%.3f,"sum_ratio":${sSumN / sSum1}%.2f}""")
     spark.stop()
   }
 
