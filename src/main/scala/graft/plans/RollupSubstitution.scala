@@ -365,10 +365,12 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     // exact hit = the cascade's own granularity requested with no
     // boundary pieces: cascade rows ARE the answer rows. Dropping a
     // key, coarsening the step, or a split range re-aggregates. A
-    // DISTINCT aggregate always re-aggregates — its replacement is
-    // itself an AggregateExpression, which a pure Project can't host
+    // DISTINCT (or approx-distinct) aggregate always re-aggregates —
+    // its replacement is itself an AggregateExpression, which a pure
+    // Project can't host
     val hasDistinct = agg.aggregateExpressions.exists(_.exists {
-      case ag: AggregateExpression => ag.isDistinct
+      case ag: AggregateExpression =>
+        ag.isDistinct || ag.aggregateFunction.isInstanceOf[HyperLogLogPlusPlus]
       case _ => false
     })
     val exact = pieces.isEmpty && t == stepSec && hasUid && hasEtype && !hasDistinct
@@ -463,6 +465,19 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
           }
           case Average(c, _) => resolve(c) match {
             case a: AttributeReference if a.name == "cents" => avgRepl
+            case _ => failed = true; e
+          }
+          // approx_count_distinct substitutes like count(DISTINCT):
+          // HLL++ register updates are SET-idempotent (max of rho per
+          // bucket), so feeding each grain tuple once — the cascade's
+          // rows — yields bit-identical registers, hence a bit-identical
+          // estimate, to feeding every raw row. Same relativeSD carries
+          // over; hasDistinct above forces the re-aggregating path
+          case hll @ HyperLogLogPlusPlus(c, _, _, _) => resolve(c) match {
+            case a: AttributeReference if a.name == "user_id" =>
+              ae(hll.copy(child = uidR))
+            case a: AttributeReference if a.name == "event_type" =>
+              ae(hll.copy(child = etypeR))
             case _ => failed = true; e
           }
           case _ => failed = true; e

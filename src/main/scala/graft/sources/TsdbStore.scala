@@ -1015,6 +1015,7 @@ object TsdbStore {
       .maxOption.getOrElse(0L)
   }
 
+
   /** Bulk fetch (POST /bulk): many series in one plan — a single
     * pruned scan with an IN-list of series keys, not a per-series
     * loop (the reference iterated; Spark shouldn't). `aggStep = 0`

@@ -445,6 +445,36 @@ class RollupSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("approx_count_distinct(user_id) substitutes bit-identically (HLL++ is set-idempotent)") {
+    // the cascade feeds each (user, day) tuple ONCE where raw feeds it
+    // per event — but HLL++ registers are a max per bucket, so the
+    // registers (hence the estimate) are bit-identical either way
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .groupBy(col("event_type"), TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(approx_count_distinct("user_id").as("dau_est"), count(lit(1)).as("n"))
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("agg_86400")) &&
+      !paths.exists(_.endsWith("/base")), s"not substituted: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty,
+      "HLL++ estimate over cascade grain rows diverged from raw")
+    // exact grain + approx agg: must re-aggregate, not crash in a Project
+    def qe: DataFrame = spark.read.parquet(s"$store/base")
+      .groupBy(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(21600L).as("slot_ts"))
+      .agg(approx_count_distinct("user_id").as("du"))
+    val (pathsE, gotE) = withFlag(on = true)((scanPaths(qe), rows(qe)))
+    assert(pathsE.exists(_.endsWith("agg_21600")) && gotE.nonEmpty)
+    assert(gotE == withFlag(on = false)(rows(qe)))
+    // approx over a value column lost multiplicity-independence? No —
+    // but cents is not a grain column, so it blocks like distinct
+    def qc: DataFrame = spark.read.parquet(s"$store/base")
+      .groupBy(col("event_type"), TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(approx_count_distinct("cents").as("dc"))
+    val pathsC = withFlag(on = true)(scanPaths(qc))
+    assert(pathsC.exists(_.endsWith("/base")) && !pathsC.exists(_.contains("agg_")))
+  }
+
   test("count(DISTINCT cents) lost its multiplicities in the cascade: blocks") {
     def q: DataFrame = spark.read.parquet(s"$store/base")
       .groupBy(col("event_type"), TimeSeriesOps.slotSec(86400L).as("slot_ts"))
