@@ -872,6 +872,37 @@ object StoreQueries {
       }
     },
 
+    QueryDef("q_store_rollup_topk",
+      s"""WITH c AS (
+         |  SELECT user_id, event_type,
+         |    CAST(round(value*100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type IN ('click', 'view')
+         |    AND epoch_us(ts) >= ${B}000000 AND epoch_us(ts) < ${E}000000
+         |)
+         |SELECT user_id, event_type,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM c GROUP BY 1, 2
+         |ORDER BY sum_cents DESC, user_id, event_type
+         |LIMIT 10""".stripMargin) { (s, d) =>
+      // "top 10 series by range total" — the substitution COMPOSES:
+      // the rule rewrites only the Aggregate (outputs keep their
+      // exprIds), so the Sort+Limit above plan as TakeOrderedAndProject
+      // over the re-aggregated COARSEST cascade level; the leaderboard
+      // never touches raw. Unique (user, type) tiebreak keeps the
+      // boundary deterministic for the oracle
+      val store = StoreFixture.store(s, d)
+      withRollupFlag(s, on = true) {
+        s.read.parquet(s"$store/base")
+          .filter(col("ts_us") >= B * 1000000L && col("ts_us") < E * 1000000L)
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(sum("cents").as("sum_cents"), count(lit(1)).as("n"))
+          .orderBy(col("sum_cents").desc, col("user_id"), col("event_type"))
+          .limit(10)
+      }
+    },
+
     QueryDef("q_store_rollup_rate",
       RateRollupOracle) { (s, d) =>
       // rate-cascade substitution (VERDICT r6 next #6): the query TEXT

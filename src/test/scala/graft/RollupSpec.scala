@@ -540,6 +540,25 @@ class RollupSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("Sort+Limit above a substituted aggregate plans TakeOrderedAndProject over the cascade") {
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .filter(col("ts_us") >= RB * 1000000L && col("ts_us") < RE * 1000000L)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum("cents").as("sum_cents"))
+      .orderBy(col("sum_cents").desc, col("user_id"), col("event_type"))
+      .limit(5)
+    val (paths, planStr, got) = withFlag(on = true) {
+      val df = q
+      (scanPaths(df), df.queryExecution.executedPlan.toString, rows(df))
+    }
+    assert(paths.exists(_.endsWith("agg_86400")) &&
+      !paths.exists(_.endsWith("/base")), s"leaderboard should read the cascade: $paths")
+    assert(planStr.contains("TakeOrderedAndProject"),
+      s"top-k should not global-sort:\n$planStr")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("monthly-layout store: range transfer emits 'YYYY-MM' dt prune literals") {
     import graft.sources.StoreLayout
     val dir = Files.createTempDirectory("graft_rollup_month").toString
