@@ -654,6 +654,63 @@ object TsdbStore {
     fs.delete(retired, true)
   }
 
+  /** Delete one series everywhere — the reference's "remove the var"
+    * maintenance op (a directory delete in a directory-per-series
+    * layout [pub: tsdb dir-per-var — unverified, SURVEY.md §0]). The
+    * long/narrow layout stores series as ROWS, so deletion is a
+    * partition-scoped anti-filter rewrite: for base and every cascade
+    * level, rewrite ONLY the dt partitions the series touches (found
+    * by a pruned scan — parquet (user_id, event_type) row-group stats
+    * carry that filter), leaving every other partition's files
+    * untouched on disk. No neighbor recompute is needed, unlike
+    * upsert: ALL of the series' rows vanish at every level at once,
+    * and cascade/rate/quant rows never mix series. Returns the dt
+    * partitions rewritten per table (TsdbStoreSpec asserts equality
+    * with a full re-ingest of the filtered feed AND that untouched
+    * partitions' files are byte-identical). */
+  def deleteSeries(spark: SparkSession, path: String,
+                   userId: Long, eventType: String): Map[String, Seq[String]] =
+      withRollupRewriteOff(spark) {
+    import org.apache.hadoop.fs.Path
+    val layout = readLayout(spark, path)
+    require(layout.buckets == 0,
+      "deleteSeries rewrites plain parquet partitions, which would destroy " +
+        "bucket-file metadata; rewrite the bucketed table via ingest() instead")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dtLits(dts: Seq[String]): Seq[Any] =
+      if (layout.monthly) dts else dts.map(java.sql.Date.valueOf)
+    val tables = "base" +: layout.steps.flatMap(s =>
+      Seq(s"agg_$s", s"rate_$s", s"quant_$s"))
+    tables.flatMap { table =>
+      if (!fs.exists(new Path(s"$path/$table"))) None
+      else {
+        val t = spark.read.parquet(s"$path/$table")
+        val touched = t
+          .filter(col("user_id") === userId && col("event_type") === eventType)
+          .select(col("dt").cast("string")).distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+        if (touched.isEmpty) Some(table -> Seq.empty[String])
+        else {
+          val staged = s"$path/${table}_del"
+          t.filter(col("dt").isin(dtLits(touched): _*))
+            .filter(!(col("user_id") === userId && col("event_type") === eventType))
+            .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+            .partitionBy("dt").parquet(staged)
+          touched.foreach { dt =>
+            val st = new Path(s"$staged/dt=$dt")
+            val live = new Path(s"$path/$table/dt=$dt")
+            if (fs.exists(st))
+              swapPartitionDir(fs, st, live, new Path(s"$path/${table}_retired/dt=$dt"))
+            else fs.delete(live, true) // the series was the partition's only content
+          }
+          fs.delete(new Path(staged), true)
+          fs.delete(new Path(s"$path/${table}_retired"), true)
+          Some(table -> touched)
+        }
+      }
+    }.toMap
+  }
+
   // ---- metadata sidecar (IfRef-shaped temporal validity) --------------
 
   /** Persist the store's metadata sidecar — the reference's IfRef-style

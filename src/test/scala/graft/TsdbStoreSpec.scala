@@ -581,6 +581,44 @@ class TsdbStoreSpec extends SparkSpec {
       (13L, Some(9L), Some(900L))), s"got $got")
   }
 
+  test("deleteSeries: the var vanishes at every level, equal to re-ingest of the filtered feed") {
+    val p = java.nio.file.Files.createTempDirectory("graft_del").toString
+    val events = Tables.events(spark, Sf)
+    TsdbStore.ingest(spark, events, p)
+    // a series with data but NOT in every partition, so some dts stay
+    // untouched; fall back gracefully if the fixture fills every day
+    val (uid, etype) = (7L, "click")
+    def fileListing(table: String): Map[String, Seq[String]] = {
+      val root = new java.io.File(s"$p/$table")
+      root.listFiles().filter(_.getName.startsWith("dt="))
+        .map(d => d.getName -> d.listFiles().map(f =>
+          s"${f.getName}:${f.length()}").sorted.toSeq).toMap
+    }
+    val before = fileListing("base")
+    val touched = TsdbStore.deleteSeries(spark, p, uid, etype)
+    assert(touched("base").nonEmpty, "fixture series should touch partitions")
+    // untouched base partitions' FILES are identical (names + sizes)
+    val after = fileListing("base")
+    val untouchedDts = before.keySet -- touched("base").map("dt=" + _).toSet
+    untouchedDts.foreach { dt =>
+      assert(after(dt) == before(dt), s"untouched partition $dt was rewritten")
+    }
+    // every table equals a full re-ingest of the filtered feed
+    val full = java.nio.file.Files.createTempDirectory("graft_del_full").toString
+    TsdbStore.ingest(spark,
+      events.filter(!(col("user_id") === uid && col("event_type") === etype)), full)
+    val tables = "base" +: TsdbStore.AggSteps.flatMap(s =>
+      Seq(s"agg_$s", s"rate_$s", s"quant_$s"))
+    tables.foreach { t =>
+      val a = spark.read.parquet(s"$p/$t")
+      val b = spark.read.parquet(s"$full/$t")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"deleteSeries $t differs from full recompute")
+      assert(a.filter(col("user_id") === uid && col("event_type") === etype).isEmpty,
+        s"series survived in $t")
+    }
+  }
+
   test("monthly layout: late row in the last hour of Feb updates Mar's boundary delta") {
     import spark.implicits._
     // VERDICT r5 next-round #8: the 28-day partitionSpanSec guard at a
