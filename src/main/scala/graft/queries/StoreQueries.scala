@@ -872,6 +872,21 @@ object StoreQueries {
       }
     },
 
+    QueryDef("q_store_series_list",
+      """SELECT user_id, event_type,
+        |  (min(epoch_us(ts)) // 86400000000) * 86400 AS first_slot_ts,
+        |  (max(epoch_us(ts)) // 86400000000) * 86400 AS last_slot_ts,
+        |  CAST(count(*) AS BIGINT) AS n_samples
+        |FROM events GROUP BY 1, 2
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      // the namespace listing served from the STORE: every series with
+      // first/last active day + exact sample count, from the coarsest
+      // cascade (|series|*active-days rows, never raw). The oracle
+      // recomputes from raw events — min/max of the day floor commute
+      // with the floor of min/max, and sum(n) is the monoid count
+      TsdbStore.listSeries(s, StoreFixture.store(s, d))
+    },
+
     QueryDef("q_store_rollup_topk",
       s"""WITH c AS (
          |  SELECT user_id, event_type,

@@ -654,6 +654,24 @@ object TsdbStore {
     fs.delete(retired, true)
   }
 
+  /** Namespace listing served from the STORE — the reference's "ls the
+    * var tree" plus per-var metadata [pub: TSDB.list_vars-style walk —
+    * unverified, SURVEY.md §0]: every series with its first/last
+    * active slot and total sample count, read from the COARSEST value
+    * cascade — |series|·active-days rows scanned, never raw samples.
+    * The monoid image makes the counts exact (sum of n) and the slot
+    * extremes exact at cascade granularity (a series is "active" in a
+    * coarse cell iff it has ≥1 raw sample there). */
+  def listSeries(spark: SparkSession, path: String): DataFrame = {
+    val layout = readLayout(spark, path)
+    val t = layout.steps.max
+    spark.read.parquet(s"$path/agg_$t")
+      .groupBy("user_id", "event_type")
+      .agg(min("slot_ts").as("first_slot_ts"), max("slot_ts").as("last_slot_ts"),
+        sum("n").as("n_samples"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** Delete one series everywhere — the reference's "remove the var"
     * maintenance op (a directory delete in a directory-per-series
     * layout [pub: tsdb dir-per-var — unverified, SURVEY.md §0]). The
