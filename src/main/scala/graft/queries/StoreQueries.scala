@@ -887,6 +887,18 @@ object StoreQueries {
       TsdbStore.listSeries(s, StoreFixture.store(s, d))
     },
 
+    // fleet-wide percentile from the quant family: "p95 of all clicks
+    // per day" merges the stored sketches across EVERY series and up
+    // to the day slot. Above K samples per cell it is an estimate
+    // (O(1/sqrt K) rank error) with no cross-engine twin, so no DuckDB
+    // oracle — QuantCascadeSpec pins the scale-free property instead:
+    // stored-merge == one-pass sketch over raw, BIT-identical, at the
+    // fleet grain too
+    QueryDef.noOracle("q_store_fleet_quantile") { (s, d) =>
+      TsdbStore.fetchFleetQuantile(s, StoreFixture.store(s, d),
+        "click", B, E, 86400L, 0.95)
+    },
+
     QueryDef("q_store_rollup_topk",
       s"""WITH c AS (
          |  SELECT user_id, event_type,

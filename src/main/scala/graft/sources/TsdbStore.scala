@@ -909,6 +909,31 @@ object TsdbStore {
       .orderBy("slot_ts")
   }
 
+  /** Fleet-wide percentile: merge the quant sketches across EVERY
+    * series of an event_type (and across slots up to the requested
+    * step) — "p95 of all clicks per day". Above K samples per evaluated
+    * cell this is an estimate (O(1/√K) rank error), but it is STILL
+    * bit-identical to a one-pass bottom-k sketch over the raw rows —
+    * the semilattice property is scale-free, only exactness is not
+    * (QuantCascadeSpec pins the fleet grain too). Raw never scanned. */
+  def fetchFleetQuantile(spark: SparkSession, path: String,
+                         eventType: String,
+                         beginSec: Long, endSec: Long,
+                         aggStep: Long, q: Double): DataFrame = {
+    val layout = readLayout(spark, path)
+    val t = quantLevelOf(layout, aggStep, q)
+    val ms = udaf(new graft.functions.BottomKMergeState)
+    spark.read.parquet(s"$path/quant_$t")
+      .filter(dtPrune(layout, beginSec, endSec))
+      .filter(col("event_type") === eventType)
+      .filter(col("slot_ts") >= beginSec && col("slot_ts") < endSec)
+      .groupBy((expr(s"slot_ts div $aggStep") * aggStep).as("slot_ts"))
+      .agg(ms(col("pri"), col("value")).as("sk"))
+      .select(col("slot_ts"), quantRankRead(q).as("value"),
+        size(col("sk.value")).as("n_sample"))
+      .orderBy("slot_ts")
+  }
+
   /** Shared by [[fetchQuantile]]/[[fetchBulkQuantile]]: validate the
     * request and pick the coarsest materialized level dividing the
     * requested slot. Unlike [[fetch]], there is no aggStep = 0 raw

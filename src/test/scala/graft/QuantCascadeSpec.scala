@@ -133,6 +133,30 @@ class QuantCascadeSpec extends SparkSpec {
     assert(got == expect, "incremental quant cascade != full recompute")
   }
 
+  test("fleet quantile == one-pass sketch over raw at the fleet grain (past exactness)") {
+    // across ALL series of a type the evaluated cells exceed K at real
+    // densities — the read becomes an estimate, but the semilattice
+    // still makes stored-merge == direct-sketch BIT-identical
+    val bk = udaf(new BottomKQuantile)
+    val direct = spark.read.parquet(s"$store/base")
+      .filter(col("event_type") === "click")
+      .filter(col("ts_us") >= B * 1000000L && col("ts_us") < E * 1000000L)
+      .select(TimeSeriesOps.slotSec(86400L).as("slot_ts"),
+        xxhash64(col("user_id"), col("event_type"), col("event_id")).as("pri"),
+        col("cents").cast("double").as("v"))
+      .groupBy("slot_ts")
+      .agg(bk(col("pri"), col("v")).as("sample"))
+      .collect().map { r =>
+        val s2 = r.getSeq[Double](1)
+        val rank = math.max(1, math.ceil(0.95 * s2.length).toInt)
+        r.getLong(0) -> (s2(rank - 1) / 100.0, s2.length)
+      }.toMap
+    val fleet = TsdbStore.fetchFleetQuantile(spark, store, "click", B, E, 86400L, 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    assert(fleet.nonEmpty && fleet == direct,
+      s"fleet stored-merge diverged from the direct sketch: $fleet vs $direct")
+  }
+
   test("bulk quantile == the per-series fetches, from one scan") {
     val bulk = TsdbStore.fetchBulkQuantile(spark, store,
         Seq((7L, "click"), (3L, "view")), B, E, 86400L, 0.95)
