@@ -74,6 +74,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_fetch_bulk_quantile"),
       new ExpressionInfo("graft.sources.TsdbStore", "graft_fetch_bulk_quantile"),
       (args: Seq[Expression]) => GraftExtensions.fetchBulkQuantilePlan(args)))
+    // fleet-wide percentiles —
+    //   SELECT * FROM graft_fetch_fleet_quantile('<store>', 'type',
+    //                                            begin, end, agg_step, q)
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_fetch_fleet_quantile"),
+      new ExpressionInfo("graft.sources.TsdbStore", "graft_fetch_fleet_quantile"),
+      (args: Seq[Expression]) => GraftExtensions.fetchFleetQuantilePlan(args)))
   }
 }
 
@@ -127,6 +134,18 @@ object GraftExtensions {
     graft.sources.TsdbStore.fetchBulkQuantile(spark,
         strArg(args(0)), series, longArg(args(1)), longArg(args(2)),
         longArg(args(3)), doubleArg(args(4)))
+      .queryExecution.analyzed
+  }
+
+  /** Resolve graft_fetch_fleet_quantile(...) — fleet percentiles in SQL. */
+  private[graft] def fetchFleetQuantilePlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 6 && args.forall(_.foldable),
+      "usage: graft_fetch_fleet_quantile(path, event_type, begin_sec, " +
+        "end_sec, agg_step, q) with literal arguments")
+    val spark = SparkSession.active
+    graft.sources.TsdbStore.fetchFleetQuantile(spark,
+        strArg(args(0)), strArg(args(1)), longArg(args(2)), longArg(args(3)),
+        longArg(args(4)), doubleArg(args(5)))
       .queryExecution.analyzed
   }
 

@@ -113,6 +113,18 @@ class TvfSpec extends SparkSpec {
     assert(zeroStep.getMessage.contains("positive slot step"), zeroStep.getMessage)
   }
 
+  test("graft_fetch_fleet_quantile: SQL parity and loud rejection") {
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_fetch_fleet_quantile('$store', 'click', $B, $E, 86400, 0.95)")) ==
+      rows(TsdbStore.fetchFleetQuantile(spark, store, "click", B, E, 86400L, 0.95)))
+    val tooMany = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_fetch_fleet_quantile('$store', 'click', $B, $E, " +
+        "86400, 0.95, 7)").collect()
+    }
+    assert(tooMany.getMessage.contains("usage: graft_fetch_fleet_quantile"),
+      tooMany.getMessage)
+  }
+
   test("bad bulk/filled calls fail with the usage message") {
     val oddTail = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_fetch_bulk('$store', $B, $E, 21600, " +
