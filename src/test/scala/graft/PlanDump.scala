@@ -62,7 +62,10 @@ object PlanDump extends App {
     "q_store_rollup_dau" -> "count(DISTINCT user_id) - the DAU dashboard - over the cascade: agg_86400's grain rows ARE the distinct (user, day) pairs, so the distinct shuffle carries cascade rows, never raw events; the co-requested count re-sums n from the same scan",
     "q_store_quantile" -> "quantile column family read: dt-pruned scan of quant_86400, per-slot ObjectHashAggregate semilattice merge (partial BEFORE the exchange - each stored sketch is <=8 KB, the same map-side-combined class as sum), nearest-rank read off the merged sample - raw samples never scanned",
     "q_stream_dau" -> "streaming-legal DAU, batch-evaluated: dedup (user, type, day) via HashAggregate-as-distinct, then the windowed count - ONE exchange on the dedup grain serves both stages (the count regroups a subset of the dedup keys)",
-    "q_store_bulk_quantile" -> "bulk percentiles: ONE dt-pruned quant scan with the struct IN-list (the fetchBulk shape), per-(series, slot) ObjectHashAggregate semilattice merge partial-before-exchange - many series' p95 grids, raw never scanned")
+    "q_store_bulk_quantile" -> "bulk percentiles: ONE dt-pruned quant scan with the struct IN-list (the fetchBulk shape), per-(series, slot) ObjectHashAggregate semilattice merge partial-before-exchange - many series' p95 grids, raw never scanned",
+    "q_store_series_list" -> "namespace listing from the STORE: the coarsest cascade scanned (|series|*active-days rows), one map-side-combined min/max/sum agg - 'what series exist since when with how many samples' never touches raw",
+    "q_store_fleet_quantile" -> "fleet-wide p95: quant sketches merged across EVERY series and up to day slots - partial ObjectHashAggregate merge BEFORE the exchange caps shuffle at <=8KB per (cell, partition); bit-identical to a one-pass sketch over raw at any scale",
+    "q_store_rollup_topk" -> "top-10 series by range total: the substituted Aggregate re-aggregates the coarsest cascade, the Sort+Limit above plan TakeOrderedAndProject (per-partition top-k + k-row merge, no global sort) - the leaderboard never touches raw")
   val sb = new StringBuilder
   sb ++= "# PLANS - physical-plan audit evidence (round 7)\n\n"
   sb ++= "Generated from `.queryExecution.executedPlan` at sf0.001, local[4].\n"
