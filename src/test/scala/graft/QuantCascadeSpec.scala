@@ -168,6 +168,29 @@ class QuantCascadeSpec extends SparkSpec {
     assert(bulk.nonEmpty && bulk == singles)
   }
 
+  test("monthly layout: quantile reads prune 'YYYY-MM' partitions and stay exact") {
+    val dir = Files.createTempDirectory("graft_quant_month").toString
+    TsdbStore.ingest(spark, Tables.events(spark, Sf), dir,
+      graft.sources.StoreLayout(monthly = true))
+    val got = TsdbStore.fetchQuantile(spark, dir, 7L, "click", B, E, 86400L, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // ground truth: exact nearest-rank median from raw (sub-K density)
+    val exact = spark.read.parquet(s"$dir/base")
+      .filter(col("user_id") === 7L && col("event_type") === "click")
+      .filter(col("ts_us") >= B * 1000000L && col("ts_us") < E * 1000000L)
+      .select(TimeSeriesOps.slotSec(86400L).as("slot_ts"), col("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (slot, rows2) =>
+        val s2 = rows2.map(_._2).sorted
+        slot -> s2(math.max(1, math.ceil(0.5 * s2.length).toInt) - 1).toDouble / 100.0
+      }
+    assert(got.nonEmpty && got == exact, s"monthly quantile diverged: $got vs $exact")
+    // the monthly quant table partitions by 'YYYY-MM'
+    val dts = new java.io.File(s"$dir/quant_86400").listFiles()
+      .map(_.getName).filter(_.startsWith("dt=")).toSeq
+    assert(dts.nonEmpty && dts.forall(_.matches("dt=\\d{4}-\\d{2}")), s"dts: $dts")
+  }
+
   test("fetchQuantile validates its arguments loudly") {
     intercept[IllegalArgumentException] {
       TsdbStore.fetchQuantile(spark, store, 7L, "click", B, E, 86400L, 1.5)
