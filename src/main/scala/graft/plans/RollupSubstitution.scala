@@ -18,16 +18,25 @@ import graft.sources.TsdbStore
   * slot aggregation over a [[TsdbStore]] BASE table
   *
   *   base.groupBy(user_id, event_type, (ts_us div S·10⁶)·S as slot)
-  *       .agg(count(1) / sum(cents) / min(cents) / max(cents))
+  *       .agg(count(1) / sum(cents) / min(cents) / max(cents) /
+  *            avg(cents) / count(DISTINCT grain) / approx_count_distinct)
   *
   * and substitutes the store's materialized `agg_T` table for the raw
-  * scan, where T is the COARSEST cascade step dividing S. The cascade
-  * row (n, sum_cents, min_cents, max_cents) is an exact monoid image
-  * of the raw rows it covers, so count ⇒ sum(n), sum ⇒ sum(sum_cents),
-  * min ⇒ min(min_cents), max ⇒ max(max_cents) — and when T == S the
-  * aggregation disappears entirely (a Project over the cascade, ZERO
-  * shuffle). Substituted outputs keep the original exprIds, so parent
-  * operators are untouched.
+  * scan, where T is the COARSEST cascade step that divides S (and
+  * every distinct-slot step) AND has a non-empty aligned interior for
+  * the query's time range — a sub-day range falls through to a finer
+  * level instead of raw. The cascade row (n, sum_cents, min_cents,
+  * max_cents) is an exact monoid image of the raw rows it covers, so
+  * count ⇒ sum(n), sum ⇒ sum(sum_cents), min ⇒ min(min_cents),
+  * max ⇒ max(max_cents), avg ⇒ sum(sum_cents)/sum(n); the grain
+  * columns' DISTINCT sets survive materialization (one cascade row per
+  * grain tuple), so count(DISTINCT user_id/event_type/slot) and
+  * approx_count_distinct (HLL++ is set-idempotent) re-aggregate
+  * exactly. When T == S with the full grain grouped and no distinct
+  * aggregates, the aggregation disappears entirely (a Project over
+  * the cascade, ZERO shuffle). Substituted outputs keep the original
+  * exprIds, so parent operators (HAVING filters, Sort+Limit top-k)
+  * are untouched and compose.
   *
   * Scope guards (all must hold, else the plan is left alone):
   *  - `spark.graft.rollup.rewrite` is "true" (default off — ingest and
