@@ -26,12 +26,17 @@ import graft.operators.TimeSeriesOps
   * @param buckets when > 0, the base table is ALSO written as a
   *   Hive-bucketed table on (user_id, event_type) so per-series windows
   *   and series equi-joins plan with NO shuffle ([[TsdbStore.bucketedBaseTable]])
+  * @param quantiles materialize the `quant_<step>` bottom-k sketch
+  *   column family (default on). A store that never serves percentile
+  *   reads can opt out of that ingest/maintenance cost; quantile
+  *   fetches against it fail loudly instead of scanning raw
   */
 case class StoreLayout(
     steps: Seq[Long] = Seq(21600L, 86400L),
     monthly: Boolean = false,
     heartbeatSec: Long = 21600L,
-    buckets: Int = 0) {
+    buckets: Int = 0,
+    quantiles: Boolean = true) {
   require(steps.nonEmpty, "at least one aggregate step")
   require(steps == steps.sorted && steps.distinct == steps,
     s"steps must be strictly ascending: $steps")
@@ -145,7 +150,8 @@ object TsdbStore {
       (s"steps=${layout.steps.mkString(",")}\n" +
         s"monthly=${layout.monthly}\n" +
         s"heartbeat=${layout.heartbeatSec}\n" +
-        s"buckets=${layout.buckets}\n").getBytes("UTF-8"))
+        s"buckets=${layout.buckets}\n" +
+        s"quantiles=${layout.quantiles}\n").getBytes("UTF-8"))
     out.close()
   }
 
@@ -164,7 +170,8 @@ object TsdbStore {
         steps = kv("steps").split(",").map(_.trim.toLong).toSeq,
         monthly = kv.getOrElse("monthly", "false").toBoolean,
         heartbeatSec = kv.getOrElse("heartbeat", "21600").toLong,
-        buckets = kv.getOrElse("buckets", "0").toInt)
+        buckets = kv.getOrElse("buckets", "0").toInt,
+        quantiles = kv.getOrElse("quantiles", "true").toBoolean)
     }
   }
 
@@ -323,6 +330,7 @@ object TsdbStore {
 
     // quantile cascade: per-slot bottom-k sketches from base, coarser
     // levels by semilattice merge of the finer (never re-scan raw)
+    if (layout.quantiles) {
     quantAggFromBase(base, layout.steps.head)
       .withColumn("dt", dtFromSlot(layout))
       .write.mode(SaveMode.Overwrite).partitionBy("dt")
@@ -333,6 +341,7 @@ object TsdbStore {
           .withColumn("dt", dtFromSlot(layout))
           .write.mode(SaveMode.Overwrite).partitionBy("dt").parquet(s"$path/quant_$coarse")
       case _ => ()
+    }
     }
 
     // rate cascade: wrap-corrected deltas from base, then sum upward.
@@ -543,6 +552,7 @@ object TsdbStore {
     // divides a day, so sketches never straddle a partition boundary.
     // Bootstrap ordering matters like the value cascade's: the finest
     // level is swapped in first, then read back for the coarser merge.
+    if (layout.quantiles) {
     swapIn(s"quant_${layout.steps.head}",
       quantAggFromBase(newBase, layout.steps.head)
         .withColumn("dt", dtFromSlot(layout)), touched)
@@ -553,6 +563,7 @@ object TsdbStore {
         swapIn(s"quant_$coarse",
           quantAggCoarser(f, coarse).withColumn("dt", dtFromSlot(layout)), touched)
       case _ => ()
+    }
     }
 
     // rate cascade: the last sample of a touched partition feeds the
@@ -940,6 +951,9 @@ object TsdbStore {
     * path — a quantile over raw samples IS the sketch read (sub-K
     * exact), so a zero/negative step is a caller error, not a mode. */
   private def quantLevelOf(layout: StoreLayout, aggStep: Long, q: Double): Long = {
+    require(layout.quantiles,
+      "this store was built with quantiles = false (no quant_<step> " +
+        "column family); re-ingest with quantiles on to serve percentile reads")
     require(q > 0.0 && q <= 1.0, s"quantile out of (0, 1]: $q")
     require(aggStep > 0, s"aggStep must be a positive slot step, got $aggStep")
     layout.steps.filter(aggStep % _ == 0).sorted.lastOption.getOrElse(

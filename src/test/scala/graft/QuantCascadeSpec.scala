@@ -191,6 +191,25 @@ class QuantCascadeSpec extends SparkSpec {
     assert(dts.nonEmpty && dts.forall(_.matches("dt=\\d{4}-\\d{2}")), s"dts: $dts")
   }
 
+  test("quantiles = false opts out of the column family; reads fail loudly") {
+    val dir = Files.createTempDirectory("graft_quant_off").toString
+    TsdbStore.ingest(spark, Tables.events(spark, Sf), dir,
+      graft.sources.StoreLayout(quantiles = false))
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(!dirs.exists(_.startsWith("quant_")), s"quant tables built anyway: $dirs")
+    assert(dirs.contains("agg_21600") && dirs.contains("rate_21600"),
+      "the other cascades must still build")
+    val e = intercept[IllegalArgumentException] {
+      TsdbStore.fetchQuantile(spark, dir, 7L, "click", B, E, 86400L, 0.5)
+    }
+    assert(e.getMessage.contains("quantiles = false"), e.getMessage)
+    // incremental maintenance skips the family without tripping over it
+    TsdbStore.upsertIncremental(spark,
+      Tables.events(spark, Sf).limit(5), dir)
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("quant_")))
+  }
+
   test("fetchQuantile validates its arguments loudly") {
     intercept[IllegalArgumentException] {
       TsdbStore.fetchQuantile(spark, store, 7L, "click", B, E, 86400L, 1.5)
