@@ -540,6 +540,20 @@ class RollupSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("a HAVING filter above the substituted aggregate composes (exprIds preserved)") {
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .groupBy(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .filter(col("n") >= 3 && col("sum_cents") > 0)
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("agg_86400")) &&
+      !paths.exists(_.endsWith("/base")),
+      s"HAVING should not block the substitution: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("Sort+Limit above a substituted aggregate plans TakeOrderedAndProject over the cascade") {
     def q: DataFrame = spark.read.parquet(s"$store/base")
       .filter(col("ts_us") >= RB * 1000000L && col("ts_us") < RE * 1000000L)
