@@ -540,6 +540,24 @@ class RollupSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("pure SQL text over the base path substitutes too (SET the flag, no Scala API)") {
+    // SQL-only consumers: the rule matches the resolved LogicalRelation,
+    // so `FROM parquet.`<store>/base`` gets the same rewrite DataFrame
+    // callers get — SET spark.graft.rollup.rewrite=true is the whole story
+    def q: DataFrame = spark.sql(
+      s"""SELECT user_id, event_type,
+         |  (ts_us div 86400000000) * 86400 AS slot_ts,
+         |  count(1) AS n, sum(cents) AS sum_cents
+         |FROM parquet.`$store/base`
+         |GROUP BY user_id, event_type, (ts_us div 86400000000) * 86400""".stripMargin)
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("agg_86400")) &&
+      !paths.exists(_.endsWith("/base")),
+      s"SQL text should substitute like the DataFrame form: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("a HAVING filter above the substituted aggregate composes (exprIds preserved)") {
     def q: DataFrame = spark.read.parquet(s"$store/base")
       .groupBy(col("user_id"), col("event_type"),
