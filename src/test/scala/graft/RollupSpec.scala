@@ -540,6 +540,24 @@ class RollupSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("every replacement kind coexists in ONE aggregate (monoid + avg + distinct + approx)") {
+    val b = (RB + 3600L) * 1000000L // unaligned: split path underneath it all
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .filter(col("ts_us") >= b && col("ts_us") < RE * 1000000L)
+      .groupBy(col("event_type"), TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"),
+        avg("cents").as("avg_cents"), countDistinct("user_id").as("dau"),
+        approx_count_distinct("user_id").as("dau_est"))
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("agg_86400")) &&
+      paths.exists(_.endsWith("/base")),
+      s"expected cascade interior + raw boundary under the mixed aggregate: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty,
+      "mixed monoid/avg/distinct/approx replacements diverged")
+  }
+
   test("pure SQL text over the base path substitutes too (SET the flag, no Scala API)") {
     // SQL-only consumers: the rule matches the resolved LogicalRelation,
     // so `FROM parquet.`<store>/base`` gets the same rewrite DataFrame
