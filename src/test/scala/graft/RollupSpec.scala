@@ -126,6 +126,17 @@ class RollupSpec extends SparkSpec {
     assert(!paths.exists(_.endsWith("/base")), s"base scan survived: $paths")
     val expect = withFlag(on = false)(rows(q))
     assert(got == expect && got.nonEmpty)
+    // the round-7 shapes compose with the catalog table too: an
+    // aligned range + distinct count over the bucketed base
+    def qr: DataFrame = spark.table(name)
+      .filter(col("ts_us") >= RB * 1000000L && col("ts_us") < RE * 1000000L)
+      .groupBy(col("event_type"), TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(countDistinct("user_id").as("dau"), sum("cents").as("sum_cents"))
+    val (pathsR, gotR) = withFlag(on = true)((scanPaths(qr), rows(qr)))
+    assert(pathsR.exists(_.endsWith("agg_86400")) &&
+      !pathsR.exists(_.endsWith("/base")),
+      s"bucketed range+distinct not substituted: $pathsR")
+    assert(gotR == withFlag(on = false)(rows(qr)) && gotR.nonEmpty)
   }
 
   test("derived outputs (CollapseProject-merged avg) convert leaf-by-leaf") {
