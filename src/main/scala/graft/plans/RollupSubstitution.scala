@@ -705,15 +705,16 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     }
     if (badConjunct || !hbOk || !prevNotNull) return None
 
-    // grouping: slot(S) plus any subset of the series keys, like the
-    // value path (dropping a key re-sums more cascade rows)
+    // grouping: ANY subset of {series keys, slot(S)}, like the value
+    // path — dropping a key re-sums more cascade rows, and dropping
+    // the slot entirely is the per-series (or global) RANGE TOTAL of
+    // transferred counters, "bytes moved in the last N days"
     def resolve(e: Expression): Expression = e.transform {
       case a: AttributeReference if exprMap.contains(a.exprId) => exprMap(a.exprId)
     }
     var stepSec = 0L
     var hasUid = false; var hasEtype = false
-    var ok = agg.groupingExpressions.nonEmpty &&
-      agg.groupingExpressions.length <= 3
+    var ok = agg.groupingExpressions.length <= 3
     agg.groupingExpressions.map(e => resolveBelow(resolve(e))).foreach {
       case a: AttributeReference if a.exprId == uidId => hasUid = true
       case a: AttributeReference if a.exprId == etypeId => hasEtype = true
@@ -721,17 +722,28 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
         if (stepSec != 0L && stepSec != s) ok = false else stepSec = s
       case _ => ok = false
     }
-    if (!ok || stepSec == 0L) return None
-    val t = layout.steps.filter(stepSec % _ == 0).sorted.lastOption match {
+    if (!ok) return None
+    // coarsest level dividing the slot step (a slotless aggregate
+    // re-sums any level) WHOSE step the ts bounds align to — bounds
+    // aligned only at a finer level transfer there instead of blocking
+    // (the rate path never splits: a raw boundary piece would need the
+    // window re-run, and the window's input cannot be range-pruned)
+    val hconf2 = session.sparkContext.hadoopConfiguration
+    def rateExists(tc: Long): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$store/rate_$tc")
+      p.getFileSystem(hconf2).exists(p)
+    }
+    val t = layout.steps
+      .filter(s => stepSec % s == 0)
+      .sorted.reverse
+      .find { s =>
+        val su = s * 1000000L
+        (lowerUs ++ upperUs).forall(_ % su == 0L) && rateExists(s)
+      } match {
       case Some(x) => x
       case None => return None
     }
     val ratePath = s"$store/rate_$t"
-    val hfs = new org.apache.hadoop.fs.Path(ratePath)
-      .getFileSystem(session.sparkContext.hadoopConfiguration)
-    if (!hfs.exists(new org.apache.hadoop.fs.Path(ratePath))) return None
-    val stepUs = t * 1000000L
-    if ((lowerUs ++ upperUs).exists(_ % stepUs != 0L)) return None
 
     val cascade = session.read.parquet(ratePath).queryExecution.analyzed
     def att(name: String): AttributeReference =
@@ -767,10 +779,16 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     def ae(f: AggregateFunction): Expression =
       AggregateExpression(f, Complete, isDistinct = false)
     val slot2: Expression =
-      if (t == stepSec) slot
+      if (t == stepSec || stepSec == 0L) slot // slotless never reads slot2
       else Multiply(IntegralDivide(slot, Literal(stepSec, LongType)),
         Literal(stepSec, LongType))
-    val countRepl: Expression = KnownNotNull(if (exact) nvC else ae(Sum(nvC)))
+    // the global empty-grouping total over an empty input: count(1)=0
+    // but sum(n_valid)=NULL — coalesce like the value rule's global form
+    val global = !hasUid && !hasEtype && stepSec == 0L
+    val countRepl: Expression = KnownNotNull(
+      if (exact) nvC
+      else if (global) Coalesce(Seq(ae(Sum(nvC)), Literal(0L, LongType)))
+      else ae(Sum(nvC)))
     val deltaRepl: Expression = if (exact) dC else ae(Sum(dC))
     val dtRepl: Expression = if (exact) dtC else ae(Sum(dtC))
 
@@ -818,7 +836,8 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     else {
       val groupings2 =
         (if (hasUid) Seq(uid) else Nil) ++
-        (if (hasEtype) Seq(etype) else Nil) ++ Seq(slot2)
+        (if (hasEtype) Seq(etype) else Nil) ++
+        (if (stepSec != 0L) Seq(slot2) else Nil)
       Some(Aggregate(groupings2, newOutputs, child2))
     }
   }

@@ -899,6 +899,97 @@ object StoreQueries {
         "click", B, E, 86400L, 0.95)
     },
 
+    QueryDef("q_store_rollup_rate_total",
+      s"""WITH s AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         |         CAST(round(value*100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type IN ('click', 'view')
+         |), r AS (
+         |  SELECT user_id, event_type, ts_us, cents,
+         |         lag(cents) OVER w AS prev_cents,
+         |         lag(ts_us) OVER w AS prev_ts_us
+         |  FROM s WINDOW w AS (PARTITION BY user_id, event_type
+         |                      ORDER BY ts_us, event_id)
+         |)
+         |SELECT user_id, event_type,
+         |  CAST(count(*) AS BIGINT) AS n_valid,
+         |  CAST(sum(((cents - prev_cents) % 1000000 + 1000000) % 1000000) AS BIGINT) AS delta_cents,
+         |  CAST(sum(ts_us - prev_ts_us) AS BIGINT) AS dt_us
+         |FROM r
+         |WHERE prev_ts_us IS NOT NULL AND ts_us - prev_ts_us <= 21600000000
+         |  AND ts_us >= ${B}000000 AND ts_us < ${E}000000
+         |GROUP BY 1, 2
+         |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      // the SLOTLESS counter range total — "bytes moved per series in
+      // the last N days": the full wrap-corrected delta pipeline with
+      // NO slot in the grouping re-sums the COARSEST rate level over
+      // the transferred range; the window sort and the raw scan both
+      // vanish. Oracle recomputes from raw
+      val cap = graft.Tables.WrapCap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+      val store = StoreFixture.store(s, d)
+      withRollupFlag(s, on = true) {
+        s.read.parquet(s"$store/base")
+          .filter(col("event_type").isin("click", "view"))
+          .withColumn("prev_cents", lag("cents", 1).over(w))
+          .withColumn("prev_ts_us", lag("ts_us", 1).over(w))
+          .withColumn("dt_us", col("ts_us") - col("prev_ts_us"))
+          .withColumn("delta_cents",
+            ((col("cents") - col("prev_cents")) % cap + cap) % cap)
+          .filter(col("prev_ts_us").isNotNull && col("dt_us") <= 21600L * 1000000L)
+          .filter(col("ts_us") >= B * 1000000L && col("ts_us") < E * 1000000L)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n_valid"), sum("delta_cents").as("delta_cents"),
+            sum("dt_us").as("dt_us"))
+          .orderBy("user_id", "event_type")
+      }
+    },
+
+    QueryDef("q_store_rollup_rate_total_raw",
+      s"""WITH s AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         |         CAST(round(value*100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type IN ('click', 'view')
+         |), r AS (
+         |  SELECT user_id, event_type, ts_us, cents,
+         |         lag(cents) OVER w AS prev_cents,
+         |         lag(ts_us) OVER w AS prev_ts_us
+         |  FROM s WINDOW w AS (PARTITION BY user_id, event_type
+         |                      ORDER BY ts_us, event_id)
+         |)
+         |SELECT user_id, event_type,
+         |  CAST(count(*) AS BIGINT) AS n_valid,
+         |  CAST(sum(((cents - prev_cents) % 1000000 + 1000000) % 1000000) AS BIGINT) AS delta_cents,
+         |  CAST(sum(ts_us - prev_ts_us) AS BIGINT) AS dt_us
+         |FROM r
+         |WHERE prev_ts_us IS NOT NULL AND ts_us - prev_ts_us <= 21600000000
+         |  AND ts_us >= ${B}000000 AND ts_us < ${E}000000
+         |GROUP BY 1, 2
+         |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      // A/B control: identical text, flag off — the window pipeline
+      // over raw samples
+      val cap = graft.Tables.WrapCap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+      val store = StoreFixture.store(s, d)
+      withRollupFlag(s, on = false) {
+        s.read.parquet(s"$store/base")
+          .filter(col("event_type").isin("click", "view"))
+          .withColumn("prev_cents", lag("cents", 1).over(w))
+          .withColumn("prev_ts_us", lag("ts_us", 1).over(w))
+          .withColumn("dt_us", col("ts_us") - col("prev_ts_us"))
+          .withColumn("delta_cents",
+            ((col("cents") - col("prev_cents")) % cap + cap) % cap)
+          .filter(col("prev_ts_us").isNotNull && col("dt_us") <= 21600L * 1000000L)
+          .filter(col("ts_us") >= B * 1000000L && col("ts_us") < E * 1000000L)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n_valid"), sum("delta_cents").as("delta_cents"),
+            sum("dt_us").as("dt_us"))
+          .orderBy("user_id", "event_type")
+      }
+    },
+
     QueryDef("q_store_rollup_topk",
       s"""WITH c AS (
          |  SELECT user_id, event_type,

@@ -669,9 +669,13 @@ class RollupSpec extends SparkSpec {
       case Some((b, e)) => winged.filter(col("ts_us") >= b && col("ts_us") < e)
       case None => winged
     }
-    ranged
-      .groupBy(col("user_id"), col("event_type"),
+    // stepSec = 0 = the SLOTLESS per-series counter range total
+    val keys =
+      if (stepSec == 0L) Seq(col("user_id"), col("event_type"))
+      else Seq(col("user_id"), col("event_type"),
         TimeSeriesOps.slotSec(stepSec).as("slot_ts"))
+    ranged
+      .groupBy(keys: _*)
       .agg(count(lit(1)).as("n_valid"), sum("delta_cents").as("delta_cents"),
         sum("dt_us").as("dt_us"))
   }
@@ -725,6 +729,31 @@ class RollupSpec extends SparkSpec {
       !paths.exists(_.contains("rate_")),
       s"a 2h-heartbeat delta is NOT the cascade's content: $paths")
     val expect = withFlag(on = false)(rows(deltaAgg(21600L, heartbeatSec = 7200L)))
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("slotless counter range totals re-sum the coarsest rate level") {
+    // "bytes moved per series in the last N days" — no slot at all
+    def q: DataFrame = deltaAgg(0L,
+      rangeAboveUs = Some((RB * 1000000L, RE * 1000000L)))
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("rate_86400")) &&
+      !paths.exists(_.endsWith("/base")),
+      s"slotless counter total should re-sum the coarsest rate level: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("rate bounds aligned only at a finer level transfer THERE instead of blocking") {
+    // 6h-aligned bounds on a day-slot request: rate_86400 fails the
+    // alignment gate, rate_21600 passes — serve from the finer level
+    val b = (RB + 21600L) * 1000000L
+    def q: DataFrame = deltaAgg(86400L, rangeAboveUs = Some((b, RE * 1000000L)))
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("rate_21600")) &&
+      !paths.exists(_.endsWith("/base")),
+      s"finer-aligned range should pick the finer rate level: $paths")
+    val expect = withFlag(on = false)(rows(q))
     assert(got == expect && got.nonEmpty)
   }
 
