@@ -65,7 +65,8 @@ object PlanDump extends App {
     "q_store_bulk_quantile" -> "bulk percentiles: ONE dt-pruned quant scan with the struct IN-list (the fetchBulk shape), per-(series, slot) ObjectHashAggregate semilattice merge partial-before-exchange - many series' p95 grids, raw never scanned",
     "q_store_series_list" -> "namespace listing from the STORE: the coarsest cascade scanned (|series|*active-days rows), one map-side-combined min/max/sum agg - 'what series exist since when with how many samples' never touches raw",
     "q_store_fleet_quantile" -> "fleet-wide p95: quant sketches merged across EVERY series and up to day slots - partial ObjectHashAggregate merge BEFORE the exchange caps shuffle at <=8KB per (cell, partition); bit-identical to a one-pass sketch over raw at any scale",
-    "q_store_rollup_topk" -> "top-10 series by range total: the substituted Aggregate re-aggregates the coarsest cascade, the Sort+Limit above plan TakeOrderedAndProject (per-partition top-k + k-row merge, no global sort) - the leaderboard never touches raw")
+    "q_store_rollup_topk" -> "top-10 series by range total: the substituted Aggregate re-aggregates the coarsest cascade, the Sort+Limit above plan TakeOrderedAndProject (per-partition top-k + k-row merge, no global sort) - the leaderboard never touches raw",
+    "q_store_rollup_rate_total" -> "slotless counter range total: the full lag-window delta pipeline with NO slot in the grouping re-sums rate_86400 over the transferred range - the window SORT and the raw scan both vanish; dt PartitionFilters prune the rate scan")
   val sb = new StringBuilder
   sb ++= "# PLANS - physical-plan audit evidence (round 7)\n\n"
   sb ++= "Generated from `.queryExecution.executedPlan` at sf0.001, local[4].\n"
