@@ -183,6 +183,31 @@ class AnnLshSpec extends SparkSpec {
     assert(reparted == refined, "result depends on input partitioning")
   }
 
+  test("IVF auto-sizing: kCells ≈ √n under the sentinel, explicit wins, search stays exact") {
+    // the sizing law itself: √n clamped to [8, 65536], probe ≈ 3% of
+    // cells (≥ 2) — this is what keeps IVF candidate work sub-quadratic
+    // as the corpus grows (a fixed cell count re-quadratizes it)
+    assert(VectorOps.resolveCells(0, 0L) == 8)
+    assert(VectorOps.resolveCells(0, 32L) == 8)
+    assert(VectorOps.resolveCells(0, 1000000L) == 1000)
+    assert(VectorOps.resolveCells(0, Long.MaxValue) == 65536)
+    assert(VectorOps.resolveCells(4, 1000000L) == 4, "explicit kCells ignored")
+    assert(VectorOps.resolveProbe(0, 8) == 2)
+    assert(VectorOps.resolveProbe(0, 1000) == 31)
+    assert(VectorOps.resolveProbe(2, 1000) == 2, "explicit nprobe ignored")
+    assert(VectorOps.resolveProbe(0, 2) == 2, "nprobe must not exceed kCells")
+    // end to end under the sentinel (resolves to 8 cells / 2 probes on
+    // this corpus): sims still bit-match brute force, planted dup found
+    val auto = VectorOps.ivfTopK(vectors, kCells = 0, nprobe = 0, k = 5)
+      .select("a_id", "b_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val allSims = VectorOps.cosinePairs(vectors, (a, b) => a =!= b)
+      .select("a_id", "b_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    auto.foreach { case (k, v) => assert(allSims(k) == v, s"sim mismatch at $k") }
+    assert(auto.contains((3L, 200L)) && auto((3L, 200L)) == 1.0)
+  }
+
   test("banded LSH spreads a dense bucket across the sub-block grid") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
