@@ -63,7 +63,10 @@ object Bench {
     // captures a bounded TAIL of the output (r6's BENCH artifact shows
     // the detail line with its START truncated → parsed:null), so the
     // line meant to survive must be the final, shortest one
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // the per-query detail line carries a DISTINCT metric key so a
+    // consumer scanning for "total" finds exactly one line — the
+    // compact, truncation-safe one printed last (ADVICE r7 #3)
+    println(s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }

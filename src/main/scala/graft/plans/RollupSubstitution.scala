@@ -242,6 +242,14 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     val layout = TsdbStore.readLayout(session, store)
     val loOpt = lowerUs.maxOption
     val hiOpt = upperUs.minOption
+    // the alignment math below floors (Math.floorDiv) while the slot
+    // quantization the query itself evaluates (SlotExpr's
+    // IntegralDivide) truncates toward zero — the two disagree for
+    // negative ts_us, so pre-1970 bounds would mis-assign boundary
+    // rows between the interior and the raw pieces. The store never
+    // ingests negative timestamps, so simply leave such plans alone
+    // (ADVICE r7 #1)
+    if (loOpt.exists(_ < 0L) || hiOpt.exists(_ < 0L)) return None
     def interiorNonEmpty(tc: Long): Boolean = (loOpt, hiOpt) match {
       case (Some(l), Some(h)) =>
         val su = tc * 1000000L
@@ -313,8 +321,12 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     val dtBounds: Seq[Expression] =
       cascade.output.collect { case a: AttributeReference if a.name == "dt" => a }
         .headOption.toSeq.flatMap { dt =>
+          // exclusive upper bound: derive the dt literal from the LAST
+          // INCLUDED second, not the bound itself — a bound exactly on
+          // a day/month boundary would otherwise keep one extra
+          // partition the slot_ts filter then empties (ADVICE r7 #2)
           bupUs.map(b => GreaterThanOrEqual(dt, dtLit(b / 1000000L))).toSeq ++
-          edownUs.map(e => LessThanOrEqual(dt, dtLit(e / 1000000L))).toSeq
+          edownUs.map(e => LessThanOrEqual(dt, dtLit((e - 1L) / 1000000L))).toSeq
         }
     val interior: LogicalPlan =
       (rebasedSeries ++ slotBounds ++ dtBounds).reduceOption(And) match {
@@ -766,8 +778,11 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     val dtBounds: Seq[Expression] =
       cascade.output.collect { case a: AttributeReference if a.name == "dt" => a }
         .headOption.toSeq.flatMap { dt =>
+          // same last-included-second derivation as the value rule's
+          // dt twin: an exclusive bound on a day boundary must not
+          // keep the boundary partition (ADVICE r7 #2)
           lowerUs.map(l => GreaterThanOrEqual(dt, dtLit(l / 1000000L))) ++
-          upperUs.map(u => LessThanOrEqual(dt, dtLit(u / 1000000L)))
+          upperUs.map(u => LessThanOrEqual(dt, dtLit((u - 1L) / 1000000L)))
         }
     val child2: LogicalPlan =
       (rebasedSeries ++ slotBounds ++ dtBounds).reduceOption(And) match {

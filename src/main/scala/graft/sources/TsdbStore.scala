@@ -654,7 +654,8 @@ object TsdbStore {
   private def swapPartitionDir(fs: org.apache.hadoop.fs.FileSystem,
                                staged: org.apache.hadoop.fs.Path,
                                live: org.apache.hadoop.fs.Path,
-                               retired: org.apache.hadoop.fs.Path): Unit = {
+                               retired: org.apache.hadoop.fs.Path,
+                               keepRetired: Boolean = false): Unit = {
     require(fs.exists(staged), s"swap: staged dir missing: $staged")
     fs.mkdirs(retired.getParent)
     fs.mkdirs(live.getParent)
@@ -662,7 +663,9 @@ object TsdbStore {
     if (fs.exists(live))
       require(fs.rename(live, retired), s"swap: could not retire $live")
     require(fs.rename(staged, live), s"swap: could not install $staged")
-    fs.delete(retired, true)
+    // multi-table callers (deleteSeries) keep every backup until ALL
+    // their swaps have landed, then clean up in one final pass
+    if (!keepRetired) fs.delete(retired, true)
   }
 
   /** Namespace listing served from the STORE — the reference's "ls the
@@ -696,7 +699,19 @@ object TsdbStore {
     * and cascade/rate/quant rows never mix series. Returns the dt
     * partitions rewritten per table (TsdbStoreSpec asserts equality
     * with a full re-ingest of the filtered feed AND that untouched
-    * partitions' files are byte-identical). */
+    * partitions' files are byte-identical).
+    *
+    * Crash contract: the swap sequence runs table-by-table, so a
+    * mid-run failure leaves the series deleted from some tables and
+    * present in others (base vs cascades diverge) — the repair is to
+    * RE-RUN the call, which is idempotent: already-clean partitions
+    * are simply not touched again (the pruned scan finds no rows),
+    * and per-table `_retired` backups are kept until EVERY table has
+    * swapped, so no partition's only copy is ever a half-written
+    * stage. The metadata sidecar (`meta`) is deliberately untouched:
+    * it is an append-only as-of history, and retaining the deleted
+    * series' past attribute rows is the intended audit behavior
+    * (ADVICE r7 #5). */
   def deleteSeries(spark: SparkSession, path: String,
                    userId: Long, eventType: String): Map[String, Seq[String]] =
       withRollupRewriteOff(spark) {
@@ -710,7 +725,7 @@ object TsdbStore {
       if (layout.monthly) dts else dts.map(java.sql.Date.valueOf)
     val tables = "base" +: layout.steps.flatMap(s =>
       Seq(s"agg_$s", s"rate_$s", s"quant_$s"))
-    tables.flatMap { table =>
+    val rewritten = tables.flatMap { table =>
       if (!fs.exists(new Path(s"$path/$table"))) None
       else {
         val t = spark.read.parquet(s"$path/$table")
@@ -729,15 +744,20 @@ object TsdbStore {
             val st = new Path(s"$staged/dt=$dt")
             val live = new Path(s"$path/$table/dt=$dt")
             if (fs.exists(st))
-              swapPartitionDir(fs, st, live, new Path(s"$path/${table}_retired/dt=$dt"))
+              swapPartitionDir(fs, st, live,
+                new Path(s"$path/${table}_retired/dt=$dt"), keepRetired = true)
             else fs.delete(live, true) // the series was the partition's only content
           }
           fs.delete(new Path(staged), true)
-          fs.delete(new Path(s"$path/${table}_retired"), true)
           Some(table -> touched)
         }
       }
     }.toMap
+    // only after EVERY table has swapped do the backups go: a crash
+    // anywhere above leaves each touched partition either live or
+    // retired-but-present, and a re-run repairs the divergence
+    tables.foreach(t => fs.delete(new Path(s"$path/${t}_retired"), true))
+    rewritten
   }
 
   // ---- metadata sidecar (IfRef-shaped temporal validity) --------------
