@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Union, Window}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, Union, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
@@ -71,15 +72,106 @@ import graft.sources.TsdbStore
   * the scan, base gone, zero exchanges in the T == S form) and
   * TsdbStoreSpec pins bit-identical results with the rule on and off.
   */
+object RollupSubstitution {
+  /** Optimize-time support cache, shared across queries and sessions
+    * (VERDICT r7 next #4): the rewrite's fixed cost used to be
+    * re-paid per optimized query — layout parse, per-table existence
+    * probes, and (dominant) parquet SCHEMA INFERENCE for each fresh
+    * cascade scan. All three are stable for the life of a store
+    * layout, so they cache per store root, validated against the
+    * `_LAYOUT` stamp's modification time (one getFileStatus per
+    * optimize). File LISTINGS are deliberately NOT cached — an
+    * incremental upsert swaps partition directories without touching
+    * the stamp, and a stale listing would silently serve retired
+    * files; the fresh listing is also exactly what the raw plan pays
+    * for its own scan. */
+  private[plans] final case class StoreInfo(
+      stampMtime: Long,
+      layout: graft.sources.StoreLayout,
+      schemas: scala.collection.concurrent.TrieMap[String,
+        org.apache.spark.sql.types.StructType],
+      exists: scala.collection.concurrent.TrieMap[String, Boolean])
+  private[plans] val storeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StoreInfo]()
+}
+
 case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
+  import RollupSubstitution.{StoreInfo, storeCache}
 
   private val FlagKey = "spark.graft.rollup.rewrite"
+  /** Skip the rewrite unless the raw relation is at least this many
+    * times larger than the chosen cascade table — at ≤ 1× the cascade
+    * is not smaller than raw (a 1-sample-per-cell store) and the
+    * rewrite can only add cost. Size is listing-bytes: the raw side's
+    * is already computed by its own relation, the cascade side's is
+    * one content summary of a |series|·(day/T)-row directory. */
+  private val RatioKey = "spark.graft.rollup.minSizeRatio"
+  private val FloorKey = "spark.graft.rollup.sizeGateFloorBytes"
+
+  /** Cached per-store support data, revalidated against the layout
+    * stamp; a missing stamp (not a store) returns None. */
+  private def storeInfo(store: String): Option[StoreInfo] = {
+    val p = new org.apache.hadoop.fs.Path(s"$store/_LAYOUT")
+    val fs = p.getFileSystem(session.sparkContext.hadoopConfiguration)
+    val mtime = try fs.getFileStatus(p).getModificationTime
+      catch { case _: java.io.FileNotFoundException => return None }
+    Some(storeCache.compute(store, (_, old) =>
+      if (old != null && old.stampMtime == mtime) old
+      else StoreInfo(mtime, TsdbStore.readLayout(session, store),
+        scala.collection.concurrent.TrieMap.empty,
+        scala.collection.concurrent.TrieMap.empty)))
+  }
+
+  private def tableExistsCached(info: StoreInfo, store: String, table: String): Boolean =
+    info.exists.getOrElseUpdate(table, {
+      val p = new org.apache.hadoop.fs.Path(s"$store/$table")
+      p.getFileSystem(session.sparkContext.hadoopConfiguration).exists(p)
+    })
+
+  /** Fresh analyzed scan of a store table, with the (stable) schema
+    * served from the cache — skips per-query schema inference, keeps
+    * the per-query file listing. */
+  private def tableScan(info: StoreInfo, store: String, table: String)
+      : org.apache.spark.sql.DataFrame = {
+    val path = s"$store/$table"
+    val schema = info.schemas.getOrElseUpdate(table,
+      session.read.parquet(path).schema)
+    session.read.schema(schema).parquet(path)
+  }
+
+  /** The stats-based skip gate: proceed only when the raw side out-
+    * sizes the cascade by the configured ratio (default 1.0 — decline
+    * only the genuinely pathological cascade-not-smaller stores, e.g.
+    * one sample per cell, where the rewrite can only add cost; raise
+    * the ratio to demand a margin, 0 disables). Listing bytes are the
+    * signal, and they are only TRUSTWORTHY once per-file parquet
+    * overhead is amortized — below the floor (default 16 MB) a
+    * 1000-row cascade "outweighs" a 1000-row base on metadata alone
+    * while both plans are trivially cheap, so the gate stands aside
+    * and the rewrite keeps its plan-quality wins (pruning, no
+    * shuffle, no window sort). */
+  private def sizeGateOk(rel: LogicalRelation, store: String, table: String): Boolean = {
+    val ratio = session.conf.get(RatioKey, "1.0").toDouble
+    if (ratio <= 0.0) return true
+    val baseBytes = rel.relation match {
+      case fsr: HadoopFsRelation => fsr.location.sizeInBytes
+      case _ => return true
+    }
+    val floor = session.conf.get(FloorKey, (16L << 20).toString).toLong
+    if (baseBytes < floor) return true
+    val p = new org.apache.hadoop.fs.Path(s"$store/$table")
+    val cascadeBytes =
+      p.getFileSystem(session.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    baseBytes.toDouble >= ratio * cascadeBytes.toDouble
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!session.conf.get(FlagKey, "false").toBoolean) return plan
     plan.transformUp {
       case agg: Aggregate =>
-        tryRewrite(agg).orElse(tryRewriteRate(agg)).getOrElse(agg)
+        tryRewrite(agg).orElse(tryRewriteQuantile(agg))
+          .orElse(tryRewriteRate(agg)).getOrElse(agg)
     }
   }
 
@@ -155,8 +247,93 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** A series-key-preserving dimension join peeled from between the
+    * Aggregate and the base scan (VERDICT r7 next #3): `dim` is the
+    * untouched dim-side subtree (exprIds preserved), `pairs` the
+    * equi-join pairs as (base identity column name, dim attribute),
+    * `node` the original Join (for its hint). */
+  private case class DimJoin(dim: LogicalPlan,
+                             pairs: Seq[(String, Attribute)],
+                             node: Join)
+
+  /** [[unwrap]] extended one level: the plan may be
+    * [Project/Filter]* → Join(base-side, dim-side) where the base side
+    * unwraps to a store relation and the join is INNER on
+    * series-identity columns only. Everything the join adds is handled
+    * by the caller: the dim subtree is reused verbatim (its exprIds
+    * survive), so dim-side grouping keys and outputs pass through the
+    * conversion untouched. A join that doesn't match simply means no
+    * rewrite (the quantile and rate paths never unwrap joins). */
+  private def unwrapMaybeJoin(p: LogicalPlan)
+      : Option[(LogicalRelation, Option[Expression], Map[ExprId, Expression],
+                Option[DimJoin])] = {
+    def splitJoin(j: Join): Option[(LogicalRelation, Option[Expression],
+        Map[ExprId, Expression], Option[DimJoin])] = {
+      if (j.joinType != Inner || j.condition.isEmpty) return None
+      // base side on the left or the right; the OTHER side is the dim
+      def trySide(baseSide: LogicalPlan, dimSide: LogicalPlan)
+          : Option[(LogicalRelation, Option[Expression],
+                    Map[ExprId, Expression], Option[DimJoin])] =
+        unwrap(baseSide).flatMap { case (rel, c0, m) =>
+          if (storeRootOf(rel).isEmpty) None
+          else {
+            val identityIds = rel.output
+              .filter(a => a.name == "user_id" || a.name == "event_type")
+              .map(a => a.exprId -> a.name).toMap
+            def resolveB(e: Expression): Expression = e.transform {
+              case a: AttributeReference if m.contains(a.exprId) => m(a.exprId)
+            }
+            val dimIds = dimSide.outputSet
+            val pairs = splitConjuncts(j.condition.get).map {
+              case EqualTo(l, r) =>
+                val (b, d) = (resolveB(l), r) match {
+                  case (bb: AttributeReference, dd: Attribute)
+                      if identityIds.contains(bb.exprId) && dimIds.contains(dd) =>
+                    (bb, dd)
+                  case _ => (resolveB(r), l) match {
+                    case (bb: AttributeReference, dd: Attribute)
+                        if identityIds.contains(bb.exprId) && dimIds.contains(dd) =>
+                      (bb, dd)
+                    case _ => return None
+                  }
+                }
+                identityIds(b.exprId) -> d
+              case _ => return None
+            }
+            if (pairs.isEmpty) None
+            else Some((rel, c0, m, Some(DimJoin(dimSide, pairs, j))))
+          }
+        }
+      trySide(j.left, j.right).orElse(trySide(j.right, j.left))
+    }
+    p match {
+      case j: Join => splitJoin(j)
+      case Project(projList, child) =>
+        unwrapMaybeJoin(child).flatMap { case (rel, c0, m0, dj) =>
+          def resolve(e: Expression): Expression = e.transform {
+            case a: AttributeReference if m0.contains(a.exprId) => m0(a.exprId)
+          }
+          val entries = projList.map {
+            case a: AttributeReference => Some(a.exprId -> resolve(a))
+            case al: Alias => Some(al.exprId -> resolve(al.child))
+            case _ => None
+          }
+          if (entries.contains(None)) None
+          else Some((rel, c0, m0 ++ entries.flatten.toMap, dj))
+        }
+      case Filter(cond, child) =>
+        unwrapMaybeJoin(child).map { case (rel, c0, m, dj) =>
+          val rc = cond.transform {
+            case a: AttributeReference if m.contains(a.exprId) => m(a.exprId)
+          }
+          (rel, Some(c0.map(And(_, rc)).getOrElse(rc)), m, dj)
+        }
+      case other => unwrap(other).map { case (rel, c0, m) => (rel, c0, m, None) }
+    }
+  }
+
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val (rel, cond, exprMap) = unwrap(agg.child) match {
+    val (rel, cond, exprMap, dimJoin) = unwrapMaybeJoin(agg.child) match {
       case Some(x) => x
       case None => return None
     }
@@ -210,18 +387,50 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     // just re-aggregates more rows into coarser groups)
     var stepSec = 0L
     var hasUid = false; var hasEtype = false
-    var ok = agg.groupingExpressions.length <= 3
-    agg.groupingExpressions.map(resolve).foreach {
-      case a: AttributeReference if a.name == "user_id" => hasUid = true
-      case a: AttributeReference if a.name == "event_type" => hasEtype = true
+    var baseKeys = 0
+    var ok = true
+    val dimOutputIds: AttributeSet =
+      dimJoin.map(_.dim.outputSet).getOrElse(AttributeSet.empty)
+    // resolved grouping expressions in original order — dim-side keys
+    // (references entirely inside the untouched dim subtree) pass
+    // through the rewrite verbatim
+    val resolvedGroupings = agg.groupingExpressions.map(resolve)
+    resolvedGroupings.foreach {
+      case a: AttributeReference if a.name == "user_id" =>
+        hasUid = true; baseKeys += 1
+      case a: AttributeReference if a.name == "event_type" =>
+        hasEtype = true; baseKeys += 1
       case SlotExpr(ts, s) if isTs(ts) =>
         // two slot expressions at DIFFERENT steps would silently keep
         // only the last and regroup both at it (ADVICE r6 #1):
         // duplicate identity keys are harmless, duplicate steps are not
-        if (stepSec != 0L && stepSec != s) ok = false else stepSec = s
+        if (stepSec != 0L && stepSec != s) ok = false
+        else { stepSec = s; baseKeys += 1 }
+      case e if e.references.nonEmpty && e.references.subsetOf(dimOutputIds) => ()
       case _ => ok = false
     }
-    if (!ok) return None
+    if (!ok || baseKeys > 3) return None
+    // aggregates REFERENCING the dim side survive the rewrite only
+    // when they are multiplicity-insensitive: the cascade collapses
+    // each (series, T-slot) cell to ONE row, so per-cell repetition of
+    // the (unique-join) dim value is lost — count(DISTINCT dim) /
+    // min(dim) / max(dim) see the same SET either way, while
+    // sum/avg/count over dim values would silently change. Their
+    // presence also forces the re-aggregating path (a surviving
+    // AggregateExpression cannot live in the exact path's Project).
+    var hasDimAgg = false
+    val dimAggBad = agg.aggregateExpressions.exists(_.exists {
+      case ag: AggregateExpression
+          if ag.references.exists(dimOutputIds.contains) =>
+        hasDimAgg = true
+        !(ag.references.subsetOf(dimOutputIds) && (ag.aggregateFunction match {
+          case _: Count => ag.isDistinct
+          case _: Min | _: Max => !ag.isDistinct
+          case _ => false
+        }))
+      case _ => false
+    })
+    if (dimAggBad) return None
     // slot steps appearing inside count(DISTINCT slot(s)) operands —
     // "active periods" aggregates. The scanned level must divide these
     // too, or the distinct projection below would conflate cells
@@ -239,7 +448,11 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     // through to a finer level instead of rescanning raw. A slotless
     // aggregate (stepSec = 0) re-aggregates ANY level (0 % s == 0 for
     // every s), so only the range constrains its choice.
-    val layout = TsdbStore.readLayout(session, store)
+    val info = storeInfo(store) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val layout = info.layout
     val loOpt = lowerUs.maxOption
     val hiOpt = upperUs.minOption
     // the alignment math below floors (Math.floorDiv) while the slot
@@ -256,19 +469,17 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
         Math.floorDiv(l + su - 1, su) * su < Math.floorDiv(h, su) * su
       case _ => true // unbounded on a side: the interior is unbounded too
     }
-    val hconf = session.sparkContext.hadoopConfiguration
-    def tableExists(tc: Long): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(s"$store/agg_$tc")
-      p.getFileSystem(hconf).exists(p)
-    }
     val t = layout.steps
       .filter(s => stepSec % s == 0 && distinctSlotSteps.forall(_ % s == 0))
       .sorted.reverse
-      .find(s => tableExists(s) && interiorNonEmpty(s)) match {
+      .find(s => tableExistsCached(info, store, s"agg_$s") &&
+        interiorNonEmpty(s)) match {
       case Some(x) => x
       case None => return None
     }
-    val aggPath = s"$store/agg_$t"
+    // stats gate: a finer level is only LARGER, so a failed gate is a
+    // decline, not a fall-through
+    if (!sizeGateOk(rel, store, s"agg_$t")) return None
 
     // a half-open ts_us range transfers EXACTLY as slot bounds iff its
     // bounds are multiples of the SCANNED cascade step T: each T-cell
@@ -294,7 +505,7 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     val pieces = leftPiece.toSeq ++ rightPiece.toSeq
 
     // fresh analyzed scan of the cascade table (new exprIds throughout)
-    val cascade = session.read.parquet(aggPath).queryExecution.analyzed
+    val cascade = tableScan(info, store, s"agg_$t").queryExecution.analyzed
     def att(name: String): AttributeReference =
       cascade.output.find(_.name == name).get match { case a: AttributeReference => a }
     val (uid, etype, slot) = (att("user_id"), att("event_type"), att("slot_ts"))
@@ -340,7 +551,7 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     // partition-filter extraction live, where an OR across pieces
     // would defeat it.
     def rawPiece(loUs: Long, hiUs: Long): LogicalPlan = {
-      val base = session.read.parquet(s"$store/base").queryExecution.analyzed
+      val base = tableScan(info, store, "base").queryExecution.analyzed
       def batt(n: String): AttributeReference =
         base.output.find(_.name == n).get match { case a: AttributeReference => a }
       val (bu, be, bts, bc) =
@@ -370,7 +581,7 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     // source of the re-aggregation: the filtered cascade alone (the
     // aligned fast path — exact hits stay a pure Project), or the
     // cascade interior unioned with the boundary pieces
-    val (child2, uidR, etypeR, slotR, nR, sumR, minR, maxR) =
+    val (child2a, uidR, etypeR, slotR, nR, sumR, minR, maxR) =
       if (pieces.isEmpty)
         (interior: LogicalPlan, uid: Attribute, etype: Attribute,
           slot: Attribute, nC: Expression, sumC: Expression,
@@ -383,18 +594,54 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
           nU: Expression, smU: Expression, mnU: Expression, mxU: Expression)
       }
 
+    // a series-key-preserving dim join rides ALONG the substitution:
+    // the (orders-of-magnitude smaller) cascade source rejoins the
+    // UNTOUCHED dim subtree on the same keys — correct because every
+    // raw row of a cascade cell shares the cell's (user_id,
+    // event_type), so the unique-dim inner join matches a cell's rows
+    // all-or-nothing and adds the same dim values to each. Enriched
+    // dashboard rollups (base ⋈ metadata, grouped by a dim attribute)
+    // skip raw like plain ones; the broadcast hint, if any, carries
+    // over with the join node's own hint
+    val child2: LogicalPlan = dimJoin match {
+      case None => child2a
+      case Some(dj) =>
+        // multiplicity gate: the dim side must be UNIQUE on its join
+        // keys, else a base row could match several dim rows and the
+        // cascade's collapsed cells would under-count the fan-out.
+        // Runtime check at optimize time, bounded by contract (a
+        // metadata sidecar is version-count-sized, not sample-sized)
+        val dimDf = org.apache.spark.sql.graftshim.DatasetBridge
+          .ofRows(session, dj.dim)
+        val keyCols = dj.pairs.map(p =>
+          org.apache.spark.sql.graftshim.ColumnBridge.column(p._2))
+        val dup = dimDf.groupBy(keyCols: _*)
+          .agg(org.apache.spark.sql.functions
+            .count(org.apache.spark.sql.functions.lit(1)).as("c"))
+          .filter(org.apache.spark.sql.functions.col("c") > 1)
+          .limit(1).collect().nonEmpty
+        if (dup) return None
+        val cond2 = dj.pairs.map { case (name, d) =>
+          EqualTo(if (name == "user_id") uidR else etypeR, d): Expression
+        }.reduce(And)
+        Join(child2a, dj.dim, Inner, Some(cond2), dj.node.hint)
+    }
+
     // exact hit = the cascade's own granularity requested with no
     // boundary pieces: cascade rows ARE the answer rows. Dropping a
     // key, coarsening the step, or a split range re-aggregates. A
     // DISTINCT (or approx-distinct) aggregate always re-aggregates —
     // its replacement is itself an AggregateExpression, which a pure
-    // Project can't host
+    // Project can't host; so does a (multiplicity-insensitive)
+    // dim-side aggregate, which survives as-is and needs an Aggregate
+    // to evaluate it
     val hasDistinct = agg.aggregateExpressions.exists(_.exists {
       case ag: AggregateExpression =>
         ag.isDistinct || ag.aggregateFunction.isInstanceOf[HyperLogLogPlusPlus]
       case _ => false
     })
-    val exact = pieces.isEmpty && t == stepSec && hasUid && hasEtype && !hasDistinct
+    val exact = pieces.isEmpty && t == stepSec && hasUid && hasEtype &&
+      !hasDistinct && !hasDimAgg
     def ae(f: AggregateFunction): Expression =
       AggregateExpression(f, Complete, isDistinct = false)
     // slotless aggregates never reference a slot output, so slot2 is
@@ -518,6 +765,11 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
           case r: AttributeReference if r.name == "user_id" => uidR
           case r: AttributeReference if r.name == "event_type" => etypeR
           case SlotExpr(_, _) => slot2
+          // a pulled-out grouping alias over DIM columns resolves to
+          // an expression whose references live in the (reused) dim
+          // subtree — already part of child2's output, pass through
+          case other if other.references.nonEmpty &&
+              other.references.forall(x => newIds.contains(x.exprId)) => other
           case _ => failed = true; a
         }
     }
@@ -535,12 +787,278 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
 
     if (exact) Some(Project(newOutputs, child2))
     else {
-      val groupings2 =
-        (if (hasUid) Seq(uidR) else Nil) ++
-        (if (hasEtype) Seq(etypeR) else Nil) ++
-        (if (stepSec != 0L) Seq(slot2) else Nil)
+      // original key order, each rebased: base keys onto the cascade,
+      // dim keys verbatim (their subtree rode along)
+      val groupings2 = resolvedGroupings.flatMap {
+        case a: AttributeReference if a.name == "user_id" => Some(uidR)
+        case a: AttributeReference if a.name == "event_type" => Some(etypeR)
+        case SlotExpr(ts, _) if isTs(ts) => Some(slot2)
+        case e if e.references.nonEmpty &&
+            e.references.subsetOf(dimOutputIds) => Some(e)
+        case _ => None
+      }.distinct
       Some(Aggregate(groupings2, newOutputs, child2))
     }
+  }
+
+  /** Quantile-cascade substitution (VERDICT r7 next #2): an ad-hoc
+    * EXACT nearest-rank quantile over the store's base table —
+    *
+    *   base.groupBy(series keys?, slot(S)?)
+    *       .agg(percentile_disc(q) WITHIN GROUP (ORDER BY cents))
+    *
+    * — served from the `quant_T` bottom-k column family when the read
+    * is PROVABLY exact. percentile_disc is the SQL-standard nearest
+    * rank (the smallest value with cumulative fraction ≥ q = element
+    * ceil(q·n) of the sorted multiset — the same convention
+    * [[TsdbStore.fetchQuantile]] reads off the sketch), and below
+    * K=512 samples per evaluated cell the stored buffer holds EVERY
+    * sample, so the sketch read equals the raw computation value-for-
+    * value (cents are integers; stored as exact doubles).
+    *
+    * The exactness gate runs at OPTIMIZE time against the monoid
+    * cascade's per-cell counts: one bounded, dt-pruned aggregate over
+    * `agg_T` rows (never raw) computes the max sample count over the
+    * query's own evaluated cells, and at ≥ K the rule DECLINES — an
+    * estimate must never masquerade as the exact answer the query
+    * text wrote. That is the substitution's one optimize-time job;
+    * it reads ≤ |series|·(range/T) cascade rows, the same data the
+    * substituted plan would scan anyway.
+    *
+    * Scope: grouping any subset of {user_id, event_type, slot(S)}
+    * with a materialized level T dividing S; series-identity filters
+    * transfer; ts_us bounds must be T-ALIGNED (no split path — a raw
+    * boundary piece cannot join a sketch merge without re-sketching,
+    * which is the raw plan anyway); every aggregate output must be
+    * percentile_disc over cents (ascending, modern calculation) —
+    * mixed monoid+quantile aggregates would need a two-table join and
+    * block instead. Exact-grain hits (T == S, full grain) read the
+    * per-slot buffer DIRECTLY — a pure Project over quant_T, zero
+    * shuffle; coarser grains semilattice-merge the buffers with one
+    * re-aggregation. */
+  private def tryRewriteQuantile(agg: Aggregate): Option[LogicalPlan] = {
+    // cheap reject before any unwrap work: the path only exists for
+    // percentile_disc aggregates
+    val hasPdisc = agg.aggregateExpressions.exists(_.exists {
+      case AggregateExpression(_: PercentileDisc, _, _, _, _) => true
+      case _ => false
+    })
+    if (!hasPdisc) return None
+    val (rel, cond, exprMap) = unwrap(agg.child) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val store = storeRootOf(rel) match {
+      case Some(s) => s
+      case None => return None
+    }
+    def resolve(e: Expression): Expression = e.transform {
+      case a: AttributeReference if exprMap.contains(a.exprId) => exprMap(a.exprId)
+    }
+    val identityIds = rel.output
+      .filter(a => a.name == "user_id" || a.name == "event_type")
+      .map(_.exprId).toSet
+    val tsUsId = rel.output.find(_.name == "ts_us").map(_.exprId)
+    val centsId = rel.output.find(_.name == "cents").map(_.exprId)
+    def isTs(e: Expression): Boolean = e match {
+      case a: AttributeReference => tsUsId.contains(a.exprId)
+      case _ => false
+    }
+    var seriesCond: Option[Expression] = None
+    var lowerUs = Seq.empty[Long]
+    var upperUs = Seq.empty[Long]
+    cond.toSeq.flatMap(splitConjuncts).foreach {
+      case c if c.references.nonEmpty &&
+          c.references.forall(a => identityIds.contains(a.exprId)) =>
+        seriesCond = Some(seriesCond.map(And(_, c)).getOrElse(c))
+      case GreaterThanOrEqual(t, Literal(l: Long, LongType)) if isTs(t) =>
+        lowerUs :+= l
+      case LessThanOrEqual(Literal(l: Long, LongType), t) if isTs(t) =>
+        lowerUs :+= l
+      case LessThan(t, Literal(u: Long, LongType)) if isTs(t) =>
+        upperUs :+= u
+      case GreaterThan(Literal(u: Long, LongType), t) if isTs(t) =>
+        upperUs :+= u
+      case _ => return None
+    }
+    if (lowerUs.exists(_ < 0L) || upperUs.exists(_ < 0L)) return None
+    var stepSec = 0L
+    var hasUid = false; var hasEtype = false
+    var ok = agg.groupingExpressions.length <= 3
+    agg.groupingExpressions.map(resolve).foreach {
+      case a: AttributeReference if a.name == "user_id" => hasUid = true
+      case a: AttributeReference if a.name == "event_type" => hasEtype = true
+      case SlotExpr(ts, s) if isTs(ts) =>
+        if (stepSec != 0L && stepSec != s) ok = false else stepSec = s
+      case _ => ok = false
+    }
+    if (!ok) return None
+
+    val info = storeInfo(store) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val layout = info.layout
+    if (!layout.quantiles) return None
+    // coarsest level dividing the slot step (slotless merges any
+    // level) whose step every bound aligns to, with BOTH families
+    // materialized — quant_T serves the read, agg_T proves exactness
+    val t = layout.steps
+      .filter(s => stepSec % s == 0)
+      .sorted.reverse
+      .find { s =>
+        val su = s * 1000000L
+        (lowerUs ++ upperUs).forall(_ % su == 0L) &&
+          tableExistsCached(info, store, s"quant_$s") &&
+          tableExistsCached(info, store, s"agg_$s")
+      } match {
+      case Some(x) => x
+      case None => return None
+    }
+    if (!sizeGateOk(rel, store, s"quant_$t")) return None
+
+    // collect the distinct requested quantiles; any aggregate that is
+    // not an ascending modern-calculation percentile_disc over the
+    // cents column blocks the rewrite
+    var qs = Seq.empty[Double]
+    var bad = false
+    agg.aggregateExpressions.foreach(_.foreach {
+      case AggregateExpression(pd: PercentileDisc, Complete, false, None, _)
+          if !pd.reverse && !pd.legacyCalculation &&
+            pd.percentageExpression.foldable =>
+        (resolve(pd.child), pd.percentageExpression.eval()) match {
+          case (a: AttributeReference, q: java.lang.Double)
+              if centsId.contains(a.exprId) && q > 0.0 && q <= 1.0 =>
+            if (!qs.contains(q.doubleValue)) qs :+= q.doubleValue
+          case _ => bad = true
+        }
+      case _: AggregateExpression => bad = true
+      case _ => ()
+    })
+    if (bad || qs.isEmpty) return None
+
+    import org.apache.spark.sql.{functions => F, Column}
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    // rebase an identity-only condition onto another table BY NAME
+    // (sound: identityIds proved each reference is the relation's own
+    // user_id / event_type attribute)
+    def seriesCol: Option[Column] = seriesCond.map(c =>
+      ColumnBridge.column(c.transform {
+        case a: AttributeReference =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(a.name)
+      }))
+    val loSec = lowerUs.maxOption.map(_ / 1000000L)
+    val hiSec = upperUs.minOption.map(_ / 1000000L)
+    def dtPruned(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      def dtCol(sec: Long): Column = {
+        val day = java.time.LocalDate.ofEpochDay(Math.floorDiv(sec, 86400L))
+        if (layout.monthly) F.lit(f"${day.getYear}%04d-${day.getMonthValue}%02d")
+        else F.lit(java.sql.Date.valueOf(day))
+      }
+      var d = df
+      seriesCol.foreach(c => d = d.filter(c))
+      loSec.foreach(l => d = d.filter(F.col("slot_ts") >= l)
+        .filter(F.col("dt") >= dtCol(l)))
+      hiSec.foreach(h => d = d.filter(F.col("slot_ts") < h)
+        .filter(F.col("dt") <= dtCol(h - 1L)))
+      d
+    }
+    // group keys of the EVALUATED cells, shared by the gate query and
+    // the substituted read (both run over T-level cascade tables)
+    def cellKeys: Seq[Column] =
+      (if (hasUid) Seq(F.col("user_id")) else Nil) ++
+      (if (hasEtype) Seq(F.col("event_type")) else Nil) ++
+      (if (stepSec == 0L) Nil
+       else if (stepSec == t) Seq(F.col("slot_ts"))
+       else Seq((F.expr(s"slot_ts div $stepSec") * stepSec).as("slot_ts")))
+
+    // ---- the exactness gate: max raw samples per evaluated cell ----
+    val gateBase = dtPruned(tableScan(info, store, s"agg_$t"))
+    val maxN: Long = {
+      val counts =
+        if (cellKeys.isEmpty) gateBase.agg(F.sum("n").as("cnt"))
+        else gateBase.groupBy(cellKeys: _*).agg(F.sum("n").as("cnt"))
+      val r = counts.agg(F.max("cnt")).collect()
+      if (r.isEmpty || r.head.isNullAt(0)) 0L else r.head.getLong(0)
+    }
+    if (maxN >= graft.functions.BottomKSample.K) return None
+
+    // ---- the substituted read over quant_T ----
+    val exact = t == stepSec && hasUid && hasEtype
+    def rankRead(valueCol: Column, q: Double): Column = {
+      val n = F.size(valueCol)
+      // groups only exist where sketches do; the one empty-buffer case
+      // is the GLOBAL aggregate over an empty range, where raw
+      // percentile_disc is NULL too (the guard also keeps ANSI
+      // element_at in range)
+      F.when(n > 0,
+        F.element_at(F.array_sort(valueCol),
+          F.greatest(F.lit(1L), F.ceil(F.lit(q) * n)).cast("int")))
+    }
+    val qName: Map[Double, String] =
+      qs.zipWithIndex.map { case (q, i) => q -> s"q_$i" }.toMap
+    val rep0 = dtPruned(tableScan(info, store, s"quant_$t"))
+    val rep =
+      if (exact)
+        rep0.select(F.col("user_id") +: F.col("event_type") +:
+          F.col("slot_ts") +:
+          qs.map(q => rankRead(F.col("value"), q).as(qName(q))): _*)
+      else {
+        val ms = F.udaf(new graft.functions.BottomKMergeState)
+        val merged =
+          if (cellKeys.isEmpty)
+            rep0.agg(ms(F.col("pri"), F.col("value")).as("sk"))
+          else rep0.groupBy(cellKeys: _*)
+            .agg(ms(F.col("pri"), F.col("value")).as("sk"))
+        merged.select(
+          ((if (hasUid) Seq(F.col("user_id")) else Nil) ++
+           (if (hasEtype) Seq(F.col("event_type")) else Nil) ++
+           (if (stepSec != 0L) Seq(F.col("slot_ts")) else Nil) ++
+           qs.map(q => rankRead(F.col("sk.value"), q).as(qName(q)))): _*)
+      }
+    val repPlan = rep.queryExecution.analyzed
+    def repAtt(name: String): AttributeReference =
+      repPlan.output.find(_.name == name).get match {
+        case a: AttributeReference => a
+      }
+
+    // convert each original output: percentile_disc leaves become the
+    // rep frame's q_i columns, grouping references its key columns —
+    // arbitrary derived outputs (pdisc arithmetic folded into the
+    // Aggregate's output list) survive leaf-by-leaf, like the value
+    // rule's convert
+    val newIds = repPlan.output.map(_.exprId).toSet
+    var failed = false
+    def convert(e: Expression): Expression = e.transform {
+      case ag @ AggregateExpression(pd: PercentileDisc, Complete, false, None, _)
+          if ag.references.forall(a => !newIds.contains(a.exprId)) =>
+        pd.percentageExpression.eval() match {
+          case q: java.lang.Double if qName.contains(q.doubleValue) =>
+            repAtt(qName(q.doubleValue))
+          case _ => failed = true; ag
+        }
+      case ag: AggregateExpression
+          if ag.references.forall(a => !newIds.contains(a.exprId)) =>
+        failed = true; ag
+      case a: AttributeReference if !newIds.contains(a.exprId) =>
+        resolve(a) match {
+          case r: AttributeReference if r.name == "user_id" => repAtt("user_id")
+          case r: AttributeReference if r.name == "event_type" => repAtt("event_type")
+          case SlotExpr(_, _) => repAtt("slot_ts")
+          case _ => failed = true; a
+        }
+    }
+    val newOutputs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        Alias(convert(a), a.name)(exprId = a.exprId)
+      case al: Alias =>
+        Alias(convert(al.child), al.name)(exprId = al.exprId)
+      case other => failed = true; other
+    }
+    if (failed) return None
+    if (newOutputs.exists(_.references.exists(a => !newIds.contains(a.exprId))))
+      return None
+    Some(Project(newOutputs, repPlan))
   }
 
   /** Unwrap Projects and Filters between an Aggregate and a Window —
@@ -613,7 +1131,11 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
       case Some(s) => s
       case None => return None
     }
-    val layout = TsdbStore.readLayout(session, store)
+    val info = storeInfo(store) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val layout = info.layout
     def relId(name: String): Option[ExprId] =
       rel.output.find(_.name == name).map(_.exprId)
     val (uidId, etypeId, tsId, evId, centsId) =
@@ -740,24 +1262,20 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     // aligned only at a finer level transfer there instead of blocking
     // (the rate path never splits: a raw boundary piece would need the
     // window re-run, and the window's input cannot be range-pruned)
-    val hconf2 = session.sparkContext.hadoopConfiguration
-    def rateExists(tc: Long): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(s"$store/rate_$tc")
-      p.getFileSystem(hconf2).exists(p)
-    }
     val t = layout.steps
       .filter(s => stepSec % s == 0)
       .sorted.reverse
       .find { s =>
         val su = s * 1000000L
-        (lowerUs ++ upperUs).forall(_ % su == 0L) && rateExists(s)
+        (lowerUs ++ upperUs).forall(_ % su == 0L) &&
+          tableExistsCached(info, store, s"rate_$s")
       } match {
       case Some(x) => x
       case None => return None
     }
-    val ratePath = s"$store/rate_$t"
+    if (!sizeGateOk(rel, store, s"rate_$t")) return None
 
-    val cascade = session.read.parquet(ratePath).queryExecution.analyzed
+    val cascade = tableScan(info, store, s"rate_$t").queryExecution.analyzed
     def att(name: String): AttributeReference =
       cascade.output.find(_.name == name).get match { case a: AttributeReference => a }
     val (uid, etype, slot) = (att("user_id"), att("event_type"), att("slot_ts"))

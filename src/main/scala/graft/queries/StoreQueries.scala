@@ -120,6 +120,78 @@ object StoreQueries {
       |GROUP BY 1, 2, 3
       |ORDER BY user_id, event_type, slot_ts""".stripMargin
 
+  /** The enriched-rollup A/B pair's shared shape: a fleet dashboard
+    * aggregate over base JOINED to the metadata sidecar's CURRENT
+    * snapshot (one row per user — join-key-unique), grouped by a
+    * metadata attribute. The substitution unwraps the series-key
+    * equi-join and rejoins the day cascade to the same dim subtree,
+    * so the enriched rollup never rescans raw either. */
+  private def enrichedRollupShape(s: org.apache.spark.sql.SparkSession,
+                                  store: String): org.apache.spark.sql.DataFrame = {
+    val dim = s.read.parquet(s"$store/meta")
+      .filter(col("valid_to_us") === lit(Long.MaxValue))
+      .select(col("user_id"), expr("speed_cents div 1000").as("band"))
+    s.read.parquet(s"$store/base")
+      .filter(col("ts_us") >= B * 1000000L && col("ts_us") < E * 1000000L)
+      .join(broadcast(dim), "user_id")
+      .groupBy(col("band"),
+        graft.operators.TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .orderBy("band", "slot_ts")
+  }
+
+  private val EnrichedRollupOracle =
+    s"""WITH m AS (
+      |  SELECT user_id, CAST(round(value*100) AS BIGINT) AS speed_cents,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM events WHERE event_type = 'purchase'
+      |), cur AS (
+      |  SELECT user_id, speed_cents // 1000 AS band FROM m WHERE rn = 1
+      |), c AS (
+      |  SELECT cur.band,
+      |    (epoch_us(e.ts) // 86400000000) * 86400 AS slot_ts,
+      |    CAST(round(e.value*100) AS BIGINT) AS cents
+      |  FROM events e JOIN cur ON e.user_id = cur.user_id
+      |  WHERE epoch_us(e.ts) >= ${B}000000 AND epoch_us(e.ts) < ${E}000000
+      |)
+      |SELECT band, slot_ts, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM c GROUP BY 1, 2
+      |ORDER BY band, slot_ts""".stripMargin
+
+  /** The quantile-rollup A/B pair's shared shape: an ad-hoc EXACT
+    * nearest-rank p95 (percentile_disc) per (series, day) over the
+    * store's BASE table — the quantile twin of [[rollupShape]]. */
+  private def quantileRollupShape(s: org.apache.spark.sql.SparkSession,
+                                  store: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(s"$store/base")
+      .filter(col("event_type").isin("click", "view"))
+      .filter(col("ts_us") >= B * 1000000L && col("ts_us") < E * 1000000L)
+      .groupBy(col("user_id"), col("event_type"),
+        graft.operators.TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)")
+        .as("p95_cents"))
+      .orderBy("user_id", "event_type", "slot_ts")
+
+  private val QuantileRollupOracle =
+    s"""WITH c AS (
+      |  SELECT user_id, event_type,
+      |    (epoch_us(ts) // 86400000000) * 86400 AS slot_ts,
+      |    CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |    AND epoch_us(ts) >= ${B}000000 AND epoch_us(ts) < ${E}000000
+      |), r AS (
+      |  SELECT user_id, event_type, slot_ts, cents,
+      |    row_number() OVER (PARTITION BY user_id, event_type, slot_ts
+      |                       ORDER BY cents) AS rn,
+      |    count(*) OVER (PARTITION BY user_id, event_type, slot_ts) AS n
+      |  FROM c
+      |)
+      |SELECT user_id, event_type, slot_ts, CAST(cents AS DOUBLE) AS p95_cents
+      |FROM r WHERE rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+      |ORDER BY user_id, event_type, slot_ts""".stripMargin
+
   private def rollupOracle(rangePred: String = ""): String =
     s"""WITH c AS (
       |  SELECT user_id, event_type,
@@ -710,6 +782,53 @@ object StoreQueries {
           .agg(avg("cents").as("avg_cents"), count(lit(1)).as("n"))
           .orderBy("user_id", "event_type", "slot_ts")
       }
+    },
+
+    QueryDef("q_store_rollup_enriched",
+      EnrichedRollupOracle) { (s, d) =>
+      // substitution ABOVE a broadcast dim join (RollupSubstitution
+      // round 8): the enriched-dashboard shape — base ⋈ metadata
+      // snapshot, grouped by a METADATA attribute — used to block the
+      // rewrite; now the rule proves the dim side join-key-unique (one
+      // bounded count over the version-sized sidecar) and rejoins the
+      // day cascade to the same dim subtree: raw is never rescanned
+      // for enriched rollups either. Oracle recomputes snapshot + join
+      // + aggregate from raw events
+      val store = StoreFixture.store(s, d)
+      withRollupFlag(s, on = true)(enrichedRollupShape(s, store))
+    },
+
+    QueryDef("q_store_rollup_enriched_raw",
+      EnrichedRollupOracle) { (s, d) =>
+      // A/B control: identical text, flag off — the join fans the dim
+      // value out to every raw sample before aggregating
+      val store = StoreFixture.store(s, d)
+      withRollupFlag(s, on = false)(enrichedRollupShape(s, store))
+    },
+
+    QueryDef("q_store_rollup_quantile",
+      QuantileRollupOracle) { (s, d) =>
+      // quantile-cascade substitution (RollupSubstitution
+      // .tryRewriteQuantile, round 8): the query TEXT is an ad-hoc
+      // percentile_disc — SQL's exact nearest-rank quantile — over the
+      // raw base table, but the optimizer proves every evaluated
+      // (series, day) cell holds < K=512 samples (one bounded
+      // aggregate over the agg_86400 monoid counts, never raw) and
+      // serves the EXACT answer from the quant_86400 bottom-k family:
+      // an exact-grain hit, so a pure Project over stored buffers —
+      // no sort, no shuffle, raw never scanned. The oracle recomputes
+      // nearest-rank from raw events; RollupSpec pins the plan switch
+      // and the ≥K decline
+      val store = StoreFixture.store(s, d)
+      withRollupFlag(s, on = true)(quantileRollupShape(s, store))
+    },
+
+    QueryDef("q_store_rollup_quantile_raw",
+      QuantileRollupOracle) { (s, d) =>
+      // A/B control: identical text, flag off — percentile_disc sorts
+      // raw samples per group (the full sort-based exact quantile)
+      val store = StoreFixture.store(s, d)
+      withRollupFlag(s, on = false)(quantileRollupShape(s, store))
     },
 
     QueryDef("q_store_quantile",

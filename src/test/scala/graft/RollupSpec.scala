@@ -782,6 +782,246 @@ class RollupSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  // ---- substitution above a series-key dim join (round 8) -----------
+
+  private def dimTable(dup: Boolean = false): DataFrame = {
+    val d = spark.range(500).select(col("id").as("user_id"),
+      concat(lit("t"), col("id") % 3).as("tier"),
+      (col("id") % 7).as("weight"))
+    if (dup) d.union(d.limit(5)) else d
+  }
+
+  test("an enriched rollup above a unique dim join substitutes (base ⋈ meta skips raw)") {
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .join(broadcast(dimTable()), "user_id")
+      .groupBy(col("tier"), TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("agg_86400")) &&
+      !paths.exists(_.endsWith("/base")),
+      s"the enriched rollup should rejoin the cascade, not raw: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("exact-grain enriched rollup stays a pure Project over cascade ⋈ dim") {
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .join(broadcast(dimTable()), "user_id")
+      .groupBy(col("user_id"), col("event_type"), col("tier"),
+        TimeSeriesOps.slotSec(21600L).as("slot_ts"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+    val (paths, noAgg, got) =
+      withFlag(on = true)((scanPaths(q), !hasAggregate(q), rows(q)))
+    assert(paths.exists(_.endsWith("agg_21600")) &&
+      !paths.exists(_.endsWith("/base")), s"$paths")
+    assert(noAgg, "full grain + unique dim key is still 1:1 with cascade " +
+      "cells — no re-aggregation needed")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("a NON-unique dim blocks the enriched rewrite (fan-out would under-count)") {
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .join(dimTable(dup = true), "user_id")
+      .groupBy(col("tier"), TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+    val paths = withFlag(on = true)(scanPaths(q))
+    assert(paths.exists(_.endsWith("/base")) &&
+      !paths.exists(_.contains("agg_")),
+      s"duplicate join keys fan base rows out — must stay raw: $paths")
+  }
+
+  test("dim-side aggregates: set-safe ones ride along, multiplicity-sensitive ones block") {
+    // count(DISTINCT tier) / max(tier) see the same SET over cascade
+    // cells as over raw rows — they substitute
+    def qa: DataFrame = spark.read.parquet(s"$store/base")
+      .join(broadcast(dimTable()), "user_id")
+      .groupBy(TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(countDistinct(col("tier")).as("tiers"), max(col("tier")).as("mx"),
+        count(lit(1)).as("n"))
+    val (pa, ga) = withFlag(on = true)((scanPaths(qa), rows(qa)))
+    assert(pa.exists(_.endsWith("agg_86400")) && !pa.exists(_.endsWith("/base")),
+      s"set-safe dim aggregates should substitute: $pa")
+    assert(ga == withFlag(on = false)(rows(qa)) && ga.nonEmpty)
+    // sum(weight) multiplies by each cell's row count in raw but once
+    // per cell in the cascade — must block
+    def qb: DataFrame = spark.read.parquet(s"$store/base")
+      .join(broadcast(dimTable()), "user_id")
+      .groupBy(TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(sum(col("weight")).as("w"))
+    val pb = withFlag(on = true)(scanPaths(qb))
+    assert(pb.exists(_.endsWith("/base")) && !pb.exists(_.contains("agg_")),
+      s"a multiplicity-sensitive dim aggregate must stay raw: $pb")
+  }
+
+  // ---- stats gate + optimize-time cache (round 8) --------------------
+
+  private val Ratio = "spark.graft.rollup.minSizeRatio"
+
+  test("the size-ratio gate declines a cascade that is not meaningfully smaller") {
+    // one sample per (series, 6h cell): agg_21600 holds exactly one
+    // row per base row, so the rewrite cannot win a demanded 4x scan
+    // margin — the rule declines; ratio 0 disables the gate
+    val sparse = {
+      val dir = Files.createTempDirectory("graft_rollup_sparse").toString
+      val feed = spark.range(400).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(QB * 1000000L) + col("id") * lit(21600L * 1000000L)).as("ts"),
+        (col("id") % 4).as("user_id"), lit("click").as("event_type"),
+        (col("id") % 97).cast("double").as("value"), lit("{}").as("props"))
+      TsdbStore.ingest(spark, feed, dir)
+      dir
+    }
+    def q: DataFrame = spark.read.parquet(s"$sparse/base")
+      .groupBy(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(21600L).as("slot_ts"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+    // zero the size floor: the fixture is far below the 16 MB
+    // metadata-amortization threshold the gate normally stands
+    // aside under, and this test is about the ratio logic itself
+    val Floor = "spark.graft.rollup.sizeGateFloorBytes"
+    spark.conf.set(Ratio, "4.0")
+    spark.conf.set(Floor, "0")
+    try {
+      val paths = withFlag(on = true)(scanPaths(q))
+      assert(paths.exists(_.endsWith("/base")) &&
+        !paths.exists(_.contains("agg_")),
+        s"a 1:1 cascade cannot repay the rewrite at ratio 4: $paths")
+    } finally { spark.conf.unset(Ratio); spark.conf.unset(Floor) }
+    spark.conf.set(Ratio, "0")
+    try {
+      val paths = withFlag(on = true)(scanPaths(q))
+      assert(paths.exists(_.endsWith("agg_21600")),
+        s"ratio 0 disables the gate: $paths")
+    } finally spark.conf.unset(Ratio)
+  }
+
+  test("cached store support data stays correct across incremental upsert (fresh listings)") {
+    // the rule caches layout/schema/existence per store root but NOT
+    // file listings — an upsert swaps partition dirs without touching
+    // _LAYOUT, and a substituted read after it must see the new rows
+    val s2 = {
+      val dir = Files.createTempDirectory("graft_rollup_cachefresh").toString
+      TsdbStore.ingest(spark,
+        Tables.events(spark, Sf).filter(col("event_id") % 2 === 0), dir)
+      dir
+    }
+    def q: DataFrame = spark.read.parquet(s"$s2/base")
+      .groupBy(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+    val before = withFlag(on = true)(rows(q)) // warms the cache
+    TsdbStore.upsertIncremental(spark,
+      Tables.events(spark, Sf).filter(col("event_id") % 2 === 1), s2)
+    val after = withFlag(on = true)(rows(q))
+    val expect = withFlag(on = false)(rows(q))
+    assert(after == expect, "stale cached state served a retired listing")
+    assert(after != before, "the upsert should have changed the rollup")
+  }
+
+  // ---- quantile-cascade substitution (round 8) ----------------------
+
+  private val QB = 1704844800L // day-aligned flagship range
+  private val QE = 1705708800L
+
+  private def pdiscAgg(src: String, stepSec: Long,
+                       range: Option[(Long, Long)] = None,
+                       fleet: Boolean = false): DataFrame = {
+    val base = spark.read.parquet(s"$src/base")
+    val ranged = range match {
+      case Some((b, e)) =>
+        base.filter(col("ts_us") >= b * 1000000L && col("ts_us") < e * 1000000L)
+      case None => base
+    }
+    val keys =
+      (if (fleet) Seq(col("event_type")) else Seq(col("user_id"), col("event_type"))) ++
+      (if (stepSec != 0L) Seq(TimeSeriesOps.slotSec(stepSec).as("slot_ts")) else Nil)
+    ranged.groupBy(keys: _*)
+      .agg(expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)").as("p95"))
+  }
+
+  test("exact-grain percentile_disc serves from the quant cascade as a pure Project") {
+    def q: DataFrame = pdiscAgg(store, 86400L, range = Some((QB, QE)))
+    val (paths, noAgg, got) =
+      withFlag(on = true)((scanPaths(q), !hasAggregate(q), rows(q)))
+    assert(paths.exists(_.endsWith("quant_86400")) &&
+      !paths.exists(_.endsWith("/base")),
+      s"exact nearest-rank p95 should read the quant family: $paths")
+    assert(noAgg, "exact-grain quantile hit must be a pure Project over " +
+      "stored buffers (no re-aggregation, no shuffle)")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("fleet grain + multiple quantiles + derived outputs merge sketches and convert leaf-by-leaf") {
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .groupBy(col("event_type"), TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)").as("p50"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)").as("p95"))
+      .select(col("event_type"), col("slot_ts"),
+        (col("p95") - col("p50")).as("spread"), col("p50"))
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("quant_86400")) &&
+      !paths.exists(_.endsWith("/base")),
+      s"fleet quantile should semilattice-merge the quant family: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("slotless per-series percentile merges every slot's sketch") {
+    def q: DataFrame = pdiscAgg(store, 0L, range = Some((QB, QE)))
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("quant_86400")) &&
+      !paths.exists(_.endsWith("/base")), s"$paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("percentile_disc over a non-cents column blocks the quantile rewrite") {
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .groupBy(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY ts_us)").as("p95"))
+    val paths = withFlag(on = true)(scanPaths(q))
+    assert(paths.exists(_.endsWith("/base")) &&
+      !paths.exists(_.contains("quant_")),
+      s"only the cents column is materialized in the quant family: $paths")
+  }
+
+  test("an unaligned bound blocks the quantile rewrite (no split path)") {
+    def q: DataFrame = pdiscAgg(store, 86400L, range = Some((QB + 3600L, QE)))
+    val paths = withFlag(on = true)(scanPaths(q))
+    assert(paths.exists(_.endsWith("/base")) &&
+      !paths.exists(_.contains("quant_")),
+      s"a raw boundary piece cannot join a sketch merge: $paths")
+  }
+
+  test("the sub-K exactness gate declines an over-dense cell") {
+    // 600 samples in ONE (user, type, day) cell: the stored sketch
+    // truncates at K=512, so the nearest-rank read would be an
+    // ESTIMATE — the rule must prove exactness off agg_86400's counts
+    // and leave the raw plan alone
+    val dense = {
+      val dir = Files.createTempDirectory("graft_rollup_dense").toString
+      val feed = spark.range(600).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(QB * 1000000L) + col("id") * 1000000L).as("ts"),
+        lit(1L).as("user_id"), lit("click").as("event_type"),
+        (col("id") % 97).cast("double").as("value"),
+        lit("{}").as("props"))
+      TsdbStore.ingest(spark, feed, dir)
+      dir
+    }
+    def q: DataFrame = pdiscAgg(dense, 86400L)
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("/base")) &&
+      !paths.exists(_.contains("quant_")),
+      s"an estimate must never masquerade as percentile_disc's exact " +
+        s"answer: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("time filters and flag-off leave the plan alone; maintenance is immune") {
     // flag off: no rewrite even on the perfect shape
     val offPaths = withFlag(on = false)(scanPaths(slotAgg(21600L)))
