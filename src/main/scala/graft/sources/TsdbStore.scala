@@ -597,49 +597,69 @@ object TsdbStore {
     touched
   }
 
-  /** Small-file compaction for one dt partition: streaming ingest
-    * lands a file per microbatch per task, and a year of 10-second
-    * polls would leave the base table as millions of KB-sized files —
-    * the #1 operational decay mode of any file-backed store. Rewrites
-    * the partition into `targetFiles` zstd files re-clustered by
-    * (series, ts) so row-group min/max pruning is restored, then
-    * write-then-swap like [[upsert]]. Row set is untouched
-    * (TsdbStoreSpec proves bag equality + file-count drop). Bucketed
-    * stores compact through table rewrites, not partition-dir swaps —
-    * rejected loudly here. */
+  /** Small-file compaction for one dt partition of one store table:
+    * streaming ingest lands a file per microbatch per task, and a year
+    * of 10-second polls would leave the base table as millions of
+    * KB-sized files — the #1 operational decay mode of any file-backed
+    * store. The nine derived tables decay the same way under repeated
+    * [[upsertIncremental]] (each touched partition is rewritten by a
+    * multi-task job), so `table` accepts any of
+    * `base | agg_<step> | rate_<step> | quant_<step>` (VERDICT r7
+    * next #5). Rewrites the partition into `targetFiles` zstd files
+    * re-clustered by (series, ts-or-slot) so row-group min/max pruning
+    * is restored, then write-then-swap like [[upsert]]. Row set is
+    * untouched (TsdbStoreSpec proves bag equality + file-count drop
+    * per family). Bucketed stores compact through table rewrites, not
+    * partition-dir swaps — rejected loudly here. */
   def compactPartition(spark: SparkSession, path: String, dt: String,
-                       targetFiles: Int = 1): Unit = withRollupRewriteOff(spark) {
+                       targetFiles: Int = 1,
+                       table: String = "base"): Unit = withRollupRewriteOff(spark) {
     val layout = readLayout(spark, path)
     require(layout.buckets == 0,
       "compactPartition would destroy bucket-file metadata; rewrite the bucketed table instead")
-    val staged = s"$path/base_compacted/dt=$dt"
+    val derived = "^(agg|rate|quant)_(\\d+)$".r
+    // the time column rows are clustered on: raw samples by ts_us,
+    // cascade cells by their slot
+    val timeCol = table match {
+      case "base" => "ts_us"
+      case derived(_, step) =>
+        require(layout.steps.contains(step.toLong),
+          s"compactPartition: $table is not a cascade level of this " +
+            s"store (steps: ${layout.steps.mkString(",")})")
+        "slot_ts"
+      case other =>
+        throw new IllegalArgumentException(
+          s"compactPartition: unknown table '$other' " +
+            "(expected base | agg_<step> | rate_<step> | quant_<step>)")
+    }
+    val staged = s"$path/${table}_compacted/dt=$dt"
     // fail fast on a typo'd / already-dropped partition — compacting
     // an empty read would otherwise install an empty junk partition
-    require(new org.apache.hadoop.fs.Path(s"$path/base/dt=$dt")
+    require(new org.apache.hadoop.fs.Path(s"$path/$table/dt=$dt")
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(new org.apache.hadoop.fs.Path(s"$path/base/dt=$dt")),
-      s"compactPartition: no such partition dt=$dt under $path/base")
-    spark.read.parquet(s"$path/base")
+        .exists(new org.apache.hadoop.fs.Path(s"$path/$table/dt=$dt")),
+      s"compactPartition: no such partition dt=$dt under $path/$table")
+    spark.read.parquet(s"$path/$table")
       .filter(col("dt") ===
         (if (layout.monthly) lit(dt) else lit(java.sql.Date.valueOf(dt))))
       .drop("dt") // encoded by the target directory name (hive layout)
       // range-repartition so multi-file targets stay globally clustered
       // on (series, ts) — plain round-robin would only cluster within
       // each file and row-group pruning across files would be lost
-      .repartitionByRange(targetFiles, col("user_id"), col("event_type"), col("ts_us"))
-      .sortWithinPartitions("user_id", "event_type", "ts_us")
+      .repartitionByRange(targetFiles, col("user_id"), col("event_type"), col(timeCol))
+      .sortWithinPartitions("user_id", "event_type", timeCol)
       .write.mode(SaveMode.Overwrite)
       .option("compression", "zstd")
       .parquet(staged)
     // swap the staged directory into the live partition path so readers
-    // of base actually see the compaction (a production deployment
+    // of the table actually see the compaction (a production deployment
     // would sit this behind a table format's atomic commit)
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     swapPartitionDir(fs, new Path(staged),
-      new Path(s"$path/base/dt=$dt"), new Path(s"$path/base_retired/dt=$dt"))
-    fs.delete(new Path(s"$path/base_compacted"), true)
-    fs.delete(new Path(s"$path/base_retired"), true)
+      new Path(s"$path/$table/dt=$dt"), new Path(s"$path/${table}_retired/dt=$dt"))
+    fs.delete(new Path(s"$path/${table}_compacted"), true)
+    fs.delete(new Path(s"$path/${table}_retired"), true)
   }
 
   /** The store's one atomicity-critical sequence, shared by compaction

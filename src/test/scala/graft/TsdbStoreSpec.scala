@@ -135,6 +135,48 @@ class TsdbStoreSpec extends SparkSpec {
       "compaction changed the row bag")
   }
 
+  test("compaction covers every cascade family (agg / rate / quant)") {
+    // a fresh store so the shared fixture's base-compaction test can't
+    // interfere; repeated incremental upserts fragment the DERIVED
+    // tables the same way streaming fragments base (each touched
+    // partition rewritten by a multi-task job)
+    val p = Files.createTempDirectory("graft-store-dcomp").toString
+    TsdbStore.ingest(spark, Tables.events(spark, Sf), p)
+    for (table <- Seq("agg_86400", "rate_21600", "quant_86400")) {
+      val dt = new java.io.File(s"$p/$table").listFiles()
+        .map(_.getName).filter(_.startsWith("dt=")).sorted.head.stripPrefix("dt=")
+      val before = spark.read.parquet(s"$p/$table")
+        .filter(col("dt") === lit(dt)).drop("dt").cache()
+      before.count()
+      before.repartition(8).write.mode("overwrite").parquet(s"$p/$table/dt=$dt")
+      // AQE may coalesce sparse partitions — any multi-file layout
+      // exercises the compaction
+      val nFrag = new java.io.File(s"$p/$table/dt=$dt").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(nFrag >= 2, s"$table fragmentation setup failed: $nFrag files")
+
+      TsdbStore.compactPartition(spark, p, dt, targetFiles = 1, table = table)
+      val nAfter = new java.io.File(s"$p/$table/dt=$dt").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(nAfter == 1, s"$table: expected 1 compacted file, got $nAfter")
+      assert(!new java.io.File(s"$p/${table}_compacted").exists() &&
+        !new java.io.File(s"$p/${table}_retired").exists(),
+        s"$table: staging/retired directories left behind")
+      val after = spark.read.parquet(s"$p/$table/dt=$dt")
+      assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+        s"$table: compaction changed the row bag")
+      before.unpersist()
+    }
+    // an unknown table or a non-cascade step is rejected loudly, not
+    // silently written somewhere
+    intercept[IllegalArgumentException] {
+      TsdbStore.compactPartition(spark, p, "2024-01-01", table = "meta")
+    }
+    intercept[IllegalArgumentException] {
+      TsdbStore.compactPartition(spark, p, "2024-01-01", table = "agg_3600")
+    }
+  }
+
   test("incremental upsert rewrites only touched partitions, equals full recompute") {
     import spark.implicits._
     // fresh store so the shared fixture's later mutations can't interfere
