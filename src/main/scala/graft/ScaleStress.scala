@@ -20,13 +20,47 @@ import org.apache.spark.sql.functions._
   *  - events: offset user_ids — `factor`× the series over the same
   *    time range, the natural scale direction of a TSDB.
   *
-  * Run:  sbt "runMain graft.ScaleStress [sfDir] [factor] [workDir]"
+  * Run:  sbt "runMain graft.ScaleStress [sfDir] [factor] [workDir] [mode]"
   * Emits one JSON line per query {name, sec_1x, sec_Nx, ratio} plus a
   * summary; ratios land in BASELINE.md. A ratio well above `factor`
   * flags superlinear behavior (pair blow-up, spill, a driver-side
   * collect) in that operator.
+  *
+  * `mode = store` (VERDICT r7 next #6) runs the store family ONLY —
+  * events replicate without the alphabet-bound Caesar transform, so
+  * the factor cap rises to 128 and a second decade (100×) becomes
+  * reachable. Store-mode rows additionally carry the run's shuffle
+  * spill (memory + disk bytes) and max per-task peak execution
+  * memory, captured by a SparkListener and drained through the
+  * listener-bus bridge before each snapshot — turning "per-series
+  * reads are factor-invariant and nothing spills" into measured
+  * numbers rather than plan-shape claims.
   */
 object ScaleStress {
+
+  /** Accumulates task-level spill / peak-memory over a timed run.
+    * Reset before each query; the bus is drained (ListenerBridge)
+    * before reading so late async task-end events can't leak across
+    * queries. */
+  private final class MetricsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    var memSpill = 0L
+    var diskSpill = 0L
+    var peakExecMem = 0L
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      synchronized {
+        val m = t.taskMetrics
+        if (m != null) {
+          memSpill += m.memoryBytesSpilled
+          diskSpill += m.diskBytesSpilled
+          peakExecMem = math.max(peakExecMem, m.peakExecutionMemory)
+        }
+      }
+    def reset(): Unit = synchronized {
+      memSpill = 0L; diskSpill = 0L; peakExecMem = 0L
+    }
+  }
 
   private val Heavy = Seq(
     "q_dedup_cluster", "q_dedup_jaccard_grid", "q_dedup_containment",
@@ -46,7 +80,12 @@ object ScaleStress {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 10
     val work = if (args.length > 2) args(2) else "/tmp/graft_scale"
-    require(factor >= 2 && factor <= 26, s"factor must be in [2, 26]: $factor")
+    val storeOnly = args.length > 3 && args(3) == "store"
+    // the Caesar decorrelation is alphabet-bound (26 shifts); events
+    // replicate by id offset only, so store mode reaches 100×+
+    val maxFactor = if (storeOnly) 128 else 26
+    require(factor >= 2 && factor <= maxFactor,
+      s"factor must be in [2, $maxFactor]${if (storeOnly) " (store mode)" else ""}: $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,85 +97,107 @@ object ScaleStress {
     spark.sparkContext.setLogLevel("WARN")
 
     val big = s"$work/x$factor"
-    buildCorpus(spark, sfDir, big, factor)
+    buildCorpus(spark, sfDir, big, factor, eventsOnly = storeOnly)
+
+    val metrics = new MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+    def drain(): Unit =
+      org.apache.spark.graftshim.ListenerBridge.flush(spark.sparkContext)
 
     // JVM/codegen warmup (untimed), like Bench
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
-    def time(name: String, dir: String): Double = {
+    /** Time one noop-sink run; returns (sec, memSpill, diskSpill,
+      * peakTaskMem) with the listener bus drained around the window. */
+    def timed(name: String, dir: String): (Double, Long, Long, Long) = {
+      drain(); metrics.reset()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      drain()
+      (sec, metrics.memSpill, metrics.diskSpill, metrics.peakExecMem)
     }
+    def time(name: String, dir: String): Double = timed(name, dir)._1
 
-    val rows = Heavy.map { name =>
-      val t1 = time(name, sfDir)
-      val tN = time(name, big)
-      val ratio = tN / t1
-      println(f"""{"query":"$name","sec_1x":$t1%.3f,"sec_${factor}x":$tN%.3f,"ratio":$ratio%.2f}""")
-      (name, t1, tN, ratio)
+    if (!storeOnly) {
+      val rows = Heavy.map { name =>
+        val t1 = time(name, sfDir)
+        val tN = time(name, big)
+        val ratio = tN / t1
+        println(f"""{"query":"$name","sec_1x":$t1%.3f,"sec_${factor}x":$tN%.3f,"ratio":$ratio%.2f}""")
+        (name, t1, tN, ratio)
+      }
+      val worst = rows.maxBy(_._4)
+      val sum1 = rows.map(_._2).sum; val sumN = rows.map(_._3).sum
+      println(f"""{"metric":"scale_stress","factor":$factor,"sum_1x_sec":$sum1%.3f,"sum_${factor}x_sec":$sumN%.3f,"sum_ratio":${sumN / sum1}%.2f,"worst":"${worst._1}","worst_ratio":${worst._4}%.2f}""")
     }
-    val worst = rows.maxBy(_._4)
-    val sum1 = rows.map(_._2).sum; val sumN = rows.map(_._3).sum
-    println(f"""{"metric":"scale_stress","factor":$factor,"sum_1x_sec":$sum1%.3f,"sum_${factor}x_sec":$sumN%.3f,"sum_ratio":${sumN / sum1}%.2f,"worst":"${worst._1}","worst_ratio":${worst._4}%.2f}""")
 
     // store family: time the full ingest (base + value/rate/quant
     // cascades) at both scales into fresh work dirs, then the declared
     // store reads (fixture builds pre-warmed untimed so the first read
     // doesn't absorb an ingest)
-    def timeIngest(dir: String, tgt: String): Double = {
+    def timeIngest(dir: String, tgt: String): (Double, Long, Long, Long) = {
+      drain(); metrics.reset()
       val t0 = System.nanoTime()
       graft.sources.TsdbStore.ingest(spark, Tables.events(spark, dir), tgt)
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      drain()
+      (sec, metrics.memSpill, metrics.diskSpill, metrics.peakExecMem)
     }
-    val ing1 = timeIngest(sfDir, s"$work/store_1x")
-    val ingN = timeIngest(big, s"$work/store_${factor}x")
-    println(f"""{"query":"store_ingest","sec_1x":$ing1%.3f,"sec_${factor}x":$ingN%.3f,"ratio":${ingN / ing1}%.2f}""")
+    def spillJson(m: Long, d: Long, p: Long): String =
+      s""""spill_mem_mb":${m >> 20},"spill_disk_mb":${d >> 20},"peak_task_mem_mb":${p >> 20}"""
+    val (ing1, m1, d1, p1) = timeIngest(sfDir, s"$work/store_1x")
+    val (ingN, mN, dN, pN) = timeIngest(big, s"$work/store_${factor}x")
+    println(f"""{"query":"store_ingest","sec_1x":$ing1%.3f,"sec_${factor}x":$ingN%.3f,"ratio":${ingN / ing1}%.2f,${spillJson(mN, dN, pN)}}""")
     graft.sources.StoreFixture.store(spark, sfDir)
     graft.sources.StoreFixture.store(spark, big)
     val storeRows = Store.map { name =>
       val t1 = time(name, sfDir)
-      val tN = time(name, big)
-      println(f"""{"query":"$name","sec_1x":$t1%.3f,"sec_${factor}x":$tN%.3f,"ratio":${tN / t1}%.2f}""")
+      val (tN, qm, qd, qp) = timed(name, big)
+      println(f"""{"query":"$name","sec_1x":$t1%.3f,"sec_${factor}x":$tN%.3f,"ratio":${tN / t1}%.2f,${spillJson(qm, qd, qp)}}""")
       (name, t1, tN, tN / t1)
     }
     val sSum1 = ing1 + storeRows.map(_._2).sum
     val sSumN = ingN + storeRows.map(_._3).sum
-    println(f"""{"metric":"scale_stress_store","factor":$factor,"sum_1x_sec":$sSum1%.3f,"sum_${factor}x_sec":$sSumN%.3f,"sum_ratio":${sSumN / sSum1}%.2f}""")
+    println(f"""{"metric":"scale_stress_store","factor":$factor,"sum_1x_sec":$sSum1%.3f,"sum_${factor}x_sec":$sSumN%.3f,"sum_ratio":${sSumN / sSum1}%.2f,${spillJson(mN, dN, pN)}}""")
     spark.stop()
   }
 
   /** Replicate documents / embeddings / events `factor`× into `out`
     * with the per-replica decorrelating transforms described above.
-    * Replica 0 is the original corpus unchanged. */
+    * Replica 0 is the original corpus unchanged. `eventsOnly` skips
+    * the text/embedding tables for store-mode runs (they aren't read,
+    * and their Caesar transform caps the factor at 26). */
   def buildCorpus(spark: SparkSession, sfDir: String, out: String,
-                  factor: Int): Unit = {
+                  factor: Int, eventsOnly: Boolean = false): Unit = {
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
     def shifted(s: String, k: Int): String = s.drop(k) + s.take(k)
 
-    val docs = Tables.documents(spark, sfDir)
-    (0 until factor).map { k =>
-      docs.select(
-        (col("doc_id") + lit(k * 100000000L)).as("doc_id"),
-        (if (k == 0) col("text")
-         else translate(col("text"), lower + upper,
-           shifted(lower, k) + shifted(upper, k))).as("text"),
-        col("lang"), col("source"), col("n_chars"))
-    }.reduce(_ unionByName _)
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+    if (!eventsOnly) {
+      val docs = Tables.documents(spark, sfDir)
+      (0 until factor).map { k =>
+        docs.select(
+          (col("doc_id") + lit(k * 100000000L)).as("doc_id"),
+          (if (k == 0) col("text")
+           else translate(col("text"), lower + upper,
+             shifted(lower, k) + shifted(upper, k))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
 
-    val emb = Tables.embeddings(spark, sfDir)
-    (0 until factor).map { k =>
-      emb.select(
-        (col("vec_id") + lit(k * 100000000L)).as("vec_id"),
-        (if (k == 0) col("embedding")
-         else expr(s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
-           s"slice(embedding, 1, $k))")).as("embedding"),
-        col("label"))
-    }.reduce(_ unionByName _)
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+      val emb = Tables.embeddings(spark, sfDir)
+      (0 until factor).map { k =>
+        emb.select(
+          (col("vec_id") + lit(k * 100000000L)).as("vec_id"),
+          (if (k == 0) col("embedding")
+           else expr(s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
+             s"slice(embedding, 1, $k))")).as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+    }
 
     // events: read raw (nanos-as-long shim like Tables.events) so the
     // written file round-trips through the same loader branch
