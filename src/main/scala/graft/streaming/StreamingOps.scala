@@ -224,6 +224,82 @@ object StreamingOps {
       }
   }
 
+  /** One finished `quant_<step>` cell: the same (pri, value) parallel
+    * arrays the batch cascade stores, emitted when the cell's state
+    * expires. */
+  case class QuantCell(user_id: Long, event_type: String, slot_ts: Long,
+      pri: Array[Long], value: Array[Double])
+  /** Internal pre-keyed row for [[onlineQuantileCells]]: priority and
+    * slot are computed as COLUMNS (same xxhash64 / `div` expressions as
+    * the batch build) so the online cells are bit-comparable, plus the
+    * watermarked event-time column the analyzer requires. */
+  case class QuantRow(user_id: Long, event_type: String, slot_ts: Long,
+      pri: Long, v: Double, et: java.sql.Timestamp)
+
+  /** ONLINE quantile-cascade maintenance: a bottom-k buffer per
+    * (series, slot) in keyed state — the streaming twin of the store's
+    * `quant_<step>` build (TsdbStore.quantAggFromBase), completing the
+    * online story for the third column family the way [[onlineRates]]
+    * does for rates. Rows fold in with DISTINCT-add semantics
+    * (priority = xxhash64 of the row address, identical to the batch
+    * build), so at-least-once re-delivery inside a cell's lifetime is
+    * absorbed exactly like the batch distinct scan — the semilattice
+    * makes microbatch placement, arrival order, AND duplicate count
+    * invisible (StreamingSpec pins bit-equality against the batch
+    * aggregator).
+    *
+    * Cells EMIT ON EXPIRY (event-time timeout at slot end + ttl,
+    * clamped ahead of the watermark like [[onlineRates]]) — append-mode
+    * final like a closed window, then the ≤16·K-byte state drops. Each
+    * cell emits EXACTLY ONCE: expiry requires the watermark to pass
+    * slot end + ttl, which is ≥ every member row's event time + ttl —
+    * so any row arriving after its cell expired is necessarily behind
+    * the watermark and is dropped by the standard late-data filter
+    * BEFORE the operator. The TTL boundary can therefore never
+    * fragment or corrupt a cell; `wmDelay + ttl` together bound the
+    * accepted lateness, exactly like watermarked window aggregation in
+    * append mode. Emitted cells are ttl-INVARIANT for any ttl (larger
+    * ttl only delays emission and widens the lateness bound); the spec
+    * pins bit-equality across ttls and the exactly-once contract.
+    * State per live cell is ≤ K pairs ≈ 8 KB, one cell per series per
+    * step — the same budget as the stored family it mirrors. */
+  def onlineQuantileCells(m: DataFrame, stepSec: Long, stateTtlUs: Long,
+                          wmDelay: String = "0 microseconds"): Dataset[QuantCell] = {
+    require(stateTtlUs > 0, "onlineQuantileCells is expiry-driven: ttl must be > 0")
+    val spark = m.sparkSession
+    import spark.implicits._
+    val stepUs = stepSec * 1000000L
+    // recompute with the batch build's exact column expressions
+    val keyed = m
+      .select(col("user_id"), col("event_type"),
+        (expr(s"ts_us div $stepUs") * stepSec).as("slot_ts"),
+        xxhash64(col("user_id"), col("event_type"), col("event_id")).as("pri"),
+        col("cents").cast("double").as("v"),
+        timestamp_micros(col("ts_us")).as("et"))
+      .withWatermark("et", wmDelay).as[QuantRow]
+    keyed.groupByKey(x => (x.user_id, x.event_type, x.slot_ts))
+      .flatMapGroupsWithState[graft.functions.BottomKSample.Buf, QuantCell](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((uid, etype, slot), it,
+              state: GroupState[graft.functions.BottomKSample.Buf]) =>
+          if (state.hasTimedOut) {
+            val b = state.get
+            state.remove()
+            Iterator.single(QuantCell(uid, etype, slot, b.pri, b.value))
+          } else {
+            val b = it.foldLeft(
+              state.getOption.getOrElse(graft.functions.BottomKSample.empty)) {
+              (acc, x) => graft.functions.BottomKSample.addDistinct(acc, x.pri, x.v)
+            }
+            state.update(b)
+            state.setTimeoutTimestamp(
+              math.max((slot * 1000L + stepSec * 1000L) + stateTtlUs / 1000L,
+                state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Online heartbeat-gap detection: custom keyed state holding the
     * last-seen timestamp per series; a batch whose first event is more
     * than `hbUs` after the stored last-seen emits a GapAlert — the

@@ -534,4 +534,82 @@ class StreamingSpec extends SparkSpec {
     // state), identical output multiset
     assert(run("rates_nottl", ttlUs = 0L) == withTtl)
   }
+
+  test("online quantile cells: TTL expiry emits batch-identical cells " +
+      "exactly once, absorbing cross-batch re-delivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val M = 1000000L
+    val T0 = 1000L * M
+    val step = 60L // one-minute cells
+    // (user, type, ts, event_id, cents): slot0 = e1,e2,e3; slot1 = e4,e5
+    val distinctRows = Seq(
+      (1L, "a", T0, 101L, 100L),
+      (1L, "a", T0 + 10L * M, 102L, 300L),
+      (1L, "a", T0 + 30L * M, 103L, 500L),
+      (1L, "a", T0 + 70L * M, 104L, 700L),
+      (1L, "a", T0 + 80L * M, 105L, 900L))
+
+    def run(name: String, ttlUs: Long): Seq[(Long, Seq[Long], Seq[Double])] = {
+      val in = MemoryStream[(Long, String, Long, Long, Long)]
+      val q = StreamingOps.onlineQuantileCells(
+          in.toDF().toDF("user_id", "event_type", "ts_us", "event_id", "cents"),
+          stepSec = step, stateTtlUs = ttlUs, wmDelay = "120 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // batch 1: part of each slot, out of order across slots
+        in.addData(distinctRows(0), distinctRows(1), distinctRows(3))
+        q.processAllAvailable()
+        // batch 2: e2 RE-DELIVERED across the microbatch boundary (an
+        // at-least-once source) + the rest; wmDelay keeps the
+        // re-delivery ahead of the watermark, distinct-add absorbs it
+        in.addData(distinctRows(1), distinctRows(2), distinctRows(4))
+        q.processAllAvailable()
+        // sentinel pushes the watermark past both slot ends + any ttl
+        // under test → both cells expire and emit, final
+        in.addData((2L, "z", T0 + 100000L * M, 999L, 1L))
+        q.processAllAvailable()
+        val cells = spark.table(name)
+          .filter(col("user_id") === 1L)
+          .select("slot_ts", "pri", "value")
+          .as[(Long, Seq[Long], Seq[Double])].collect().sortBy(_._1).toSeq
+        // rows for an EXPIRED cell are behind the watermark by
+        // construction (wm passed slot end + ttl ≥ row ts + ttl), so
+        // the late-data filter drops them before the operator: no
+        // second fragment, no corruption — cells emit exactly once
+        in.addData(distinctRows(0), (1L, "a", T0 + 40L * M, 106L, 999L))
+        q.processAllAvailable()
+        in.addData((2L, "z", T0 + 200000L * M, 998L, 1L))
+        q.processAllAvailable()
+        val after = spark.table(name).filter(col("user_id") === 1L).count()
+        assert(after == cells.size,
+          s"$name: late rows for expired cells re-emitted ($after cells)")
+        cells
+      } finally q.stop()
+    }
+
+    val cells = run("qcells", ttlUs = 60L * M)
+    // T0 = 1000 s is deliberately NOT slot-aligned: e1..e3 land in slot
+    // 960, e4 (1070 s) in 1020, e5 (1080 s) exactly on the 1080 edge
+    assert(cells.map(_._1) == Seq(960L, 1020L, 1080L), s"got ${cells.map(_._1)}")
+    // bit-parity with the batch quant-cascade build over the distinct
+    // rows (the semilattice + distinct-add make batch placement,
+    // arrival order, and duplicate delivery invisible)
+    val st = udaf(new graft.functions.BottomKState)
+    val batch = distinctRows
+      .toDF("user_id", "event_type", "ts_us", "event_id", "cents")
+      .select(col("user_id"), col("event_type"),
+        (expr(s"ts_us div ${step * 1000000L}") * step).as("slot_ts"),
+        xxhash64(col("user_id"), col("event_type"), col("event_id")).as("pri"),
+        col("cents").cast("double").as("v"))
+      .groupBy("slot_ts").agg(st(col("pri"), col("v")).as("sk"))
+      .select(col("slot_ts"), col("sk.pri"), col("sk.value"))
+      .as[(Long, Seq[Long], Seq[Double])].collect().sortBy(_._1).toSeq
+    assert(cells == batch,
+      s"streaming cells differ from the batch build:\n$cells\nvs\n$batch")
+    // ttl-invariance: a 10× ttl delays emission but cannot change the
+    // emitted bits
+    assert(run("qcells_ttl10", ttlUs = 600L * M) == cells)
+  }
 }
