@@ -66,9 +66,12 @@ object PlanDump extends App {
     "q_store_series_list" -> "namespace listing from the STORE: the coarsest cascade scanned (|series|*active-days rows), one map-side-combined min/max/sum agg - 'what series exist since when with how many samples' never touches raw",
     "q_store_fleet_quantile" -> "fleet-wide p95: quant sketches merged across EVERY series and up to day slots - partial ObjectHashAggregate merge BEFORE the exchange caps shuffle at <=8KB per (cell, partition); bit-identical to a one-pass sketch over raw at any scale",
     "q_store_rollup_topk" -> "top-10 series by range total: the substituted Aggregate re-aggregates the coarsest cascade, the Sort+Limit above plan TakeOrderedAndProject (per-partition top-k + k-row merge, no global sort) - the leaderboard never touches raw",
-    "q_store_rollup_rate_total" -> "slotless counter range total: the full lag-window delta pipeline with NO slot in the grouping re-sums rate_86400 over the transferred range - the window SORT and the raw scan both vanish; dt PartitionFilters prune the rate scan")
+    "q_store_rollup_rate_total" -> "slotless counter range total: the full lag-window delta pipeline with NO slot in the grouping re-sums rate_86400 over the transferred range - the window SORT and the raw scan both vanish; dt PartitionFilters prune the rate scan",
+    "q_sql_fetch_filled_tvf" -> "gap-filled SQL table function: graft_fetch_filled resolves to the SAME dense-grid plan as the Scala fetchFilled - Range generator LEFT-joined (BroadcastHashJoin, build right) to the dt-pruned cascade scan; the TVF adds zero plan overhead",
+    "q_sql_fetch_quantile_tvf" -> "quantile SQL table function: graft_fetch_quantile resolves to the Scala fetchQuantile plan - dt-pruned quant_<step> scan, per-slot ObjectHashAggregate semilattice merge partial-before-exchange, nearest-rank projection; raw never scanned",
+    "q_sql_fetch_bulk_quantile_tvf" -> "bulk-quantile SQL table function: graft_fetch_bulk_quantile resolves to fetchBulkQuantile's ONE dt-pruned quant scan with the struct IN-list - many series' percentile grids from a single pruned scan, identical to the Scala API plan")
   val sb = new StringBuilder
-  sb ++= "# PLANS - physical-plan audit evidence (round 7)\n\n"
+  sb ++= "# PLANS - physical-plan audit evidence (round 8)\n\n"
   sb ++= "Generated from `.queryExecution.executedPlan` at sf0.001, local[4].\n"
   sb ++= "What to look for in each plan is noted per query; regenerate with\n`sbt \"Test/runMain PlanDump\"`.\n"
   for ((n, note) <- picks) {
