@@ -170,6 +170,59 @@ object TextOps {
     }
   }
 
+  /** Okapi BM25 top-k retrieval over the corpus: score every document
+    * against a set of term queries and keep each query's `topK` best.
+    *
+    * The plan is the INVERTED-INDEX shape, not a scan-per-query: the
+    * corpus is tokenized once into postings (doc, term, tf), and the
+    * query set — thousands of rows at most, vocabulary-sized like the
+    * document-frequency table — broadcasts onto it, so the only
+    * full-corpus passes are the two token aggregations (tf and
+    * doc-length, both map-side combined) no matter how many queries
+    * are scored. Corpus-level scalars (N, avgdl) ride in on a
+    * broadcast one-row cross join. At 100 TB nothing here pairs
+    * documents with each other, and the per-query top-k is a
+    * `row_number ≤ k` window over score rows, whose cardinality is
+    * bounded by Σ_q df(term) — the postings the queries actually
+    * touch, not the corpus.
+    *
+    * Determinism across engines (the DuckDB oracle recomputes this
+    * textually): each per-term contribution is rounded to 4 dp BEFORE
+    * the per-(query, doc) sum, making the mathematically-exact sum a
+    * multiple of 1e-4 — far enough from every rounding boundary that
+    * the final `round(sum, 4)` is identical under any partial-agg
+    * order; ties then break on doc_id. `queryTerms` must be
+    * (query_id, word) rows, distinct per query.
+    *
+    * [pub: Robertson & Spärck Jones BM25, k1/b in the standard
+    * parameterization — unverified, SURVEY.md §0] */
+  def bm25TopK(docs: DataFrame, queryTerms: DataFrame,
+               k1: Double, b: Double, topK: Int): DataFrame = {
+    val toks = tokens(docs)
+    val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n"))
+    val dfq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(queryTerms), "word")
+      .join(broadcast(dfq), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      // textually parallel to the oracle: ln(1 + (n-df+0.5)/(df+0.5))
+      // * tf * (k1+1) / (tf + k1*(1-b + b*dl/avgdl)), left-to-right
+      .withColumn("c", round(
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * col("tf") * lit(k1 + 1.0)
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 4))
+    val sc = contrib.groupBy("query_id", "doc_id")
+      .agg(round(sum("c"), 4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    sc.withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= topK)
+      .orderBy("query_id", "rk")
+  }
+
   /** Deterministic polynomial fingerprint over the token stream — a
     * rolling-hash document signature computed with a sequential
     * higher-order fold (identical evaluation order in DuckDB). */

@@ -123,6 +123,49 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    QueryDef("q_mix_capped",
+      s"""WITH pool AS (SELECT doc_id, source, $HKey AS hkey
+         |              FROM documents WHERE n_chars >= 300),
+         |av AS (SELECT source, count(*) AS avail FROM pool GROUP BY 1),
+         |a1 AS (SELECT source, avail, least(avail, 6) AS a1 FROM av),
+         |t AS (SELECT 120 - sum(a1) AS l, sum(avail - a1) AS r FROM a1),
+         |al AS (SELECT source, avail,
+         |         a1 + CASE WHEN t.r = 0 THEN 0
+         |              ELSE least(avail - a1, (t.l * (avail - a1)) // t.r) END AS alloc
+         |       FROM a1 CROSS JOIN t),
+         |rk AS (SELECT doc_id, pool.source, row_number() OVER
+         |         (PARTITION BY pool.source ORDER BY hkey, doc_id) AS rn, alloc
+         |       FROM pool JOIN al ON al.source = pool.source)
+         |SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+         |FROM rk WHERE rn <= alloc ORDER BY source, rn""".stripMargin) { (s, d) =>
+      // budgeted domain mixing with per-domain caps + one-pass
+      // water-fill (the Pile/DoReMi-style sampling shape): each source
+      // gets min(avail, B/|D|) docs; budget stranded in scarce domains
+      // redistributes to unsaturated ones proportionally to remaining
+      // capacity — ALL allocation math is exact integer arithmetic
+      // (least/floor-div on counts, no float proportions to diverge
+      // cross-engine). Selection within a domain is the deterministic
+      // hash order (re-run/retry/partitioning-proof); the per-domain
+      // allocation table is tiny and broadcasts onto the pool
+      val pool = Tables.documents(s, d).filter(col("n_chars") >= 300)
+        .selectExpr("doc_id", "source", s"$HKey AS hkey")
+      val a1 = pool.groupBy("source").agg(count(lit(1)).as("avail"))
+        .withColumn("a1", least(col("avail"), lit(6L)))
+      val t = a1.agg((lit(120L) - sum(col("a1"))).as("l"),
+        sum(col("avail") - col("a1")).as("r"))
+      val al = a1.crossJoin(broadcast(t))
+        .withColumn("alloc", col("a1") + when(col("r") === 0, lit(0L))
+          .otherwise(least(col("avail") - col("a1"),
+            expr("(l * (avail - a1)) div r"))))
+        .select("source", "alloc")
+      val w = Window.partitionBy("source").orderBy("hkey", "doc_id")
+      pool.join(broadcast(al), "source")
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= col("alloc"))
+        .select(col("doc_id"), col("source"), col("rn"))
+        .orderBy("source", "rn")
+    },
+
     QueryDef("q_doc_chunk",
       """WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
         |st AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1, 40)) AS start FROM arrs)

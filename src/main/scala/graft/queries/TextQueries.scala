@@ -557,6 +557,126 @@ object TextQueries {
             array_sort(collect_list(when(keep, struct(col("start"), col("chunk"))))),
             x => x.getField("chunk")), " ").as("new_text"))
         .orderBy("doc_id")
+    },
+
+    QueryDef("q_text_bm25",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |              FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |q(query_id, word) AS (VALUES
+        |  ('q1', 'fast'), ('q1', 'sort'), ('q1', 'merge'),
+        |  ('q2', 'window'), ('q2', 'join'),
+        |  ('q3', 'spark'), ('q3', 'stream'), ('q3', 'batch'), ('q3', 'dup')),
+        |contrib AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    round(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+        |          * tf.tf * 2.2
+        |          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 4) AS c
+        |  FROM q JOIN tf ON tf.word = q.word
+        |  JOIN df ON df.word = q.word
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN stats s),
+        |sc AS (SELECT query_id, doc_id, round(sum(c), 4) AS score
+        |       FROM contrib GROUP BY 1, 2),
+        |rk AS (SELECT query_id, doc_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, doc_id) AS rk
+        |       FROM sc)
+        |SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id, score,
+        |       CAST(rk AS BIGINT) AS rk
+        |FROM rk WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+      // Okapi BM25 retrieval (k1=1.2, b=0.75, top-5): the corpus-side
+      // work is two map-side-combined token aggregations regardless of
+      // query count; the query set and the df table broadcast onto the
+      // postings — the inverted-index shape, never a scan per query
+      import s.implicits._
+      val q = Seq(
+        ("q1", "fast"), ("q1", "sort"), ("q1", "merge"),
+        ("q2", "window"), ("q2", "join"),
+        ("q3", "spark"), ("q3", "stream"), ("q3", "batch"), ("q3", "dup"))
+        .toDF("query_id", "word")
+      TextOps.bm25TopK(Tables.documents(s, d), q, k1 = 1.2, b = 0.75, topK = 5)
+    },
+
+    QueryDef("q_text_stopwords",
+      """WITH dw AS (SELECT DISTINCT doc_id, word FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t),
+        |df AS (SELECT word, count(*) AS df FROM dw GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT word, df, round(CAST(df AS DOUBLE) / n_docs, 4) AS ratio
+        |FROM df CROSS JOIN n
+        |WHERE df * 2 >= n_docs
+        |ORDER BY df DESC, word""".stripMargin) { (s, d) =>
+      // corpus-DRIVEN stopword discovery (the list the static Stopwords
+      // seq approximates): a word present in ≥ half of all documents.
+      // Two map-side-combined aggregations over the token stream and a
+      // 1-row count broadcast — no all-pairs, no driver loop; the
+      // threshold compares exact integers (df·2 ≥ n) so no float
+      // boundary can flip membership between engines
+      val docs = Tables.documents(s, d)
+      val dfq = TextOps.tokens(docs).distinct()
+        .groupBy("word").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      dfq.crossJoin(broadcast(n))
+        .filter(col("df") * 2 >= col("n_docs"))
+        .select(col("word"), col("df"),
+          round(col("df").cast("double") / col("n_docs"), 4).as("ratio"))
+        .orderBy(col("df").desc, col("word"))
+    },
+
+    QueryDef("q_text_pmi",
+      """WITH arrs AS (SELECT string_split(text, ' ') AS arr FROM documents),
+        |big AS (SELECT arr[i] AS a, arr[i + 1] AS b FROM
+        |    (SELECT arr, unnest(range(1, len(arr))) AS i FROM arrs) t),
+        |cab AS (SELECT a, b, count(*) AS c_ab FROM big GROUP BY 1, 2),
+        |tb AS (SELECT count(*) AS n_big FROM big),
+        |uni AS (SELECT word, count(*) AS c FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t GROUP BY 1),
+        |tu AS (SELECT count(*) AS n_tok FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t)
+        |SELECT a, b, c_ab,
+        |  round(ln(CAST(c_ab * n_tok * n_tok AS DOUBLE)
+        |           / (CAST(n_big AS DOUBLE) * ua.c * ub.c)), 4) AS pmi
+        |FROM cab JOIN uni ua ON ua.word = cab.a JOIN uni ub ON ub.word = cab.b
+        |CROSS JOIN tb CROSS JOIN tu
+        |WHERE c_ab >= 20
+        |ORDER BY pmi DESC, a, b""".stripMargin) { (s, d) =>
+      // collocation mining — bigram PMI = ln(p(ab) / (p(a)·p(b))), the
+      // phrase-extraction op (word2vec-phrases / NPMI family). Adjacent
+      // pairs come from index arithmetic over the token array (one
+      // narrow generator pass, the shingles() idiom — no self-join);
+      // counts are map-side-combined; the unigram table joins BROADCAST
+      // (vocabulary-sized, prefiltered to c ≥ the bigram support floor
+      // — any word inside a surviving bigram has c_a ≥ c_ab ≥ 20, so
+      // the prefilter is result-invisible and keeps the broadcast
+      // bounded on corpora whose raw vocab is huge). The PMI numerator
+      // and denominator are exact-integer products (< 2^53) cast to
+      // double, so ln sees bit-identical inputs in both engines
+      val docs = Tables.documents(s, d)
+      val toks = TextOps.tokens(docs)
+      val big = docs.select(split(col("text"), " ").as("arr"))
+        .filter(size(col("arr")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(arr) - 1),
+            |  i -> struct(element_at(arr, CAST(i AS INT)) AS a,
+            |              element_at(arr, CAST(i + 1 AS INT)) AS b))""".stripMargin)).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val cab = big.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      val nbig = big.agg(count(lit(1)).as("n_big"))
+      val uni = toks.groupBy("word").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 20)
+      val ntok = toks.agg(count(lit(1)).as("n_tok"))
+      cab.filter(col("c_ab") >= 20)
+        .join(broadcast(uni.select(col("word").as("a"), col("c").as("c_a"))), "a")
+        .join(broadcast(uni.select(col("word").as("b"), col("c").as("c_b"))), "b")
+        .crossJoin(broadcast(nbig)).crossJoin(broadcast(ntok))
+        .select(col("a"), col("b"), col("c_ab"),
+          round(log((col("c_ab") * col("n_tok") * col("n_tok")).cast("double")
+            / (col("n_big").cast("double") * col("c_a") * col("c_b"))), 4).as("pmi"))
+        .orderBy(col("pmi").desc, col("a"), col("b"))
     }
   )
 }

@@ -14,7 +14,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_sim_cosine_topk", "q_dedup_embed", "q_join_cross",
     "q_text_tfidf",       // tfidf: 1-row count broadcast
     "q_mix_temperature",  // 1-row normalizer broadcast
-    "q_agg_theta")        // |metrics|-row sketch pair join (type_a < type_b)
+    "q_agg_theta",        // |metrics|-row sketch pair join (type_a < type_b)
+    "q_text_bm25")        // 1-row (N, avgdl) corpus-stats broadcast
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
@@ -127,6 +128,16 @@ class PlanAuditSpec extends SparkSpec {
       assert(plan(n).contains("BroadcastHashJoin"),
         s"$n does not broadcast the shingle dictionary")
     }
+  }
+
+  test("BM25 retrieval keeps the inverted-index shape") {
+    // the query set and the df table must meet the postings in
+    // BroadcastHashJoins — a shuffle of the corpus postings per query
+    // batch, or any doc-doc pairing, would not survive 100 TB
+    val p = plan("q_text_bm25")
+    assert(p.contains("BroadcastHashJoin"),
+      "query terms / df do not broadcast onto the postings")
+    assert(!p.contains("CartesianProduct"), "bm25 plans a cartesian")
   }
 
   test("custom expressions stay in the plan (codegen path)") {
