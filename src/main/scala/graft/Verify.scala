@@ -17,6 +17,11 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // write µs (not INT96) so DuckDB/pyarrow read the same instants
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // driver testdata may carry tz-naive parquet timestamps
+      // (isAdjustedToUTC=false); read them as session-TZ instants (UTC,
+      // so identical epoch µs), not TIMESTAMP_NTZ — unix_micros() and
+      // every ts_us derivation require TIMESTAMP
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

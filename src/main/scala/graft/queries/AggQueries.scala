@@ -275,6 +275,78 @@ object AggQueries {
         .select(col("event_type"), col("cents").as("mode_cents"),
           col("cnt").as("n"))
         .orderBy("event_type")
+    },
+
+    QueryDef("q_agg_cube",
+      """SELECT lang, source, grouping(lang, source) AS gid,
+        |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY CUBE (lang, source)
+        |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin) { (s, d) =>
+      // full CUBE lattice (all 4 grouping sets) in ONE pass — Catalyst
+      // expands to Expand + a single hash agg, so the raw table is read
+      // once however many sets the lattice has; grouping_id disambiguates
+      // rolled-up NULLs from data NULLs (same bit order as DuckDB's
+      // grouping(), pinned already by q_agg_grouping_sets). BIGINT sums
+      // stay exact under any partial-agg order
+      Tables.documents(s, d)
+        .cube("lang", "source")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum("n_chars").as("sum_chars"))
+        .select("lang", "source", "gid", "n", "sum_chars")
+        .orderBy(col("gid"), col("lang").asc_nulls_first,
+          col("source").asc_nulls_first)
+    },
+
+    QueryDef("q_agg_filtered",
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  count(*) FILTER (WHERE value >= 50) AS n_hi,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT))
+        |       FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS even_cents,
+        |  count(DISTINCT user_id) FILTER (WHERE value < 10) AS low_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      // ANSI FILTER-clause aggregates: four differently-predicated
+      // aggregates share ONE scan and one shuffle (the alternative —
+      // four filtered self-aggregations unioned — reads the table four
+      // times). count-distinct-with-filter exercises the expand path;
+      // the conditional sum stays exact-integer. An empty filter group
+      // yields NULL in both engines
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("count(*) FILTER (WHERE value >= 50)").as("n_hi"),
+          expr("""CAST(sum(CAST(round(value*100) AS BIGINT))
+                 FILTER (WHERE user_id % 2 = 0) AS BIGINT)""").as("even_cents"),
+          expr("count(DISTINCT user_id) FILTER (WHERE value < 10)").as("low_users"))
+        .orderBy("event_type")
+    },
+
+    QueryDef("q_agg_percentile_cont",
+      """WITH c AS (SELECT event_type,
+        |    CAST(round(value*100) AS BIGINT) AS cents FROM events)
+        |SELECT event_type,
+        |  round(quantile_cont(cents, 0.25), 4) AS p25,
+        |  round(quantile_cont(cents, 0.50), 4) AS p50,
+        |  round(quantile_cont(cents, 0.95), 4) AS p95
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      // ANSI percentile_cont (linear interpolation between ranks) —
+      // completes the quantile surface next to nearest-rank
+      // (q_store_rollup_quantile), exact-median (q_agg_median_exact),
+      // and the sketch family. Exact-integer cents in, so both engines
+      // interpolate between the same two integers with the same exact
+      // fraction ((n-1)·q has ≤ 2 decimals); 4-dp round clears the
+      // last-ulp difference in interpolation order. One shuffle, sort
+      // within each (small) group — the cross-engine-stable exact form
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(round(value*100) AS BIGINT)").as("cents"))
+        .groupBy("event_type")
+        .agg(
+          expr("round(percentile_cont(0.25) WITHIN GROUP (ORDER BY cents), 4)").as("p25"),
+          expr("round(percentile_cont(0.50) WITHIN GROUP (ORDER BY cents), 4)").as("p50"),
+          expr("round(percentile_cont(0.95) WITHIN GROUP (ORDER BY cents), 4)").as("p95"))
+        .orderBy("event_type")
     }
   )
 }

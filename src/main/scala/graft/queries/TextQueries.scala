@@ -639,7 +639,7 @@ object TextQueries {
         |    (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t)
         |SELECT a, b, c_ab,
         |  round(ln(CAST(c_ab * n_tok * n_tok AS DOUBLE)
-        |           / (CAST(n_big AS DOUBLE) * ua.c * ub.c)), 4) AS pmi
+        |           / (CAST(n_big AS DOUBLE) * ua.c * ub.c)), 4) + 0 AS pmi
         |FROM cab JOIN uni ua ON ua.word = cab.a JOIN uni ub ON ub.word = cab.b
         |CROSS JOIN tb CROSS JOIN tu
         |WHERE c_ab >= 20
@@ -654,7 +654,12 @@ object TextQueries {
       // the prefilter is result-invisible and keeps the broadcast
       // bounded on corpora whose raw vocab is huge). The PMI numerator
       // and denominator are exact-integer products (< 2^53) cast to
-      // double, so ln sees bit-identical inputs in both engines
+      // double, so ln sees bit-identical inputs in both engines. Both
+      // sides add `+ 0` after the round: a pair whose PMI rounds to
+      // zero from below yields -0.0 in DuckDB (std round keeps the
+      // sign) but +0.0 in Spark (decimal HALF_UP has no signed zero);
+      // the values compare == yet hash differently (the r8 driver
+      // miss), and IEEE -0.0 + 0 = +0.0 normalizes both engines
       val docs = Tables.documents(s, d)
       val toks = TextOps.tokens(docs)
       val big = docs.select(split(col("text"), " ").as("arr"))
@@ -674,9 +679,91 @@ object TextQueries {
         .join(broadcast(uni.select(col("word").as("b"), col("c").as("c_b"))), "b")
         .crossJoin(broadcast(nbig)).crossJoin(broadcast(ntok))
         .select(col("a"), col("b"), col("c_ab"),
-          round(log((col("c_ab") * col("n_tok") * col("n_tok")).cast("double")
-            / (col("n_big").cast("double") * col("c_a") * col("c_b"))), 4).as("pmi"))
+          (round(log((col("c_ab") * col("n_tok") * col("n_tok")).cast("double")
+            / (col("n_big").cast("double") * col("c_a") * col("c_b"))), 4)
+            + lit(0.0)).as("pmi"))
         .orderBy(col("pmi").desc, col("a"), col("b"))
+    },
+
+    QueryDef("q_text_ppl_filter",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |             FROM documents),
+        |uni AS (SELECT word, count(*) AS c FROM toks GROUP BY 1),
+        |v AS (SELECT count(*) AS vsz FROM uni),
+        |arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |big AS (SELECT doc_id, arr[i] AS a, arr[i + 1] AS b FROM
+        |    (SELECT doc_id, arr, unnest(range(1, len(arr))) AS i FROM arrs) t),
+        |cab AS (SELECT a, b, count(*) AS c_ab FROM big GROUP BY 1, 2),
+        |term AS (
+        |  SELECT g.doc_id,
+        |    round(ln((CAST(c.c_ab AS DOUBLE) + 1.0)
+        |             / CAST(u.c + v.vsz AS DOUBLE)), 4) AS lp
+        |  FROM big g JOIN cab c ON c.a = g.a AND c.b = g.b
+        |       JOIN uni u ON u.word = g.a CROSS JOIN v
+        |), ds AS (
+        |  SELECT doc_id, count(*) AS n_big, round(sum(lp), 4) AS logp_sum,
+        |    round(sum(lp), 4) / count(*) AS avg_lp
+        |  FROM term GROUP BY doc_id
+        |), rk AS (
+        |  SELECT avg_lp, row_number() OVER (ORDER BY avg_lp) AS rn,
+        |         count(*) OVER () AS nd
+        |  FROM ds
+        |), thr AS (
+        |  SELECT avg_lp AS t FROM rk
+        |  WHERE rn = CAST(ceil(0.1 * nd) AS BIGINT) LIMIT 1
+        |)
+        |SELECT d.doc_id, d.n_big, d.logp_sum, d.avg_lp,
+        |  CASE WHEN d.avg_lp >= thr.t THEN 1 ELSE 0 END AS keep
+        |FROM ds d CROSS JOIN thr
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // perplexity-style quality filter (the CCNet/KenLM gate, with the
+      // corpus's own add-one-smoothed bigram LM standing in for the
+      // external model): score every doc by mean bigram log-prob, drop
+      // the worst decile. Scale shape: bigram TYPES are vocab-bounded,
+      // so the count tables BROADCAST onto the per-doc bigram stream
+      // (one narrow generator pass — the shingles() idiom, no
+      // self-join); an unbounded-vocab corpus would swap the broadcast
+      // for a shuffle join + AQE skew handling, same plan otherwise.
+      // Determinism: (c_ab+1)/(c_a+V) divides exact integers-as-doubles
+      // → bit-identical ln inputs; per-term 4-dp round BEFORE the sum
+      // makes the true sum an exact multiple of 1e-4, so the rounded
+      // sum is partial-agg-order-proof (the bm25 trick); the mean then
+      // divides two engine-identical values and is emitted UNROUNDED —
+      // IEEE division of identical inputs is bit-identical, while
+      // re-rounding the quotient is NOT engine-stable (sum/n lands
+      // exactly on x.xxxx5 rationals, where DuckDB's scale-multiply
+      // rounds away from zero but decimal HALF_UP on the shortest repr
+      // rounds toward it — observed live on doc 86 at sf0.01).
+      // Threshold = nearest-rank decile (percentile_disc semantics),
+      // an ELEMENT of the score multiset, never an interpolation
+      val docs = Tables.documents(s, d)
+      val toks = TextOps.tokens(docs)
+      val uni = toks.groupBy("word").agg(count(lit(1)).as("c"))
+      val v = uni.agg(count(lit(1)).as("vsz"))
+      val big = docs.select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .filter(size(col("arr")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(arr) - 1),
+            |  i -> struct(element_at(arr, CAST(i AS INT)) AS a,
+            |              element_at(arr, CAST(i + 1 AS INT)) AS b))""".stripMargin)).as("p"))
+        .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      val cab = big.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      val term = big
+        .join(broadcast(cab), Seq("a", "b"))
+        .join(broadcast(uni.select(col("word").as("a"), col("c").as("c_a"))), "a")
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          round(log((col("c_ab").cast("double") + lit(1.0))
+            / (col("c_a") + col("vsz")).cast("double")), 4).as("lp"))
+      val ds = term.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_big"), round(sum("lp"), 4).as("logp_sum"))
+        .withColumn("avg_lp", col("logp_sum") / col("n_big"))
+      val thr = ds.agg(
+        expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY avg_lp)").as("t"))
+      ds.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("n_big"), col("logp_sum"), col("avg_lp"),
+          when(col("avg_lp") >= col("t"), 1).otherwise(0).as("keep"))
+        .orderBy("doc_id")
     }
   )
 }

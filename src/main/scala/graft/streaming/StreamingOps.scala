@@ -29,14 +29,22 @@ object StreamingOps {
       cents: Long, et: java.sql.Timestamp)
 
   /** File-source stream over the events fixture (one parquet = one
-    * microbatch replay; on a cluster this is a directory listener). */
+    * microbatch replay; on a cluster this is a directory listener).
+    * Mirrors [[graft.Tables.events]]: if the fixture carries
+    * TIMESTAMP(NANOS) it is read as raw nanos and floor-truncated to
+    * µs; a µs fixture (the round-9 regeneration) passes through. */
   def eventFileStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
   }
 
   /** Normalize a raw event stream to measurements (ts as timestamp). */

@@ -16,9 +16,9 @@ class InventorySpec extends AnyFunSuite {
 
   test("oracle keys are a subset of query keys; inventory is substantial") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size >= 175,
+    assert(SparkEntry.queries.size >= 205,
       s"inventory shrank: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size >= 157,
+    assert(SparkEntry.oracleSql.size >= 186,
       s"oracled set shrank: ${SparkEntry.oracleSql.size}")
   }
 }

@@ -14,8 +14,12 @@ class PlanAuditSpec extends SparkSpec {
     "q_sim_cosine_topk", "q_dedup_embed", "q_join_cross",
     "q_text_tfidf",       // tfidf: 1-row count broadcast
     "q_mix_temperature",  // 1-row normalizer broadcast
+    "q_mix_capped",       // 1-row budget-totals broadcast (water-fill)
     "q_agg_theta",        // |metrics|-row sketch pair join (type_a < type_b)
-    "q_text_bm25")        // 1-row (N, avgdl) corpus-stats broadcast
+    "q_text_bm25",        // 1-row (N, avgdl) corpus-stats broadcast
+    "q_text_pmi",         // 1-row n_big/n_tok corpus-total broadcasts
+    "q_text_stopwords",   // 1-row doc-count broadcast
+    "q_text_ppl_filter")  // 1-row vocab-size + decile-threshold broadcasts
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
@@ -143,5 +147,43 @@ class PlanAuditSpec extends SparkSpec {
   test("custom expressions stay in the plan (codegen path)") {
     assert(plan("q_ts_rate_counter").contains("wrap_delta"))
     assert(plan("q_sim_cosine_topk").contains("vec_dot"))
+  }
+
+  test("M4 downsample is one hash aggregate — no window, no sort-per-series") {
+    // min/max/first/last per bucket must plan as a single map-side-
+    // combined aggregate (min_by/max_by), NOT a per-series window sort —
+    // the whole point of M4 over a rank-based pick
+    val p = plan("q_ts_downsample_m4")
+    assert(!p.contains("Window"), s"M4 regressed to a window plan:\n${p.take(1500)}")
+    assert(p.contains("min_by") || p.contains("first_val"), "min_by lost")
+  }
+
+  test("triangle downsample reuses one series exchange for both windows") {
+    // lag/lead partition by (series); the per-(series, slot) argmax
+    // window is a sub-partitioning of the same clustering — a second
+    // hashpartitioning exchange would mean EnsureRequirements stopped
+    // recognizing the containment
+    val p = plan("q_ts_downsample_tri")
+    val n = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(n == 1, s"expected 1 hash exchange for both window passes, got $n:\n${p.take(2000)}")
+  }
+
+  test("perplexity filter broadcasts the vocab-bounded LM tables") {
+    // bigram/unigram count tables join the per-doc bigram stream by
+    // broadcast — a sort-merge join would shuffle the full token stream
+    // by (a, b), the skew-prone shape the vocab bound exists to avoid
+    val p = plan("q_text_ppl_filter")
+    assert(p.contains("BroadcastHashJoin"), "LM tables not broadcast")
+    assert(!p.contains("SortMergeJoin"), s"token stream shuffled by bigram key:\n${p.take(1500)}")
+  }
+
+  test("cube and filtered aggregates keep a single scan") {
+    // CUBE expands grouping sets over ONE pass (Expand, not a union of
+    // re-scans); FILTER-clause aggregates share one scan too
+    val cube = plan("q_agg_cube")
+    assert(cube.contains("Expand"), "cube lost its Expand lattice")
+    assert(cube.linesIterator.count(_.contains("FileScan")) == 1)
+    assert(plan("q_agg_filtered").linesIterator.count(_.contains("FileScan")) == 1)
   }
 }

@@ -3,6 +3,7 @@ object PlanDump extends App {
   val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
     .withExtensions(new graft.GraftExtensions)
     .config("spark.sql.session.timeZone","UTC").config("spark.ui.enabled","false")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled","false")
     .config("spark.sql.shuffle.partitions","4").getOrCreate()
   spark.sparkContext.setLogLevel("ERROR")
   val d = "/root/testdata/sf0.001"
@@ -69,9 +70,17 @@ object PlanDump extends App {
     "q_store_rollup_rate_total" -> "slotless counter range total: the full lag-window delta pipeline with NO slot in the grouping re-sums rate_86400 over the transferred range - the window SORT and the raw scan both vanish; dt PartitionFilters prune the rate scan",
     "q_sql_fetch_filled_tvf" -> "gap-filled SQL table function: graft_fetch_filled resolves to the SAME dense-grid plan as the Scala fetchFilled - Range generator LEFT-joined (BroadcastHashJoin, build right) to the dt-pruned cascade scan; the TVF adds zero plan overhead",
     "q_sql_fetch_quantile_tvf" -> "quantile SQL table function: graft_fetch_quantile resolves to the Scala fetchQuantile plan - dt-pruned quant_<step> scan, per-slot ObjectHashAggregate semilattice merge partial-before-exchange, nearest-rank projection; raw never scanned",
-    "q_sql_fetch_bulk_quantile_tvf" -> "bulk-quantile SQL table function: graft_fetch_bulk_quantile resolves to fetchBulkQuantile's ONE dt-pruned quant scan with the struct IN-list - many series' percentile grids from a single pruned scan, identical to the Scala API plan")
+    "q_sql_fetch_bulk_quantile_tvf" -> "bulk-quantile SQL table function: graft_fetch_bulk_quantile resolves to fetchBulkQuantile's ONE dt-pruned quant scan with the struct IN-list - many series' percentile grids from a single pruned scan, identical to the Scala API plan",
+    "q_store_rollup_enriched" -> "substitution ABOVE a broadcast dim join: the query text joins the BASE table to the metadata sidecar and groups by a dim attribute, but the plan re-aggregates the dt-pruned cascade scan re-joined (BroadcastHashJoin) to the untouched dim subtree - raw never scanned, the dim side proven join-key-unique at optimize time",
+    "q_store_rollup_quantile" -> "exact-quantile substitution: the text is percentile_disc over raw samples, the plan is a dt-pruned quant_86400 scan with the stored sample buffers projected straight to the nearest-rank answer (provably sub-K exact cells) - no sort, no raw scan",
+    "q_text_bm25" -> "BM25 retrieval keeps the inverted-index shape: corpus tokenized ONCE into postings (map-side-combined tf/doclen aggs), the query set + df table BROADCAST onto the postings, corpus scalars a 1-row broadcast - scored rows bounded by touched postings, never |docs|x|queries|",
+    "q_text_pmi" -> "bigram PMI collocations: adjacent pairs from ONE narrow generator pass (no self-join), bigram counts map-side-combined, the support-floored unigram table broadcast twice (a-side, b-side) - the corpus shuffles once, by bigram key, after the count reduction",
+    "q_ts_downsample_m4" -> "M4 viz downsample: min/max/first/last per (series, 6h bucket) as ONE partial+final HashAggregate via min_by/max_by - no Window operator, no per-series sort; the shuffle carries one 4-extrema row per bucket per partition",
+    "q_ts_downsample_tri" -> "largest-triangle (LTOB) downsample: lag/lead neighbors and the per-(series, slot) area argmax are two Window operators over ONE hashpartitioning exchange - the slot window's clustering is a sub-partition of the series exchange, so EnsureRequirements inserts only a sort",
+    "q_text_ppl_filter" -> "perplexity quality gate: the per-doc bigram stream is ONE generator pass; bigram/unigram LM tables + the 1-row vocab size and decile threshold all BROADCAST - the only row-scaled shuffle is the per-doc score agg, map-side combined",
+    "q_agg_cube" -> "CUBE lattice: Expand produces all 4 grouping sets inside one WholeStageCodegen over a SINGLE scan, then one partial+final HashAggregate - grouping-set fan-out costs zero extra reads")
   val sb = new StringBuilder
-  sb ++= "# PLANS - physical-plan audit evidence (round 8)\n\n"
+  sb ++= "# PLANS - physical-plan audit evidence (round 9)\n\n"
   sb ++= "Generated from `.queryExecution.executedPlan` at sf0.001, local[4].\n"
   sb ++= "What to look for in each plan is noted per query; regenerate with\n`sbt \"Test/runMain PlanDump\"`.\n"
   for ((n, note) <- picks) {

@@ -17,8 +17,7 @@ class StreamingSpec extends SparkSpec {
 
   test("file-source stream replays the events fixture (ingest path)") {
     val m = StreamingOps.asMeasurements(
-      StreamingOps.eventFileStream(spark, Sf)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+      StreamingOps.eventFileStream(spark, Sf))
     val q = m.writeStream.format("memory").queryName("ingest")
       .outputMode("append").start()
     try {
