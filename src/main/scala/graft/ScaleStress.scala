@@ -65,7 +65,14 @@ object ScaleStress {
   private val Heavy = Seq(
     "q_dedup_cluster", "q_dedup_jaccard_grid", "q_dedup_containment",
     "q_dedup_substring", "q_sim_ann_ivf_pq", "q_sim_ann_ivf_pq_refine",
-    "q_ts_gap_interp")
+    "q_ts_gap_interp",
+    // retrieval/LM text family (rounds 8-9): the Caesar replicas grow
+    // the vocabulary ~factor× (shifted alphabets), so these also test
+    // that the "vocab-bounded broadcast" claims hold as vocab grows
+    "q_text_bm25", "q_text_pmi", "q_text_ppl_filter",
+    // round-9 viz downsamples: window-over-one-exchange shapes on the
+    // factor×-series events replica
+    "q_ts_downsample_m4", "q_ts_downsample_tri")
 
   /** Store family: `factor`× the series over the same range. The
     * per-series reads (fetch, quantile) should be ~factor-INVARIANT —

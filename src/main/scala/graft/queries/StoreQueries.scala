@@ -1188,6 +1188,46 @@ object StoreQueries {
           sum("n_chars").as("total_chars"),
           min("doc_id").as("first_doc"))
         .orderBy("lang")
+    },
+
+    QueryDef("q_join_bucketed",
+      """WITH m AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |         CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events
+        |), a AS (
+        |  SELECT user_id, event_type,
+        |         CAST(sum(cents) AS BIGINT) AS sum_cents, count(*) AS n
+        |  FROM m GROUP BY 1, 2
+        |)
+        |SELECT m.user_id, m.event_type, m.ts_us, m.cents,
+        |  CAST(m.cents AS DOUBLE)
+        |    - CAST(a.sum_cents AS DOUBLE) / a.n AS dev
+        |FROM m JOIN a ON a.user_id = m.user_id
+        |               AND a.event_type = m.event_type
+        |ORDER BY m.user_id, m.event_type, m.ts_us""".stripMargin) { (s, d) =>
+      // CO-LOCATED aggregate + join over the series-bucketed catalog
+      // table: the per-series totals aggregate AND the samples⋈totals
+      // equi-join both key on the bucket columns (user_id, event_type),
+      // so neither plans an Exchange — the bucketed scan satisfies
+      // every clustering requirement (PlanAuditSpec counts zero hash
+      // exchanges before the final sort). This is the 100 TB shape:
+      // per-series enrichment with NO shuffle of the sample stream.
+      // The merge hint keeps it a sort-merge join so the demo doesn't
+      // silently degrade to a broadcast at fixture scale — at
+      // production |series| the dim side is far beyond broadcast
+      // range and SMJ-over-buckets is the only shuffle-free plan.
+      // dev is emitted UNROUNDED (exact-integer inputs, one IEEE
+      // division + subtraction — bit-identical cross-engine; §7.4)
+      val store = StoreFixture.bucketedStore(s, d)
+      val t = s.table(graft.sources.TsdbStore.bucketedBaseTable(s, store))
+      val a = t.groupBy("user_id", "event_type")
+        .agg(sum("cents").as("sum_cents"), count(lit(1)).as("n"))
+      t.join(a.hint("merge"), Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"), col("ts_us"), col("cents"),
+          (col("cents").cast("double")
+            - col("sum_cents").cast("double") / col("n")).as("dev"))
+        .orderBy("user_id", "event_type", "ts_us")
     }
   )
 }

@@ -80,6 +80,20 @@ object StoreFixture {
     tgt
   }
 
+  /** Series-BUCKETED store (the `buckets` layout option): base written
+    * as a Hive-bucketed catalog table on (user_id, event_type), one
+    * day-level cascade, no quantile family — the minimal layout that
+    * proves the co-located shapes. Declared queries re-register the
+    * catalog entry per session via [[TsdbStore.bucketedBaseTable]]. */
+  def bucketedStore(spark: SparkSession, sfDir: String): String = {
+    val tgt = s"/tmp/graft_store_bucketed/${new File(sfDir).getName}"
+    buildOnce(new File(s"$sfDir/events.parquet"), tgt) {
+      TsdbStore.ingest(spark, Tables.events(spark, sfDir), tgt,
+        StoreLayout(steps = Seq(86400L), buckets = 8, quantiles = false))
+    }
+    tgt
+  }
+
   /** documents corpus as JSONL part files (uncompressed, one dir). */
   def docsJsonl(spark: SparkSession, sfDir: String): String = {
     val tgt = s"/tmp/graft_jsonl/${new File(sfDir).getName}"

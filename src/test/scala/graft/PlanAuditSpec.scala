@@ -178,6 +178,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"token stream shuffled by bigram key:\n${p.take(1500)}")
   }
 
+  test("bucketed co-located agg+join plans zero hash exchanges") {
+    // per-series totals AND the samples⋈totals join both key on the
+    // bucket columns — the bucketed scan must satisfy every clustering
+    // requirement; any hashpartitioning exchange means the co-location
+    // broke (the final ORDER BY's range exchange is expected)
+    val p = plan("q_join_bucketed")
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n == 0, s"bucketed join shuffled ($n hash exchanges):\n${p.take(2000)}")
+    assert(p.contains("SortMergeJoin"), "co-located join degraded from SMJ")
+  }
+
   test("cube and filtered aggregates keep a single scan") {
     // CUBE expands grouping sets over ONE pass (Expand, not a union of
     // re-scans); FILTER-clause aggregates share one scan too
