@@ -829,18 +829,24 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     * with a materialized level T dividing S; series-identity filters
     * transfer; ts_us bounds must be T-ALIGNED (no split path — a raw
     * boundary piece cannot join a sketch merge without re-sketching,
-    * which is the raw plan anyway); every aggregate output must be
-    * percentile_disc over cents (ascending, modern calculation) —
-    * mixed monoid+quantile aggregates would need a two-table join and
-    * block instead. Exact-grain hits (T == S, full grain) read the
-    * per-slot buffer DIRECTLY — a pure Project over quant_T, zero
-    * shuffle; coarser grains semilattice-merge the buffers with one
-    * re-aggregation. */
+    * which is the raw plan anyway); every aggregate output must be a
+    * quantile over cents — percentile_disc (ascending, modern
+    * calculation) or, round 9, percentile_cont / native percentile()
+    * (both resolve to [[Percentile]] before the optimizer runs, and a
+    * sub-K buffer holds the cell's FULL multiset, so the interpolated
+    * read is exact too; [[contRead]] mirrors PercentileBase's
+    * interpolation arithmetic bit-for-bit). Mixed disc+cont requests
+    * share one scan; mixed monoid+quantile aggregates would need a
+    * two-table join and block instead. Exact-grain hits (T == S, full
+    * grain) read the per-slot buffer DIRECTLY — a pure Project over
+    * quant_T, zero shuffle; coarser grains semilattice-merge the
+    * buffers with one re-aggregation. */
   private def tryRewriteQuantile(agg: Aggregate): Option[LogicalPlan] = {
     // cheap reject before any unwrap work: the path only exists for
-    // percentile_disc aggregates
+    // quantile aggregates (percentile_disc, or cont's resolved form)
     val hasPdisc = agg.aggregateExpressions.exists(_.exists {
       case AggregateExpression(_: PercentileDisc, _, _, _, _) => true
+      case AggregateExpression(_: Percentile, _, _, _, _) => true
       case _ => false
     })
     if (!hasPdisc) return None
@@ -917,10 +923,13 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     }
     if (!sizeGateOk(rel, store, s"quant_$t")) return None
 
-    // collect the distinct requested quantiles; any aggregate that is
-    // not an ascending modern-calculation percentile_disc over the
-    // cents column blocks the rewrite
-    var qs = Seq.empty[Double]
+    // collect the distinct requested quantiles — nearest-rank
+    // (percentile_disc) and interpolated (percentile_cont / native
+    // percentile(), both resolved to Percentile by the time the
+    // optimizer runs) are each serveable from the stored sample, since
+    // a sub-K cell's bottom-k buffer IS the cell's full value multiset;
+    // any other aggregate blocks the rewrite
+    var qs = Seq.empty[(Double, Boolean)] // (quantile, isCont)
     var bad = false
     agg.aggregateExpressions.foreach(_.foreach {
       case AggregateExpression(pd: PercentileDisc, Complete, false, None, _)
@@ -929,7 +938,17 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
         (resolve(pd.child), pd.percentageExpression.eval()) match {
           case (a: AttributeReference, q: java.lang.Double)
               if centsId.contains(a.exprId) && q > 0.0 && q <= 1.0 =>
-            if (!qs.contains(q.doubleValue)) qs :+= q.doubleValue
+            if (!qs.contains((q.doubleValue, false))) qs :+= ((q.doubleValue, false))
+          case _ => bad = true
+        }
+      case AggregateExpression(pc: Percentile, Complete, false, None, _)
+          if !pc.reverse && pc.percentageExpression.foldable &&
+            pc.frequencyExpression.foldable &&
+            pc.frequencyExpression.eval() == 1L =>
+        (resolve(pc.child), pc.percentageExpression.eval()) match {
+          case (a: AttributeReference, q: java.lang.Double)
+              if centsId.contains(a.exprId) && q >= 0.0 && q <= 1.0 =>
+            if (!qs.contains((q.doubleValue, true))) qs :+= ((q.doubleValue, true))
           case _ => bad = true
         }
       case _: AggregateExpression => bad = true
@@ -995,14 +1014,35 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
         F.element_at(F.array_sort(valueCol),
           F.greatest(F.lit(1L), F.ceil(F.lit(q) * n)).cast("int")))
     }
-    val qName: Map[Double, String] =
+    // interpolated read, mirroring PercentileBase.getPercentile EXACTLY
+    // so the rewritten answer is bit-identical to evaluating the text
+    // over raw: position = q·(n-1); equal bracket keys short-circuit
+    // (Spark returns the key, not the arithmetic identity, which can
+    // differ in the last ulp); otherwise
+    // (higher−position)·v[lower] + (position−lower)·v[higher]
+    def contRead(valueCol: Column, q: Double): Column = {
+      val n = F.size(valueCol)
+      val sorted = F.array_sort(valueCol)
+      val pos = F.lit(q) * (n - 1).cast("double")
+      val lower = F.floor(pos)
+      val higher = F.ceil(pos)
+      val vLo = F.element_at(sorted, (lower + 1).cast("int")).cast("double")
+      val vHi = F.element_at(sorted, (higher + 1).cast("int")).cast("double")
+      F.when(n > 0,
+        F.when(lower === higher || vLo === vHi, vLo)
+          .otherwise((higher.cast("double") - pos) * vLo
+            + (pos - lower.cast("double")) * vHi))
+    }
+    def read(valueCol: Column, q: (Double, Boolean)): Column =
+      if (q._2) contRead(valueCol, q._1) else rankRead(valueCol, q._1)
+    val qName: Map[(Double, Boolean), String] =
       qs.zipWithIndex.map { case (q, i) => q -> s"q_$i" }.toMap
     val rep0 = dtPruned(tableScan(info, store, s"quant_$t"))
     val rep =
       if (exact)
         rep0.select(F.col("user_id") +: F.col("event_type") +:
           F.col("slot_ts") +:
-          qs.map(q => rankRead(F.col("value"), q).as(qName(q))): _*)
+          qs.map(q => read(F.col("value"), q).as(qName(q))): _*)
       else {
         val ms = F.udaf(new graft.functions.BottomKMergeState)
         val merged =
@@ -1014,7 +1054,7 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
           ((if (hasUid) Seq(F.col("user_id")) else Nil) ++
            (if (hasEtype) Seq(F.col("event_type")) else Nil) ++
            (if (stepSec != 0L) Seq(F.col("slot_ts")) else Nil) ++
-           qs.map(q => rankRead(F.col("sk.value"), q).as(qName(q)))): _*)
+           qs.map(q => read(F.col("sk.value"), q).as(qName(q)))): _*)
       }
     val repPlan = rep.queryExecution.analyzed
     def repAtt(name: String): AttributeReference =
@@ -1033,8 +1073,15 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
       case ag @ AggregateExpression(pd: PercentileDisc, Complete, false, None, _)
           if ag.references.forall(a => !newIds.contains(a.exprId)) =>
         pd.percentageExpression.eval() match {
-          case q: java.lang.Double if qName.contains(q.doubleValue) =>
-            repAtt(qName(q.doubleValue))
+          case q: java.lang.Double if qName.contains((q.doubleValue, false)) =>
+            repAtt(qName((q.doubleValue, false)))
+          case _ => failed = true; ag
+        }
+      case ag @ AggregateExpression(pc: Percentile, Complete, false, None, _)
+          if ag.references.forall(a => !newIds.contains(a.exprId)) =>
+        pc.percentageExpression.eval() match {
+          case q: java.lang.Double if qName.contains((q.doubleValue, true)) =>
+            repAtt(qName((q.doubleValue, true)))
           case _ => failed = true; ag
         }
       case ag: AggregateExpression

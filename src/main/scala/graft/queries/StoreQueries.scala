@@ -192,6 +192,37 @@ object StoreQueries {
       |FROM r WHERE rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
       |ORDER BY user_id, event_type, slot_ts""".stripMargin
 
+  /** The INTERPOLATED-quantile A/B pair's shared shape: ANSI
+    * percentile_cont (round 9) over the store's BASE table — same
+    * grain as [[quantileRollupShape]], dyadic quantiles so the
+    * interpolation weights are exact dyadic rationals and both
+    * engines' formula variants produce bit-identical doubles. */
+  private def quantileContRollupShape(s: org.apache.spark.sql.SparkSession,
+                                      store: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(s"$store/base")
+      .filter(col("event_type").isin("click", "view"))
+      .filter(col("ts_us") >= B * 1000000L && col("ts_us") < E * 1000000L)
+      .groupBy(col("user_id"), col("event_type"),
+        graft.operators.TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(
+        expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY cents)").as("p25_cents"),
+        expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY cents)").as("p75_cents"))
+      .orderBy("user_id", "event_type", "slot_ts")
+
+  private val QuantileContRollupOracle =
+    s"""WITH c AS (
+      |  SELECT user_id, event_type,
+      |    (epoch_us(ts) // 86400000000) * 86400 AS slot_ts,
+      |    CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |    AND epoch_us(ts) >= ${B}000000 AND epoch_us(ts) < ${E}000000
+      |)
+      |SELECT user_id, event_type, slot_ts,
+      |  quantile_cont(cents, 0.25) AS p25_cents,
+      |  quantile_cont(cents, 0.75) AS p75_cents
+      |FROM c GROUP BY 1, 2, 3
+      |ORDER BY user_id, event_type, slot_ts""".stripMargin
+
   private def rollupOracle(rangePred: String = ""): String =
     s"""WITH c AS (
       |  SELECT user_id, event_type,
@@ -829,6 +860,30 @@ object StoreQueries {
       // raw samples per group (the full sort-based exact quantile)
       val store = StoreFixture.store(s, d)
       withRollupFlag(s, on = false)(quantileRollupShape(s, store))
+    },
+
+    QueryDef("q_store_rollup_quantile_cont",
+      QuantileContRollupOracle) { (s, d) =>
+      // INTERPOLATED-quantile substitution (round 9): the text is ANSI
+      // percentile_cont over raw samples — which resolves to the
+      // Percentile aggregate before the optimizer runs — and the rule
+      // serves it from the same quant_86400 buffers as the disc path:
+      // a sub-K cell's bottom-k sample IS its full multiset, and the
+      // rewrite mirrors PercentileBase's interpolation arithmetic
+      // bit-for-bit ((higher−pos)·v_lo + (pos−lower)·v_hi with the
+      // equal-keys short-circuit), so rewritten == raw == oracle.
+      // Dyadic quantiles (¼, ¾) keep the weights exact so DuckDB's
+      // formula variant agrees bitwise too
+      val store = StoreFixture.store(s, d)
+      withRollupFlag(s, on = true)(quantileContRollupShape(s, store))
+    },
+
+    QueryDef("q_store_rollup_quantile_cont_raw",
+      QuantileContRollupOracle) { (s, d) =>
+      // A/B control: identical text, flag off — percentile_cont sorts
+      // raw samples per group
+      val store = StoreFixture.store(s, d)
+      withRollupFlag(s, on = false)(quantileContRollupShape(s, store))
     },
 
     QueryDef("q_store_quantile",

@@ -16,9 +16,9 @@ class InventorySpec extends AnyFunSuite {
 
   test("oracle keys are a subset of query keys; inventory is substantial") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size >= 205,
+    assert(SparkEntry.queries.size >= 208,
       s"inventory shrank: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size >= 186,
+    assert(SparkEntry.oracleSql.size >= 189,
       s"oracled set shrank: ${SparkEntry.oracleSql.size}")
   }
 }

@@ -1022,6 +1022,54 @@ class RollupSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  // ---- interpolated (percentile_cont) quantile reads (round 9) ------
+
+  test("exact-grain percentile_cont serves from the quant cascade as a pure Project") {
+    // ANSI percentile_cont resolves to the Percentile aggregate before
+    // the optimizer runs; a sub-K cell's stored sample is its FULL
+    // multiset, and contRead mirrors PercentileBase's interpolation
+    // arithmetic — so rewritten rows must EQUAL raw rows bit-for-bit
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .filter(col("ts_us") >= QB * 1000000L && col("ts_us") < QE * 1000000L)
+      .groupBy(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY cents)").as("p25"),
+        expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY cents)").as("p90"))
+    val (paths, noAgg, got) =
+      withFlag(on = true)((scanPaths(q), !hasAggregate(q), rows(q)))
+    assert(paths.exists(_.endsWith("quant_86400")) &&
+      !paths.exists(_.endsWith("/base")),
+      s"exact interpolated quantile should read the quant family: $paths")
+    assert(noAgg, "exact-grain cont hit must be a pure Project")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("mixed disc+cont quantiles share one substituted scan and convert leaf-by-leaf") {
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .groupBy(col("event_type"), TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)").as("med"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY cents)").as("med_i"))
+      .select(col("event_type"), col("slot_ts"),
+        (col("med_i") - col("med")).as("interp_gap"), col("med"))
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("quant_86400")) &&
+      !paths.exists(_.endsWith("/base")),
+      s"disc+cont should share the quant scan: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("percentile_cont over a non-cents column blocks the quantile rewrite") {
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .groupBy(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY ts_us)").as("p50"))
+    val paths = withFlag(on = true)(scanPaths(q))
+    assert(paths.exists(_.endsWith("/base")) &&
+      !paths.exists(_.contains("quant_")), s"$paths")
+  }
+
   test("time filters and flag-off leave the plan alone; maintenance is immune") {
     // flag off: no rewrite even on the perfect shape
     val offPaths = withFlag(on = false)(scanPaths(slotAgg(21600L)))
