@@ -109,14 +109,20 @@ object GraftExtensions {
   /** Resolve graft_fetch_quantile(...) — the quantile column family's
     * read path for SQL-only consumers (same plan as the Scala API). */
   private[graft] def fetchQuantilePlan(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 7 && args.forall(_.foldable),
+    require((args.length == 7 || args.length == 8) && args.forall(_.foldable),
       "usage: graft_fetch_quantile(path, user_id, event_type, begin_sec, " +
-        "end_sec, agg_step, q) with literal arguments")
+        "end_sec, agg_step, q[, 'disc'|'cont']) with literal arguments")
+    val interp = args.length == 8 && (strArg(args(7)) match {
+      case "cont" => true
+      case "disc" => false
+      case other => throw new IllegalArgumentException(
+        s"graft_fetch_quantile: mode must be 'disc' or 'cont', got '$other'")
+    })
     val spark = SparkSession.active
     graft.sources.TsdbStore.fetchQuantile(spark,
         strArg(args(0)), longArg(args(1)), strArg(args(2)),
         longArg(args(3)), longArg(args(4)), longArg(args(5)),
-        doubleArg(args(6)))
+        doubleArg(args(6)), interp)
       .queryExecution.analyzed
   }
 

@@ -913,6 +913,28 @@ object StoreQueries {
         7L, "click", B, E, 86400L, 0.95)
     },
 
+    QueryDef("q_store_quantile_cont",
+      s"""WITH c AS (
+         |  SELECT (epoch_us(ts) // 86400000000) * 86400 AS slot_ts,
+         |    CAST(round(value*100) AS BIGINT) AS cents
+         |  FROM events WHERE user_id = 7 AND event_type = 'click'
+         |    AND epoch_us(ts) >= ${B}000000 AND epoch_us(ts) < ${E}000000
+         |)
+         |SELECT slot_ts, quantile_cont(cents, 0.75) / 100.0 AS value
+         |FROM c GROUP BY slot_ts
+         |ORDER BY slot_ts""".stripMargin) { (s, d) =>
+      // the INTERPOLATED percentile read path (round 9): same pruned
+      // quant-family scan and semilattice merge as q_store_quantile,
+      // but the final read is percentile_cont linear interpolation
+      // over the merged sample (quantContRead mirrors PercentileBase's
+      // arithmetic). Below K samples per slot the buffer holds every
+      // sample, so this equals interpolating over raw — which the
+      // oracle recomputes; q = 0.75 is dyadic, keeping both engines'
+      // interpolation forms exact. SQL twin: the TVF's 'cont' mode
+      TsdbStore.fetchQuantile(s, StoreFixture.store(s, d),
+        7L, "click", B, E, 86400L, 0.75, interp = true)
+    },
+
     QueryDef("q_sql_fetch_quantile_tvf",
       s"""WITH c AS (
          |  SELECT (epoch_us(ts) // 86400000000) * 86400 AS slot_ts,

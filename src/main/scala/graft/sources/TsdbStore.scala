@@ -942,11 +942,15 @@ object TsdbStore {
     * nearest-rank quantile; beyond, it is the bottom-k uniform-sample
     * estimate with O(1/√K) rank error. Raw samples are never
     * rescanned either way (QuantCascadeSpec pins bit-equality with a
-    * one-pass sketch over raw). */
+    * one-pass sketch over raw). `interp = true` (round 9) switches the
+    * final read to linear interpolation (percentile_cont semantics,
+    * [[quantContRead]]) over the same merged sample — SQL-only
+    * consumers pass 'cont' as graft_fetch_quantile's 8th argument. */
   def fetchQuantile(spark: SparkSession, path: String,
                     userId: Long, eventType: String,
                     beginSec: Long, endSec: Long,
-                    aggStep: Long, q: Double): DataFrame = {
+                    aggStep: Long, q: Double,
+                    interp: Boolean = false): DataFrame = {
     val layout = readLayout(spark, path)
     val t = quantLevelOf(layout, aggStep, q)
     val ms = udaf(new graft.functions.BottomKMergeState)
@@ -956,7 +960,8 @@ object TsdbStore {
       .filter(col("slot_ts") >= beginSec && col("slot_ts") < endSec)
       .groupBy((expr(s"slot_ts div $aggStep") * aggStep).as("slot_ts"))
       .agg(ms(col("pri"), col("value")).as("sk"))
-      .select(col("slot_ts"), quantRankRead(q).as("value"))
+      .select(col("slot_ts"),
+        (if (interp) quantContRead(q) else quantRankRead(q)).as("value"))
       .orderBy("slot_ts")
   }
 
@@ -1006,6 +1011,25 @@ object TsdbStore {
   private def quantRankRead(q: Double): Column =
     expr(s"element_at(array_sort(sk.value), " +
       s"int(greatest(1, ceil($q * size(sk.value)))))") / 100.0
+
+  /** Interpolated (percentile_cont) read off the merged sample —
+    * mirrors Spark PercentileBase's arithmetic exactly (position =
+    * q·(n−1), equal-bracket short-circuit, (higher−pos)·v_lo +
+    * (pos−lower)·v_hi), so a sub-K read equals evaluating
+    * percentile_cont over the raw samples bit-for-bit; above K it is
+    * the same interpolation over the bottom-k sample (estimate, like
+    * the nearest-rank path). */
+  private def quantContRead(q: Double): Column =
+    expr(
+      s"""CASE WHEN floor($q * (size(sk.value) - 1)) = ceil($q * (size(sk.value) - 1))
+         |       OR element_at(array_sort(sk.value), int(floor($q * (size(sk.value) - 1))) + 1)
+         |        = element_at(array_sort(sk.value), int(ceil($q * (size(sk.value) - 1))) + 1)
+         |  THEN element_at(array_sort(sk.value), int(floor($q * (size(sk.value) - 1))) + 1)
+         |  ELSE (ceil($q * (size(sk.value) - 1)) - $q * (size(sk.value) - 1))
+         |       * element_at(array_sort(sk.value), int(floor($q * (size(sk.value) - 1))) + 1)
+         |     + ($q * (size(sk.value) - 1) - floor($q * (size(sk.value) - 1)))
+         |       * element_at(array_sort(sk.value), int(ceil($q * (size(sk.value) - 1))) + 1)
+         |END""".stripMargin) / 100.0
 
   /** [[fetchQuantile]] for MANY series in one pruned scan — the bulk
     * percentile twin of [[fetchBulk]]: a struct IN-list of series keys

@@ -78,7 +78,9 @@ object PlanDump extends App {
     "q_ts_downsample_m4" -> "M4 viz downsample: min/max/first/last per (series, 6h bucket) as ONE partial+final HashAggregate via min_by/max_by - no Window operator, no per-series sort; the shuffle carries one 4-extrema row per bucket per partition",
     "q_ts_downsample_tri" -> "largest-triangle (LTOB) downsample: lag/lead neighbors and the per-(series, slot) area argmax are two Window operators over ONE hashpartitioning exchange - the slot window's clustering is a sub-partition of the series exchange, so EnsureRequirements inserts only a sort",
     "q_text_ppl_filter" -> "perplexity quality gate: the per-doc bigram stream is ONE generator pass; bigram/unigram LM tables + the 1-row vocab size and decile threshold all BROADCAST - the only row-scaled shuffle is the per-doc score agg, map-side combined",
-    "q_agg_cube" -> "CUBE lattice: Expand produces all 4 grouping sets inside one WholeStageCodegen over a SINGLE scan, then one partial+final HashAggregate - grouping-set fan-out costs zero extra reads")
+    "q_agg_cube" -> "CUBE lattice: Expand produces all 4 grouping sets inside one WholeStageCodegen over a SINGLE scan, then one partial+final HashAggregate - grouping-set fan-out costs zero extra reads",
+    "q_join_bucketed" -> "co-located agg+join over the series-bucketed catalog table: per-series totals aggregate AND the samples-join-totals SortMergeJoin both satisfy their clustering from the bucketed scan - ZERO hashpartitioning exchanges before the final sort (the 100 TB per-series enrichment shape)",
+    "q_store_rollup_quantile_cont" -> "interpolated-quantile substitution: the text is ANSI percentile_cont over raw samples, the plan a dt-pruned quant_86400 scan with PercentileBase's interpolation arithmetic projected over the stored buffers - no sort, no raw scan, bit-identical to the raw evaluation")
   val sb = new StringBuilder
   sb ++= "# PLANS - physical-plan audit evidence (round 9)\n\n"
   sb ++= "Generated from `.queryExecution.executedPlan` at sf0.001, local[4].\n"

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions._
+
 import graft.sources.TsdbStore
 
 /** graft_fetch SQL table function: parity with the Scala fetch API
@@ -92,6 +94,41 @@ class TvfSpec extends SparkSpec {
         "86400, 1.5)").collect()
     }
     assert(badQ.getMessage.contains("quantile out of"), badQ.getMessage)
+  }
+
+  test("graft_fetch_quantile 'cont' mode: SQL parity with the interpolated Scala read") {
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_fetch_quantile('$store', 7, 'click', $B, $E, " +
+          "86400, 0.75, 'cont')")) ==
+      rows(TsdbStore.fetchQuantile(spark, store, 7L, "click", B, E, 86400L,
+        0.75, interp = true)))
+    // explicit 'disc' is the default nearest-rank read
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_fetch_quantile('$store', 7, 'click', $B, $E, " +
+          "86400, 0.95, 'disc')")) ==
+      rows(TsdbStore.fetchQuantile(spark, store, 7L, "click", B, E, 86400L, 0.95)))
+    val badMode = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_fetch_quantile('$store', 7, 'click', $B, $E, " +
+        "86400, 0.5, 'interp')").collect()
+    }
+    assert(badMode.getMessage.contains("'disc' or 'cont'"), badMode.getMessage)
+  }
+
+  test("sub-K interpolated fetch equals percentile_cont over raw samples") {
+    // the exactness claim for the cont read path: below K samples per
+    // slot the merged buffer is the slot's full multiset, and
+    // quantContRead mirrors PercentileBase — so the store read must
+    // equal evaluating percentile_cont over the raw base rows
+    val got = rows(TsdbStore.fetchQuantile(spark, store, 7L, "click",
+      B, E, 86400L, 0.75, interp = true))
+    val raw = rows(spark.read.parquet(s"$store/base")
+      .filter(col("user_id") === 7L && col("event_type") === "click")
+      .filter(col("ts_us") >= B * 1000000L && col("ts_us") < E * 1000000L)
+      .groupBy(graft.operators.TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg((expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY cents)") / 100.0)
+        .as("value"))
+      .orderBy("slot_ts"))
+    assert(got == raw && got.nonEmpty)
   }
 
   test("graft_fetch_bulk_quantile: SQL parity and loud rejections") {
