@@ -62,7 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => GraftExtensions.fetchBulkFilledPlan(args)))
     // percentile dashboards from the quantile column family in SQL —
     //   SELECT * FROM graft_fetch_quantile('<store>', user, 'type',
-    //                                      begin, end, agg_step, q)
+    //                                      begin, end, agg_step, q[, 'disc'|'cont'])
+    // (every quantile TVF takes the optional trailing mode: 'disc' =
+    // nearest-rank, the default; 'cont' = linear interpolation)
     ext.injectTableFunction((
       FunctionIdentifier("graft_fetch_quantile"),
       new ExpressionInfo("graft.sources.TsdbStore", "graft_fetch_quantile"),
@@ -87,6 +89,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   private def strArg(e: Expression): String =
     String.valueOf(e.eval(org.apache.spark.sql.catalyst.InternalRow.empty))
+  /** 'disc' (nearest-rank, the default) vs 'cont' (interpolated). */
+  private def modeArg(fn: String, e: Expression): Boolean =
+    strArg(e) match {
+      case "cont" => true
+      case "disc" => false
+      case other => throw new IllegalArgumentException(
+        s"$fn: mode must be 'disc' or 'cont', got '$other'")
+    }
   private def longArg(e: Expression): Long =
     e.eval(org.apache.spark.sql.catalyst.InternalRow.empty) match {
       case l: java.lang.Long => l
@@ -112,12 +122,7 @@ object GraftExtensions {
     require((args.length == 7 || args.length == 8) && args.forall(_.foldable),
       "usage: graft_fetch_quantile(path, user_id, event_type, begin_sec, " +
         "end_sec, agg_step, q[, 'disc'|'cont']) with literal arguments")
-    val interp = args.length == 8 && (strArg(args(7)) match {
-      case "cont" => true
-      case "disc" => false
-      case other => throw new IllegalArgumentException(
-        s"graft_fetch_quantile: mode must be 'disc' or 'cont', got '$other'")
-    })
+    val interp = args.length == 8 && modeArg("graft_fetch_quantile", args(7))
     val spark = SparkSession.active
     graft.sources.TsdbStore.fetchQuantile(spark,
         strArg(args(0)), longArg(args(1)), strArg(args(2)),
@@ -129,29 +134,40 @@ object GraftExtensions {
   /** Resolve graft_fetch_bulk_quantile(...) — bulk percentiles with the
     * flat alternating (user_id, event_type) tail graft_fetch_bulk uses. */
   private[graft] def fetchBulkQuantilePlan(args: Seq[Expression]): LogicalPlan = {
-    require(args.length >= 7 && (args.length - 5) % 2 == 0 &&
-        args.forall(_.foldable),
+    // an ODD tail means the last argument is the 'disc'|'cont' mode —
+    // it cannot be confused with the alternating (user_id, event_type)
+    // pairs, which always come in twos
+    val usage =
       "usage: graft_fetch_bulk_quantile(path, begin_sec, end_sec, agg_step, " +
-        "q, user_id, event_type[, user_id, event_type ...]) with literal arguments")
-    val series = args.drop(5).grouped(2).map {
+        "q, user_id, event_type[, user_id, event_type ...][, 'disc'|'cont']) " +
+        "with literal arguments"
+    require(args.length >= 7 && args.forall(_.foldable), usage)
+    val (pairArgs, interp) =
+      if ((args.length - 5) % 2 == 1)
+        (args.drop(5).dropRight(1),
+          modeArg("graft_fetch_bulk_quantile", args.last))
+      else (args.drop(5), false)
+    require(pairArgs.nonEmpty && pairArgs.length % 2 == 0, usage)
+    val series = pairArgs.grouped(2).map {
       case Seq(u, e) => (longArg(u), strArg(e))
     }.toSeq
     val spark = SparkSession.active
     graft.sources.TsdbStore.fetchBulkQuantile(spark,
         strArg(args(0)), series, longArg(args(1)), longArg(args(2)),
-        longArg(args(3)), doubleArg(args(4)))
+        longArg(args(3)), doubleArg(args(4)), interp)
       .queryExecution.analyzed
   }
 
   /** Resolve graft_fetch_fleet_quantile(...) — fleet percentiles in SQL. */
   private[graft] def fetchFleetQuantilePlan(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 6 && args.forall(_.foldable),
+    require((args.length == 6 || args.length == 7) && args.forall(_.foldable),
       "usage: graft_fetch_fleet_quantile(path, event_type, begin_sec, " +
-        "end_sec, agg_step, q) with literal arguments")
+        "end_sec, agg_step, q[, 'disc'|'cont']) with literal arguments")
     val spark = SparkSession.active
     graft.sources.TsdbStore.fetchFleetQuantile(spark,
         strArg(args(0)), strArg(args(1)), longArg(args(2)), longArg(args(3)),
-        longArg(args(4)), doubleArg(args(5)))
+        longArg(args(4)), doubleArg(args(5)),
+        args.length == 7 && modeArg("graft_fetch_fleet_quantile", args(6)))
       .queryExecution.analyzed
   }
 

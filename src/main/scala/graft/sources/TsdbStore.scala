@@ -975,7 +975,8 @@ object TsdbStore {
   def fetchFleetQuantile(spark: SparkSession, path: String,
                          eventType: String,
                          beginSec: Long, endSec: Long,
-                         aggStep: Long, q: Double): DataFrame = {
+                         aggStep: Long, q: Double,
+                         interp: Boolean = false): DataFrame = {
     val layout = readLayout(spark, path)
     val t = quantLevelOf(layout, aggStep, q)
     val ms = udaf(new graft.functions.BottomKMergeState)
@@ -985,7 +986,8 @@ object TsdbStore {
       .filter(col("slot_ts") >= beginSec && col("slot_ts") < endSec)
       .groupBy((expr(s"slot_ts div $aggStep") * aggStep).as("slot_ts"))
       .agg(ms(col("pri"), col("value")).as("sk"))
-      .select(col("slot_ts"), quantRankRead(q).as("value"),
+      .select(col("slot_ts"),
+        (if (interp) quantContRead(q) else quantRankRead(q)).as("value"),
         size(col("sk.value")).as("n_sample"))
       .orderBy("slot_ts")
   }
@@ -1039,7 +1041,8 @@ object TsdbStore {
   def fetchBulkQuantile(spark: SparkSession, path: String,
                         series: Seq[(Long, String)],
                         beginSec: Long, endSec: Long,
-                        aggStep: Long, q: Double): DataFrame = {
+                        aggStep: Long, q: Double,
+                        interp: Boolean = false): DataFrame = {
     val layout = readLayout(spark, path)
     require(series.nonEmpty, "empty series request")
     val t = quantLevelOf(layout, aggStep, q)
@@ -1053,7 +1056,7 @@ object TsdbStore {
         (expr(s"slot_ts div $aggStep") * aggStep).as("slot_ts"))
       .agg(ms(col("pri"), col("value")).as("sk"))
       .select(col("user_id"), col("event_type"), col("slot_ts"),
-        quantRankRead(q).as("value"))
+        (if (interp) quantContRead(q) else quantRankRead(q)).as("value"))
       .orderBy("user_id", "event_type", "slot_ts")
   }
 

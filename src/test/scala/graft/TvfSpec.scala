@@ -137,12 +137,20 @@ class TvfSpec extends SparkSpec {
           "7, 'click', 3, 'view')")) ==
       rows(TsdbStore.fetchBulkQuantile(spark, store,
         Seq((7L, "click"), (3L, "view")), B, E, 86400L, 0.95)))
+    // interpolated bulk read: trailing 'cont' is the mode, never
+    // confusable with the alternating pair tail (pairs come in twos)
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_fetch_bulk_quantile('$store', $B, $E, 86400, 0.75, " +
+          "7, 'click', 3, 'view', 'cont')")) ==
+      rows(TsdbStore.fetchBulkQuantile(spark, store,
+        Seq((7L, "click"), (3L, "view")), B, E, 86400L, 0.75, interp = true)))
+    // an odd tail whose last element is not a mode is still rejected
+    // loudly (it is parsed AS the mode and fails that check)
     val oddTail = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_fetch_bulk_quantile('$store', $B, $E, 86400, " +
         "0.95, 7, 'click', 3)").collect()
     }
-    assert(oddTail.getMessage.contains("usage: graft_fetch_bulk_quantile"),
-      oddTail.getMessage)
+    assert(oddTail.getMessage.contains("'disc' or 'cont'"), oddTail.getMessage)
     val zeroStep = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_fetch_bulk_quantile('$store', $B, $E, 0, " +
         "0.95, 7, 'click')").collect()
@@ -154,9 +162,19 @@ class TvfSpec extends SparkSpec {
     assert(rows(spark.sql(
         s"SELECT * FROM graft_fetch_fleet_quantile('$store', 'click', $B, $E, 86400, 0.95)")) ==
       rows(TsdbStore.fetchFleetQuantile(spark, store, "click", B, E, 86400L, 0.95)))
-    val tooMany = intercept[Exception] {
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_fetch_fleet_quantile('$store', 'click', $B, $E, " +
+          "86400, 0.75, 'cont')")) ==
+      rows(TsdbStore.fetchFleetQuantile(spark, store, "click", B, E, 86400L,
+        0.75, interp = true)))
+    val badTail = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_fetch_fleet_quantile('$store', 'click', $B, $E, " +
         "86400, 0.95, 7)").collect()
+    }
+    assert(badTail.getMessage.contains("'disc' or 'cont'"), badTail.getMessage)
+    val tooMany = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_fetch_fleet_quantile('$store', 'click', $B, $E, " +
+        "86400, 0.95, 'cont', 7)").collect()
     }
     assert(tooMany.getMessage.contains("usage: graft_fetch_fleet_quantile"),
       tooMany.getMessage)
