@@ -916,25 +916,29 @@ object TsQueries {
         |  count(*) AS n,
         |  CAST(min(cents) AS DOUBLE) / 100.0 AS min_val,
         |  CAST(max(cents) AS DOUBLE) / 100.0 AS max_val,
-        |  CAST(arg_min(cents, ts_us) AS DOUBLE) / 100.0 AS first_val,
-        |  CAST(arg_max(cents, ts_us) AS DOUBLE) / 100.0 AS last_val
+        |  CAST(first(cents ORDER BY ts_us, event_id) AS DOUBLE) / 100.0 AS first_val,
+        |  CAST(last(cents ORDER BY ts_us, event_id) AS DOUBLE) / 100.0 AS last_val
         |FROM m GROUP BY 1, 2, 3
         |ORDER BY user_id, event_type, slot_ts""".stripMargin) { (s, d) =>
       // M4 visualization downsample (the min/max/first/last-per-pixel
       // aggregation from the M4 paper): the 4 extrema per bucket are
       // exactly what a line chart needs to render error-free, and all
       // four are ONE map-side-combined hash aggregate — no window, no
-      // sort, one shuffle on the (series, slot) key. min_by/max_by on
-      // ts_us is deterministic because (series, ts) is unique in the
-      // measurements contract (enforced at store ingest)
+      // sort, one shuffle on the (series, slot) key. first/last order
+      // on the UNIQUE (ts_us, event_id) suffix — the repo-wide series
+      // window convention — not bare ts_us: nothing enforces (series,
+      // ts) uniqueness on the raw measurements view, and a tied ts
+      // would make a bare-ts arg_min engine-nondeterministic
       Tables.measurements(s, d)
         .withColumn("slot_ts", TimeSeriesOps.slotSec(21600L))
         .groupBy("user_id", "event_type", "slot_ts")
         .agg(count(lit(1)).as("n"),
           (min("cents").cast("double") / 100.0).as("min_val"),
           (max("cents").cast("double") / 100.0).as("max_val"),
-          (min_by(col("cents"), col("ts_us")).cast("double") / 100.0).as("first_val"),
-          (max_by(col("cents"), col("ts_us")).cast("double") / 100.0).as("last_val"))
+          (min_by(col("cents"), struct(col("ts_us"), col("event_id")))
+            .cast("double") / 100.0).as("first_val"),
+          (max_by(col("cents"), struct(col("ts_us"), col("event_id")))
+            .cast("double") / 100.0).as("last_val"))
         .select(col("user_id"), col("event_type"), col("slot_ts"), col("n"),
           col("min_val"), col("max_val"), col("first_val"), col("last_val"))
         .orderBy("user_id", "event_type", "slot_ts")
@@ -944,18 +948,20 @@ object TsQueries {
       MeasurementsSql.stripSuffix(")") +
       """),
         |p AS (
-        |  SELECT user_id, event_type, ts_us, cents,
+        |  SELECT user_id, event_type, ts_us, event_id, cents,
         |    lag(ts_us)  OVER w AS pts, lag(cents)  OVER w AS pc,
         |    lead(ts_us) OVER w AS nts, lead(cents) OVER w AS nc
-        |  FROM m WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us)
+        |  FROM m WINDOW w AS (PARTITION BY user_id, event_type
+        |                      ORDER BY ts_us, event_id)
         |), a AS (
-        |  SELECT user_id, event_type, ts_us, cents,
+        |  SELECT user_id, event_type, ts_us, event_id, cents,
         |    (ts_us // 21600000000) * 21600 AS slot_ts,
         |    abs((pts - nts) * (cents - pc) - (pts - ts_us) * (nc - pc)) AS area2
         |  FROM p WHERE pts IS NOT NULL AND nts IS NOT NULL
         |), r AS (
         |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type, slot_ts
-        |                               ORDER BY area2 DESC, ts_us ASC) AS rn
+        |                               ORDER BY area2 DESC, ts_us ASC,
+        |                                        event_id ASC) AS rn
         |  FROM a
         |)
         |SELECT user_id, event_type, slot_ts, ts_us,
@@ -974,20 +980,23 @@ object TsQueries {
       // hash partitioning — sub-partition clustering is satisfied).
       // Twice the triangle area in exact int64 µs·cents (|Δx| ≤ series
       // span 2.6e12 µs × |Δy| ≤ 5.7e4 cents ≈ 1.5e17 < 2^63), so the
-      // argmax and its (area2 DESC, ts ASC) tie-break are
-      // engine-invariant
+      // argmax is engine-invariant. Both windows order on the UNIQUE
+      // (…, event_id) suffix — the repo-wide series-window convention:
+      // a tied (series, ts) pair would otherwise make the lag/lead
+      // neighbor assignment (and so area2 itself) nondeterministic
       val m = Tables.measurements(s, d)
         .withColumn("slot_ts", TimeSeriesOps.slotSec(21600L))
-      val w = Window.partitionBy("user_id", "event_type").orderBy("ts_us")
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
       val p = m.select(col("user_id"), col("event_type"), col("ts_us"),
-          col("cents"), col("slot_ts"),
+          col("event_id"), col("cents"), col("slot_ts"),
           lag("ts_us", 1).over(w).as("pts"), lag("cents", 1).over(w).as("pc"),
           lead("ts_us", 1).over(w).as("nts"), lead("cents", 1).over(w).as("nc"))
         .filter(col("pts").isNotNull && col("nts").isNotNull)
         .withColumn("area2", abs((col("pts") - col("nts")) * (col("cents") - col("pc"))
           - (col("pts") - col("ts_us")) * (col("nc") - col("pc"))))
       val wr = Window.partitionBy("user_id", "event_type", "slot_ts")
-        .orderBy(col("area2").desc, col("ts_us").asc)
+        .orderBy(col("area2").desc, col("ts_us").asc, col("event_id").asc)
       p.withColumn("rn", row_number().over(wr))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_type"), col("slot_ts"), col("ts_us"),

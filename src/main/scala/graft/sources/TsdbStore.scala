@@ -952,7 +952,7 @@ object TsdbStore {
                     aggStep: Long, q: Double,
                     interp: Boolean = false): DataFrame = {
     val layout = readLayout(spark, path)
-    val t = quantLevelOf(layout, aggStep, q)
+    val t = quantLevelOf(layout, aggStep, q, interp)
     val ms = udaf(new graft.functions.BottomKMergeState)
     spark.read.parquet(s"$path/quant_$t")
       .filter(dtPrune(layout, beginSec, endSec))
@@ -978,7 +978,7 @@ object TsdbStore {
                          aggStep: Long, q: Double,
                          interp: Boolean = false): DataFrame = {
     val layout = readLayout(spark, path)
-    val t = quantLevelOf(layout, aggStep, q)
+    val t = quantLevelOf(layout, aggStep, q, interp)
     val ms = udaf(new graft.functions.BottomKMergeState)
     spark.read.parquet(s"$path/quant_$t")
       .filter(dtPrune(layout, beginSec, endSec))
@@ -997,11 +997,16 @@ object TsdbStore {
     * requested slot. Unlike [[fetch]], there is no aggStep = 0 raw
     * path — a quantile over raw samples IS the sketch read (sub-K
     * exact), so a zero/negative step is a caller error, not a mode. */
-  private def quantLevelOf(layout: StoreLayout, aggStep: Long, q: Double): Long = {
+  private def quantLevelOf(layout: StoreLayout, aggStep: Long, q: Double,
+                           interp: Boolean = false): Long = {
     require(layout.quantiles,
       "this store was built with quantiles = false (no quant_<step> " +
         "column family); re-ingest with quantiles on to serve percentile reads")
-    require(q > 0.0 && q <= 1.0, s"quantile out of (0, 1]: $q")
+    // nearest-rank (ceil(q·n)) is undefined at q = 0; the interpolated
+    // read is not — percentile_cont(0) is the minimum, and the cont
+    // substitution path accepts it, so the API must too
+    if (interp) require(q >= 0.0 && q <= 1.0, s"quantile out of [0, 1]: $q")
+    else require(q > 0.0 && q <= 1.0, s"quantile out of (0, 1]: $q")
     require(aggStep > 0, s"aggStep must be a positive slot step, got $aggStep")
     layout.steps.filter(aggStep % _ == 0).sorted.lastOption.getOrElse(
       throw new IllegalArgumentException(
@@ -1020,18 +1025,26 @@ object TsdbStore {
     * (pos−lower)·v_hi), so a sub-K read equals evaluating
     * percentile_cont over the raw samples bit-for-bit; above K it is
     * the same interpolation over the bottom-k sample (estimate, like
-    * the nearest-rank path). */
-  private def quantContRead(q: Double): Column =
-    expr(
-      s"""CASE WHEN floor($q * (size(sk.value) - 1)) = ceil($q * (size(sk.value) - 1))
-         |       OR element_at(array_sort(sk.value), int(floor($q * (size(sk.value) - 1))) + 1)
-         |        = element_at(array_sort(sk.value), int(ceil($q * (size(sk.value) - 1))) + 1)
-         |  THEN element_at(array_sort(sk.value), int(floor($q * (size(sk.value) - 1))) + 1)
-         |  ELSE (ceil($q * (size(sk.value) - 1)) - $q * (size(sk.value) - 1))
-         |       * element_at(array_sort(sk.value), int(floor($q * (size(sk.value) - 1))) + 1)
-         |     + ($q * (size(sk.value) - 1) - floor($q * (size(sk.value) - 1)))
-         |       * element_at(array_sort(sk.value), int(ceil($q * (size(sk.value) - 1))) + 1)
-         |END""".stripMargin) / 100.0
+    * the nearest-rank path). Built from Columns with `lit(q)`
+    * (DoubleType) — interpolating q into SQL TEXT would parse it as a
+    * DECIMAL literal and silently run the whole interpolation in
+    * exact decimal arithmetic, which differs bitwise from
+    * PercentileBase's doubles for any non-dyadic q (caught by review
+    * before it shipped; the dyadic test pins alone would never have
+    * seen it). */
+  private def quantContRead(q: Double): Column = {
+    val v = col("sk.value")
+    val n = size(v)
+    val sorted = array_sort(v)
+    val pos = lit(q) * (n - 1).cast("double")
+    val lower = floor(pos)
+    val higher = ceil(pos)
+    val vLo = element_at(sorted, (lower + 1).cast("int"))
+    val vHi = element_at(sorted, (higher + 1).cast("int"))
+    when(lower === higher || vLo === vHi, vLo)
+      .otherwise((higher.cast("double") - pos) * vLo
+        + (pos - lower.cast("double")) * vHi) / 100.0
+  }
 
   /** [[fetchQuantile]] for MANY series in one pruned scan — the bulk
     * percentile twin of [[fetchBulk]]: a struct IN-list of series keys
@@ -1045,7 +1058,7 @@ object TsdbStore {
                         interp: Boolean = false): DataFrame = {
     val layout = readLayout(spark, path)
     require(series.nonEmpty, "empty series request")
-    val t = quantLevelOf(layout, aggStep, q)
+    val t = quantLevelOf(layout, aggStep, q, interp)
     val keys = series.map { case (u, e) => struct(lit(u), lit(e)) }
     val ms = udaf(new graft.functions.BottomKMergeState)
     spark.read.parquet(s"$path/quant_$t")

@@ -119,16 +119,36 @@ class TvfSpec extends SparkSpec {
     // slot the merged buffer is the slot's full multiset, and
     // quantContRead mirrors PercentileBase — so the store read must
     // equal evaluating percentile_cont over the raw base rows
-    val got = rows(TsdbStore.fetchQuantile(spark, store, 7L, "click",
-      B, E, 86400L, 0.75, interp = true))
-    val raw = rows(spark.read.parquet(s"$store/base")
+    // BIT-FOR-BIT. q = 0.95 and 0.33 are deliberately NON-dyadic: the
+    // interpolation weights are then inexact doubles, which is exactly
+    // where a formula-variant or literal-type divergence shows up (a
+    // string-interpolated q parses as a DECIMAL literal and runs the
+    // whole read in decimal arithmetic — the bug this test pins);
+    // dyadic q like 0.75 is exact under every variant and proves
+    // nothing about the arithmetic
+    for (q <- Seq(0.75, 0.95, 0.33)) {
+      val got = rows(TsdbStore.fetchQuantile(spark, store, 7L, "click",
+        B, E, 86400L, q, interp = true))
+      val raw = rows(spark.read.parquet(s"$store/base")
+        .filter(col("user_id") === 7L && col("event_type") === "click")
+        .filter(col("ts_us") >= B * 1000000L && col("ts_us") < E * 1000000L)
+        .groupBy(graft.operators.TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+        .agg((expr(s"percentile_cont($q) WITHIN GROUP (ORDER BY cents)") / 100.0)
+          .as("value"))
+        .orderBy("slot_ts"))
+      assert(got == raw && got.nonEmpty, s"q = $q diverged from raw")
+    }
+    // percentile_cont(0) is the minimum and must be accepted by the
+    // interp path (nearest-rank rightly rejects q = 0)
+    val minRead = rows(TsdbStore.fetchQuantile(spark, store, 7L, "click",
+      B, E, 86400L, 0.0, interp = true))
+    val rawMin = rows(spark.read.parquet(s"$store/base")
       .filter(col("user_id") === 7L && col("event_type") === "click")
       .filter(col("ts_us") >= B * 1000000L && col("ts_us") < E * 1000000L)
       .groupBy(graft.operators.TimeSeriesOps.slotSec(86400L).as("slot_ts"))
-      .agg((expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY cents)") / 100.0)
-        .as("value"))
+      .agg((min("cents").cast("double") / 100.0).as("value"))
       .orderBy("slot_ts"))
-    assert(got == raw && got.nonEmpty)
+    assert(minRead == rawMin && minRead.nonEmpty)
   }
 
   test("graft_fetch_bulk_quantile: SQL parity and loud rejections") {
