@@ -256,6 +256,24 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
                              pairs: Seq[(String, Attribute)],
                              node: Join)
 
+  /** Multiplicity gate shared by the value and quantile paths: the dim
+    * side must be UNIQUE on its join keys, else a base row could match
+    * several dim rows and the cascade's collapsed cells would
+    * under-count the fan-out. Runtime check at optimize time, bounded
+    * by contract (a metadata sidecar is version-count-sized, not
+    * sample-sized). */
+  private def dimIsUnique(dj: DimJoin): Boolean = {
+    val dimDf = org.apache.spark.sql.graftshim.DatasetBridge
+      .ofRows(session, dj.dim)
+    val keyCols = dj.pairs.map(p =>
+      org.apache.spark.sql.graftshim.ColumnBridge.column(p._2))
+    dimDf.groupBy(keyCols: _*)
+      .agg(org.apache.spark.sql.functions
+        .count(org.apache.spark.sql.functions.lit(1)).as("c"))
+      .filter(org.apache.spark.sql.functions.col("c") > 1)
+      .limit(1).collect().isEmpty
+  }
+
   /** [[unwrap]] extended one level: the plan may be
     * [Project/Filter]* → Join(base-side, dim-side) where the base side
     * unwraps to a store relation and the join is INNER on
@@ -263,7 +281,8 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     * by the caller: the dim subtree is reused verbatim (its exprIds
     * survive), so dim-side grouping keys and outputs pass through the
     * conversion untouched. A join that doesn't match simply means no
-    * rewrite (the quantile and rate paths never unwrap joins). */
+    * rewrite (the rate path never unwraps joins; the quantile path
+    * does, round 9, merging sketches per dim group). */
   private def unwrapMaybeJoin(p: LogicalPlan)
       : Option[(LogicalRelation, Option[Expression], Map[ExprId, Expression],
                 Option[DimJoin])] = {
@@ -606,21 +625,7 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     val child2: LogicalPlan = dimJoin match {
       case None => child2a
       case Some(dj) =>
-        // multiplicity gate: the dim side must be UNIQUE on its join
-        // keys, else a base row could match several dim rows and the
-        // cascade's collapsed cells would under-count the fan-out.
-        // Runtime check at optimize time, bounded by contract (a
-        // metadata sidecar is version-count-sized, not sample-sized)
-        val dimDf = org.apache.spark.sql.graftshim.DatasetBridge
-          .ofRows(session, dj.dim)
-        val keyCols = dj.pairs.map(p =>
-          org.apache.spark.sql.graftshim.ColumnBridge.column(p._2))
-        val dup = dimDf.groupBy(keyCols: _*)
-          .agg(org.apache.spark.sql.functions
-            .count(org.apache.spark.sql.functions.lit(1)).as("c"))
-          .filter(org.apache.spark.sql.functions.col("c") > 1)
-          .limit(1).collect().nonEmpty
-        if (dup) return None
+        if (!dimIsUnique(dj)) return None
         val cond2 = dj.pairs.map { case (name, d) =>
           EqualTo(if (name == "user_id") uidR else etypeR, d): Expression
         }.reduce(And)
@@ -840,7 +845,17 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     * two-table join and block instead. Exact-grain hits (T == S, full
     * grain) read the per-slot buffer DIRECTLY — a pure Project over
     * quant_T, zero shuffle; coarser grains semilattice-merge the
-    * buffers with one re-aggregation. */
+    * buffers with one re-aggregation.
+    *
+    * Round 9 also composes the ENRICHED shape: a series-key-preserving
+    * unique INNER dim join under the aggregate (the p95-per-metadata-
+    * attribute dashboard) unwraps like the value path's, the sub-K
+    * gate then sums n per DIM GROUP (a dim group unions cells, so the
+    * whole group must fit one buffer for the merged read to be exact),
+    * and the substituted read joins quant_T to the untouched dim
+    * subtree and semilattice-merges per (dim keys, slot). Dim grouping
+    * keys must be plain attributes, and the rewrite declines when dim
+    * output names would shadow the sketch read's columns. */
   private def tryRewriteQuantile(agg: Aggregate): Option[LogicalPlan] = {
     // cheap reject before any unwrap work: the path only exists for
     // quantile aggregates (percentile_disc, or cont's resolved form)
@@ -850,7 +865,11 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => false
     })
     if (!hasPdisc) return None
-    val (rel, cond, exprMap) = unwrap(agg.child) match {
+    // round 9: the quantile path unwraps a series-key-preserving
+    // unique dim join too — the enriched percentile dashboard (p95
+    // per metadata attribute) merges sketches BY dim group instead of
+    // rescanning raw
+    val (rel, cond, exprMap, dimJoin) = unwrapMaybeJoin(agg.child) match {
       case Some(x) => x
       case None => return None
     }
@@ -890,15 +909,28 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     if (lowerUs.exists(_ < 0L) || upperUs.exists(_ < 0L)) return None
     var stepSec = 0L
     var hasUid = false; var hasEtype = false
-    var ok = agg.groupingExpressions.length <= 3
+    var baseKeys = 0
+    // dim-side grouping keys pass through the rewrite verbatim — but
+    // only plain ATTRIBUTES (a snapshot column): an arbitrary dim
+    // expression would need an exprId mapping through the regrouping,
+    // which the leaf-by-leaf convert below does not build
+    val dimOutputIds: AttributeSet =
+      dimJoin.map(_.dim.outputSet).getOrElse(AttributeSet.empty)
+    var dimKeys = Seq.empty[AttributeReference]
+    var ok = true
     agg.groupingExpressions.map(resolve).foreach {
-      case a: AttributeReference if a.name == "user_id" => hasUid = true
-      case a: AttributeReference if a.name == "event_type" => hasEtype = true
+      case a: AttributeReference if a.name == "user_id" &&
+          identityIds.contains(a.exprId) => hasUid = true; baseKeys += 1
+      case a: AttributeReference if a.name == "event_type" &&
+          identityIds.contains(a.exprId) => hasEtype = true; baseKeys += 1
       case SlotExpr(ts, s) if isTs(ts) =>
-        if (stepSec != 0L && stepSec != s) ok = false else stepSec = s
+        if (stepSec != 0L && stepSec != s) ok = false
+        else { stepSec = s; baseKeys += 1 }
+      case a: AttributeReference if dimOutputIds.contains(a) =>
+        if (!dimKeys.exists(_.exprId == a.exprId)) dimKeys :+= a
       case _ => ok = false
     }
-    if (!ok) return None
+    if (!ok || baseKeys > 3) return None
 
     val info = storeInfo(store) match {
       case Some(x) => x
@@ -955,6 +987,20 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => ()
     })
     if (bad || qs.isEmpty) return None
+    // dim-join guards (round 9): the dim side must be join-key-unique
+    // (shared multiplicity gate), its output must not shadow the quant
+    // table's own column names (the sketch read below binds pri /
+    // value / slot_ts / n by NAME), and dim grouping keys must not
+    // collide with the base key names the post-merge projection
+    // selects — any of these simply declines the rewrite
+    dimJoin.foreach { dj =>
+      if (!dimIsUnique(dj)) return None
+      val reserved = Set("slot_ts", "pri", "value", "n", "sk", "dt")
+      if (dj.dim.output.exists(a => reserved.contains(a.name))) return None
+      val baseNames = Set("user_id", "event_type", "slot_ts")
+      if (dimKeys.exists(a => baseNames.contains(a.name))) return None
+      if (dimKeys.map(_.name).distinct.size != dimKeys.size) return None
+    }
 
     import org.apache.spark.sql.{functions => F, Column}
     import org.apache.spark.sql.graftshim.ColumnBridge
@@ -982,28 +1028,60 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
         .filter(F.col("dt") <= dtCol(h - 1L)))
       d
     }
+    // attach the (unique-proven) dim subtree to a pruned cascade/quant
+    // scan — built at the LOGICAL level so the join condition binds by
+    // exprId (a metadata sidecar legitimately carries its own user_id
+    // column; name-based resolution would be ambiguous) and the
+    // original join hint survives. Returns the joined frame plus an
+    // exprId-backed column lookup for the scan side's identity keys.
+    def withDim(df: org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, String => Column) = {
+      val plan = df.queryExecution.analyzed
+      def att(n: String): Attribute = plan.output.find(_.name == n).get
+      dimJoin match {
+        case None => (df, (n: String) => F.col(n))
+        case Some(dj) =>
+          val cond2 = dj.pairs.map { case (name, d) =>
+            EqualTo(att(name), d): Expression }.reduce(And)
+          val joined = org.apache.spark.sql.graftshim.DatasetBridge
+            .ofRows(session, Join(plan, dj.dim, Inner, Some(cond2), dj.node.hint))
+          (joined, (n: String) => ColumnBridge.column(att(n)))
+      }
+    }
+    val dimKeyCols: Seq[Column] = dimKeys.map(a => ColumnBridge.column(a))
+
     // group keys of the EVALUATED cells, shared by the gate query and
-    // the substituted read (both run over T-level cascade tables)
-    def cellKeys: Seq[Column] =
-      (if (hasUid) Seq(F.col("user_id")) else Nil) ++
-      (if (hasEtype) Seq(F.col("event_type")) else Nil) ++
+    // the substituted read (both run over T-level cascade tables);
+    // identity keys resolve through the exprId-backed lookup so a
+    // dim-side user_id cannot capture them
+    def cellKeys(c: String => Column): Seq[Column] =
+      (if (hasUid) Seq(c("user_id")) else Nil) ++
+      (if (hasEtype) Seq(c("event_type")) else Nil) ++
       (if (stepSec == 0L) Nil
        else if (stepSec == t) Seq(F.col("slot_ts"))
        else Seq((F.expr(s"slot_ts div $stepSec") * stepSec).as("slot_ts")))
 
-    // ---- the exactness gate: max raw samples per evaluated cell ----
-    val gateBase = dtPruned(tableScan(info, store, s"agg_$t"))
+    // ---- the exactness gate: max raw samples per evaluated GROUP ----
+    // with a dim join the evaluated groups are keyed by the dim
+    // attributes — each (unique-join) dim group is a UNION of cells,
+    // so the gate joins the same dim subtree and sums n per group: the
+    // merged sample must hold every sample of the whole group
+    val (gateBase, gateC) = withDim(dtPruned(tableScan(info, store, s"agg_$t")))
     val maxN: Long = {
+      val gateKeys = cellKeys(gateC) ++ dimKeyCols
       val counts =
-        if (cellKeys.isEmpty) gateBase.agg(F.sum("n").as("cnt"))
-        else gateBase.groupBy(cellKeys: _*).agg(F.sum("n").as("cnt"))
+        if (gateKeys.isEmpty) gateBase.agg(F.sum("n").as("cnt"))
+        else gateBase.groupBy(gateKeys: _*).agg(F.sum("n").as("cnt"))
       val r = counts.agg(F.max("cnt")).collect()
       if (r.isEmpty || r.head.isNullAt(0)) 0L else r.head.getLong(0)
     }
     if (maxN >= graft.functions.BottomKSample.K) return None
 
     // ---- the substituted read over quant_T ----
-    val exact = t == stepSec && hasUid && hasEtype
+    // a dim join always takes the merge path: its groups union cells
+    // across series, so even the exact grain re-aggregates (one
+    // ObjectHashAggregate over dim-grouped sketch rows)
+    val exact = t == stepSec && hasUid && hasEtype && dimJoin.isEmpty
     def rankRead(valueCol: Column, q: Double): Column = {
       val n = F.size(valueCol)
       // groups only exist where sketches do; the one empty-buffer case
@@ -1037,7 +1115,7 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
       if (q._2) contRead(valueCol, q._1) else rankRead(valueCol, q._1)
     val qName: Map[(Double, Boolean), String] =
       qs.zipWithIndex.map { case (q, i) => q -> s"q_$i" }.toMap
-    val rep0 = dtPruned(tableScan(info, store, s"quant_$t"))
+    val (rep0, repC) = withDim(dtPruned(tableScan(info, store, s"quant_$t")))
     val rep =
       if (exact)
         rep0.select(F.col("user_id") +: F.col("event_type") +:
@@ -1045,15 +1123,17 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
           qs.map(q => read(F.col("value"), q).as(qName(q))): _*)
       else {
         val ms = F.udaf(new graft.functions.BottomKMergeState)
+        val keys = cellKeys(repC) ++ dimKeyCols
         val merged =
-          if (cellKeys.isEmpty)
+          if (keys.isEmpty)
             rep0.agg(ms(F.col("pri"), F.col("value")).as("sk"))
-          else rep0.groupBy(cellKeys: _*)
+          else rep0.groupBy(keys: _*)
             .agg(ms(F.col("pri"), F.col("value")).as("sk"))
         merged.select(
           ((if (hasUid) Seq(F.col("user_id")) else Nil) ++
            (if (hasEtype) Seq(F.col("event_type")) else Nil) ++
            (if (stepSec != 0L) Seq(F.col("slot_ts")) else Nil) ++
+           dimKeyCols ++
            qs.map(q => read(F.col("sk.value"), q).as(qName(q)))): _*)
       }
     val repPlan = rep.queryExecution.analyzed

@@ -192,6 +192,54 @@ object StoreQueries {
       |FROM r WHERE rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
       |ORDER BY user_id, event_type, slot_ts""".stripMargin
 
+  /** The ENRICHED-quantile A/B pair's shared shape (round 9): p95 per
+    * METADATA attribute — base ⋈ current-version snapshot on the
+    * series key, grouped by the dim's speed band at the 6h slot. The
+    * substitution unwraps the unique dim join, proves every (band,
+    * slot) GROUP (a union of per-series cells) sub-K off agg_21600,
+    * and semilattice-merges quant_21600 per dim group — raw never
+    * scanned. 6h, not day: a band unions many series' samples, and
+    * the day grain would push fleet-dense groups past K at sf0.1
+    * (where the rule would rightly decline and scan raw). */
+  private def enrichedQuantileShape(s: org.apache.spark.sql.SparkSession,
+                                    store: String): org.apache.spark.sql.DataFrame = {
+    val dim = s.read.parquet(s"$store/meta")
+      .filter(col("valid_to_us") === lit(Long.MaxValue))
+      .select(col("user_id"), expr("speed_cents div 1000").as("band"))
+    s.read.parquet(s"$store/base")
+      .filter(col("ts_us") >= B * 1000000L && col("ts_us") < E * 1000000L)
+      .join(broadcast(dim), "user_id")
+      .groupBy(col("band"),
+        graft.operators.TimeSeriesOps.slotSec(21600L).as("slot_ts"))
+      .agg(expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)")
+        .as("p95_cents"))
+      .orderBy("band", "slot_ts")
+  }
+
+  private val EnrichedQuantileOracle =
+    s"""WITH m AS (
+      |  SELECT user_id, CAST(round(value*100) AS BIGINT) AS speed_cents,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM events WHERE event_type = 'purchase'
+      |), cur AS (
+      |  SELECT user_id, speed_cents // 1000 AS band FROM m WHERE rn = 1
+      |), c AS (
+      |  SELECT cur.band,
+      |    (epoch_us(e.ts) // 21600000000) * 21600 AS slot_ts,
+      |    CAST(round(e.value*100) AS BIGINT) AS cents
+      |  FROM events e JOIN cur ON e.user_id = cur.user_id
+      |  WHERE epoch_us(e.ts) >= ${B}000000 AND epoch_us(e.ts) < ${E}000000
+      |), r AS (
+      |  SELECT band, slot_ts, cents,
+      |    row_number() OVER (PARTITION BY band, slot_ts ORDER BY cents) AS rn,
+      |    count(*) OVER (PARTITION BY band, slot_ts) AS n
+      |  FROM c
+      |)
+      |SELECT band, slot_ts, CAST(cents AS DOUBLE) AS p95_cents
+      |FROM r WHERE rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+      |ORDER BY band, slot_ts""".stripMargin
+
   /** The INTERPOLATED-quantile A/B pair's shared shape: ANSI
     * percentile_cont (round 9) over the store's BASE table — same
     * grain as [[quantileRollupShape]], dyadic quantiles so the
@@ -860,6 +908,28 @@ object StoreQueries {
       // raw samples per group (the full sort-based exact quantile)
       val store = StoreFixture.store(s, d)
       withRollupFlag(s, on = false)(quantileRollupShape(s, store))
+    },
+
+    QueryDef("q_store_rollup_quantile_enriched",
+      EnrichedQuantileOracle) { (s, d) =>
+      // enriched + quantile COMPOSED (round 9): the text joins the
+      // base table to the metadata snapshot and asks p95 per (band,
+      // 6h) — the rule unwraps the unique dim join (the round-8
+      // enriched machinery), proves every band group sub-K summing
+      // agg_21600 counts per dim group, and serves the answer by
+      // joining quant_21600 to the UNTOUCHED dim subtree and
+      // semilattice-merging sketches per (band, slot). The p95 a
+      // dashboard shows per plan tier, without rescanning raw
+      val store = StoreFixture.store(s, d)
+      withRollupFlag(s, on = true)(enrichedQuantileShape(s, store))
+    },
+
+    QueryDef("q_store_rollup_quantile_enriched_raw",
+      EnrichedQuantileOracle) { (s, d) =>
+      // A/B control: identical text, flag off — the join fans the
+      // band onto every raw sample and percentile_disc sorts per group
+      val store = StoreFixture.store(s, d)
+      withRollupFlag(s, on = false)(enrichedQuantileShape(s, store))
     },
 
     QueryDef("q_store_rollup_quantile_cont",

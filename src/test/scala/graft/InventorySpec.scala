@@ -16,9 +16,9 @@ class InventorySpec extends AnyFunSuite {
 
   test("oracle keys are a subset of query keys; inventory is substantial") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.size >= 209,
+    assert(SparkEntry.queries.size >= 211,
       s"inventory shrank: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size >= 190,
+    assert(SparkEntry.oracleSql.size >= 192,
       s"oracled set shrank: ${SparkEntry.oracleSql.size}")
   }
 }

@@ -80,7 +80,8 @@ object PlanDump extends App {
     "q_text_ppl_filter" -> "perplexity quality gate: the per-doc bigram stream is ONE generator pass; bigram/unigram LM tables + the 1-row vocab size and decile threshold all BROADCAST - the only row-scaled shuffle is the per-doc score agg, map-side combined",
     "q_agg_cube" -> "CUBE lattice: Expand produces all 4 grouping sets inside one WholeStageCodegen over a SINGLE scan, then one partial+final HashAggregate - grouping-set fan-out costs zero extra reads",
     "q_join_bucketed" -> "co-located agg+join over the series-bucketed catalog table: per-series totals aggregate AND the samples-join-totals SortMergeJoin both satisfy their clustering from the bucketed scan - ZERO hashpartitioning exchanges before the final sort (the 100 TB per-series enrichment shape)",
-    "q_store_rollup_quantile_cont" -> "interpolated-quantile substitution: the text is ANSI percentile_cont over raw samples, the plan a dt-pruned quant_86400 scan with PercentileBase's interpolation arithmetic projected over the stored buffers - no sort, no raw scan, bit-identical to the raw evaluation")
+    "q_store_rollup_quantile_cont" -> "interpolated-quantile substitution: the text is ANSI percentile_cont over raw samples, the plan a dt-pruned quant_86400 scan with PercentileBase's interpolation arithmetic projected over the stored buffers - no sort, no raw scan, bit-identical to the raw evaluation",
+    "q_store_rollup_quantile_enriched" -> "enriched x quantile composed: the text is base JOIN metadata snapshot grouped by a dim attribute with percentile_disc, the plan joins the dt-pruned quant_21600 scan to the UNTOUCHED dim subtree (broadcast hint carried) and semilattice-merges sketches per (band, slot) - raw never scanned, the sub-K gate summed per DIM GROUP at optimize time")
   val sb = new StringBuilder
   sb ++= "# PLANS - physical-plan audit evidence (round 9)\n\n"
   sb ++= "Generated from `.queryExecution.executedPlan` at sf0.001, local[4].\n"

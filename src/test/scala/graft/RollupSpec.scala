@@ -1060,6 +1060,70 @@ class RollupSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("enriched quantile: p95 per dim attribute merges sketches per dim group") {
+    // base ⋈ unique dim, grouped by a DIM attribute — the quantile
+    // path unwraps the join, gates per (tier, slot) GROUP, and joins
+    // quant_T to the untouched dim subtree; rewritten rows must equal
+    // raw rows (the stored buffers hold every sample of each evaluated
+    // group at this fixture's density)
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .filter(col("ts_us") >= QB * 1000000L && col("ts_us") < QE * 1000000L)
+      .join(broadcast(dimTable()), "user_id")
+      .groupBy(col("tier"), TimeSeriesOps.slotSec(21600L).as("slot_ts"))
+      .agg(expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)").as("p95"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY cents)").as("med_i"))
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("quant_21600")) &&
+      !paths.exists(_.endsWith("/base")),
+      s"enriched quantile should read quant ⋈ dim, never raw: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("the enriched-quantile gate sums samples per DIM GROUP, not per cell") {
+    // two series in ONE band, 300 same-day samples each: every
+    // (series, day) cell is sub-K (300 < 512) but the (band, day)
+    // GROUP holds 600 — a merged buffer would truncate, so the rule
+    // must decline even though the plain per-series gate would pass
+    val dense2 = {
+      val dir = Files.createTempDirectory("graft_rollup_dense2").toString
+      val feed = spark.range(600).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(QB * 1000000L) + (col("id") % 300L) * 1000000L).as("ts"),
+        (col("id") % 2L + 1L).as("user_id"), lit("click").as("event_type"),
+        (col("id") % 97).cast("double").as("value"),
+        lit("{}").as("props"))
+      TsdbStore.ingest(spark, feed, dir)
+      TsdbStore.ingestMetadata(spark,
+        spark.range(2).select((col("id") + 1L).as("user_id"),
+          col("id").as("ver_id"), lit(0L).as("valid_from_us"),
+          lit(5000L).as("speed_cents")), dir)
+      dir
+    }
+    def dim = spark.read.parquet(s"$dense2/meta")
+      .filter(col("valid_to_us") === Long.MaxValue)
+      .select(col("user_id"), expr("speed_cents div 1000").as("band"))
+    def q: DataFrame = spark.read.parquet(s"$dense2/base")
+      .join(broadcast(dim), "user_id")
+      .groupBy(col("band"), TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)").as("p95"))
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("/base")) &&
+      !paths.exists(_.contains("quant_")),
+      s"a 600-sample dim group must decline the sketch read: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+    // sanity: the plain per-series grain over the same store DOES
+    // rewrite (each cell is sub-K) — the decline above is the dim
+    // group's union, not the store's density
+    def qCell: DataFrame = spark.read.parquet(s"$dense2/base")
+      .groupBy(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)").as("p95"))
+    val cellPaths = withFlag(on = true)(scanPaths(qCell))
+    assert(cellPaths.exists(_.contains("quant_")), s"$cellPaths")
+  }
+
   test("percentile_cont over a non-cents column blocks the quantile rewrite") {
     def q: DataFrame = spark.read.parquet(s"$store/base")
       .groupBy(col("user_id"), col("event_type"),
