@@ -54,6 +54,18 @@ def main(sf_dir, out_dir, only):
             print(f"FAIL {name}: cols oracle={sorted(exp.columns)} spark={sorted(got.columns)}")
             n_bad += 1
             continue
+        # Driver-faithful SCHEMA check: pandas dtype equality per column.
+        # hash_pandas_object hashes tz-aware and naive timestamps to the
+        # same values, so a dtype drift (datetime64[us, UTC] vs
+        # datetime64[us]) passes the hash yet fails the driver's schema
+        # compare (round-9 q_scan_parquet) — catch it explicitly here.
+        dtype_bad = [c for c in sorted(exp.columns)
+                     if str(exp[c].dtype) != str(got[c].dtype)]
+        if dtype_bad:
+            print(f"FAIL {name}: dtype mismatch " + "; ".join(
+                f"{c}: oracle={exp[c].dtype} spark={got[c].dtype}" for c in dtype_bad))
+            n_bad += 1
+            continue
         try:
             e, g = canon(exp), canon(got)
         except Exception as ex:

@@ -26,10 +26,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // The driver's testdata carries tz-naive timestamps and its DuckDB
+    // oracle writes naive timestamp[us]; with inferTimestampNTZ=false we
+    // read them as UTC instants, so a passthrough TimestampType output
+    // column would serialize as timestamp[us, tz=UTC] and fail the
+    // driver's pandas dtype/schema compare on identical instants
+    // (round-9 q_scan_parquet). Session TZ is UTC, so casting top-level
+    // TimestampType outputs to TIMESTAMP_NTZ is wall-clock identical and
+    // matches the oracle's naive dtype exactly.
+    def ntzNormalize(df: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.TimestampType
+      val cols = df.schema.fields.map { f =>
+        if (f.dataType == TimestampType)
+          col(f.name).cast("timestamp_ntz").as(f.name)
+        else col(f.name)
+      }
+      df.select(cols.toIndexedSeq: _*)
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.exists(name.startsWith) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        try ntzNormalize(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
