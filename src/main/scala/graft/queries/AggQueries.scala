@@ -326,26 +326,29 @@ object AggQueries {
       """WITH c AS (SELECT event_type,
         |    CAST(round(value*100) AS BIGINT) AS cents FROM events)
         |SELECT event_type,
-        |  round(quantile_cont(cents, 0.25), 4) AS p25,
-        |  round(quantile_cont(cents, 0.50), 4) AS p50,
-        |  round(quantile_cont(cents, 0.95), 4) AS p95
+        |  quantile_cont(cents, 0.25) AS p25,
+        |  quantile_cont(cents, 0.50) AS p50,
+        |  quantile_cont(cents, 0.75) AS p75
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       // ANSI percentile_cont (linear interpolation between ranks) —
       // completes the quantile surface next to nearest-rank
       // (q_store_rollup_quantile), exact-median (q_agg_median_exact),
-      // and the sketch family. Exact-integer cents in, so both engines
-      // interpolate between the same two integers with the same exact
-      // fraction ((n-1)·q has ≤ 2 decimals); 4-dp round clears the
-      // last-ulp difference in interpolation order. One shuffle, sort
-      // within each (small) group — the cross-engine-stable exact form
+      // and the sketch family. DYADIC quantiles only (like
+      // q_store_rollup_quantile_cont): f = frac((n−1)·q) is an exact
+      // 2-bit dyadic, cents are exact small integers, so BOTH
+      // interpolation forms ((1−f)·lo+f·hi vs lo+(hi−lo)·f) evaluate
+      // exactly and cross-engine bit-equal with no rounding crutch —
+      // a non-dyadic q (0.95) can differ by an ulp between the forms
+      // and then round() itself flips at a x.xxxx5 boundary. One
+      // shuffle, sort within each (small) group.
       Tables.events(s, d)
         .select(col("event_type"),
           expr("CAST(round(value*100) AS BIGINT)").as("cents"))
         .groupBy("event_type")
         .agg(
-          expr("round(percentile_cont(0.25) WITHIN GROUP (ORDER BY cents), 4)").as("p25"),
-          expr("round(percentile_cont(0.50) WITHIN GROUP (ORDER BY cents), 4)").as("p50"),
-          expr("round(percentile_cont(0.95) WITHIN GROUP (ORDER BY cents), 4)").as("p95"))
+          expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY cents)").as("p25"),
+          expr("percentile_cont(0.50) WITHIN GROUP (ORDER BY cents)").as("p50"),
+          expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY cents)").as("p75"))
         .orderBy("event_type")
     }
   )
