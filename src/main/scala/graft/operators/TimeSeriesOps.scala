@@ -71,6 +71,22 @@ object TimeSeriesOps {
       .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
         min("cents").as("min_cents"), max("cents").as("max_cents"))
 
+  /** [[downsample]] plus the M4 endpoint pair (round 10): `first` /
+    * `last` are the lexicographic min/max of struct(ts_us, event_id,
+    * cents) per cell — i.e. the cell's earliest/latest sample with its
+    * value riding along, tie-broken on the UNIQUE event_id like every
+    * series window in the repo. Struct min/max is a monoid (field-wise
+    * lexicographic order), so coarser levels merge cells with plain
+    * min(first)/max(last) and argmin/argmax never re-scan raw — this
+    * is what lets the M4 / min-max viz downsample family substitute
+    * from the cascade like the sum/count rollups do. */
+  def downsampleWide(m: DataFrame, stepSec: Long): DataFrame =
+    m.groupBy(col("user_id"), col("event_type"), slotSec(stepSec).as("slot_ts"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"),
+        min(struct(col("ts_us"), col("event_id"), col("cents"))).as("first"),
+        max(struct(col("ts_us"), col("event_id"), col("cents"))).as("last"))
+
   /** Dense slot grid over [beginSec, endSec) × distinct series, LEFT
     * JOIN'd to the downsampled data: one row per slot, NULL where no
     * valid samples — the API's value-per-slot contract. */

@@ -29,7 +29,7 @@ object StoreFixture {
 
   /** Bump when the ingest/export layout changes, so cached fixtures
     * built by older code rebuild instead of being served stale. */
-  private val LayoutVersion = 5
+  private val LayoutVersion = 6
 
   private def stampOf(src: File): String =
     s"v$LayoutVersion:${src.lastModified()}:${src.length()}"

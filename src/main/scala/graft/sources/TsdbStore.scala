@@ -223,7 +223,10 @@ object TsdbStore {
     fine.groupBy(col("user_id"), col("event_type"),
         (expr(s"slot_ts div $coarseSec") * coarseSec).as("slot_ts"))
       .agg(sum("n").as("n"), sum("sum_cents").as("sum_cents"),
-        min("min_cents").as("min_cents"), max("max_cents").as("max_cents"))
+        min("min_cents").as("min_cents"), max("max_cents").as("max_cents"),
+        // endpoint pair: lexicographic struct min/max — a coarse cell's
+        // first/last IS the min/max of its fine cells' firsts/lasts
+        min("first").as("first"), max("last").as("last"))
 
   /** Finest-level quantile sketch: a bottom-k (priority, value) buffer
     * per (series, slot) — the QUANTILE column family the monoid four
@@ -316,7 +319,7 @@ object TsdbStore {
 
     // value cascade: finest from base, each coarser from the finer
     // (never re-scan raw)
-    TimeSeriesOps.downsample(base, layout.steps.head)
+    TimeSeriesOps.downsampleWide(base, layout.steps.head)
       .withColumn("dt", dtFromSlot(layout))
       .write.mode(SaveMode.Overwrite).partitionBy("dt")
       .parquet(s"$path/agg_${layout.steps.head}")
@@ -537,7 +540,7 @@ object TsdbStore {
     val newBase = spark.read.parquet(s"$path/base")
       .filter(col("dt").isin(dtLits(touched): _*))
     swapIn(s"agg_${layout.steps.head}",
-      TimeSeriesOps.downsample(newBase, layout.steps.head)
+      TimeSeriesOps.downsampleWide(newBase, layout.steps.head)
         .withColumn("dt", dtFromSlot(layout)), touched)
     layout.steps.sliding(2).foreach {
       case Seq(fine, coarse) =>

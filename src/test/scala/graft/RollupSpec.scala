@@ -415,6 +415,66 @@ class RollupSpec extends SparkSpec {
       s"avg over a non-materialized column must stay raw: $paths")
   }
 
+  // ---- M4 endpoint pair (round 10) ----------------------------------
+
+  private def m4Agg(stepSec: Long, range: Option[(Long, Long)] = None): DataFrame = {
+    val base = spark.read.parquet(s"$store/base")
+    val src = range match {
+      case Some((b, e)) =>
+        base.filter(col("ts_us") >= b * 1000000L && col("ts_us") < e * 1000000L)
+      case None => base
+    }
+    src.groupBy(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(stepSec).as("slot_ts"))
+      .agg(count(lit(1)).as("n"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"),
+        min_by(col("cents"), struct(col("ts_us"), col("event_id"))).as("first_cents"),
+        max_by(col("cents"), struct(col("ts_us"), col("event_id"))).as("last_cents"))
+  }
+
+  test("M4 endpoint shape: exact grain reads the stored argmin/argmax structs, no re-agg") {
+    val (paths, reagg, got) = withFlag(on = true) {
+      val df = m4Agg(21600L)
+      (scanPaths(df), hasAggregate(df), rows(df))
+    }
+    assert(paths.exists(_.endsWith("agg_21600")) &&
+      !paths.exists(_.endsWith("/base")),
+      s"M4 shape should serve from the endpoint cascade columns: $paths")
+    assert(!reagg, "exact-grain M4 is a pure Project over first/last structs")
+    val expect = withFlag(on = false)(rows(m4Agg(21600L)))
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("M4 endpoints re-minimize cell structs at a coarser grain across a SPLIT range") {
+    // unaligned bounds: day-aligned interior from agg_86400 (struct
+    // min/max of cell endpoints), boundary pieces contribute raw row
+    // structs through the union — the argmin over the whole group is
+    // still exact because (ts_us, event_id) is globally unique
+    val r = Some((QB + 3600L, QE - 7200L))
+    val (paths, got) = withFlag(on = true) {
+      val df = m4Agg(86400L, r)
+      (scanPaths(df), rows(df))
+    }
+    assert(paths.exists(_.endsWith("agg_86400")) &&
+      paths.exists(_.endsWith("/base")),
+      s"split M4 should union cascade interior + raw boundary: $paths")
+    val expect = withFlag(on = false)(rows(m4Agg(86400L, r)))
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("min_by under a NON-convention ordering (bare ts_us) blocks the rewrite") {
+    // a bare-ts ordering is nondeterministic under (series, ts) ties;
+    // the stored endpoint is tie-broken on event_id, so only the
+    // repo-convention struct(ts_us, event_id) ordering substitutes
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .groupBy(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(21600L).as("slot_ts"))
+      .agg(min_by(col("cents"), col("ts_us")).as("first_cents"))
+    val paths = withFlag(on = true)(scanPaths(q))
+    assert(paths.exists(_.endsWith("/base")) &&
+      !paths.exists(_.contains("agg_")), s"$paths")
+  }
+
   test("count(DISTINCT user_id) — the DAU dashboard — substitutes exactly") {
     def q: DataFrame = spark.read.parquet(s"$store/base")
       .filter(col("ts_us") >= RB * 1000000L && col("ts_us") < RE * 1000000L)
@@ -1078,6 +1138,93 @@ class RollupSpec extends SparkSpec {
       s"enriched quantile should read quant ⋈ dim, never raw: $paths")
     val expect = withFlag(on = false)(rows(q))
     assert(got == expect && got.nonEmpty)
+  }
+
+  test("dim grouping columns named q_0 / cnt can't capture the generated read aliases") {
+    // the internal read aliases are __graft_-prefixed (round 10): a dim
+    // attribute named like a plausible user column (q_0 — e.g. a
+    // quarter; cnt) must neither shadow the rewritten percentile output
+    // (silent wrong values) nor make the gate's max-count ambiguous
+    // (optimize-time throw) — the rewrite fires and matches raw
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .filter(col("ts_us") >= QB * 1000000L && col("ts_us") < QE * 1000000L)
+      .join(broadcast(dimTable().withColumnRenamed("tier", "q_0")
+        .withColumnRenamed("weight", "cnt")), "user_id")
+      .groupBy(col("q_0"), col("cnt"), TimeSeriesOps.slotSec(21600L).as("slot_ts"))
+      .agg(expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)").as("p95"))
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.endsWith("quant_21600")) &&
+      !paths.exists(_.endsWith("/base")),
+      s"q_0/cnt-named dim columns must not block or corrupt the rewrite: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+    // a dim column in the engine's own __graft_ namespace declines
+    def qBad: DataFrame = spark.read.parquet(s"$store/base")
+      .join(broadcast(dimTable().withColumnRenamed("tier", "__graft_q_0")), "user_id")
+      .groupBy(col("__graft_q_0"), TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)").as("p95"))
+    val badPaths = withFlag(on = true)(scanPaths(qBad))
+    assert(badPaths.exists(_.endsWith("/base")) &&
+      !badPaths.exists(_.contains("quant_")), s"$badPaths")
+  }
+
+  test("a CAST-wrapped unsupported aggregate declines without blowing the stack") {
+    // regression (round 10): convert's decline branches must return the
+    // MATCHED node, not the outer expression — returning the outer
+    // expression from a nested match makes transformDown re-wrap one
+    // level per visit and recurse without bound. The trigger shape is
+    // any unsupported aggregate under a Cast folded into the output
+    // list (show()/write() fold such casts via CollapseProject).
+    def q: DataFrame = spark.read.parquet(s"$store/base")
+      .groupBy(col("event_type"))
+      .agg(sum("ts_us").cast("string").as("s"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)")
+          .cast("string").as("p"))
+    val paths = withFlag(on = true)(scanPaths(q))
+    assert(paths.exists(_.endsWith("/base")), s"$paths")
+    val got = withFlag(on = true)(rows(q))
+    assert(got == withFlag(on = false)(rows(q)) && got.nonEmpty)
+  }
+
+  test("over-dense cells: the approx flag opts into the sketch estimate (default declines)") {
+    // 2000 samples land in ONE 6 h cell (≥ K=512): the stored buffer
+    // is a uniform K-sample, so by default the rule declines — the
+    // exactness contract. spark.graft.rollup.quantile.approx=true
+    // serves the O(1/√K)-rank-error estimate from the sketch instead
+    // (the production-density case where the rewrite pays most).
+    val dir = Files.createTempDirectory("graft_rollup_dense3").toString
+    val feed = spark.range(2000).select(
+      col("id").as("event_id"),
+      timestamp_micros(lit(QB * 1000000L) + col("id") * 1000L).as("ts"),
+      lit(1L).as("user_id"), lit("click").as("event_type"),
+      (col("id").cast("double") / 100.0).as("value"), // cents = id: 0..1999
+      lit("{}").as("props"))
+    TsdbStore.ingest(spark, feed, dir)
+    def q: DataFrame = spark.read.parquet(s"$dir/base")
+      .groupBy(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(21600L).as("slot_ts"))
+      .agg(expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)").as("p95"))
+    val offPaths = withFlag(on = true)(scanPaths(q))
+    assert(offPaths.exists(_.endsWith("/base")) &&
+      !offPaths.exists(_.contains("quant_")),
+      s"≥K cells must decline by default: $offPaths")
+    val (onPaths, est) = withFlag(on = true) {
+      spark.conf.set("spark.graft.rollup.quantile.approx", "true")
+      try {
+        val df = q
+        (scanPaths(df), df.collect().head.get(3) match {
+          case d: java.lang.Double => d.doubleValue
+          case l: java.lang.Long => l.toDouble
+        })
+      } finally spark.conf.unset("spark.graft.rollup.quantile.approx")
+    }
+    assert(onPaths.exists(_.contains("quant_")) &&
+      !onPaths.exists(_.endsWith("/base")),
+      s"approx opt-in should serve the sketch: $onPaths")
+    // exact p95 of 0..1999 is element ceil(.95·2000)=1900 → 1899; a
+    // uniform 512-sample's rank error is ~1%·n — 200 is > 4σ
+    assert(math.abs(est - 1899.0) <= 200.0,
+      s"sketch estimate $est implausibly far from exact 1899")
   }
 
   test("the enriched-quantile gate sums samples per DIM GROUP, not per cell") {
