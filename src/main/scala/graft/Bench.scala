@@ -43,6 +43,21 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] fixture warmup failed (store timings will be polluted): $e")
     }
+    // ...and one untimed throwaway FULL query per name family (q_agg,
+    // q_dedup, q_join, …): the r7/r9 triples showed the first timed
+    // query of each family absorbing that family's remaining cold
+    // surface (codegen shapes, fixture page cache, UDAF encoders) —
+    // q_agg_approx_hll repeatedly measured 2-3× its family envelope
+    // purely for running first. One representative per family pays
+    // that cost outside the timings; every timed query still runs in
+    // full afterwards.
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .groupBy(_._1.split("_").take(2).mkString("_"))
+      .toSeq.sortBy(_._1)
+      .foreach { case (_, qs) =>
+        try qs.head._2(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

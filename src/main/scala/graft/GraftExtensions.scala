@@ -65,6 +65,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     //                                      begin, end, agg_step, q[, 'disc'|'cont'])
     // (every quantile TVF takes the optional trailing mode: 'disc' =
     // nearest-rank, the default; 'cont' = linear interpolation)
+    //
+    // There is deliberately NO *_enriched TVF for the dim-joined
+    // percentile shape (p95 per metadata attribute): the shape is
+    // open-ended (any dim attribute, any grouping), so the SQL-only
+    // path is plain SQL over base ⋈ meta with
+    //   SET spark.graft.rollup.rewrite=true
+    // — the optimizer rule (plans/RollupSubstitution) unwraps the
+    // unique dim join and serves the read from quant_<step> exactly
+    // like the fixed-arity TVFs do for their shapes. TvfSpec pins the
+    // parity; a fixed-arity TVF could only ever cover one grouping.
     ext.injectTableFunction((
       FunctionIdentifier("graft_fetch_quantile"),
       new ExpressionInfo("graft.sources.TsdbStore", "graft_fetch_quantile"),

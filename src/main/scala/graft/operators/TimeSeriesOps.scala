@@ -159,6 +159,159 @@ object TimeSeriesOps {
         (col("tot.a") * expr("chunks[0].seed") + col("tot.b")).as("ema"))
   }
 
+  /** Exact largest-triangle-three-buckets downsample (round 10 — the
+    * sequential companion to the parallel LTOB in q_ts_downsample_tri),
+    * bucketed on TIME SLOTS of `stepSec`:
+    *
+    *  - the series' first point is the anchor (always emitted; the rest
+    *    of its slot belongs to the anchor bucket and yields no second
+    *    candidate),
+    *  - every middle slot emits the point maximizing the triangle area
+    *    against the PREVIOUSLY CHOSEN point and the NEXT slot's
+    *    centroid — the true LTTB chain, where each pick feeds the next
+    *    bucket's triangle,
+    *  - the last slot emits the series' last point (and a single-slot
+    *    series emits first + last).
+    *
+    * The chain is inherently sequential per series (each pick depends
+    * on the previous pick — the reason q_ts_downsample_tri deliberately
+    * chose LTOB for the default viz path), but it is NOT a driver loop:
+    * the plan is one hash exchange on the series key, an in-partition
+    * sort, and a streaming per-partition fold holding at most TWO slot
+    * buffers per series (decide slot i when slot i+1 completes) — at
+    * 100 TB it parallelizes across series exactly like a window op,
+    * with task memory bounded by poll density × step, never by series
+    * length. Ties take the earliest (ts_us, event_id); twice-area is
+    * computed in doubles (the next-slot centroid is rational, so exact
+    * int64 cross products are unavailable — acceptable for a
+    * no-oracle viz operator, deterministic for a fixed input order).
+    *
+    * Input: the measurements view. Output: (user_id, event_type,
+    * slot_ts, ts_us, value) — one row per (series, bucket). */
+  def lttb(m: DataFrame, stepSec: Long): DataFrame = {
+    require(stepSec > 0, s"stepSec must be positive: $stepSec")
+    val stepUs = stepSec * 1000000L
+    val spark = m.sparkSession
+    import spark.implicits._
+    type Pt = (Long, Long, Long) // (ts_us, event_id, cents)
+    val sorted = m
+      .select(col("user_id"), col("event_type"), col("ts_us"),
+        col("event_id"), col("cents"))
+      .repartition(col("user_id"), col("event_type"))
+      .sortWithinPartitions("user_id", "event_type", "ts_us", "event_id")
+      .as[(Long, String, Long, Long, Long)]
+    // (uid, etype, slot_ts, ts_us, cents) rows out of the fold
+    val picked = sorted.mapPartitions {
+      (rows: Iterator[(Long, String, Long, Long, Long)]) =>
+      new Iterator[(Long, String, Long, Long, Long)] {
+        private val outQ =
+          scala.collection.mutable.Queue.empty[(Long, String, Long, Long, Long)]
+        private var curUid = 0L
+        private var curEtype: String = null
+        private var inSeries = false
+        private var anchor: Pt = null
+        private var prevChosen: Pt = null
+        private val bufA = scala.collection.mutable.ArrayBuffer.empty[Pt]
+        private val bufB = scala.collection.mutable.ArrayBuffer.empty[Pt]
+        private var slotA = 0L // slot id (ts_us div stepUs) of bufA
+        private var slotB = 0L
+        private var lastPt: Pt = null // last point seen in the series
+
+        private def slotOf(tsUs: Long): Long = tsUs / stepUs
+        private def emit(slot: Long, p: Pt): Unit = {
+          outQ.enqueue((curUid, curEtype, slot * stepSec, p._1, p._3))
+          prevChosen = p
+        }
+        // twice the triangle area of (prevChosen, p, centroid) —
+        // argmax with earliest-(ts, eid) tie-break
+        private def decide(buf: scala.collection.mutable.ArrayBuffer[Pt],
+                           cTs: Double, cV: Double): Pt = {
+          var best: Pt = null
+          var bestArea = -1.0
+          val (px, py) = (prevChosen._1.toDouble, prevChosen._3.toDouble)
+          var i = 0
+          while (i < buf.length) {
+            val p = buf(i)
+            val area = math.abs(
+              (p._1 - px) * (cV - py) - (cTs - px) * (p._3 - py))
+            if (area > bestArea) { bestArea = area; best = p }
+            i += 1
+          }
+          best
+        }
+        private def centroid(buf: scala.collection.mutable.ArrayBuffer[Pt])
+            : (Double, Double) = {
+          var (st, sv) = (0.0, 0.0)
+          buf.foreach { p => st += p._1; sv += p._3 }
+          (st / buf.length, sv / buf.length)
+        }
+        private def endSeries(): Unit = {
+          // bufA (if any) is the second-to-last open slot: decide it
+          // against bufB's centroid; bufB (or bufA when B is empty) is
+          // the LAST slot — emit its last point unless it IS the anchor
+          if (bufB.nonEmpty) {
+            val (cTs, cV) = centroid(bufB)
+            emit(slotA, decide(bufA, cTs, cV))
+            emit(slotB, bufB.last)
+          } else if (bufA.nonEmpty) {
+            emit(slotA, bufA.last)
+          } else if (lastPt != null && lastPt != anchor) {
+            // single-slot series: keep first AND last like classic LTTB
+            emit(slotOf(lastPt._1), lastPt)
+          }
+          bufA.clear(); bufB.clear(); inSeries = false; lastPt = null
+        }
+        private def startSeries(uid: Long, et: String, p: Pt): Unit = {
+          curUid = uid; curEtype = et; inSeries = true
+          anchor = p; prevChosen = p
+          emit(slotOf(p._1), p)
+          prevChosen = p
+          bufA.clear(); bufB.clear()
+          slotA = slotOf(p._1) // anchor's slot absorbs its remainder
+        }
+        private def push(p: Pt): Unit = {
+          lastPt = p
+          val s = slotOf(p._1)
+          if (s == slotA && bufB.isEmpty && (anchor ne null) &&
+              slotA == slotOf(anchor._1) && bufA.isEmpty) {
+            () // rest of the anchor's own slot: no second candidate
+          } else if (bufA.isEmpty && bufB.isEmpty) {
+            slotA = s; bufA += p
+          } else if (s == slotA && bufB.isEmpty) {
+            bufA += p
+          } else if (bufB.isEmpty || s == slotB) {
+            if (bufB.isEmpty) slotB = s
+            if (s == slotB) bufB += p
+          } else {
+            // slot B is complete: decide slot A against B's centroid,
+            // shift B → A, start the new slot
+            val (cTs, cV) = centroid(bufB)
+            emit(slotA, decide(bufA, cTs, cV))
+            bufA.clear(); bufA ++= bufB; slotA = slotB
+            bufB.clear(); bufB += p; slotB = s
+          }
+        }
+        private def advance(): Unit = {
+          while (outQ.isEmpty && rows.hasNext) {
+            val (uid, et, ts, eid, cents) = rows.next()
+            if (!inSeries || uid != curUid || et != curEtype) {
+              if (inSeries) endSeries()
+              startSeries(uid, et, (ts, eid, cents))
+            } else push((ts, eid, cents))
+          }
+          if (outQ.isEmpty && !rows.hasNext && inSeries) endSeries()
+        }
+        override def hasNext: Boolean = { advance(); outQ.nonEmpty }
+        override def next(): (Long, String, Long, Long, Long) = {
+          advance(); outQ.dequeue()
+        }
+      }
+    }
+    picked.toDF("user_id", "event_type", "slot_ts", "ts_us", "cents")
+      .select(col("user_id"), col("event_type"), col("slot_ts"),
+        col("ts_us"), (col("cents").cast("double") / 100.0).as("value"))
+  }
+
   /** Latest valid sample per series — TSDBVar MAX_TIMESTAMP metadata. */
   def lastValue(m: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id", "event_type")

@@ -972,12 +972,14 @@ object TsQueries {
       // bucket keep the point forming the largest triangle with its
       // immediate neighbors — the shape-preserving pick a dashboard
       // wants when min/max/avg flatten the signal. Deliberately LTOB
-      // and not LTTB: LTTB chains each bucket's pick into the next
-      // bucket's triangle, a sequential dependency that cannot
-      // partition (a driver loop at 100 TB); LTOB is embarrassingly
-      // parallel and its plan is two window passes over ONE series
-      // exchange (the (series, slot) window reuses the (series)
-      // hash partitioning — sub-partition clustering is satisfied).
+      // for the DEFAULT viz path: LTTB chains each bucket's pick into
+      // the next bucket's triangle, a per-series sequential dependency
+      // (exact LTTB exists as q_ts_downsample_lttb — parallel across
+      // series via a streaming two-bucket fold, but never within one);
+      // LTOB is embarrassingly parallel even within a series and its
+      // plan is two window passes over ONE series exchange (the
+      // (series, slot) window reuses the (series) hash partitioning —
+      // sub-partition clustering is satisfied).
       // Twice the triangle area in exact int64 µs·cents (|Δx| ≤ series
       // span 2.6e12 µs × |Δy| ≤ 5.7e4 cents ≈ 1.5e17 < 2^63), so the
       // argmax is engine-invariant. Both windows order on the UNIQUE
@@ -1001,6 +1003,20 @@ object TsQueries {
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_type"), col("slot_ts"), col("ts_us"),
           (col("cents").cast("double") / 100.0).as("value"))
+        .orderBy("user_id", "event_type", "slot_ts")
+    },
+
+    QueryDef.noOracle("q_ts_downsample_lttb") { (s, d) =>
+      // the TRUE sequential LTTB chain (round 10 — each bucket's pick
+      // feeds the next bucket's triangle, the property LTOB trades away
+      // for parallelism): one hash exchange on the series key, an
+      // in-partition sort, and a streaming two-bucket fold per series
+      // (TimeSeriesOps.lttb) — parallel ACROSS series, task memory
+      // bounded by poll density × step, never series length. No DuckDB
+      // oracle (the chain has no SQL form short of a recursive CTE);
+      // LttbSpec pins the fold against a naive whole-series reference
+      Tables.measurements(s, d)
+        .transform(TimeSeriesOps.lttb(_, 21600L))
         .orderBy("user_id", "event_type", "slot_ts")
     }
   )

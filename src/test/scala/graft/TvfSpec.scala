@@ -200,6 +200,49 @@ class TvfSpec extends SparkSpec {
       tooMany.getMessage)
   }
 
+  test("enriched quantile in PURE SQL composes through the rule (the dim-join SQL story)") {
+    // there is deliberately NO graft_fetch_quantile_enriched TVF: the
+    // dim-joined percentile shape is open-ended (any metadata
+    // attribute, any grouping), so the SQL-only path is plain SQL over
+    // base ⋈ meta with SET spark.graft.rollup.rewrite=true — the
+    // optimizer rule composes the unique-join unwrap with the quantile
+    // read exactly like the Scala/rule path (documented at the TVF
+    // registration site). This pins that story: same text, flag on vs
+    // off, identical rows, and the flag-on plan reads quant_, not base.
+    TsdbStore.ingestMetadata(spark,
+      spark.range(100).select((col("id") + 1L).as("user_id"),
+        col("id").as("ver_id"), lit(0L).as("valid_from_us"),
+        (col("id") % 5L * 1000L).as("speed_cents")), store)
+    def q = spark.sql(
+      s"""SELECT m.band, (b.ts_us div 21600000000) * 21600 AS slot_ts,
+         |  percentile_disc(0.95) WITHIN GROUP (ORDER BY b.cents) AS p95
+         |FROM parquet.`$store/base` b
+         |JOIN (SELECT user_id, speed_cents div 1000 AS band
+         |      FROM parquet.`$store/meta`
+         |      WHERE valid_to_us = ${Long.MaxValue}) m
+         |  ON m.user_id = b.user_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    def withFlag[A](on: Boolean)(body: => A): A = {
+      spark.conf.set("spark.graft.rollup.rewrite", on.toString)
+      try body finally spark.conf.unset("spark.graft.rollup.rewrite")
+    }
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.contains("quant_")) &&
+      !paths.exists(_.endsWith("/base")),
+      s"pure-SQL enriched quantile should read quant_ via the rule: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("bad bulk/filled calls fail with the usage message") {
     val oddTail = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_fetch_bulk('$store', $B, $E, 21600, " +
