@@ -72,7 +72,11 @@ object ScaleStress {
     "q_text_bm25", "q_text_pmi", "q_text_ppl_filter",
     // round-9 viz downsamples: window-over-one-exchange shapes on the
     // factor×-series events replica
-    "q_ts_downsample_m4", "q_ts_downsample_tri")
+    "q_ts_downsample_m4", "q_ts_downsample_tri",
+    // round-10 sequential LTTB: the streaming per-series fold must
+    // stay ~factor-linear (replicas add SERIES, not per-series length,
+    // so the two-bucket task memory and the chain depth are invariant)
+    "q_ts_downsample_lttb")
 
   /** Store family: `factor`× the series over the same range. The
     * per-series reads (fetch, quantile) should be ~factor-INVARIANT —
@@ -81,7 +85,11 @@ object ScaleStress {
     * DAU) and the ingest itself should grow ~linearly. */
   private val Store = Seq(
     "q_store_fetch", "q_store_quantile", "q_store_rollup",
-    "q_store_rollup_raw", "q_store_rollup_dau")
+    "q_store_rollup_raw", "q_store_rollup_dau",
+    // round-10 cascade reads: the M4 endpoint substitution and the
+    // over-dense approx quantile both scan cascade rows only, so they
+    // should scale with |series|·slots, never with raw sample count
+    "q_store_rollup_m4", "q_store_rollup_quantile_approx")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

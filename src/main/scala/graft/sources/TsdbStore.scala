@@ -1078,14 +1078,18 @@ object TsdbStore {
 
   /** cf → (cascade family, value expression), shared by every
     * consolidated read path ([[fetch]], [[fetchBulk]], [[fetchFilled]]).
-    * Value cfs {average, min, max, sum, raw} read `agg_<step>`; counter
-    * cfs {delta, rate} read `rate_<step>`. */
+    * Value cfs {average, min, max, sum, raw} read `agg_<step>`; the
+    * endpoint cfs {first, last} (round 10 — RRD's LAST consolidation
+    * and its mirror) read the stored per-cell argmin/argmax structs of
+    * the same table; counter cfs {delta, rate} read `rate_<step>`. */
   private def cfColumn(cf: String): (String, Column) = cf match {
     case "average" => ("agg", col("sum_cents").cast("double") / 100.0 / col("n").cast("double"))
     case "min"     => ("agg", col("min_cents").cast("double") / 100.0)
     case "max"     => ("agg", col("max_cents").cast("double") / 100.0)
     case "sum"     => ("agg", col("sum_cents").cast("double") / 100.0)
     case "raw"     => ("agg", col("n").cast("double"))
+    case "first"   => ("agg", col("first.cents").cast("double") / 100.0)
+    case "last"    => ("agg", col("last.cents").cast("double") / 100.0)
     case "delta"   => ("rate", col("delta_cents").cast("double") / 100.0)
     case "rate"    => ("rate", when(col("dt_us") > 0,
       (col("delta_cents").cast("double") / 100.0) /

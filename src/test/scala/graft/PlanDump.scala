@@ -81,9 +81,13 @@ object PlanDump extends App {
     "q_agg_cube" -> "CUBE lattice: Expand produces all 4 grouping sets inside one WholeStageCodegen over a SINGLE scan, then one partial+final HashAggregate - grouping-set fan-out costs zero extra reads",
     "q_join_bucketed" -> "co-located agg+join over the series-bucketed catalog table: per-series totals aggregate AND the samples-join-totals SortMergeJoin both satisfy their clustering from the bucketed scan - ZERO hashpartitioning exchanges before the final sort (the 100 TB per-series enrichment shape)",
     "q_store_rollup_quantile_cont" -> "interpolated-quantile substitution: the text is ANSI percentile_cont over raw samples, the plan a dt-pruned quant_86400 scan with PercentileBase's interpolation arithmetic projected over the stored buffers - no sort, no raw scan, bit-identical to the raw evaluation",
-    "q_store_rollup_quantile_enriched" -> "enriched x quantile composed: the text is base JOIN metadata snapshot grouped by a dim attribute with percentile_disc, the plan joins the dt-pruned quant_21600 scan to the UNTOUCHED dim subtree (broadcast hint carried) and semilattice-merges sketches per (band, slot) - raw never scanned, the sub-K gate summed per DIM GROUP at optimize time")
+    "q_store_rollup_quantile_enriched" -> "enriched x quantile composed: the text is base JOIN metadata snapshot grouped by a dim attribute with percentile_disc, the plan joins the dt-pruned quant_21600 scan to the UNTOUCHED dim subtree (broadcast hint carried) and semilattice-merges sketches per (band, slot) - raw never scanned, the sub-K gate summed per DIM GROUP at optimize time",
+    "q_store_rollup_m4" -> "M4 endpoint substitution (round 10): the text is min/max/first/last per (series, day) via min_by/max_by over RAW samples, the plan scans agg_86400 and projects the stored argmin/argmax structs' cents fields - the 4-extrema render query reads |series|*days cascade rows, no raw scan, no window",
+    "q_store_rollup_quantile_approx" -> "opt-in approximate quantile (round 10): fleet-wide p95 per event_type - every group >= K samples so the exact gate would decline, but the approx flag serves the plan as a dt-wide quant_86400 scan + per-type ObjectHashAggregate semilattice merge (partial BEFORE the exchange) + rank read over the merged uniform K-sample; the raw sort the exact twin pays is GONE",
+    "q_ts_downsample_lttb" -> "exact sequential LTTB (round 10): ONE hashpartitioning exchange on the series key + in-partition sort + MapPartitions (the streaming two-bucket fold) - no window, no per-series collect; parallel across series, the within-series chain runs inside the fold with two-bucket memory",
+    "q_store_fetch_last" -> "endpoint consolidation read (round 10): cf=last is the same dt-pruned agg_21600 scan as avg/min/max with the stored per-cell argmax struct projected - PartitionFilters on dt, PushedFilters on slot_ts/series, no window, raw never scanned")
   val sb = new StringBuilder
-  sb ++= "# PLANS - physical-plan audit evidence (round 9)\n\n"
+  sb ++= "# PLANS - physical-plan audit evidence (round 10)\n\n"
   sb ++= "Generated from `.queryExecution.executedPlan` at sf0.001, local[4].\n"
   sb ++= "What to look for in each plan is noted per query; regenerate with\n`sbt \"Test/runMain PlanDump\"`.\n"
   for ((n, note) <- picks) {

@@ -35,6 +35,11 @@ class TvfSpec extends SparkSpec {
         s"SELECT * FROM graft_fetch('$store', 3, 'view', $B, $E, 21600, 'rate')")) ==
       rows(TsdbStore.fetch(spark, store, 3L, "view", B, E,
         aggStep = 21600L, cf = "rate")))
+    // endpoint cf (round 10) reads the stored argmax struct
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_fetch('$store', 3, 'view', $B, $E, 21600, 'last')")) ==
+      rows(TsdbStore.fetch(spark, store, 3L, "view", B, E,
+        aggStep = 21600L, cf = "last")))
   }
 
   test("graft_fetch_bulk: SQL parity with the Scala API, incl. counter cf") {
