@@ -100,6 +100,41 @@ object StreamQueries {
         .select(unix_timestamp(col("w_start")).as("w_start"),
           col("event_type"), col("dau"))
         .orderBy("w_start", "event_type")
+    },
+
+    QueryDef("q_stream_dedup",
+      MeasurementsSql +
+      """,
+        |dup AS (
+        |  SELECT user_id, event_type, event_id, ts_us, cents FROM m
+        |  UNION ALL
+        |  SELECT user_id, event_type, event_id, ts_us, cents FROM m
+        |  WHERE event_id % 10 = 0
+        |),
+        |ded AS (SELECT DISTINCT user_id, event_type, event_id, ts_us, cents FROM dup)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids
+        |FROM ded GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      // streaming idempotent ingest, batch-evaluated: an at-least-once
+      // feed redelivers ~10% of events; dropDuplicatesWithinWatermark
+      // on the delivery key keeps ONE state row per event_id inside the
+      // watermark horizon and ages it out after — the online twin of
+      // the store's slot-upsert idempotence (q_ts_insert_idempotent).
+      // Spark rejects within-watermark dedup on bounded input, so
+      // dedupEvents dispatches to its batch twin (exact key dedup —
+      // the same fixpoint) here, while StreamingSpec drives the
+      // streaming form through MemoryStream with a redelivered batch.
+      val base = Tables.measurements(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts_us"), col("cents"))
+      val redelivered = base.unionAll(base.filter(col("event_id") % 10 === 0))
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      graft.streaming.StreamingOps.dedupEvents(redelivered)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          countDistinct("event_id").as("n_ids"))
+        .orderBy("event_type")
     }
   )
 }

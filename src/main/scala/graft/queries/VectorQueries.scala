@@ -169,6 +169,31 @@ object VectorQueries {
          |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
       VectorOps.cosineThresholdPairs(Tables.embeddings(s, d), 0.30)
         .orderBy("a_id", "b_id")
+    },
+
+    QueryDef("q_vec_centroid",
+      """SELECT CAST(label AS BIGINT) AS label, CAST(dim AS INT) AS dim,
+        |  CAST(sum(CAST(round(CAST(embedding[dim] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS s_micro,
+        |  CAST(count(*) AS BIGINT) AS n_vecs
+        |FROM embeddings CROSS JOIN range(1, 65) r(dim)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      // per-label centroid (the k-means/IVF training primitive as a
+      // declared query): posexplode to (label, dim, x) then ONE
+      // partial+final hash agg — rows×dim flows through the exchange as
+      // 3 narrow columns, never whole vectors. Components are summed in
+      // exact integer micro-units: both engines round the SAME IEEE
+      // double x·1e6 half-away-from-zero, and integer sums are
+      // order-independent, so the distributed sum order can't flip a
+      // bit (the float-sum hazard the repo's oracle protocol documents).
+      // The centroid itself is s_micro / n_vecs / 1e6, left unformed to
+      // keep the output exact.
+      Tables.embeddings(s, d)
+        .select(col("label").cast("bigint").as("label"),
+          posexplode(col("embedding")).as(Seq("p", "x")))
+        .groupBy(col("label"), (col("p") + 1).cast("int").as("dim"))
+        .agg(sum(expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)")).as("s_micro"),
+          count(lit(1)).as("n_vecs"))
+        .orderBy("label", "dim")
     }
   )
 }

@@ -235,6 +235,31 @@ object WindowQueries {
       ev.filter(col("ts_us") >= W1b && col("ts_us") < W1e).select("user_id")
         .except(ev.filter(col("ts_us") >= W1e && col("ts_us") < W2e).select("user_id"))
         .orderBy("user_id")
+    },
+
+    QueryDef("q_window_median",
+      MeasurementsSql +
+      """
+        |SELECT event_id,
+        |  median(cents) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts_us, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mov_med
+        |FROM m ORDER BY event_id""".stripMargin) { (s, d) =>
+      // exact rolling median over the trailing 5-row frame. Spark has no
+      // exact-percentile window over row frames, so the frame's values are
+      // collected (bounded: ≤5 per row, so per-row state is O(frame), never
+      // O(partition)), sorted, and the middle read out; even-count frames
+      // interpolate as the mean of the two middles — the same answer as
+      // DuckDB's median (= quantile_cont 0.5: lo + 0.5·(hi−lo)) because
+      // cents are exact integers far below 2^52, so both interpolation
+      // forms land on the same exactly-representable half-integer double.
+      val w = seriesW.rowsBetween(-4, 0)
+      Tables.measurements(s, d)
+        .select(col("event_id"), sort_array(collect_list("cents").over(w)).as("arr"))
+        .select(col("event_id"),
+          expr("""(CAST(element_at(arr, CAST((size(arr) + 1) div 2 AS INT)) AS DOUBLE) +
+                 | CAST(element_at(arr, CAST(size(arr) div 2 + 1 AS INT)) AS DOUBLE)) / 2.0""".stripMargin)
+            .as("mov_med"))
+        .orderBy("event_id")
     }
   )
 }

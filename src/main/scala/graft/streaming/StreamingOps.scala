@@ -99,6 +99,16 @@ object StreamingOps {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Mode-dispatching form of [[dedupStream]]: Spark rejects
+    * within-watermark dedup on a bounded input outright (there is no
+    * watermark to bound the state), and on a bounded run the horizon
+    * is effectively infinite anyway — so the batch twin is exact
+    * dedup on the delivery key, the same answer the streaming form
+    * converges to once every duplicate arrives inside the horizon. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    if (events.isStreaming) dedupStream(events)
+    else events.dropDuplicates("event_id")
+
   /** Streaming daily-active-users. count(DISTINCT …) is unsupported in
     * a streaming aggregation, so DAU online is the canonical two-stage
     * rewrite: watermark + dropDuplicates on (user, event_type, day

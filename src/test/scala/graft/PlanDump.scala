@@ -85,7 +85,10 @@ object PlanDump extends App {
     "q_store_rollup_m4" -> "M4 endpoint substitution (round 10): the text is min/max/first/last per (series, day) via min_by/max_by over RAW samples, the plan scans agg_86400 and projects the stored argmin/argmax structs' cents fields - the 4-extrema render query reads |series|*days cascade rows, no raw scan, no window",
     "q_store_rollup_quantile_approx" -> "opt-in approximate quantile (round 10): fleet-wide p95 per event_type - every group >= K samples so the exact gate would decline, but the approx flag serves the plan as a dt-wide quant_86400 scan + per-type ObjectHashAggregate semilattice merge (partial BEFORE the exchange) + rank read over the merged uniform K-sample; the raw sort the exact twin pays is GONE",
     "q_ts_downsample_lttb" -> "exact sequential LTTB (round 10): ONE hashpartitioning exchange on the series key + in-partition sort + MapPartitions (the streaming two-bucket fold) - no window, no per-series collect; parallel across series, the within-series chain runs inside the fold with two-bucket memory",
-    "q_store_fetch_last" -> "endpoint consolidation read (round 10): cf=last is the same dt-pruned agg_21600 scan as avg/min/max with the stored per-cell argmax struct projected - PartitionFilters on dt, PushedFilters on slot_ts/series, no window, raw never scanned")
+    "q_store_fetch_last" -> "endpoint consolidation read (round 10): cf=last is the same dt-pruned agg_21600 scan as avg/min/max with the stored per-cell argmax struct projected - PartitionFilters on dt, PushedFilters on slot_ts/series, no window, raw never scanned",
+    "q_vec_centroid" -> "per-label centroid (round 10): posexplode then ONE partial+final HashAggregate - the exchange carries (label, dim, partial-sum) triples, never whole vectors; integer micro-unit sums make the distributed order irrelevant",
+    "q_window_median" -> "exact rolling median (round 10): one series-partitioned window exchange serves the bounded 5-row frame collect; the sort + middle read are per-row Projects over a <=5-element array - state is O(frame), never O(partition)",
+    "q_stream_dedup" -> "streaming idempotent ingest, batch twin (round 10): the redelivery union is scan-local (two reads of the same file, no shuffle to build duplicates) and the within-watermark dedup lowers to a HashAggregate on the delivery key before the final per-type agg")
   val sb = new StringBuilder
   sb ++= "# PLANS - physical-plan audit evidence (round 10)\n\n"
   sb ++= "Generated from `.queryExecution.executedPlan` at sf0.001, local[4].\n"

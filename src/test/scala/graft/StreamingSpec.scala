@@ -73,6 +73,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupEvents on bounded input is the batch fixpoint of the streaming dedup") {
+    import spark.implicits._
+    // Spark rejects dropDuplicatesWithinWatermark on batch DataFrames;
+    // the dispatcher must fall back to exact key dedup — the answer the
+    // streaming form converges to once every duplicate lands inside the
+    // horizon (the q_stream_dedup oracle relies on this equivalence)
+    val batch = Seq((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:01")),
+        (1L, ts("2024-01-01 10:00:02")), (3L, ts("2024-01-01 10:00:03")))
+      .toDF("event_id", "ts")
+    assert(!batch.isStreaming)
+    val ids = StreamingOps.dedupEvents(batch)
+      .select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+  }
+
   test("streaming DAU: dedup-then-count emits one final row per closed day") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
