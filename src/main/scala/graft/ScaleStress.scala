@@ -76,7 +76,12 @@ object ScaleStress {
     // round-10 sequential LTTB: the streaming per-series fold must
     // stay ~factor-linear (replicas add SERIES, not per-series length,
     // so the two-bucket task memory and the chain depth are invariant)
-    "q_ts_downsample_lttb")
+    "q_ts_downsample_lttb",
+    // round-10 counter/estimate reads: irate's WindowGroupLimit top-1
+    // keeps the desc rank bounded per series; histogram_quantile's
+    // filtered-count agg has a fixed-width state row per group, so
+    // both should grow ~linearly in scanned rows and no worse
+    "q_ts_irate", "q_ts_histogram_quantile")
 
   /** Store family: `factor`× the series over the same range. The
     * per-series reads (fetch, quantile) should be ~factor-INVARIANT —

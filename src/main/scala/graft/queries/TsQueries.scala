@@ -1018,6 +1018,116 @@ object TsQueries {
       Tables.measurements(s, d)
         .transform(TimeSeriesOps.lttb(_, 21600L))
         .orderBy("user_id", "event_type", "slot_ts")
+    },
+
+    QueryDef("q_ts_irate",
+      MeasurementsSql +
+      """,
+        |r AS (
+        |  SELECT user_id, event_type, ts_us, wrapped,
+        |         lag(wrapped) OVER w AS prev_wrapped,
+        |         lag(ts_us) OVER w AS prev_ts_us,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM m WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
+        |)
+        |SELECT user_id, event_type, ts_us AS last_ts_us,
+        |  ((wrapped - prev_wrapped) % 1000000 + 1000000) % 1000000 AS delta_cents,
+        |  ts_us - prev_ts_us AS dt_us,
+        |  CASE WHEN ts_us - prev_ts_us > 0 THEN
+        |    (CAST(((wrapped - prev_wrapped) % 1000000 + 1000000) % 1000000 AS DOUBLE) / 100.0)
+        |    / (CAST(ts_us - prev_ts_us AS DOUBLE) / 1000000.0) END AS irate
+        |FROM r WHERE rn = 1 AND prev_ts_us IS NOT NULL
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      // instantaneous rate (PromQL `irate`): the wrap-corrected rate
+      // from only the LAST two samples of each series — the "what is
+      // this counter doing RIGHT NOW" read, vs q_ts_rate_counter's
+      // every-adjacent-pair derivation. Both window passes (asc lag,
+      // desc row_number) share the ONE series hash exchange — Spark
+      // plans a second in-partition sort, never a second shuffle, so
+      // at 100 TB the cost is one shuffle of the scanned range (and
+      // with the dt-partitioned production layout the range scan is
+      // the trailing chunk, not the full series). The rate division
+      // reuses q_ts_rate_counter's textually-identical IEEE form on
+      // exact integer inputs — bit-equal across engines.
+      val wDesc = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      TimeSeriesOps.withRate(s, Tables.measurements(s, d))
+        .withColumn("rn", row_number().over(wDesc))
+        .filter(col("rn") === 1 && col("prev_ts_us").isNotNull)
+        .select(col("user_id"), col("event_type"), col("ts_us").as("last_ts_us"),
+          col("delta_cents"), col("dt_us"), col("rate").as("irate"))
+        .orderBy("user_id", "event_type")
+    },
+
+    QueryDef("q_ts_histogram_quantile",
+      MeasurementsSql +
+      s""",
+        |h AS (
+        |  SELECT event_type, (ts_us // 86400000000) * 86400 AS day_ts,
+        |    CAST(count(*) AS BIGINT) AS n_total,
+        |    ${TsQueries.hqCumSql}
+        |  FROM m GROUP BY 1, 2
+        |),
+        |k AS (SELECT *, 0.75 * CAST(n_total AS DOUBLE) AS rnk FROM h)
+        |SELECT event_type, day_ts, n_total,
+        |  ${TsQueries.hqLadderSql} AS p75_est
+        |FROM k ORDER BY event_type, day_ts""".stripMargin) { (s, d) =>
+      // PromQL-style histogram_quantile: serve a quantile ESTIMATE from
+      // cumulative le-bucket counters — the shape a fleet of pollers
+      // actually ships (fixed boundaries, mergeable integer counts; the
+      // exact-sample machinery of quant_<step> is the other end of the
+      // accuracy/size trade). The whole query is ONE map-side-combined
+      // hash aggregate (8 filtered counts per group — no window, no
+      // sort, one shuffle on (event_type, day)); the bucket walk +
+      // within-bucket linear interpolation is a pure projection. The
+      // CASE ladder text is GENERATED ONCE (hqLadderSql) and evaluated
+      // verbatim by both engines: integer cumulative counts are exact,
+      // rank 0.75·n is dyadic-exact, and the single interpolation
+      // division is the same IEEE op on both sides — bit-equal. Rank
+      // beyond the last finite bucket clamps to that boundary (the
+      // PromQL convention for +Inf hits).
+      Tables.measurements(s, d)
+        .groupBy(col("event_type"),
+          (expr("ts_us div 86400000000") * 86400).as("day_ts"))
+        .agg(count(lit(1)).as("n_total"),
+          TsQueries.hqBounds.zipWithIndex.map { case (b, i) =>
+            count(when(col("cents") <= b, 1)).as(s"le_${i + 1}")
+          }: _*)
+        .withColumn("rnk", expr("0.75 * CAST(n_total AS DOUBLE)"))
+        .select(col("event_type"), col("day_ts"), col("n_total"),
+          expr(TsQueries.hqLadderSql).as("p75_est"))
+        .orderBy("event_type", "day_ts")
     }
   )
+
+  /** Cumulative le-bucket boundaries (cents) for q_ts_histogram_quantile —
+    * chosen to straddle the fixture's value distribution (p10≈519,
+    * p99≈22755 cents at sf0.01). */
+  lazy val hqBounds: Seq[Long] = Seq(500L, 1000L, 2500L, 5000L, 10000L, 20000L, 50000L)
+
+  /** The oracle-side cumulative-count aggregate list — same filtered
+    * counts the Spark agg computes. */
+  def hqCumSql: String =
+    hqBounds.zipWithIndex.map { case (b, i) =>
+      s"CAST(count(CASE WHEN cents <= $b THEN 1 END) AS BIGINT) AS le_${i + 1}"
+    }.mkString(",\n    ")
+
+  /** The bucket-walk + interpolation ladder, evaluated VERBATIM by both
+    * engines (Spark `expr`, DuckDB text) so every IEEE operation matches:
+    * first bucket whose cumulative count reaches the rank interpolates
+    * linearly inside [lo, hi]; a rank past the last finite boundary
+    * clamps to it (PromQL's +Inf convention). In-branch the divisor
+    * le_k − cum_{k−1} ≥ 1 because the previous branch did not fire. */
+  def hqLadderSql: String = {
+    val n = hqBounds.size
+    val whens = (1 to n).map { k =>
+      val lo = if (k == 1) 0L else hqBounds(k - 2)
+      val hi = hqBounds(k - 1)
+      val cumBelow = if (k == 1) "0" else s"le_${k - 1}"
+      s"WHEN CAST(le_$k AS DOUBLE) >= rnk THEN " +
+        s"$lo.0 + ${hi - lo}.0 * (rnk - CAST($cumBelow AS DOUBLE)) / CAST(le_$k - $cumBelow AS DOUBLE)"
+    }.mkString(" ")
+    s"CASE WHEN CAST(le_$n AS DOUBLE) < rnk THEN ${hqBounds.last}.0 $whens ELSE NULL END"
+  }
 }

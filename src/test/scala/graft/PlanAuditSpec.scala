@@ -189,6 +189,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin"), "co-located join degraded from SMJ")
   }
 
+  test("histogram_quantile is one hash aggregate — no window, no sort") {
+    // the cumulative le-bucket counts are 8 filtered counts in a single
+    // map-side-combined aggregate; the bucket walk is a projection. A
+    // Window or per-group sort here would mean the estimate regressed
+    // to the exact-quantile plan it exists to avoid
+    val p = plan("q_ts_histogram_quantile")
+    assert(!p.contains("Window"), s"histogram_quantile planned a window:\n${p.take(1500)}")
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n <= 2, s"expected the series-counter + group exchanges only, got $n")
+  }
+
+  test("irate's desc rank reuses the rate window's series exchange") {
+    // lag (asc) and row_number (desc) partition identically — the
+    // second window must re-sort in place, not re-shuffle
+    val p = plan("q_ts_irate")
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n == 1, s"expected 1 hash exchange for both window passes, got $n:\n${p.take(2000)}")
+  }
+
   test("cube and filtered aggregates keep a single scan") {
     // CUBE expands grouping sets over ONE pass (Expand, not a union of
     // re-scans); FILTER-clause aggregates share one scan too
