@@ -159,6 +159,81 @@ object TimeSeriesOps {
         (col("tot.a") * expr("chunks[0].seed") + col("tot.b")).as("ema"))
   }
 
+  /** Per-series Holt double-exponential smoothing (level + linear
+    * trend) at the last sample — [[emaChunked]]'s associative-scan
+    * trick one dimension up. The Holt step
+    *
+    *   l' = α·x + (1−α)(l + b);  b' = β(l' − l) + (1−β)·b
+    *
+    * is an affine map on the 2-vector (l, b): s' = M·s + x·c with the
+    * CONSTANT matrix M = [[1−α, 1−α], [−αβ, 1−αβ]] and c = (α, αβ).
+    * Affine maps compose associatively — (A₂,v₂)∘(A₁,v₁) =
+    * (A₂A₁, A₂v₁+v₂) — so the inherently-sequential-looking recurrence
+    * factors into per-chunk folds of (2×2 matrix, 2-vector) pairs plus
+    * an in-order combine of one pair per chunk, exactly like the EMA:
+    * task memory is bounded by `chunkSize`, never series length, and
+    * chunk membership is deterministic (row_number over the series
+    * order) so the result is partitioning-INVARIANT. Regrouped double
+    * arithmetic is not bit-identical to the sequential fold; HoltSpec
+    * pins ~1e-12 relative agreement against a scalar reference fold at
+    * 1/4/32 partitions (the q_ts_holt oracle hashes behind round(…,4),
+    * like the EMA).
+    *
+    * Seed: (l₁, b₁) = (x₁, 0) — the first sample is the level, trend
+    * starts flat; rows 2… are steps. Output: one row per series
+    * (user_id, event_type, n, level, trend). */
+  def holtChunked(m: DataFrame, alpha: Double, beta: Double,
+                  chunkSize: Int = 4096): DataFrame = {
+    require(chunkSize > 1, s"chunkSize must be > 1: $chunkSize")
+    val (m11, m12) = (1.0 - alpha, 1.0 - alpha)
+    val (m21, m22) = (-alpha * beta, 1.0 - alpha * beta)
+    val (c1, c2) = (alpha, alpha * beta)
+    val id = "named_struct('a11', CAST(1.0 AS DOUBLE), 'a12', CAST(0.0 AS DOUBLE), " +
+      "'a21', CAST(0.0 AS DOUBLE), 'a22', CAST(1.0 AS DOUBLE), " +
+      "'v1', CAST(0.0 AS DOUBLE), 'v2', CAST(0.0 AS DOUBLE))"
+    val pair = // fold the chunk's steps in row order: acc ← (M, x·c)∘acc
+      s"""aggregate(steps, $id,
+         |  (acc, x) -> named_struct(
+         |    'a11', $m11 * acc.a11 + $m12 * acc.a21,
+         |    'a12', $m11 * acc.a12 + $m12 * acc.a22,
+         |    'a21', $m21 * acc.a11 + $m22 * acc.a21,
+         |    'a22', $m21 * acc.a12 + $m22 * acc.a22,
+         |    'v1', $m11 * acc.v1 + $m12 * acc.v2 + $c1 * x,
+         |    'v2', $m21 * acc.v1 + $m22 * acc.v2 + $c2 * x))""".stripMargin
+    val combine = // chunk pairs composed in chunk order: acc ← C∘acc
+      s"""aggregate(chunks, $id,
+         |  (acc, c) -> named_struct(
+         |    'a11', c.a11 * acc.a11 + c.a12 * acc.a21,
+         |    'a12', c.a11 * acc.a12 + c.a12 * acc.a22,
+         |    'a21', c.a21 * acc.a11 + c.a22 * acc.a21,
+         |    'a22', c.a21 * acc.a12 + c.a22 * acc.a22,
+         |    'v1', c.a11 * acc.v1 + c.a12 * acc.v2 + c.v1,
+         |    'v2', c.a21 * acc.v1 + c.a22 * acc.v2 + c.v2))""".stripMargin
+    m.withColumn("rn", row_number().over(seriesWindow))
+      .withColumn("chunk", expr(s"(rn - 1) div $chunkSize"))
+      .groupBy("user_id", "event_type", "chunk")
+      .agg(sort_array(collect_list(struct(col("rn"), col("v")))).as("arr"),
+        min("rn").as("min_rn"), count(lit(1)).as("cnt"))
+      .withColumn("vs", expr("transform(arr, r -> r.v)"))
+      .withColumn("steps",
+        when(col("min_rn") === 1, expr("slice(vs, 2, size(vs) - 1)"))
+          .otherwise(col("vs")))
+      .withColumn("seed", when(col("min_rn") === 1, expr("element_at(vs, 1)")))
+      .withColumn("ab", expr(pair))
+      .groupBy("user_id", "event_type")
+      .agg(sort_array(collect_list(struct(col("chunk"),
+          col("ab.a11").as("a11"), col("ab.a12").as("a12"),
+          col("ab.a21").as("a21"), col("ab.a22").as("a22"),
+          col("ab.v1").as("v1"), col("ab.v2").as("v2"),
+          col("seed")))).as("chunks"),
+        sum("cnt").as("n"))
+      .withColumn("tot", expr(combine))
+      // seed vector is (x₁, 0): level = a11·x₁ + v1, trend = a21·x₁ + v2
+      .select(col("user_id"), col("event_type"), col("n"),
+        (col("tot.a11") * expr("chunks[0].seed") + col("tot.v1")).as("level"),
+        (col("tot.a21") * expr("chunks[0].seed") + col("tot.v2")).as("trend"))
+  }
+
   /** Exact largest-triangle-three-buckets downsample (round 10 — the
     * sequential companion to the parallel LTOB in q_ts_downsample_tri),
     * bucketed on TIME SLOTS of `stepSec`:

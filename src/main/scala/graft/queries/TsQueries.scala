@@ -1098,6 +1098,53 @@ object TsQueries {
         .select(col("event_type"), col("day_ts"), col("n_total"),
           expr(TsQueries.hqLadderSql).as("p75_est"))
         .orderBy("event_type", "day_ts")
+    },
+
+    QueryDef("q_ts_holt",
+      """WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        |             CAST(round(value*100) AS BIGINT) AS cents FROM events),
+        |l AS (SELECT user_id, event_type,
+        |        list(CAST(cents AS DOUBLE) ORDER BY ts_us, event_id) AS vs
+        |      FROM s GROUP BY user_id, event_type),
+        |r AS (SELECT user_id, event_type, CAST(len(vs) AS BIGINT) AS n,
+        |        list_reduce(
+        |          list_transform(vs, v -> [CAST(v AS DOUBLE), CAST(0.0 AS DOUBLE)]),
+        |          (acc, e) -> [0.2 * e[1] + 0.8 * (acc[1] + acc[2]),
+        |                       0.1 * ((0.2 * e[1] + 0.8 * (acc[1] + acc[2])) - acc[1]) + 0.9 * acc[2]]) AS st
+        |      FROM l)
+        |SELECT user_id, event_type, n,
+        |  round(st[1] / 100.0, 4) + 0 AS level,
+        |  round(st[2] / 100.0, 4) + 0 AS trend
+        |FROM r ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      // Holt double-exponential smoothing (level + linear trend, the
+      // forecasting read one step up from q_ts_ema's plain EMA): the
+      // coupled two-term recurrence LOOKS doubly sequential, but each
+      // step is an affine map on the (level, trend) 2-vector and affine
+      // maps compose associatively — TimeSeriesOps.holtChunked runs it
+      // as the same chunked two-level scan as the EMA, with 2×2-matrix
+      // coefficient pairs instead of scalars (task memory bounded by
+      // chunkSize, never series length; partitioning-invariant by
+      // construction). The oracle folds sequentially with a 2-element
+      // LIST accumulator — deliberately NOT a struct: DuckDB 1.0.0's
+      // list_reduce evaluates a struct-literal lambda field by field
+      // with `acc` ALIASED to the partial result, so a later field
+      // reading acc.l sees the new level (observed live: trend drifts
+      // by exactly the aliased recurrence); list literals evaluate all
+      // elements against the old accumulator. Both sides hash behind
+      // round(…,4) (regrouped double arithmetic — HoltSpec pins the
+      // ~1e-12 agreement), and `+ 0` normalizes the −0.0 a rounded
+      // negative trend can produce in DuckDB but not in Spark's
+      // decimal HALF_UP (§7.4).
+      TimeSeriesOps.holtChunked(
+          Tables.events(s, d)
+            .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("ts_us"), col("event_id"),
+              expr("CAST(round(value*100) AS BIGINT)").cast("double").as("v")),
+          alpha = 0.2, beta = 0.1)
+        .select(col("user_id"), col("event_type"), col("n"),
+          (round(col("level") / 100.0, 4) + lit(0)).as("level"),
+          (round(col("trend") / 100.0, 4) + lit(0)).as("trend"))
+        .orderBy("user_id", "event_type")
     }
   )
 
