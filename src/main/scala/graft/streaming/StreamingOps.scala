@@ -185,6 +185,56 @@ object StreamingOps {
     * watermark are dropped before the operator, so `wmDelay` must cover
     * the source's out-of-orderness. With ttl = 0 (default) state is
     * unbounded, timeouts off, no watermark required. */
+  /** Per-series Holt state: current level/trend plus the sample count. */
+  case class HoltState(l: Double, b: Double, n: Long)
+  /** One per-series smoothing snapshot, emitted after each microbatch
+    * that touched the series. */
+  case class HoltSnap(user_id: Long, event_type: String, n: Long,
+      level: Double, trend: Double)
+
+  /** ONLINE Holt double-exponential smoothing: 24 bytes of keyed state
+    * per series — the streaming twin of the batch matrix-affine scan
+    * (TimeSeriesOps.holtChunked). The state update IS the sequential
+    * recurrence the chunked scan factors into affine pairs, so after
+    * any microbatch placement of an in-order feed the online state
+    * equals the scalar fold BIT-FOR-BIT (no regrouping happens online —
+    * StreamingSpec pins exact equality across batch splits, and
+    * agreement with holtChunked at the chunked scan's documented
+    * ~1e-12 slack). Rows sort by event time inside each batch; like
+    * [[onlineRates]], cross-batch order is the poller contract (a
+    * watermarked source bounds the disorder). Emits the post-batch
+    * (n, level, trend) snapshot for each series the batch touched —
+    * the "what is this series doing right now, where is it heading"
+    * read a dashboard polls. */
+  def onlineHolt(m: Dataset[Meas], alpha: Double, beta: Double): Dataset[HoltSnap] = {
+    val spark = m.sparkSession
+    import spark.implicits._
+    m.groupByKey(x => (x.user_id, x.event_type))
+      .flatMapGroupsWithState[HoltState, HoltSnap](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((uid, etype), it, state: GroupState[HoltState]) =>
+          val sorted = it.toSeq.sortBy(_.ts_us)
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption
+            sorted.foreach { x =>
+              val v = x.cents.toDouble
+              st = Some(st match {
+                case None => HoltState(v, 0.0, 1L)
+                case Some(HoltState(l, b, n)) =>
+                  // textually the same step as HoltSpec's reference fold
+                  val l2 = alpha * v + (1 - alpha) * (l + b)
+                  val b2 = beta * (l2 - l) + (1 - beta) * b
+                  HoltState(l2, b2, n + 1)
+              })
+            }
+            val s = st.get
+            state.update(s)
+            Iterator.single(HoltSnap(uid, etype, s.n, s.l, s.b))
+          }
+      }
+  }
+
   def onlineRates(m: Dataset[Meas], hbUs: Long, wrapCap: Long,
                   stateTtlUs: Long = 0L,
                   wmDelay: String = "0 microseconds"): Dataset[RateSample] = {

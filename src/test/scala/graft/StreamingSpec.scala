@@ -491,6 +491,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("online Holt: state across microbatches equals the sequential fold " +
+      "bit-for-bit, at any batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val M = 1000000L
+    val rng = new scala.util.Random(11)
+    val vs = Seq.fill(40)((rng.nextInt(9000) + 100).toLong)
+    val rows = vs.zipWithIndex.map { case (v, i) =>
+      Meas(1L, "click", i * 60L * M, v)
+    }
+    // the reference: the same scalar recurrence (HoltSpec's form)
+    val (el, et) = vs.map(_.toDouble).tail
+      .foldLeft((vs.head.toDouble, 0.0)) { case ((l, t), x) =>
+        val l2 = 0.2 * x + (1 - 0.2) * (l + t)
+        val t2 = 0.1 * (l2 - l) + (1 - 0.1) * t
+        (l2, t2)
+      }
+    // microbatch placement must be invisible: the online fold carries
+    // (level, trend) through state, no regrouping ever happens — so
+    // unlike the batch chunked scan's 1e-12 slack, equality is EXACT
+    for (split <- Seq(1, 7, 39)) {
+      val in = MemoryStream[Meas]
+      val q = StreamingOps.onlineHolt(in.toDS(), alpha = 0.2, beta = 0.1)
+        .writeStream.format("memory").queryName(s"holt$split")
+        .outputMode("append").start()
+      try {
+        rows.grouped(split).foreach { g => in.addData(g); q.processAllAvailable() }
+        val snaps = spark.table(s"holt$split")
+          .as[StreamingOps.HoltSnap].collect().sortBy(_.n)
+        val last = snaps.last
+        assert(last.n == 40L, s"split=$split n=${last.n}")
+        assert(last.level == el, s"split=$split level ${last.level} != $el")
+        assert(last.trend == et, s"split=$split trend ${last.trend} != $et")
+        // one snapshot per touched microbatch, monotone n
+        assert(snaps.map(_.n).toSeq == snaps.map(_.n).sorted.toSeq)
+      } finally q.stop()
+    }
+    // ...and the batch chunked scan agrees at its documented slack
+    val batch = graft.operators.TimeSeriesOps.holtChunked(
+        rows.zipWithIndex.map { case (m, i) =>
+          (m.user_id, m.event_type, m.ts_us, i.toLong, m.cents.toDouble)
+        }.toDF("user_id", "event_type", "ts_us", "event_id", "v"),
+        alpha = 0.2, beta = 0.1)
+      .collect().head
+    assert(math.abs(batch.getDouble(3) - el) / math.abs(el) < 1e-12)
+  }
+
   test("online rates with event-time state TTL: silent series expire, " +
       "output equals the unbounded-state form when ttl >= heartbeat") {
     import spark.implicits._
