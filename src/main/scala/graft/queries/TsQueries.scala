@@ -1145,6 +1145,64 @@ object TsQueries {
           (round(col("level") / 100.0, 4) + lit(0)).as("level"),
           (round(col("trend") / 100.0, 4) + lit(0)).as("trend"))
         .orderBy("user_id", "event_type")
+    },
+
+    QueryDef("q_ts_weighted_median",
+      MeasurementsSql +
+      """,
+        |w AS (
+        |  SELECT user_id, event_type, ts_us, event_id, cents,
+        |         lead(ts_us) OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts_us, event_id) - ts_us AS w_us
+        |  FROM m
+        |),
+        |c AS (
+        |  SELECT user_id, event_type, ts_us, event_id, cents, w_us,
+        |         sum(w_us) OVER (PARTITION BY user_id, event_type
+        |                         ORDER BY cents, ts_us, event_id
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+        |         sum(w_us) OVER (PARTITION BY user_id, event_type) AS tot_w
+        |  FROM w WHERE w_us IS NOT NULL
+        |),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                               ORDER BY cents, ts_us, event_id) AS rn
+        |  FROM c WHERE 2 * cum_w >= tot_w
+        |)
+        |SELECT user_id, event_type, CAST(tot_w AS BIGINT) AS tot_w_us,
+        |  CAST(cents AS DOUBLE) / 100.0 AS wmedian
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      // duration-weighted median: the value the series spent half its
+      // observed time at or below — the availability/SLO read that
+      // sample-count quantiles get WRONG on irregular polls (a flapping
+      // burst of 100 quick samples should not outvote an hour sat at
+      // one level). Each sample weighs its hold time (dt to the next
+      // sample; the last sample holds nothing observed and drops —
+      // half-open range semantics). Everything before the final /100
+      // projection is exact BIGINT: hold times, cumulative weights in
+      // VALUE order, and the dyadic q=1/2 test written as the integer
+      // cross-multiplication 2·cum ≥ tot — no float can flip a
+      // boundary in either engine. All three window passes (lead in
+      // time order, cumsum + total in value order, rank) partition on
+      // the SAME series key — ONE hash exchange, re-sorts in place
+      // (the q_ts_irate/LTOB sub-clustering argument; PlanAuditSpec
+      // counts it).
+      val wSeries = Window.partitionBy("user_id", "event_type")
+      val wTime = wSeries.orderBy("ts_us", "event_id")
+      val wVal = wSeries.orderBy("cents", "ts_us", "event_id")
+      Tables.measurements(s, d)
+        .withColumn("w_us", lead("ts_us", 1).over(wTime) - col("ts_us"))
+        .filter(col("w_us").isNotNull)
+        .withColumn("cum_w", sum("w_us").over(wVal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot_w", sum("w_us").over(wSeries))
+        .filter(lit(2) * col("cum_w") >= col("tot_w"))
+        .withColumn("rn", row_number().over(wVal))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("tot_w").cast("bigint").as("tot_w_us"),
+          (col("cents").cast("double") / 100.0).as("wmedian"))
+        .orderBy("user_id", "event_type")
     }
   )
 

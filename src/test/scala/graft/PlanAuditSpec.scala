@@ -208,6 +208,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(n == 1, s"expected 1 hash exchange for both window passes, got $n:\n${p.take(2000)}")
   }
 
+  test("weighted median's three window passes share one series exchange") {
+    // lead (time order), cumsum+total (value order), and rank all
+    // partition on the series key — re-sorts in place, never re-shuffles
+    val p = plan("q_ts_weighted_median")
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n == 1, s"expected 1 hash exchange for all window passes, got $n:\n${p.take(2000)}")
+  }
+
   test("cube and filtered aggregates keep a single scan") {
     // CUBE expands grouping sets over ONE pass (Expand, not a union of
     // re-scans); FILTER-clause aggregates share one scan too
