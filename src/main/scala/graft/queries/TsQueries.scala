@@ -1203,6 +1203,71 @@ object TsQueries {
           col("tot_w").cast("bigint").as("tot_w_us"),
           (col("cents").cast("double") / 100.0).as("wmedian"))
         .orderBy("user_id", "event_type")
+    },
+
+    QueryDef("q_ts_autocorr",
+      MeasurementsSql +
+      """,
+        |p AS (
+        |  SELECT user_id, event_type, cents AS x,
+        |         lead(cents) OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts_us, event_id) AS y
+        |  FROM m
+        |),
+        |a AS (
+        |  SELECT user_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM p WHERE y IS NOT NULL
+        |  GROUP BY user_id, event_type
+        |)
+        |SELECT user_id, event_type, n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  END AS acf1
+        |FROM a ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      // lag-1 autocorrelation per series — the self-similarity /
+      // seasonality detector (a counter ramping smoothly → acf1 ≈ 1, a
+      // white gauge → ≈ 0): Pearson r over the (xₜ, xₜ₊₁) pair stream.
+      // The §7.4 moment pattern: ALL six sufficient statistics
+      // aggregate as exact BIGINT (cents² ≤ 2.5e9, summed over a
+      // series ≪ 2⁶³ — order-independent, partial-agg-proof), and the
+      // single projection evaluates a TEXTUALLY IDENTICAL IEEE tree in
+      // both engines (products of exact integers in double round
+      // identically; sqrt and / are correctly-rounded IEEE ops), so
+      // acf1 is emitted UNROUNDED — strictly more deterministic than a
+      // re-round. Constant series (zero variance) yield NULL via the
+      // guard, identically in both engines. Plan: the lead window
+      // shares the series exchange convention; the moment agg is ONE
+      // map-side-combined hash aggregate over 6 integer sums.
+      val wTime = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+      val acfExpr =
+        """CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+          |  THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+          |END""".stripMargin
+      Tables.measurements(s, d)
+        .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"),
+          col("cents").as("x"))
+        .withColumn("y", lead("x", 1).over(wTime))
+        .filter(col("y").isNotNull)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("x").cast("bigint").as("sx"), sum("y").cast("bigint").as("sy"),
+          sum(col("x") * col("x")).cast("bigint").as("sxx"),
+          sum(col("y") * col("y")).cast("bigint").as("syy"),
+          sum(col("x") * col("y")).cast("bigint").as("sxy"))
+        .select(col("user_id"), col("event_type"), col("n"),
+          expr(acfExpr).as("acf1"))
+        .orderBy("user_id", "event_type")
     }
   )
 
