@@ -135,6 +135,44 @@ object StreamQueries {
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
           countDistinct("event_id").as("n_ids"))
         .orderBy("event_type")
+    },
+
+    QueryDef("q_stream_holt",
+      """WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        |             CAST(round(value*100) AS BIGINT) AS cents FROM events),
+        |l AS (SELECT user_id, event_type,
+        |        list(CAST(cents AS DOUBLE) ORDER BY ts_us, event_id) AS vs
+        |      FROM s GROUP BY user_id, event_type),
+        |r AS (SELECT user_id, event_type, CAST(len(vs) AS BIGINT) AS n,
+        |        list_reduce(
+        |          list_transform(vs, v -> [CAST(v AS DOUBLE), CAST(0.0 AS DOUBLE)]),
+        |          (acc, e) -> [0.25 * e[1] + 0.75 * (acc[1] + acc[2]),
+        |                       0.125 * ((0.25 * e[1] + 0.75 * (acc[1] + acc[2])) - acc[1]) + 0.875 * acc[2]]) AS st
+        |      FROM l)
+        |SELECT user_id, event_type, n, st[1] AS level, st[2] AS trend
+        |FROM r ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      // the STREAMING Holt operator, batch-evaluated: onlineHolt's
+      // flatMapGroupsWithState runs on a bounded Dataset as one group
+      // pass, so its 24-byte state update IS the whole-series
+      // sequential fold — and because both engines then execute the
+      // SAME arithmetic in the SAME order, level and trend compare
+      // UNROUNDED (a strictly stronger cross-engine pin than
+      // q_ts_holt's round(…,4) over the regrouped chunked scan).
+      // DYADIC α=1/4, β=1/8 are load-bearing: the Scala side computes
+      // 1−α and 1−β at runtime while the oracle writes 0.75/0.875 as
+      // literals, and for non-dyadic β (0.1) the real 1−β rounds to the
+      // PREDECESSOR of the 0.9 literal — one ulp, a hash mismatch.
+      // StreamingSpec drives the same op through MemoryStream splits;
+      // this row pins the batch twin against DuckDB bit-for-bit.
+      import s.implicits._
+      graft.streaming.StreamingOps.onlineHolt(
+          Tables.measurements(s, d)
+            .select(col("user_id"), col("event_type"), col("ts_us"),
+              col("event_id"), col("cents"))
+            .as[graft.streaming.StreamingOps.MeasK],
+          alpha = 0.25, beta = 0.125)
+        .toDF()
+        .orderBy("user_id", "event_type")
     }
   )
 }

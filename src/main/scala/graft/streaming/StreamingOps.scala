@@ -185,6 +185,13 @@ object StreamingOps {
     * watermark are dropped before the operator, so `wmDelay` must cover
     * the source's out-of-orderness. With ttl = 0 (default) state is
     * unbounded, timeouts off, no watermark required. */
+  /** [[onlineHolt]] input row: [[Meas]] plus the event_id that makes
+    * the per-series sort key UNIQUE — a tied (series, ts_us) pair would
+    * otherwise make the fold order (and so the smoothed state itself)
+    * nondeterministic, the §7.4 hazard the repo-wide series-window
+    * convention exists to prevent. */
+  case class MeasK(user_id: Long, event_type: String, ts_us: Long,
+      event_id: Long, cents: Long)
   /** Per-series Holt state: current level/trend plus the sample count. */
   case class HoltState(l: Double, b: Double, n: Long)
   /** One per-series smoothing snapshot, emitted after each microbatch
@@ -200,20 +207,23 @@ object StreamingOps {
     * equals the scalar fold BIT-FOR-BIT (no regrouping happens online —
     * StreamingSpec pins exact equality across batch splits, and
     * agreement with holtChunked at the chunked scan's documented
-    * ~1e-12 slack). Rows sort by event time inside each batch; like
-    * [[onlineRates]], cross-batch order is the poller contract (a
-    * watermarked source bounds the disorder). Emits the post-batch
+    * ~1e-12 slack). Rows sort by the unique (ts_us, event_id) key
+    * inside each batch; like [[onlineRates]], cross-batch order is the
+    * poller contract (a watermarked source bounds the disorder; batch
+    * evaluation sees every row in one group pass, so the batch-mode
+    * result is the exact whole-series fold — `q_stream_holt` pins it
+    * against the DuckDB fold UNROUNDED). Emits the post-batch
     * (n, level, trend) snapshot for each series the batch touched —
     * the "what is this series doing right now, where is it heading"
     * read a dashboard polls. */
-  def onlineHolt(m: Dataset[Meas], alpha: Double, beta: Double): Dataset[HoltSnap] = {
+  def onlineHolt(m: Dataset[MeasK], alpha: Double, beta: Double): Dataset[HoltSnap] = {
     val spark = m.sparkSession
     import spark.implicits._
     m.groupByKey(x => (x.user_id, x.event_type))
       .flatMapGroupsWithState[HoltState, HoltSnap](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case ((uid, etype), it, state: GroupState[HoltState]) =>
-          val sorted = it.toSeq.sortBy(_.ts_us)
+          val sorted = it.toSeq.sortBy(x => (x.ts_us, x.event_id))
           if (sorted.isEmpty) Iterator.empty
           else {
             var st = state.getOption

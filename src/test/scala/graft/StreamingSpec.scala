@@ -499,7 +499,7 @@ class StreamingSpec extends SparkSpec {
     val rng = new scala.util.Random(11)
     val vs = Seq.fill(40)((rng.nextInt(9000) + 100).toLong)
     val rows = vs.zipWithIndex.map { case (v, i) =>
-      Meas(1L, "click", i * 60L * M, v)
+      StreamingOps.MeasK(1L, "click", i * 60L * M, i.toLong, v)
     }
     // the reference: the same scalar recurrence (HoltSpec's form)
     val (el, et) = vs.map(_.toDouble).tail
@@ -512,7 +512,7 @@ class StreamingSpec extends SparkSpec {
     // (level, trend) through state, no regrouping ever happens — so
     // unlike the batch chunked scan's 1e-12 slack, equality is EXACT
     for (split <- Seq(1, 7, 39)) {
-      val in = MemoryStream[Meas]
+      val in = MemoryStream[StreamingOps.MeasK]
       val q = StreamingOps.onlineHolt(in.toDS(), alpha = 0.2, beta = 0.1)
         .writeStream.format("memory").queryName(s"holt$split")
         .outputMode("append").start()
