@@ -1268,6 +1268,87 @@ object TsQueries {
         .select(col("user_id"), col("event_type"), col("n"),
           expr(acfExpr).as("acf1"))
         .orderBy("user_id", "event_type")
+    },
+
+    QueryDef("q_ts_mad",
+      MeasurementsSql +
+      """,
+        |r AS (
+        |  SELECT user_id, event_type, ts_us, event_id, cents,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY cents, ts_us, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, event_type) AS n
+        |  FROM m
+        |),
+        |md AS (
+        |  SELECT *,
+        |    max(CASE WHEN rn = (n+1)//2 THEN cents END)
+        |      OVER (PARTITION BY user_id, event_type) AS mid1,
+        |    max(CASE WHEN rn = (n+2)//2 THEN cents END)
+        |      OVER (PARTITION BY user_id, event_type) AS mid2
+        |  FROM r
+        |),
+        |d AS (
+        |  SELECT user_id, event_type, ts_us, event_id, n,
+        |    2 * (mid1 + mid2) AS med4,
+        |    abs(4 * cents - 2 * (mid1 + mid2)) AS dev4
+        |  FROM md
+        |),
+        |rd AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY dev4, ts_us, event_id) AS rnd
+        |  FROM d
+        |),
+        |f AS (
+        |  SELECT *,
+        |    max(CASE WHEN rnd = (n+1)//2 THEN dev4 END)
+        |      OVER (PARTITION BY user_id, event_type) AS dmid1,
+        |    max(CASE WHEN rnd = (n+2)//2 THEN dev4 END)
+        |      OVER (PARTITION BY user_id, event_type) AS dmid2
+        |  FROM rd
+        |)
+        |SELECT user_id, event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(med4 AS DOUBLE) / 400.0 AS median,
+        |  CAST(dmid1 + dmid2 AS DOUBLE) / 800.0 AS mad
+        |FROM f WHERE rnd = 1
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      // per-series MAD (median absolute deviation) — the robust outlier
+      // scale the z-score anomaly family breaks on (one spike inflates
+      // a stddev; it cannot move the MAD): flag |x − med| > k·MAD. Both
+      // medians use the exact middle-rank selection of
+      // q_agg_median_exact, lifted to scaled-INTEGER units so even-n
+      // midpoints stay exact — med4 = 2·(mid1+mid2) is 4× the median,
+      // dev4 = |4·cents − med4| is 4× each deviation, dmid1+dmid2 is 8×
+      // the MAD; the only doubles are the final /400, /800 projections
+      // of exact integers (identical text both engines). Every window
+      // (two rank passes, four middle-pick maxes, the count) partitions
+      // on the series key — ONE hash exchange, re-sorted in place
+      // (PlanAuditSpec counts it); no join, no second shuffle.
+      val wSeries = Window.partitionBy("user_id", "event_type")
+      val wVal = wSeries.orderBy("cents", "ts_us", "event_id")
+      val r = Tables.measurements(s, d)
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          col("event_id"), col("cents"))
+        .withColumn("rn", row_number().over(wVal))
+        .withColumn("n", count(lit(1)).over(wSeries))
+        .withColumn("mid1",
+          max(when(col("rn") === expr("(n+1) div 2"), col("cents"))).over(wSeries))
+        .withColumn("mid2",
+          max(when(col("rn") === expr("(n+2) div 2"), col("cents"))).over(wSeries))
+        .withColumn("med4", lit(2) * (col("mid1") + col("mid2")))
+        .withColumn("dev4", abs(lit(4) * col("cents") - col("med4")))
+      val wDev = wSeries.orderBy("dev4", "ts_us", "event_id")
+      r.withColumn("rnd", row_number().over(wDev))
+        .withColumn("dmid1",
+          max(when(col("rnd") === expr("(n+1) div 2"), col("dev4"))).over(wSeries))
+        .withColumn("dmid2",
+          max(when(col("rnd") === expr("(n+2) div 2"), col("dev4"))).over(wSeries))
+        .filter(col("rnd") === 1) // one row per series, inside the clustering
+        .select(col("user_id"), col("event_type"), col("n").cast("bigint").as("n"),
+          (col("med4").cast("double") / 400.0).as("median"),
+          ((col("dmid1") + col("dmid2")).cast("double") / 800.0).as("mad"))
+        .orderBy("user_id", "event_type")
     }
   )
 

@@ -216,6 +216,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(n == 1, s"expected 1 hash exchange for all window passes, got $n:\n${p.take(2000)}")
   }
 
+  test("MAD's two rank passes and four middle-picks share one series exchange") {
+    // both medians (value order, then deviation order) window on the
+    // same series key — one shuffle, in-place re-sorts, no join
+    val p = plan("q_ts_mad")
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n == 1, s"expected 1 hash exchange for the MAD windows, got $n:\n${p.take(2000)}")
+  }
+
   test("cube and filtered aggregates keep a single scan") {
     // CUBE expands grouping sets over ONE pass (Expand, not a union of
     // re-scans); FILTER-clause aggregates share one scan too
