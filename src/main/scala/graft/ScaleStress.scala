@@ -81,7 +81,13 @@ object ScaleStress {
     // keeps the desc rank bounded per series; histogram_quantile's
     // filtered-count agg has a fixed-width state row per group, so
     // both should grow ~linearly in scanned rows and no worse
-    "q_ts_irate", "q_ts_histogram_quantile")
+    "q_ts_irate", "q_ts_histogram_quantile",
+    // round-10 robust/forecast family: the Holt chunked matrix scan
+    // (collect_list bounded by chunkSize), the batch-evaluated keyed-
+    // state fold, and the single-exchange multi-window shapes — all
+    // per-series, so 10× SERIES should fill cores, not queue
+    "q_ts_holt", "q_stream_holt", "q_ts_mad", "q_ts_weighted_median",
+    "q_ts_autocorr")
 
   /** Store family: `factor`× the series over the same range. The
     * per-series reads (fetch, quantile) should be ~factor-INVARIANT —
@@ -96,14 +102,34 @@ object ScaleStress {
     // should scale with |series|·slots, never with raw sample count
     "q_store_rollup_m4", "q_store_rollup_quantile_approx")
 
+  /** Series-LENGTH direction (`mode = long`, round 10): same series
+    * keys, `factor`× MORE samples per series (replicas shift TIME by
+    * k·span, ids offset for uniqueness). This is the axis the
+    * series-count replicas can't test: every per-series sequential
+    * claim — Holt's chunked matrix scan, the keyed-state fold, LTTB's
+    * two-bucket fold, the single-exchange multi-window shapes — says
+    * task memory is bounded by chunk/frame size, never series length.
+    * Long-mode rows carry peak task memory at BOTH scales so that
+    * claim is a measured number, not a scaladoc sentence. */
+  private val LengthHeavy = Seq(
+    "q_ts_holt", "q_stream_holt", "q_ts_ema", "q_ts_downsample_lttb",
+    "q_ts_mad", "q_ts_weighted_median", "q_ts_autocorr", "q_ts_irate",
+    "q_ts_downsample_m4")
+  // q_ts_gap_interp is deliberately NOT here: its grid is the fixed
+  // January window, so on a time-extended corpus the pushed-down range
+  // predicate correctly skips the added months — the measured 10×
+  // point (2.6 s vs 4.1 s at 1×, peak 31 MB vs 220 MB) demonstrates
+  // PRUNING, not length scaling, and would misread as the latter.
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 10
     val work = if (args.length > 2) args(2) else "/tmp/graft_scale"
     val storeOnly = args.length > 3 && args(3) == "store"
+    val longOnly = args.length > 3 && args(3) == "long"
     // the Caesar decorrelation is alphabet-bound (26 shifts); events
-    // replicate by id offset only, so store mode reaches 100×+
-    val maxFactor = if (storeOnly) 128 else 26
+    // replicate by id offset only, so store/long modes reach 100×+
+    val maxFactor = if (storeOnly || longOnly) 128 else 26
     require(factor >= 2 && factor <= maxFactor,
       s"factor must be in [2, $maxFactor]${if (storeOnly) " (store mode)" else ""}: $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -119,7 +145,8 @@ object ScaleStress {
     spark.sparkContext.setLogLevel("WARN")
 
     val big = s"$work/x$factor"
-    buildCorpus(spark, sfDir, big, factor, eventsOnly = storeOnly)
+    if (longOnly) buildLongCorpus(spark, sfDir, big, factor)
+    else buildCorpus(spark, sfDir, big, factor, eventsOnly = storeOnly)
 
     val metrics = new MetricsListener
     spark.sparkContext.addSparkListener(metrics)
@@ -141,6 +168,30 @@ object ScaleStress {
       (sec, metrics.memSpill, metrics.diskSpill, metrics.peakExecMem)
     }
     def time(name: String, dir: String): Double = timed(name, dir)._1
+
+    if (longOnly) {
+      // length axis: per-query peak task memory at both scales IS the
+      // result — a per-series op whose memory grows with series length
+      // would show peak_Nx ≈ factor × peak_1x here
+      val mb = (b: Long) => b / (1024 * 1024)
+      val rows = LengthHeavy.map { name =>
+        // untimed per-query warmup at 1×: without it the first timed
+        // pass absorbs the typed-encoder/HOF codegen cold start and the
+        // 1× side reads high (observed q_ts_holt 3.0 s cold vs 1.9 s at
+        // 10× — a nonsense <1 ratio on 10× the data)
+        try time(name, sfDir) catch { case _: Throwable => () }
+        val (t1, _, _, p1) = timed(name, sfDir)
+        val (tN, mN, dN, pN) = timed(name, big)
+        val ratio = tN / t1
+        println(f"""{"query":"$name","sec_1x":$t1%.3f,"sec_${factor}x":$tN%.3f,"ratio":$ratio%.2f,"peak_1x_mb":${mb(p1)},"peak_${factor}x_mb":${mb(pN)},"spill_${factor}x_mb":${mb(mN + dN)}}""")
+        (name, t1, tN, ratio, pN)
+      }
+      val worst = rows.maxBy(_._4)
+      val sum1 = rows.map(_._2).sum; val sumN = rows.map(_._3).sum
+      println(f"""{"metric":"scale_stress_long","factor":$factor,"sum_1x_sec":$sum1%.3f,"sum_${factor}x_sec":$sumN%.3f,"sum_ratio":${sumN / sum1}%.2f,"worst":"${worst._1}","worst_ratio":${worst._4}%.2f,"max_peak_task_mb":${mb(rows.map(_._5).max)}}""")
+      spark.stop()
+      return
+    }
 
     if (!storeOnly) {
       val rows = Heavy.map { name =>
@@ -229,6 +280,38 @@ object ScaleStress {
       ev.withColumn("user_id", col("user_id") + lit(k * 1000000L))
         .withColumn("event_id", col("event_id") + lit(k * 1000000000000L))
     }.reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
+  }
+
+  /** `mode = long` corpus: the SAME series keys, `factor`× the samples
+    * per series — replica k shifts every timestamp by k·(span + 1 s) so
+    * the replicas concatenate into one long history per series; only
+    * event_id offsets (uniqueness). Handles both testdata physical
+    * shapes (raw int64 nanos via the nanosAsLong shim, and tz-naive µs
+    * timestamps), writing back the same shape it read. */
+  def buildLongCorpus(spark: SparkSession, sfDir: String, out: String,
+                      factor: Int): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val isRawNanos =
+      ev.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val replicas =
+      if (isRawNanos) {
+        val mm = ev.agg(min("ts"), max("ts")).head()
+        val spanNs = mm.getLong(1) - mm.getLong(0) + 1000000000L
+        (0 until factor).map { k =>
+          ev.withColumn("ts", col("ts") + lit(k * spanNs))
+            .withColumn("event_id", col("event_id") + lit(k * 1000000000000L))
+        }
+      } else {
+        val mm = ev.select(unix_micros(min("ts")), unix_micros(max("ts"))).head()
+        val spanUs = mm.getLong(1) - mm.getLong(0) + 1000000L
+        (0 until factor).map { k =>
+          ev.withColumn("ts", timestamp_micros(unix_micros(col("ts")) + lit(k * spanUs)))
+            .withColumn("event_id", col("event_id") + lit(k * 1000000000000L))
+        }
+      }
+    replicas.reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
   }
 }
