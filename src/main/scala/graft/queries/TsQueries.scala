@@ -1349,6 +1349,43 @@ object TsQueries {
           (col("med4").cast("double") / 400.0).as("median"),
           ((col("dmid1") + col("dmid2")).cast("double") / 800.0).as("mad"))
         .orderBy("user_id", "event_type")
+    },
+
+    QueryDef("q_ts_changes",
+      MeasurementsSql +
+      """,
+        |p AS (
+        |  SELECT user_id, event_type, cents,
+        |         lag(cents) OVER (PARTITION BY user_id, event_type
+        |                          ORDER BY ts_us, event_id) AS prev
+        |  FROM m
+        |)
+        |SELECT user_id, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(CASE WHEN prev IS NOT NULL AND cents <> prev THEN 1 END) AS BIGINT) AS n_changes,
+        |  CAST(count(CASE WHEN prev IS NOT NULL AND cents = prev THEN 1 END) AS BIGINT) AS n_flat
+        |FROM p GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      // PromQL `changes()`: how many times each series' value actually
+      // CHANGED across adjacent samples — the flapping/staleness
+      // detector that closes the counter-health family (resets live in
+      // q_ts_counter_stats, irate/rate in their rows). n_flat counts
+      // the repeated-value polls (a stuck gauge shows n_flat ≈ n−1).
+      // One lag window on the series exchange, then a map-side-combined
+      // integer agg — nothing but BIGINTs end to end.
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+      Tables.measurements(s, d)
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          col("event_id"), col("cents"))
+        .withColumn("prev", lag("cents", 1).over(w))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("prev").isNotNull && col("cents") =!= col("prev"), 1))
+            .as("n_changes"),
+          count(when(col("prev").isNotNull && col("cents") === col("prev"), 1))
+            .as("n_flat"))
+        .orderBy("user_id", "event_type")
     }
   )
 
