@@ -173,11 +173,12 @@ object TimeSeriesOps {
     * an in-order combine of one pair per chunk, exactly like the EMA:
     * task memory is bounded by `chunkSize`, never series length, and
     * chunk membership is deterministic (row_number over the series
-    * order) so the result is partitioning-INVARIANT. Regrouped double
-    * arithmetic is not bit-identical to the sequential fold; HoltSpec
-    * pins ~1e-12 relative agreement against a scalar reference fold at
-    * 1/4/32 partitions (the q_ts_holt oracle hashes behind round(…,4),
-    * like the EMA).
+    * order) so the result is partitioning-INVARIANT — HoltSpec pins
+    * bit-identical results at 1/4/32 input partitions. Regrouped
+    * double arithmetic is not bit-identical to the sequential fold;
+    * HoltSpec pins exact equality on dyadic inputs across chunk sizes
+    * and 1e-9 relative agreement on 10⁵ random samples (the q_ts_holt
+    * oracle hashes behind round(…,4), like the EMA).
     *
     * Seed: (l₁, b₁) = (x₁, 0) — the first sample is the level, trend
     * starts flat; rows 2… are steps. Output: one row per series

@@ -1207,7 +1207,7 @@ object TsQueries {
 
     QueryDef("q_ts_autocorr",
       MeasurementsSql +
-      """,
+      s""",
         |p AS (
         |  SELECT user_id, event_type, cents AS x,
         |         lead(cents) OVER (PARTITION BY user_id, event_type
@@ -1224,12 +1224,7 @@ object TsQueries {
         |  GROUP BY user_id, event_type
         |)
         |SELECT user_id, event_type, n,
-        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
-        |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-        |  END AS acf1
+        |  ${TsQueries.acfCaseSql} AS acf1
         |FROM a ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
       // lag-1 autocorrelation per series — the self-similarity /
       // seasonality detector (a counter ramping smoothly → acf1 ≈ 1, a
@@ -1247,13 +1242,6 @@ object TsQueries {
       // map-side-combined hash aggregate over 6 integer sums.
       val wTime = Window.partitionBy("user_id", "event_type")
         .orderBy("ts_us", "event_id")
-      val acfExpr =
-        """CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-          |          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
-          |  THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-          |       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-          |              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-          |END""".stripMargin
       Tables.measurements(s, d)
         .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"),
           col("cents").as("x"))
@@ -1266,7 +1254,7 @@ object TsQueries {
           sum(col("y") * col("y")).cast("bigint").as("syy"),
           sum(col("x") * col("y")).cast("bigint").as("sxy"))
         .select(col("user_id"), col("event_type"), col("n"),
-          expr(acfExpr).as("acf1"))
+          expr(TsQueries.acfCaseSql).as("acf1"))
         .orderBy("user_id", "event_type")
     },
 
@@ -1400,6 +1388,20 @@ object TsQueries {
     hqBounds.zipWithIndex.map { case (b, i) =>
       s"CAST(count(CASE WHEN cents <= $b THEN 1 END) AS BIGINT) AS le_${i + 1}"
     }.mkString(",\n    ")
+
+  /** q_ts_autocorr's Pearson projection over the six exact-integer
+    * sufficient statistics — GENERATED ONCE and evaluated verbatim by
+    * both engines (the hqLadderSql pattern: the unrounded cross-engine
+    * bit-equality contract depends on the expression text never
+    * drifting between the two copies). Zero-variance (constant) series
+    * fall to NULL through the guard, identically both sides. */
+  def acfCaseSql: String = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val varX = s"(${d("n")} * ${d("sxx")} - ${d("sx")} * ${d("sx")})"
+    val varY = s"(${d("n")} * ${d("syy")} - ${d("sy")} * ${d("sy")})"
+    val cov = s"(${d("n")} * ${d("sxy")} - ${d("sx")} * ${d("sy")})"
+    s"CASE WHEN $varX * $varY > 0 THEN $cov / sqrt($varX * $varY) END"
+  }
 
   /** The bucket-walk + interpolation ladder, evaluated VERBATIM by both
     * engines (Spark `expr`, DuckDB text) so every IEEE operation matches:

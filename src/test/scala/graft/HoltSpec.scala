@@ -27,10 +27,12 @@ class HoltSpec extends SparkSpec {
     }
 
   private def chunked(rows: Seq[(Long, String, Long, Long, Double)],
-                      a: Double, b: Double, chunkSize: Int): Map[(Long, String), (Long, Double, Double)] = {
+                      a: Double, b: Double, chunkSize: Int,
+                      nPartitions: Int = 0): Map[(Long, String), (Long, Double, Double)] = {
     import spark.implicits._
+    val df = rows.toDF("user_id", "event_type", "ts_us", "event_id", "v")
     TimeSeriesOps.holtChunked(
-        rows.toDF("user_id", "event_type", "ts_us", "event_id", "v"),
+        if (nPartitions > 0) df.repartition(nPartitions) else df,
         a, b, chunkSize)
       .collect()
       .map(r => (r.getLong(0), r.getString(1)) ->
@@ -71,6 +73,17 @@ class HoltSpec extends SparkSpec {
     // the trend is a small difference of large smoothed values — give
     // it the same RELATIVE slack against the level's magnitude
     assert(math.abs(t - et) / math.abs(el) < 1e-9, s"trend $t vs $et")
+    // partitioning-INVARIANCE, bit-for-bit: chunk membership is
+    // row_number over the series order and each chunk's rows are
+    // sort_array'd, so 1/4/32 input partitions must yield the SAME
+    // doubles — a regression that leans on collect_list arrival order
+    // (no sort_array) changes bits here
+    for (p <- Seq(1, 4, 32)) {
+      val (cp, lp, tp) = chunked(rows, 0.2, 0.1, 4096, nPartitions = p)((2L, "big"))
+      assert(cp == n)
+      assert(lp == l && tp == t,
+        s"partitions=$p: ($lp, $tp) != ($l, $t) — result depends on partitioning")
+    }
   }
 
   test("multi-series, short series, and single-sample series") {

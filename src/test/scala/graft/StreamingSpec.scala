@@ -524,8 +524,15 @@ class StreamingSpec extends SparkSpec {
         assert(last.n == 40L, s"split=$split n=${last.n}")
         assert(last.level == el, s"split=$split level ${last.level} != $el")
         assert(last.trend == et, s"split=$split trend ${last.trend} != $et")
-        // one snapshot per touched microbatch, monotone n
-        assert(snaps.map(_.n).toSeq == snaps.map(_.n).sorted.toSeq)
+        // exactly ONE snapshot per touched microbatch, each advancing n
+        // by that batch's row count — duplicates, drops, or re-emits
+        // all break one of these
+        val nBatches = (rows.size + split - 1) / split
+        assert(snaps.length == nBatches,
+          s"split=$split: ${snaps.length} snapshots for $nBatches batches")
+        val expectedNs = rows.grouped(split).scanLeft(0L)(_ + _.size).drop(1).toSeq
+        assert(snaps.map(_.n).toSeq == expectedNs,
+          s"split=$split: per-batch n ${snaps.map(_.n).toSeq} != $expectedNs")
       } finally q.stop()
     }
     // ...and the batch chunked scan agrees at its documented slack
