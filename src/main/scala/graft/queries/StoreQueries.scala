@@ -1483,6 +1483,30 @@ object StoreQueries {
         .orderBy("lang")
     },
 
+    QueryDef("q_source_orc",
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS last_doc
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      // ORC source (the Hive-lineage columnar interchange next to the
+      // JSONL row): the corpus round-trips through zlib ORC and is read
+      // back with predicate/column pushdown like any warehouse scan.
+      // DuckDB has no ORC reader, so the oracle aggregates the SOURCE
+      // parquet instead — the hash compare therefore certifies the
+      // Spark ORC write+read is CONTENT-EXACT against the original
+      // table, which is precisely the property an interchange format
+      // must have. Filter/column pushdown into the ORC scan follows
+      // the same DataSource V1 path the parquet scans use.
+      s.read.orc(StoreFixture.docsOrc(s, d))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"))
+        .orderBy("source")
+    },
+
     QueryDef("q_join_bucketed",
       """WITH m AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,

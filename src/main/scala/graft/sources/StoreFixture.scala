@@ -103,4 +103,19 @@ object StoreFixture {
     }
     s"$tgt/docs"
   }
+
+  /** The documents corpus as ORC with zlib — the other columnar
+    * warehouse interchange format (Hive-lineage pipelines emit it).
+    * Read back by `q_source_orc`; the oracle reads the SOURCE parquet
+    * (DuckDB has no ORC reader), so the hash compare certifies the
+    * ORC round-trip content-exact. */
+  def docsOrc(spark: SparkSession, sfDir: String): String = {
+    val tgt = s"/tmp/graft_orc/${new File(sfDir).getName}"
+    buildOnce(new File(s"$sfDir/documents.parquet"), tgt) {
+      Tables.documents(spark, sfDir)
+        .write.mode(SaveMode.Overwrite)
+        .option("compression", "zlib").orc(s"$tgt/docs")
+    }
+    s"$tgt/docs"
+  }
 }
