@@ -1339,6 +1339,59 @@ object TsQueries {
         .orderBy("user_id", "event_type")
     },
 
+    QueryDef("q_ts_xcorr",
+      MeasurementsSql +
+      s""",
+        |sl AS (
+        |  SELECT user_id, (ts_us // 21600000000) * 21600 AS slot_ts,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN cents END), 0) AS BIGINT) AS x,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN cents END), 0) AS BIGINT) AS y
+        |  FROM m WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1, 2
+        |),
+        |a AS (
+        |  SELECT user_id,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM sl GROUP BY user_id
+        |)
+        |SELECT user_id, n,
+        |  ${TsQueries.acfCaseSql} AS xcorr
+        |FROM a ORDER BY user_id""".stripMargin) { (s, d) =>
+      // cross-correlation between two metrics per entity — "do this
+      // user's clicks and views co-move?": align both series on the 6h
+      // slot grid (filtered sums in ONE pass — no self-join; a slot
+      // either metric touched contributes, the absent one as 0), then
+      // Pearson r over the aligned (x, y) slot pairs. Reuses the SAME
+      // generated projection as q_ts_autocorr (acfCaseSql) over the
+      // same six exact-BIGINT sufficient statistics — the align step
+      // is the only new machinery. Two hash aggregates: the (user,
+      // slot) alignment grain, then the per-user moments; the second
+      // grouping is not a sub-clustering of the first's hash
+      // partitioning, so this costs two exchanges by design — at 100 TB
+      // both are map-side-combined and the second input is |users|·
+      // slots, already tiny.
+      Tables.measurements(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(col("user_id"),
+          (expr("ts_us div 21600000000") * 21600).as("slot_ts"))
+        .agg(
+          coalesce(sum(when(col("event_type") === "click", col("cents"))), lit(0L))
+            .cast("bigint").as("x"),
+          coalesce(sum(when(col("event_type") === "view", col("cents"))), lit(0L))
+            .cast("bigint").as("y"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum("x").cast("bigint").as("sx"), sum("y").cast("bigint").as("sy"),
+          sum(col("x") * col("x")).cast("bigint").as("sxx"),
+          sum(col("y") * col("y")).cast("bigint").as("syy"),
+          sum(col("x") * col("y")).cast("bigint").as("sxy"))
+        .select(col("user_id"), col("n"), expr(TsQueries.acfCaseSql).as("xcorr"))
+        .orderBy("user_id")
+    },
+
     QueryDef("q_ts_changes",
       MeasurementsSql +
       """,
