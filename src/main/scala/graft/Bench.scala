@@ -41,6 +41,7 @@ object Bench {
       graft.sources.StoreFixture.storeMonthly(spark, sfDir)
       graft.sources.StoreFixture.docsJsonl(spark, sfDir)
       graft.sources.StoreFixture.docsOrc(spark, sfDir)
+      graft.sources.StoreFixture.eventsCsv(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] fixture warmup failed (store timings will be polluted): $e")
     }

@@ -350,6 +350,55 @@ object AggQueries {
           expr("percentile_cont(0.50) WITHIN GROUP (ORDER BY cents)").as("p50"),
           expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY cents)").as("p75"))
         .orderBy("event_type")
+    },
+
+    QueryDef("q_agg_skew",
+      s"""WITH c AS (SELECT event_type,
+        |    CAST(round(value*100) AS BIGINT) AS x FROM events),
+        |a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS s1,
+        |    CAST(sum(x*x) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(x AS HUGEINT)*x*x) AS DOUBLE) AS s3
+        |  FROM c GROUP BY event_type
+        |)
+        |SELECT event_type, n, ${AggQueries.skewSql} AS skew
+        |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
+      // population skewness from raw moments — the third-moment member
+      // of the §7.4 moment pattern (corr/autocorr are its second-moment
+      // siblings): Σx and Σx² accumulate as exact BIGINT; Σx³ per-row
+      // products fit int64 (cents ≤ 5.7e4 ⇒ x³ ≤ 1.9e14) but the GROUP
+      // sum does not at sf ≥ 0.1, so it accumulates in DECIMAL(38,0)
+      // (Spark) / HUGEINT (DuckDB) — both exact, both then correctly
+      // rounded once to the SAME double. The projection (generated
+      // once, evaluated verbatim by both engines) uses d·sqrt(d) for
+      // the 3/2 power — sqrt and the arithmetic ops are
+      // correctly-rounded IEEE, while pow(x, 1.5) is NOT guaranteed
+      // bit-identical across math libraries and is banned here. Skew
+      // emitted UNROUNDED; zero-variance groups fall to NULL.
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(round(value*100) AS BIGINT)").as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("x").cast("double").as("s1"),
+          sum(col("x") * col("x")).cast("double").as("s2"),
+          sum((col("x") * col("x") * col("x")).cast("decimal(38,0)"))
+            .cast("double").as("s3"))
+        .select(col("event_type"), col("n"), expr(AggQueries.skewSql).as("skew"))
+        .orderBy("event_type")
     }
   )
+
+  /** q_agg_skew's projection over (n, s1, s2, s3) — generated once and
+    * evaluated verbatim by both engines (the acfCaseSql pattern):
+    * g₁ = √n · (n²·s3 − 3n·s1·s2 + 2·s1³) / (n·s2 − s1²)^{3/2}, with
+    * the 3/2 power written d·√d because sqrt is correctly-rounded IEEE
+    * everywhere and pow is not. */
+  def skewSql: String = {
+    val d = "(CAST(n AS DOUBLE) * s2 - s1 * s1)"
+    val num = "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * s3 " +
+      "- 3 * CAST(n AS DOUBLE) * s1 * s2 + 2 * s1 * s1 * s1)"
+    s"CASE WHEN $d > 0 THEN sqrt(CAST(n AS DOUBLE)) * $num / ($d * sqrt($d)) END"
+  }
 }

@@ -1483,6 +1483,34 @@ object StoreQueries {
         .orderBy("lang")
     },
 
+    QueryDef("q_source_csv",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(min(event_id) AS BIGINT) AS first_id,
+        |  CAST(max(event_id) AS BIGINT) AS last_id
+        |FROM read_csv('/tmp/graft_csv/sf0.01/events/*.csv.gz',
+        |  header=true,
+        |  columns={'user_id':'BIGINT','event_type':'VARCHAR','event_id':'BIGINT',
+        |           'ts_us':'BIGINT','cents':'BIGINT'})
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      // gzip CSV source through the store's OWN interchange pair
+      // (TsdbStore.exportCsv/readCsv — header + explicit schema, no
+      // inference): the flat-file format every ops pipeline eventually
+      // meets, now a declared oracled row instead of component-only
+      // coverage. Both engines read the SAME exported .csv.gz files.
+      // NOTE: like q_source_jsonl, the oracle's literal path pins
+      // sf0.01 — the only sf the driver's DuckDB gate runs at.
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("event_id", LongType), StructField("ts_us", LongType),
+        StructField("cents", LongType)))
+      TsdbStore.readCsv(s, StoreFixture.eventsCsv(s, d), schema)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("event_id").as("first_id"), max("event_id").as("last_id"))
+        .orderBy("event_type")
+    },
+
     QueryDef("q_source_orc",
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -118,4 +118,21 @@ object StoreFixture {
     }
     s"$tgt/docs"
   }
+
+  /** The measurements stream (integer mirror columns only — no text,
+    * CSV-safe) as gzip CSV with a header, via the store's own
+    * [[TsdbStore.exportCsv]] — the flat-file interchange every ops
+    * pipeline eventually meets. Read back by `q_source_csv` (Spark:
+    * [[TsdbStore.readCsv]] with explicit schema; DuckDB: read_csv over
+    * the same files). */
+  def eventsCsv(spark: SparkSession, sfDir: String): String = {
+    val tgt = s"/tmp/graft_csv/${new File(sfDir).getName}"
+    buildOnce(new File(s"$sfDir/events.parquet"), tgt) {
+      TsdbStore.exportCsv(
+        Tables.measurements(spark, sfDir)
+          .select("user_id", "event_type", "event_id", "ts_us", "cents"),
+        s"$tgt/events")
+    }
+    s"$tgt/events"
+  }
 }
