@@ -1392,6 +1392,89 @@ object TsQueries {
         .orderBy("user_id")
     },
 
+    QueryDef("q_ts_outliers_mad",
+      MeasurementsSql +
+      """,
+        |r AS (
+        |  SELECT user_id, event_type, ts_us, event_id, cents,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY cents, ts_us, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, event_type) AS n
+        |  FROM m
+        |),
+        |md AS (
+        |  SELECT *,
+        |    max(CASE WHEN rn = (n+1)//2 THEN cents END)
+        |      OVER (PARTITION BY user_id, event_type) AS mid1,
+        |    max(CASE WHEN rn = (n+2)//2 THEN cents END)
+        |      OVER (PARTITION BY user_id, event_type) AS mid2
+        |  FROM r
+        |),
+        |d AS (
+        |  SELECT user_id, event_type, ts_us, event_id, cents,
+        |    abs(4 * cents - 2 * (mid1 + mid2)) AS dev4
+        |  FROM md
+        |),
+        |rd AS (
+        |  SELECT d.*, r2.n,
+        |    row_number() OVER (PARTITION BY d.user_id, d.event_type
+        |                       ORDER BY dev4, ts_us, event_id) AS rnd
+        |  FROM d JOIN (SELECT DISTINCT user_id, event_type, n FROM r) r2
+        |    USING (user_id, event_type)
+        |),
+        |f AS (
+        |  SELECT *,
+        |    max(CASE WHEN rnd = (n+1)//2 THEN dev4 END)
+        |      OVER (PARTITION BY user_id, event_type) AS dmid1,
+        |    max(CASE WHEN rnd = (n+2)//2 THEN dev4 END)
+        |      OVER (PARTITION BY user_id, event_type) AS dmid2
+        |  FROM rd
+        |)
+        |SELECT user_id, event_type, ts_us, event_id,
+        |  CAST(cents AS DOUBLE) / 100.0 AS value,
+        |  0.6745 * (2.0 * CAST(dev4 AS DOUBLE)) / CAST(dmid1 + dmid2 AS DOUBLE) AS mz_score
+        |FROM f
+        |WHERE dmid1 + dmid2 > 0 AND 4 * dev4 > 7 * (dmid1 + dmid2)
+        |ORDER BY user_id, event_type, ts_us, event_id""".stripMargin) { (s, d) =>
+      // robust outlier DETECTION — the actionable end of q_ts_mad:
+      // flag samples whose deviation from the series median exceeds
+      // 3.5× the MAD (the classic modified-z rule; one spike cannot
+      // widen the gate the way it widens a stddev). The decision
+      // predicate is PURE INTEGER — dev > 3.5·MAD written as the
+      // cross-multiplication 4·dev4 > 7·mad8 in scaled units — so no
+      // float boundary can flip membership in either engine; the
+      // modified z-score 0.6745·dev/MAD is emitted through the shared
+      // IEEE text (exact-integer operands, identical ops). Zero-MAD
+      // series (≥ half the samples AT the median) are excluded by the
+      // same integer guard both sides. Same one-exchange window stack
+      // as q_ts_mad, but emitting the flagged ROWS, not the summary.
+      val wSeries = Window.partitionBy("user_id", "event_type")
+      val wVal = wSeries.orderBy("cents", "ts_us", "event_id")
+      val r = Tables.measurements(s, d)
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          col("event_id"), col("cents"))
+        .withColumn("rn", row_number().over(wVal))
+        .withColumn("n", count(lit(1)).over(wSeries))
+        .withColumn("mid1",
+          max(when(col("rn") === expr("(n+1) div 2"), col("cents"))).over(wSeries))
+        .withColumn("mid2",
+          max(when(col("rn") === expr("(n+2) div 2"), col("cents"))).over(wSeries))
+        .withColumn("dev4", abs(lit(4) * col("cents") - lit(2) * (col("mid1") + col("mid2"))))
+      val wDev = wSeries.orderBy("dev4", "ts_us", "event_id")
+      r.withColumn("rnd", row_number().over(wDev))
+        .withColumn("dmid1",
+          max(when(col("rnd") === expr("(n+1) div 2"), col("dev4"))).over(wSeries))
+        .withColumn("dmid2",
+          max(when(col("rnd") === expr("(n+2) div 2"), col("dev4"))).over(wSeries))
+        .withColumn("mad8", col("dmid1") + col("dmid2"))
+        .filter(col("mad8") > 0 && lit(4) * col("dev4") > lit(7) * col("mad8"))
+        .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"),
+          (col("cents").cast("double") / 100.0).as("value"),
+          (lit(0.6745) * (lit(2.0) * col("dev4").cast("double"))
+            / col("mad8").cast("double")).as("mz_score"))
+        .orderBy("user_id", "event_type", "ts_us", "event_id")
+    },
+
     QueryDef("q_ts_changes",
       MeasurementsSql +
       """,
