@@ -260,6 +260,59 @@ object WindowQueries {
                  | CAST(element_at(arr, CAST(size(arr) div 2 + 1 AS INT)) AS DOUBLE)) / 2.0""".stripMargin)
             .as("mov_med"))
         .orderBy("event_id")
+    },
+
+    QueryDef("q_window_slope",
+      MeasurementsSql +
+      s"""
+        |, f AS (
+        |  SELECT event_id,
+        |    count(*) OVER w AS n,
+        |    sum(ts_us // 1000000 - 1704067200) OVER w AS st,
+        |    sum(cents) OVER w AS sx,
+        |    sum((ts_us // 1000000 - 1704067200) * cents) OVER w AS stx,
+        |    sum((ts_us // 1000000 - 1704067200) * (ts_us // 1000000 - 1704067200)) OVER w AS stt
+        |  FROM m WINDOW w AS (PARTITION BY user_id, event_type
+        |    ORDER BY ts_us, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, CAST(n AS BIGINT) AS n,
+        |  ${WindowQueries.slopeSql} AS slope
+        |FROM f ORDER BY event_id""".stripMargin) { (s, d) =>
+      // rolling regression slope (PromQL `deriv` over a trailing
+      // 5-sample frame): OLS of value-cents against epoch-RELATIVE
+      // seconds — the reference offset is load-bearing: raw epoch-µs
+      // SQUARED overflows int64 (1.7e15² ≈ 3e30), while
+      // (ts_us//1e6 − 1704067200) spans ≤ 2.6e6 s, so every windowed
+      // sum (Σt, Σx, Σtx, Σt², n) is exact BIGINT per frame. The
+      // per-row slope (nΣtx − ΣtΣx)/(nΣt² − (Σt)²) is the GENERATED
+      // shared IEEE projection (slopeSql), emitted unrounded;
+      // single-point and zero-time-spread frames fall to NULL through
+      // the same integer guard both sides. One series exchange, one
+      // window pass carrying five running sums.
+      val w = seriesW.rowsBetween(-4, 0)
+      val t = expr("ts_us div 1000000 - 1704067200")
+      Tables.measurements(s, d)
+        .select(col("event_id"),
+          count(lit(1)).over(w).as("n"),
+          sum(t).over(w).as("st"),
+          sum(col("cents")).over(w).as("sx"),
+          sum(t * col("cents")).over(w).as("stx"),
+          sum(t * t).over(w).as("stt"))
+        .select(col("event_id"), col("n").cast("bigint").as("n"),
+          expr(WindowQueries.slopeSql).as("slope"))
+        .orderBy("event_id")
     }
   )
+
+  /** q_window_slope's per-frame OLS projection over (n, st, sx, stx,
+    * stt) — generated once, evaluated verbatim by both engines (the
+    * acfCaseSql pattern): slope = (n·Σtx − Σt·Σx)/(n·Σt² − (Σt)²),
+    * NULL when the frame has no time spread (the integer denominator
+    * is zero exactly, never approximately). */
+  def slopeSql: String = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val den = s"(${d("n")} * ${d("stt")} - ${d("st")} * ${d("st")})"
+    val num = s"(${d("n")} * ${d("stx")} - ${d("st")} * ${d("sx")})"
+    s"CASE WHEN n * stt - st * st > 0 THEN $num / $den END"
+  }
 }
