@@ -1483,6 +1483,54 @@ object StoreQueries {
         .orderBy("lang")
     },
 
+    QueryDef("q_store_trend",
+      s"""WITH c AS (
+        |  SELECT user_id, event_type,
+        |    (epoch_us(ts) // 86400000000) - 19723 AS t,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events
+        |), day AS (
+        |  SELECT user_id, event_type, t, CAST(sum(cents) AS BIGINT) AS vol
+        |  FROM c GROUP BY 1, 2, 3
+        |), f AS (
+        |  SELECT user_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(t) AS BIGINT) AS st, CAST(sum(vol) AS BIGINT) AS sx,
+        |    CAST(sum(t * vol) AS BIGINT) AS stx, CAST(sum(t * t) AS BIGINT) AS stt
+        |  FROM day GROUP BY 1, 2
+        |)
+        |SELECT user_id, event_type, n,
+        |  ${WindowQueries.slopeSql} AS trend_cents_per_day
+        |FROM f ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      // per-series daily-volume TREND served from the CASCADE — OLS of
+      // each day's total cents against the day index, computed over
+      // `agg_86400` rows (|series|·days of them) with raw NEVER
+      // scanned; the oracle recomputes the same daily sums from raw,
+      // so the hash match certifies cascade == raw at the analytics
+      // level, not just the rollup level. Day indices are
+      // epoch-RELATIVE (slot 19723 = 2024-01-01) keeping every
+      // sufficient statistic tiny exact BIGINT; the slope projection
+      // is the SAME generated text as q_window_slope (slopeSql) —
+      // write the OLS arithmetic once, evaluate it verbatim
+      // everywhere. Scan cost at 100 TB: the coarsest cascade is
+      // ~86400× smaller than raw; the agg is map-side combined on
+      // the series key.
+      val store = StoreFixture.store(s, d)
+      val t = expr("slot_ts div 86400 - 19723")
+      s.read.parquet(s"$store/agg_86400")
+        .select(col("user_id"), col("event_type"), t.as("t"),
+          col("sum_cents").as("vol"))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("t").cast("bigint").as("st"),
+          sum("vol").cast("bigint").as("sx"),
+          sum(col("t") * col("vol")).cast("bigint").as("stx"),
+          sum(col("t") * col("t")).cast("bigint").as("stt"))
+        .select(col("user_id"), col("event_type"), col("n"),
+          expr(WindowQueries.slopeSql).as("trend_cents_per_day"))
+        .orderBy("user_id", "event_type")
+    },
+
     QueryDef("q_source_csv",
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
