@@ -241,6 +241,31 @@ object JoinQueries {
     },
 
     {
+      // window functions through the SQL-TEXT surface (round 10 —
+      // the q_sql_* family had joins/subqueries/HAVING but no window):
+      // per-customer top-3 orders by price via rank() in ONE text both
+      // engines parse — same WINDOW syntax, same exact-cents ordering
+      // key with the unique o_orderkey tiebreak, rank cast to BIGINT
+      // so the dtype matches pandas-side
+      val q =
+        """WITH r AS (
+          |  SELECT o_custkey, o_orderkey,
+          |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+          |    rank() OVER (PARTITION BY o_custkey
+          |                 ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+          |                          o_orderkey) AS rk
+          |  FROM orders
+          |)
+          |SELECT o_custkey, o_orderkey, cents, CAST(rk AS BIGINT) AS rk
+          |FROM r WHERE rk <= 3
+          |ORDER BY o_custkey, rk, o_orderkey""".stripMargin
+      QueryDef("q_sql_window", q) { (s, d) =>
+        graft.Tables.registerAll(s, d)
+        s.sql(q)
+      }
+    },
+
+    {
       // correlated scalar subquery — Catalyst decorrelates it into a
       // join against the per-nation aggregate; same text both engines
       // avg over exact cents: integer sum + one division is the same
