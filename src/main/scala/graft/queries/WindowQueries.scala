@@ -301,8 +301,56 @@ object WindowQueries {
         .select(col("event_id"), col("n").cast("bigint").as("n"),
           expr(WindowQueries.slopeSql).as("slope"))
         .orderBy("event_id")
+    },
+
+    QueryDef("q_window_zscore",
+      MeasurementsSql +
+      s"""
+        |, f AS (
+        |  SELECT event_id, cents AS x,
+        |    count(*) OVER w AS n,
+        |    sum(cents) OVER w AS sx,
+        |    sum(cents * cents) OVER w AS sxx
+        |  FROM m WINDOW w AS (PARTITION BY user_id, event_type
+        |    ORDER BY ts_us, event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, CAST(n AS BIGINT) AS n,
+        |  ${WindowQueries.zscoreSql} AS z
+        |FROM f ORDER BY event_id""".stripMargin) { (s, d) =>
+      // rolling PARAMETRIC z-score over the trailing 10-sample frame —
+      // the classic online anomaly primitive, sitting next to the
+      // robust MAD detector (q_ts_outliers_mad flags what a spike
+      // can't hide from; this flags what a distribution shift shows
+      // first). One window pass carries n/Σx/Σx² as exact BIGINTs;
+      // the per-row z is the generated shared projection (zscoreSql) —
+      // the algebraic form n·x − Σx over √(n·(n·Σx² − Σx²)/(n−1))
+      // keeps every operand exact until the single IEEE chain, so z
+      // emits UNROUNDED; single-row and zero-variance frames fall to
+      // NULL through exact integer guards.
+      val w = seriesW.rowsBetween(-9, 0)
+      Tables.measurements(s, d)
+        .select(col("event_id"), col("cents").as("x"),
+          count(lit(1)).over(w).as("n"),
+          sum(col("cents")).over(w).as("sx"),
+          sum(col("cents") * col("cents")).over(w).as("sxx"))
+        .select(col("event_id"), col("n").cast("bigint").as("n"),
+          expr(WindowQueries.zscoreSql).as("z"))
+        .orderBy("event_id")
     }
   )
+
+  /** q_window_zscore's per-row projection over (x, n, sx, sxx) —
+    * generated once, evaluated verbatim by both engines:
+    * z = (n·x − Σx) / √(n·(n·Σx² − (Σx)²)/(n−1)), the algebraic
+    * rearrangement of (x − mean)/stddev_samp that keeps every operand
+    * an exact integer until the single division chain; NULL on
+    * single-row or zero-variance frames via EXACT integer guards. */
+  def zscoreSql: String = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val varN = s"(${d("n")} * ${d("sxx")} - ${d("sx")} * ${d("sx")})"
+    s"CASE WHEN n > 1 AND n * sxx - sx * sx > 0 THEN " +
+      s"(${d("n")} * ${d("x")} - ${d("sx")}) / sqrt(${d("n")} * $varN / (${d("n")} - 1.0)) END"
+  }
 
   /** q_window_slope's per-frame OLS projection over (n, st, sx, stx,
     * stt) — generated once, evaluated verbatim by both engines (the
