@@ -359,7 +359,8 @@ object AggQueries {
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(x) AS DOUBLE) AS s1,
         |    CAST(sum(x*x) AS DOUBLE) AS s2,
-        |    CAST(sum(CAST(x AS HUGEINT)*x*x) AS DOUBLE) AS s3
+        |    CAST(sum(CAST(x AS HUGEINT)*x*x) AS DOUBLE) AS s3,
+        |    CAST(min(x) AS BIGINT) AS mn, CAST(max(x) AS BIGINT) AS mx
         |  FROM c GROUP BY event_type
         |)
         |SELECT event_type, n, ${AggQueries.skewSql} AS skew
@@ -384,21 +385,27 @@ object AggQueries {
           sum("x").cast("double").as("s1"),
           sum(col("x") * col("x")).cast("double").as("s2"),
           sum((col("x") * col("x") * col("x")).cast("decimal(38,0)"))
-            .cast("double").as("s3"))
+            .cast("double").as("s3"),
+          min("x").as("mn"), max("x").as("mx"))
         .select(col("event_type"), col("n"), expr(AggQueries.skewSql).as("skew"))
         .orderBy("event_type")
     }
   )
 
-  /** q_agg_skew's projection over (n, s1, s2, s3) — generated once and
-    * evaluated verbatim by both engines (the acfCaseSql pattern):
-    * g₁ = √n · (n²·s3 − 3n·s1·s2 + 2·s1³) / (n·s2 − s1²)^{3/2}, with
+  /** q_agg_skew's projection over (n, s1, s2, s3, mn, mx) — generated
+    * once and evaluated verbatim by both engines (the acfCaseSql
+    * pattern): g₁ = √n · (n²·s3 − 3n·s1·s2 + 2·s1³) / (n·s2 − s1²)^{3/2},
     * the 3/2 power written d·√d because sqrt is correctly-rounded IEEE
-    * everywhere and pow is not. */
+    * everywhere and pow is not. The zero-variance gate is the EXACT
+    * integer test mn < mx — the double d = n·s2 − s1² stops being an
+    * exact zero detector once the sums exceed 2^53 (a constant group
+    * would emit garbage through a rounding-created tiny d) — with
+    * d > 0 kept as the numeric guard so a pathological rounded-negative
+    * d can never reach sqrt. */
   def skewSql: String = {
     val d = "(CAST(n AS DOUBLE) * s2 - s1 * s1)"
     val num = "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * s3 " +
       "- 3 * CAST(n AS DOUBLE) * s1 * s2 + 2 * s1 * s1 * s1)"
-    s"CASE WHEN $d > 0 THEN sqrt(CAST(n AS DOUBLE)) * $num / ($d * sqrt($d)) END"
+    s"CASE WHEN mn < mx AND $d > 0 THEN sqrt(CAST(n AS DOUBLE)) * $num / ($d * sqrt($d)) END"
   }
 }

@@ -1411,16 +1411,15 @@ object TsQueries {
         |  FROM r
         |),
         |d AS (
-        |  SELECT user_id, event_type, ts_us, event_id, cents,
+        |  SELECT user_id, event_type, ts_us, event_id, cents, n,
         |    abs(4 * cents - 2 * (mid1 + mid2)) AS dev4
         |  FROM md
         |),
         |rd AS (
-        |  SELECT d.*, r2.n,
-        |    row_number() OVER (PARTITION BY d.user_id, d.event_type
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, event_type
         |                       ORDER BY dev4, ts_us, event_id) AS rnd
-        |  FROM d JOIN (SELECT DISTINCT user_id, event_type, n FROM r) r2
-        |    USING (user_id, event_type)
+        |  FROM d
         |),
         |f AS (
         |  SELECT *,
@@ -1432,9 +1431,12 @@ object TsQueries {
         |)
         |SELECT user_id, event_type, ts_us, event_id,
         |  CAST(cents AS DOUBLE) / 100.0 AS value,
-        |  0.6745 * (2.0 * CAST(dev4 AS DOUBLE)) / CAST(dmid1 + dmid2 AS DOUBLE) AS mz_score
+        |  CASE WHEN dmid1 + dmid2 > 0 THEN
+        |    0.6745 * (2.0 * CAST(dev4 AS DOUBLE)) / CAST(dmid1 + dmid2 AS DOUBLE)
+        |  END AS mz_score
         |FROM f
-        |WHERE dmid1 + dmid2 > 0 AND 4 * dev4 > 7 * (dmid1 + dmid2)
+        |WHERE (dmid1 + dmid2 > 0 AND 4 * dev4 > 7 * (dmid1 + dmid2))
+        |   OR (dmid1 + dmid2 = 0 AND dev4 > 0)
         |ORDER BY user_id, event_type, ts_us, event_id""".stripMargin) { (s, d) =>
       // robust outlier DETECTION — the actionable end of q_ts_mad:
       // flag samples whose deviation from the series median exceeds
@@ -1445,9 +1447,12 @@ object TsQueries {
       // float boundary can flip membership in either engine; the
       // modified z-score 0.6745·dev/MAD is emitted through the shared
       // IEEE text (exact-integer operands, identical ops). Zero-MAD
-      // series (≥ half the samples AT the median) are excluded by the
-      // same integer guard both sides. Same one-exchange window stack
-      // as q_ts_mad, but emitting the flagged ROWS, not the summary.
+      // series (≥ half the samples AT the median) are the detector's
+      // WORST-case input, not an exclusion: any nonzero deviation
+      // there is infinitely many MADs out, so the mad8 = 0 ∧ dev4 > 0
+      // arm flags those rows too (score NULL — the quotient is
+      // undefined), still through exact integer tests. Same
+      // one-exchange window stack as q_ts_mad, emitting flagged ROWS.
       val wSeries = Window.partitionBy("user_id", "event_type")
       val wVal = wSeries.orderBy("cents", "ts_us", "event_id")
       val r = Tables.measurements(s, d)
@@ -1467,11 +1472,13 @@ object TsQueries {
         .withColumn("dmid2",
           max(when(col("rnd") === expr("(n+2) div 2"), col("dev4"))).over(wSeries))
         .withColumn("mad8", col("dmid1") + col("dmid2"))
-        .filter(col("mad8") > 0 && lit(4) * col("dev4") > lit(7) * col("mad8"))
+        .filter((col("mad8") > 0 && lit(4) * col("dev4") > lit(7) * col("mad8"))
+          || (col("mad8") === 0 && col("dev4") > 0))
         .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"),
           (col("cents").cast("double") / 100.0).as("value"),
-          (lit(0.6745) * (lit(2.0) * col("dev4").cast("double"))
-            / col("mad8").cast("double")).as("mz_score"))
+          when(col("mad8") > 0,
+            lit(0.6745) * (lit(2.0) * col("dev4").cast("double"))
+              / col("mad8").cast("double")).as("mz_score"))
         .orderBy("user_id", "event_type", "ts_us", "event_id")
     },
 

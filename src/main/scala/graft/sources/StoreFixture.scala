@@ -119,12 +119,17 @@ object StoreFixture {
     s"$tgt/docs"
   }
 
-  /** The measurements stream (integer mirror columns only — no text,
-    * CSV-safe) as gzip CSV with a header, via the store's own
-    * [[TsdbStore.exportCsv]] — the flat-file interchange every ops
-    * pipeline eventually meets. Read back by `q_source_csv` (Spark:
-    * [[TsdbStore.readCsv]] with explicit schema; DuckDB: read_csv over
-    * the same files). */
+  /** The measurements stream as gzip CSV with a header, via the
+    * store's own [[TsdbStore.exportCsv]] — the flat-file interchange
+    * every ops pipeline eventually meets. Read back by `q_source_csv`
+    * (Spark: [[TsdbStore.readCsv]] with explicit schema; DuckDB:
+    * read_csv over the same files). CAVEAT: one column (event_type)
+    * is VARCHAR, and Spark's CSV writer escapes embedded quotes with
+    * backslash while DuckDB's reader expects RFC-4180 doubled quotes —
+    * the cross-engine parity holds because the fixture's event_type
+    * values are bare word tokens (no quote/comma/newline ever needs
+    * escaping). Do NOT reuse this export for free-text columns
+    * without aligning the two engines' quote conventions first. */
   def eventsCsv(spark: SparkSession, sfDir: String): String = {
     val tgt = s"/tmp/graft_csv/${new File(sfDir).getName}"
     buildOnce(new File(s"$sfDir/events.parquet"), tgt) {
