@@ -171,7 +171,11 @@ object TimeSeriesOps {
     * (A₂A₁, A₂v₁+v₂) — so the inherently-sequential-looking recurrence
     * factors into per-chunk folds of (2×2 matrix, 2-vector) pairs plus
     * an in-order combine of one pair per chunk, exactly like the EMA:
-    * task memory is bounded by `chunkSize`, never series length, and
+    * per-task memory is bounded by `chunkSize` PLUS one (2×2 matrix,
+    * vector, seed) struct per chunk — the second-stage collect_list
+    * holds n/chunkSize pairs per series, the same asymptotics as
+    * [[emaChunked]] (≈88 bytes per 4096 samples, so a billion-sample
+    * series costs ~21 MB at the default chunk size) — and
     * chunk membership is deterministic (row_number over the series
     * order) so the result is partitioning-INVARIANT — HoltSpec pins
     * bit-identical results at 1/4/32 input partitions. Regrouped

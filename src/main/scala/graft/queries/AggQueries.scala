@@ -369,7 +369,12 @@ object AggQueries {
       // of the §7.4 moment pattern (corr/autocorr are its second-moment
       // siblings): Σx and Σx² accumulate as exact BIGINT; Σx³ per-row
       // products fit int64 (cents ≤ 5.7e4 ⇒ x³ ≤ 1.9e14) but the GROUP
-      // sum does not at sf ≥ 0.1, so it accumulates in DECIMAL(38,0)
+      // sum does not at sf ≥ 0.1, so the whole cube is DECIMAL-first:
+      // Spark casts the FIRST factor to decimal(12,0) before
+      // multiplying (mirroring the oracle's CAST(x AS HUGEINT)*x*x),
+      // so no int64 intermediate exists and nothing can silently wrap
+      // even if a future fixture pushes |cents| past the 2.09e6 bound
+      // where x³ leaves int64; the sum accumulates in DECIMAL(38,0)
       // (Spark) / HUGEINT (DuckDB) — both exact, both then correctly
       // rounded once to the SAME double. The projection (generated
       // once, evaluated verbatim by both engines) uses d·sqrt(d) for
@@ -384,7 +389,7 @@ object AggQueries {
         .agg(count(lit(1)).as("n"),
           sum("x").cast("double").as("s1"),
           sum(col("x") * col("x")).cast("double").as("s2"),
-          sum((col("x") * col("x") * col("x")).cast("decimal(38,0)"))
+          sum(col("x").cast("decimal(12,0)") * col("x") * col("x"))
             .cast("double").as("s3"),
           min("x").as("mn"), max("x").as("mx"))
         .select(col("event_type"), col("n"), expr(AggQueries.skewSql).as("skew"))

@@ -1219,7 +1219,9 @@ object TsQueries {
         |    CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
         |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
-        |    CAST(sum(x*y) AS BIGINT) AS sxy
+        |    CAST(sum(x*y) AS BIGINT) AS sxy,
+        |    CAST(min(x) AS BIGINT) AS mn_x, CAST(max(x) AS BIGINT) AS mx_x,
+        |    CAST(min(y) AS BIGINT) AS mn_y, CAST(max(y) AS BIGINT) AS mx_y
         |  FROM p WHERE y IS NOT NULL
         |  GROUP BY user_id, event_type
         |)
@@ -1252,7 +1254,9 @@ object TsQueries {
           sum("x").cast("bigint").as("sx"), sum("y").cast("bigint").as("sy"),
           sum(col("x") * col("x")).cast("bigint").as("sxx"),
           sum(col("y") * col("y")).cast("bigint").as("syy"),
-          sum(col("x") * col("y")).cast("bigint").as("sxy"))
+          sum(col("x") * col("y")).cast("bigint").as("sxy"),
+          min("x").as("mn_x"), max("x").as("mx_x"),
+          min("y").as("mn_y"), max("y").as("mx_y"))
         .select(col("user_id"), col("event_type"), col("n"),
           expr(TsQueries.acfCaseSql).as("acf1"))
         .orderBy("user_id", "event_type")
@@ -1354,7 +1358,9 @@ object TsQueries {
         |    CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
         |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
-        |    CAST(sum(x*y) AS BIGINT) AS sxy
+        |    CAST(sum(x*y) AS BIGINT) AS sxy,
+        |    CAST(min(x) AS BIGINT) AS mn_x, CAST(max(x) AS BIGINT) AS mx_x,
+        |    CAST(min(y) AS BIGINT) AS mn_y, CAST(max(y) AS BIGINT) AS mx_y
         |  FROM sl GROUP BY user_id
         |)
         |SELECT user_id, n,
@@ -1387,7 +1393,9 @@ object TsQueries {
           sum("x").cast("bigint").as("sx"), sum("y").cast("bigint").as("sy"),
           sum(col("x") * col("x")).cast("bigint").as("sxx"),
           sum(col("y") * col("y")).cast("bigint").as("syy"),
-          sum(col("x") * col("y")).cast("bigint").as("sxy"))
+          sum(col("x") * col("y")).cast("bigint").as("sxy"),
+          min("x").as("mn_x"), max("x").as("mx_x"),
+          min("y").as("mn_y"), max("y").as("mx_y"))
         .select(col("user_id"), col("n"), expr(TsQueries.acfCaseSql).as("xcorr"))
         .orderBy("user_id")
     },
@@ -1537,13 +1545,22 @@ object TsQueries {
     * both engines (the hqLadderSql pattern: the unrounded cross-engine
     * bit-equality contract depends on the expression text never
     * drifting between the two copies). Zero-variance (constant) series
-    * fall to NULL through the guard, identically both sides. */
+    * fall to NULL through the EXACT integer gate mn_x < mx_x AND
+    * mn_y < mx_y (the skewSql pattern — the double product varX·varY
+    * stops being an exact zero detector once n·sxx or sx² exceeds
+    * 2^53, where a constant series could emit garbage through a
+    * rounding-created tiny nonzero variance), with the float
+    * varX·varY > 0 test kept ONLY as the sqrt-domain guard so a
+    * pathological rounded-nonpositive product can never reach sqrt.
+    * Callers must carry min/max of x and y through the aggregate as
+    * mn_x/mx_x/mn_y/mx_y. */
   def acfCaseSql: String = {
     def d(c: String) = s"CAST($c AS DOUBLE)"
     val varX = s"(${d("n")} * ${d("sxx")} - ${d("sx")} * ${d("sx")})"
     val varY = s"(${d("n")} * ${d("syy")} - ${d("sy")} * ${d("sy")})"
     val cov = s"(${d("n")} * ${d("sxy")} - ${d("sx")} * ${d("sy")})"
-    s"CASE WHEN $varX * $varY > 0 THEN $cov / sqrt($varX * $varY) END"
+    s"CASE WHEN mn_x < mx_x AND mn_y < mx_y AND $varX * $varY > 0 " +
+      s"THEN $cov / sqrt($varX * $varY) END"
   }
 
   /** The bucket-walk + interpolation ladder, evaluated VERBATIM by both
