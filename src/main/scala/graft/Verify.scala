@@ -65,8 +65,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // __SF__ in oracle SQL = the data-dir basename (fixture exports
+    // live under /tmp/graft_*/<basename>/): resolved here, at dump
+    // time, so file-source oracles track whatever sf this sweep runs
+    // at instead of pinning one scale's literal path.
+    val sfBase = new java.io.File(sfDir).getName
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__SF__", sfBase))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -1460,17 +1460,17 @@ object StoreQueries {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  CAST(min(doc_id) AS BIGINT) AS first_doc
-        |FROM read_json('/tmp/graft_jsonl/sf0.01/docs/*.json',
+        |FROM read_json('/tmp/graft_jsonl/__SF__/docs/*.json',
         |  format='newline_delimited',
         |  columns={'doc_id':'BIGINT','text':'VARCHAR','lang':'VARCHAR',
         |           'source':'VARCHAR','n_chars':'BIGINT'})
         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       // JSONL corpus source with an explicit schema (no inference): the
       // commonest LLM-pipeline input format, fed into per-language
-      // corpus stats. Both engines read the same exported JSONL files.
-      // NOTE: the oracle's literal path pins sf0.01 — the only sf the
-      // driver's DuckDB gate runs at (harness contract); checking this
-      // query at another sf needs the path edited to match.
+      // corpus stats. Both engines read the same exported JSONL files:
+      // the oracle's __SF__ placeholder is resolved to the data-dir
+      // basename by Verify at dump time, so the fixture path tracks
+      // whatever sf the sweep runs at (no pinned scale).
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType),
         StructField("lang", StringType), StructField("source", StringType),
@@ -1536,7 +1536,7 @@ object StoreQueries {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(min(event_id) AS BIGINT) AS first_id,
         |  CAST(max(event_id) AS BIGINT) AS last_id
-        |FROM read_csv('/tmp/graft_csv/sf0.01/events/*.csv.gz',
+        |FROM read_csv('/tmp/graft_csv/__SF__/events/*.csv.gz',
         |  header=true,
         |  columns={'user_id':'BIGINT','event_type':'VARCHAR','event_id':'BIGINT',
         |           'ts_us':'BIGINT','cents':'BIGINT'})
@@ -1545,9 +1545,9 @@ object StoreQueries {
       // (TsdbStore.exportCsv/readCsv — header + explicit schema, no
       // inference): the flat-file format every ops pipeline eventually
       // meets, now a declared oracled row instead of component-only
-      // coverage. Both engines read the SAME exported .csv.gz files.
-      // NOTE: like q_source_jsonl, the oracle's literal path pins
-      // sf0.01 — the only sf the driver's DuckDB gate runs at.
+      // coverage. Both engines read the SAME exported .csv.gz files;
+      // like q_source_jsonl, the oracle path's __SF__ placeholder is
+      // resolved to the data-dir basename by Verify at dump time.
       val schema = StructType(Seq(
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("event_id", LongType), StructField("ts_us", LongType),
