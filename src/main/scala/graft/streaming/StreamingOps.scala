@@ -130,19 +130,76 @@ object StreamingOps {
       .select(col("w.start").as("w_start"), col("event_type"), col("dau"))
 
   /** Streaming ingest into the TSDB store layout — the poller →
-    * persister pipeline end to end: each microbatch appends
-    * dt-partitioned base rows (idempotence comes from slot upsert
-    * semantics at read time / compaction; see TsdbStore.upsert).
-    * `foreachBatch` is the bridge that lets the SAME batch writer
-    * serve the stream. */
+    * persister pipeline end to end: each microbatch lands
+    * dt-partitioned base rows via [[ingestBatch]], which is
+    * RETRY-IDEMPOTENT per batchId (a failed-and-retried microbatch —
+    * the at-least-once delivery every foreachBatch deployment has —
+    * leaves base content-identical to a single success, so a cascade
+    * later built from that base never double-counts its n/sum_cents
+    * monoids). `foreachBatch` is the bridge that lets the SAME batch
+    * writer serve the stream. */
   def streamIngest(m: DataFrame, storePath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     m.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      batch
-        .select(col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("ts_us"), col("cents"))
-        .withColumn("dt", to_date(timestamp_micros(col("ts_us"))))
-        .write.mode("append").partitionBy("dt").parquet(s"$storePath/base")
+      ingestBatch(batch, batchId, storePath)
     }
+
+  /** One idempotent microbatch append: exactly-once per (storePath,
+    * batchId) regardless of where a previous attempt died.
+    *
+    * Protocol (the standard foreachBatch commit-marker recipe, made
+    * crash-safe for a multi-partition file sink):
+    *   1. a single-file marker `_stream_commits/<batchId>` is written
+    *      ONLY after every data file is live — if it exists, the batch
+    *      is fully present and the retry returns without touching data;
+    *   2. otherwise the batch stages to `_stream_stage/<batchId>`
+    *      (mode Overwrite: a retry replaces any partial stage), then
+    *      each staged file moves into its live `base/dt=` dir under a
+    *      `bid-<batchId>-` file-name prefix — and the move is preceded
+    *      by deleting any live files carrying THIS batch's prefix, so
+    *      an attempt that died mid-move (some files landed, no marker)
+    *      is swept clean before its replacement lands. foreachBatch
+    *      replays a batchId with the same data (the replayable-source
+    *      contract), so the leftovers are always within the dt set the
+    *      retry re-stages.
+    * Crash cases: before any move → stage overwritten, no live effect;
+    * mid-move → prefix sweep removes the partial files; after moves,
+    * before marker → sweep + re-move lands byte-equal content; after
+    * marker → step 1 short-circuits. The marker create is a
+    * single-file operation (atomic on HDFS/local rename semantics).
+    * Cost at scale: one listing of the touched dt dirs per batch —
+    * metadata-bounded, no data re-read. */
+  def ingestBatch(batch: DataFrame, batchId: Long, storePath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val fs = new Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$storePath/_stream_commits/$batchId")
+    if (fs.exists(marker)) return
+    val stage = new Path(s"$storePath/_stream_stage/$batchId")
+    batch
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("cents"))
+      .withColumn("dt", to_date(timestamp_micros(col("ts_us"))))
+      .write.mode("overwrite").partitionBy("dt").parquet(stage.toString)
+    val prefix = s"bid-$batchId-"
+    fs.listStatus(stage).filter(_.getPath.getName.startsWith("dt="))
+      .foreach { dtDir =>
+        val live = new Path(s"$storePath/base/${dtDir.getPath.getName}")
+        fs.mkdirs(live)
+        // sweep a dead previous attempt's partial files for this batch
+        fs.listStatus(live)
+          .filter(_.getPath.getName.startsWith(prefix))
+          .foreach(f => fs.delete(f.getPath, false))
+        fs.listStatus(dtDir.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .foreach { f =>
+            fs.rename(f.getPath, new Path(live, prefix + f.getPath.getName))
+          }
+      }
+    fs.delete(stage, true)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+  }
 
   /** Streaming ingest with ONLINE cascade maintenance: each microbatch
     * upserts into the store and recomputes only the dt partitions it

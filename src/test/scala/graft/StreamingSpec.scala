@@ -183,6 +183,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamIngest microbatch RETRY is idempotent: base and a cascade built from it are unchanged") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft-stream-retry").toString
+    def batchDf(rows: (Long, String, Timestamp, Long)*) =
+      rows.toDF("user_id", "event_type", "ts", "cents")
+    val b0 = batchDf(
+      (1L, "click", ts("2024-01-01 10:00:00"), 100L),
+      (2L, "view", ts("2024-01-01 11:00:00"), 50L))
+    val b1 = batchDf(
+      (1L, "click", ts("2024-01-02 09:00:00"), 200L),
+      (1L, "click", ts("2024-01-02 09:10:00"), 300L))
+    StreamingOps.ingestBatch(b0, 0L, store)
+    StreamingOps.ingestBatch(b1, 1L, store)
+    def snapshot() = spark.read.parquet(s"$store/base")
+      .select("user_id", "event_type", "ts_us", "cents")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    def cascade() = spark.read.parquet(s"$store/base")
+      .groupBy(col("user_id"), col("event_type"),
+        expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val (base1, casc1) = (snapshot(), cascade())
+    assert(base1.size == 4)
+    // at-least-once delivery: the SAME batchId re-executes after the
+    // marker landed — must short-circuit, appending nothing
+    StreamingOps.ingestBatch(b1, 1L, store)
+    assert(snapshot() == base1, "committed-batch retry changed base")
+    assert(cascade() == casc1, "committed-batch retry changed the cascade")
+    // crash-mid-move attempt: batch 2's marker never landed but some of
+    // its prefix-named files DID (simulated by planting a live file
+    // under the bid-2- prefix); the retry must sweep and land exactly
+    // one copy of batch 2
+    val b2 = batchDf((3L, "click", ts("2024-01-03 08:00:00"), 700L))
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dt3 = new org.apache.hadoop.fs.Path(s"$store/base/dt=2024-01-03")
+    b2.select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("cents"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$store/_partial_sim")
+    val partFile = fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/_partial_sim"))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")).head.getPath
+    fs.mkdirs(dt3)
+    fs.rename(partFile, new org.apache.hadoop.fs.Path(dt3, s"bid-2-${partFile.getName}"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store/_partial_sim"), true)
+    assert(spark.read.parquet(s"$store/base").count() == 5) // leftover visible
+    StreamingOps.ingestBatch(b2, 2L, store)
+    val base2 = snapshot()
+    assert(base2.size == 5, s"partial-attempt leftover not swept: ${base2.size} rows")
+    assert(base2.count(_ == Seq(3L, "click", 1704268800000000L, 700L)) == 1,
+      "batch 2 must land exactly once after the sweep")
+    // and a third re-execution of batch 2 post-commit is still a no-op
+    StreamingOps.ingestBatch(b2, 2L, store)
+    assert(snapshot() == base2)
+  }
+
   test("incremental streaming ingest maintains the cascade per microbatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
