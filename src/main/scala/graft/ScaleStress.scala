@@ -114,21 +114,20 @@ object ScaleStress {
   private val LengthHeavy = Seq(
     "q_ts_holt", "q_ts_ema", "q_ts_downsample_lttb",
     "q_ts_mad", "q_ts_weighted_median", "q_ts_autocorr", "q_ts_irate",
-    "q_ts_downsample_m4")
-  // Two deliberate exclusions:
+    "q_ts_downsample_m4",
+    // round 11: q_stream_holt joined this mode once its declared batch
+    // evaluation became holtSequential (repartition + EXTERNAL sort +
+    // 24-byte group-boundary fold) — the sort buffer is
+    // TaskMemoryManager-tracked, so the peak column now measures the
+    // real per-task footprint instead of hiding a whole-series
+    // it.toSeq on plain JVM heap (the r10 weak row, closed)
+    "q_stream_holt")
+  // One deliberate exclusion:
   //  - q_ts_gap_interp: its grid is the fixed January window, so on a
   //    time-extended corpus the pushed-down range predicate correctly
   //    skips the added months — the measured 10× point (2.6 s vs 4.1 s
   //    at 1×, peak 31 MB vs 220 MB) demonstrates PRUNING, not length
   //    scaling, and would misread as the latter.
-  //  - q_stream_holt: BATCH evaluation of the keyed-state fold sees the
-  //    whole series as one group and buffers it via it.toSeq on plain
-  //    JVM heap — memory the TaskMemoryManager (and so this mode's
-  //    peakExecutionMemory column) cannot observe, so a flat peak_Nx
-  //    here would be a false bounded-memory claim. In the STREAMING
-  //    deployment the buffer is each microbatch's per-series slice and
-  //    the carried state is 24 bytes (StreamingSpec pins the contract);
-  //    the batch twin's length behavior is q_ts_holt's chunked scan.
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

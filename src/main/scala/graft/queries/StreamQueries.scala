@@ -151,13 +151,19 @@ object StreamQueries {
         |      FROM l)
         |SELECT user_id, event_type, n, st[1] AS level, st[2] AS trend
         |FROM r ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
-      // the STREAMING Holt operator, batch-evaluated: onlineHolt's
-      // flatMapGroupsWithState runs on a bounded Dataset as one group
-      // pass, so its 24-byte state update IS the whole-series
-      // sequential fold — and because both engines then execute the
-      // SAME arithmetic in the SAME order, level and trend compare
-      // UNROUNDED (a strictly stronger cross-engine pin than
-      // q_ts_holt's round(…,4) over the regrouped chunked scan).
+      // the STREAMING Holt operator, batch-evaluated BOUNDED: the
+      // declared evaluation is holtSequential — repartition on the
+      // series key, external (spillable, memory-tracked) sort, one
+      // streaming group-boundary pass carrying 24 bytes of fold state —
+      // which executes the IDENTICAL scalar steps in the identical
+      // order as onlineHolt's state update, so level and trend compare
+      // UNROUNDED against the oracle's sequential list_reduce (a
+      // strictly stronger cross-engine pin than q_ts_holt's round(…,4)
+      // over the regrouped chunked scan), while task memory no longer
+      // hides a whole-series it.toSeq buffer on untracked JVM heap
+      // (the r10 weak row; ScaleStress mode=long now measures this
+      // query's flat peak directly). StreamingSpec pins
+      // holtSequential == onlineHolt bit-for-bit on random data.
       // DYADIC α=1/4, β=1/8 are load-bearing: the Scala side computes
       // 1−α and 1−β at runtime while the oracle writes 0.75/0.875 as
       // literals, and for non-dyadic β (0.1) the real 1−β rounds to the
@@ -165,7 +171,7 @@ object StreamQueries {
       // StreamingSpec drives the same op through MemoryStream splits;
       // this row pins the batch twin against DuckDB bit-for-bit.
       import s.implicits._
-      graft.streaming.StreamingOps.onlineHolt(
+      graft.streaming.StreamingOps.holtSequential(
           Tables.measurements(s, d)
             .select(col("user_id"), col("event_type"), col("ts_us"),
               col("event_id"), col("cents"))

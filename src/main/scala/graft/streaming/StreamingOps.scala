@@ -302,6 +302,52 @@ object StreamingOps {
       }
   }
 
+  /** BOUNDED-MEMORY batch twin of [[onlineHolt]]: the same scalar Holt
+    * fold in the same order — so results are BIT-IDENTICAL to the
+    * online operator's bounded-input evaluation (StreamingSpec pins
+    * it) — but evaluated as repartition-on-series →
+    * sortWithinPartitions → one streaming group-boundary pass, so the
+    * only per-series buffering is Spark's EXTERNAL sort (spillable,
+    * visible to the TaskMemoryManager) and the fold itself carries
+    * 24 bytes of running state regardless of series length. This is
+    * the evaluation `q_stream_holt` declares: onlineHolt's
+    * flatMapGroupsWithState on a bounded input materializes each whole
+    * series via it.toSeq on plain JVM heap — fine per-microbatch
+    * online, an unbounded untracked buffer at batch scale.
+    * mapPartitions is justified the same way LTTB's is
+    * (TimeSeriesOps.lttb): the recurrence is inherently
+    * sequential per series and the group-boundary walk needs one
+    * element of lookahead, nothing more. */
+  def holtSequential(m: Dataset[MeasK], alpha: Double, beta: Double): Dataset[HoltSnap] = {
+    val spark = m.sparkSession
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    m.repartition(parts, col("user_id"), col("event_type"))
+      .sortWithinPartitions("user_id", "event_type", "ts_us", "event_id")
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[HoltSnap] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): HoltSnap = {
+            val first = buf.next()
+            var l = first.cents.toDouble
+            var b = 0.0
+            var n = 1L
+            while (buf.hasNext && buf.head.user_id == first.user_id &&
+                buf.head.event_type == first.event_type) {
+              val v = buf.next().cents.toDouble
+              // textually the same step as onlineHolt's state update
+              val l2 = alpha * v + (1 - alpha) * (l + b)
+              b = beta * (l2 - l) + (1 - beta) * b
+              l = l2
+              n += 1
+            }
+            HoltSnap(first.user_id, first.event_type, n, l, b)
+          }
+        }
+      }
+  }
+
   def onlineRates(m: Dataset[Meas], hbUs: Long, wrapCap: Long,
                   stateTtlUs: Long = 0L,
                   wmDelay: String = "0 microseconds"): Dataset[RateSample] = {

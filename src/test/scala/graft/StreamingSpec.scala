@@ -600,6 +600,46 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(batch.getDouble(3) - el) / math.abs(el) < 1e-12)
   }
 
+  test("holtSequential (bounded batch evaluation) equals the sequential fold " +
+      "and onlineHolt bit-for-bit, at any partitioning") {
+    import spark.implicits._
+    // multi-series random corpus, deliberately shuffled input order:
+    // the operator owns its ordering (repartition + external sort)
+    val M = 1000000L
+    val rng = new scala.util.Random(23)
+    val series = for {
+      uid <- 1L to 5L; et <- Seq("click", "view")
+    } yield (uid, et, Seq.fill(rng.nextInt(60) + 5)((rng.nextInt(9000) + 100).toLong))
+    val rows = rng.shuffle(series.flatMap { case (uid, et, vs) =>
+      vs.zipWithIndex.map { case (v, i) =>
+        StreamingOps.MeasK(uid, et, i * 60L * M, i.toLong, v)
+      }
+    })
+    def refFold(vs: Seq[Long]): (Long, Double, Double) = {
+      val (l, t) = vs.map(_.toDouble).tail
+        .foldLeft((vs.head.toDouble, 0.0)) { case ((l, t), x) =>
+          val l2 = 0.25 * x + (1 - 0.25) * (l + t)
+          val t2 = 0.125 * (l2 - l) + (1 - 0.125) * t
+          (l2, t2)
+        }
+      (vs.size.toLong, l, t)
+    }
+    val want = series.map { case (uid, et, vs) => (uid, et) -> refFold(vs) }.toMap
+    for (parts <- Seq(1, 4, 32)) {
+      val got = StreamingOps.holtSequential(
+          rows.toDS().repartition(parts), alpha = 0.25, beta = 0.125)
+        .collect().map(s => (s.user_id, s.event_type) -> ((s.n, s.level, s.trend)))
+        .toMap
+      assert(got == want, s"parts=$parts: bounded evaluation != scalar fold")
+    }
+    // and against onlineHolt's own bounded-input evaluation (the
+    // q_stream_holt contract predecessor): identical snapshots
+    val online = StreamingOps.onlineHolt(rows.toDS(), alpha = 0.25, beta = 0.125)
+      .collect().map(s => (s.user_id, s.event_type) -> ((s.n, s.level, s.trend)))
+      .toMap
+    assert(online == want)
+  }
+
   test("online rates with event-time state TTL: silent series expire, " +
       "output equals the unbounded-state form when ttl >= heartbeat") {
     import spark.implicits._
