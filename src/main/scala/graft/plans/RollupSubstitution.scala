@@ -87,12 +87,19 @@ object RollupSubstitution {
     * for its own scan. */
   private[plans] final case class StoreInfo(
       stampMtime: Long,
+      dataStamp: String,
       layout: graft.sources.StoreLayout,
       schemas: scala.collection.concurrent.TrieMap[String,
         org.apache.spark.sql.types.StructType],
-      exists: scala.collection.concurrent.TrieMap[String, Boolean])
+      exists: scala.collection.concurrent.TrieMap[String, Boolean],
+      gates: scala.collection.concurrent.TrieMap[String, Any])
   private[plans] val storeCache =
     new java.util.concurrent.ConcurrentHashMap[String, StoreInfo]()
+  /** Count of optimize-time gate JOBS actually executed (dim
+    * uniqueness, sub-K counts) — RollupSpec pins cache hits (a
+    * repeated query must not move this) and invalidation (a store
+    * mutation must). */
+  private[graft] val gateJobsRun = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
@@ -109,17 +116,65 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
   private val FloorKey = "spark.graft.rollup.sizeGateFloorBytes"
 
   /** Cached per-store support data, revalidated against the layout
-    * stamp; a missing stamp (not a store) returns None. */
+    * stamp AND the content stamp; a missing layout stamp (not a
+    * store) returns None. The content stamp (`_DATA_STAMP`, bumped by
+    * every TsdbStore mutator) additionally guards the GATE-JOB cache:
+    * layout unchanged + content changed keeps the stable
+    * schema/existence entries but drops every cached gate result, so
+    * upsert / compaction / retention invalidate exactly the answers
+    * they can change. An absent content stamp reads as "" and
+    * [[cachedGate]] then never caches — stores written by anything
+    * that doesn't maintain the stamp stay correct, just uncached. */
   private def storeInfo(store: String): Option[StoreInfo] = {
     val p = new org.apache.hadoop.fs.Path(s"$store/_LAYOUT")
     val fs = p.getFileSystem(session.sparkContext.hadoopConfiguration)
     val mtime = try fs.getFileStatus(p).getModificationTime
       catch { case _: java.io.FileNotFoundException => return None }
+    val ds = TsdbStore.readDataStamp(session, store)
     Some(storeCache.compute(store, (_, old) =>
-      if (old != null && old.stampMtime == mtime) old
-      else StoreInfo(mtime, TsdbStore.readLayout(session, store),
+      if (old != null && old.stampMtime == mtime && old.dataStamp == ds) old
+      else if (old != null && old.stampMtime == mtime)
+        old.copy(dataStamp = ds,
+          gates = scala.collection.concurrent.TrieMap.empty)
+      else StoreInfo(mtime, ds, TsdbStore.readLayout(session, store),
+        scala.collection.concurrent.TrieMap.empty,
         scala.collection.concurrent.TrieMap.empty,
         scala.collection.concurrent.TrieMap.empty)))
+  }
+
+  /** Serve a gate-job result from the store's content-stamped cache,
+    * or run it. `keyOpt = None` (an input whose content can't be
+    * fingerprinted) and an absent content stamp both degrade to
+    * running the job — never to a stale answer. */
+  private def cachedGate[T](info: StoreInfo, keyOpt: Option[String])(run: => T): T = {
+    def runCounted: T = {
+      RollupSubstitution.gateJobsRun.incrementAndGet()
+      run
+    }
+    keyOpt match {
+      case Some(key) if info.dataStamp.nonEmpty =>
+        info.gates.getOrElseUpdate(key, runCounted).asInstanceOf[T]
+      case _ => runCounted
+    }
+  }
+
+  /** Content fingerprint of a dim-side subtree: the canonicalized
+    * structure plus every leaf scan's CURRENT file listing (writers
+    * emit uuid-named files, so the path set identifies content). None
+    * if any leaf is not a file scan — such plans are not cacheable. */
+  private def planSignature(p: LogicalPlan): Option[String] = {
+    val leafSigs = p.collectLeaves().map {
+      case lr: LogicalRelation => lr.relation match {
+        case fsr: HadoopFsRelation =>
+          val files = fsr.location.inputFiles
+          Some(s"${fsr.location.rootPaths.mkString(",")}#${files.length}" +
+            s"#${files.toSeq.hashCode}#${fsr.location.sizeInBytes}")
+        case _ => None
+      }
+      case _ => None
+    }
+    if (leafSigs.exists(_.isEmpty)) None
+    else Some(s"${p.canonicalized.toString}@${leafSigs.flatten.mkString(";")}")
   }
 
   private def tableExistsCached(info: StoreInfo, store: String, table: String): Boolean =
@@ -261,17 +316,26 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     * several dim rows and the cascade's collapsed cells would
     * under-count the fan-out. Runtime check at optimize time, bounded
     * by contract (a metadata sidecar is version-count-sized, not
-    * sample-sized). */
-  private def dimIsUnique(dj: DimJoin): Boolean = {
-    val dimDf = org.apache.spark.sql.graftshim.DatasetBridge
-      .ofRows(session, dj.dim)
-    val keyCols = dj.pairs.map(p =>
-      org.apache.spark.sql.graftshim.ColumnBridge.column(p._2))
-    dimDf.groupBy(keyCols: _*)
-      .agg(org.apache.spark.sql.functions
-        .count(org.apache.spark.sql.functions.lit(1)).as("c"))
-      .filter(org.apache.spark.sql.functions.col("c") > 1)
-      .limit(1).collect().isEmpty
+    * sample-sized) — and CACHED per (content-stamped store, dim
+    * fingerprint, key positions), so a dashboard re-firing the same
+    * query pays this job once per store mutation, not once per query. */
+  private def dimIsUnique(info: StoreInfo, dj: DimJoin): Boolean = {
+    val key = planSignature(dj.dim).map { sig =>
+      val keyPos = dj.pairs
+        .map(p => dj.dim.output.indexWhere(_.exprId == p._2.exprId))
+      s"dimUnique|${keyPos.mkString(",")}|$sig"
+    }
+    cachedGate(info, key) {
+      val dimDf = org.apache.spark.sql.graftshim.DatasetBridge
+        .ofRows(session, dj.dim)
+      val keyCols = dj.pairs.map(p =>
+        org.apache.spark.sql.graftshim.ColumnBridge.column(p._2))
+      dimDf.groupBy(keyCols: _*)
+        .agg(org.apache.spark.sql.functions
+          .count(org.apache.spark.sql.functions.lit(1)).as("c"))
+        .filter(org.apache.spark.sql.functions.col("c") > 1)
+        .limit(1).collect().isEmpty
+    }
   }
 
   /** [[unwrap]] extended one level: the plan may be
@@ -667,7 +731,7 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     val child2: LogicalPlan = dimJoin match {
       case None => child2a
       case Some(dj) =>
-        if (!dimIsUnique(dj)) return None
+        if (!dimIsUnique(info, dj)) return None
         val cond2 = dj.pairs.map { case (name, d) =>
           EqualTo(if (name == "user_id") uidR else etypeR, d): Expression
         }.reduce(And)
@@ -1064,7 +1128,7 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     // collide with the base key names the post-merge projection
     // selects — any of these simply declines the rewrite
     dimJoin.foreach { dj =>
-      if (!dimIsUnique(dj)) return None
+      if (!dimIsUnique(info, dj)) return None
       val reserved = Set("slot_ts", "pri", "value", "n", "sk", "dt")
       if (dj.dim.output.exists(a => reserved.contains(a.name))) return None
       // the generated read/gate aliases are __graft_-prefixed so a
@@ -1142,7 +1206,31 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     // so the gate joins the same dim subtree and sums n per group: the
     // merged sample must hold every sample of the whole group
     val (gateBase, gateC) = withDim(dtPruned(tableScan(info, store, s"agg_$t")))
-    val maxN: Long = {
+    // cache key = every input the count depends on: cascade level,
+    // evaluated grain, pruned range, series filter (by NAME — exprIds
+    // are fresh per query), and the dim subtree's content fingerprint.
+    // agg_$t's own content is covered by the store stamp cachedGate
+    // validates against. A None (unfingerprintable dim) runs the job.
+    val maxNKey: Option[String] = {
+      val seriesSig = seriesCond.map(_.transform {
+        case a: AttributeReference =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(a.name)
+      }.toString).getOrElse("none")
+      val dimSig = dimJoin match {
+        case None => Some("nodim")
+        case Some(dj) => planSignature(dj.dim).map { sig =>
+          val keyPos = dj.pairs
+            .map(p => dj.dim.output.indexWhere(_.exprId == p._2.exprId))
+          val grpPos = dimKeys
+            .map(a => dj.dim.output.indexWhere(_.exprId == a.exprId))
+          s"$sig|jk=${dj.pairs.map(_._1).mkString(",")}:${keyPos.mkString(",")}" +
+            s"|gk=${grpPos.mkString(",")}"
+        }
+      }
+      dimSig.map(d => s"maxN|t=$t|step=$stepSec|uid=$hasUid|et=$hasEtype" +
+        s"|lo=$loSec|hi=$hiSec|series=$seriesSig|$d")
+    }
+    val maxN: Long = cachedGate(info, maxNKey) {
       val gateKeys = cellKeys(gateC) ++ dimKeyCols
       val counts =
         if (gateKeys.isEmpty) gateBase.agg(F.sum("n").as("__graft_cnt"))

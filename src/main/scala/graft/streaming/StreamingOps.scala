@@ -199,6 +199,9 @@ object StreamingOps {
     fs.delete(stage, true)
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
+    // base content changed: invalidate any optimizer gate caches keyed
+    // on the store's content stamp (no-op if this path isn't a store)
+    graft.sources.TsdbStore.touchDataStamp(spark, storePath)
   }
 
   /** Streaming ingest with ONLINE cascade maintenance: each microbatch

