@@ -89,17 +89,29 @@ object PlanDump extends App {
     "q_vec_centroid" -> "per-label centroid (round 10): posexplode then ONE partial+final HashAggregate - the exchange carries (label, dim, partial-sum) triples, never whole vectors; integer micro-unit sums make the distributed order irrelevant",
     "q_window_median" -> "exact rolling median (round 10): one series-partitioned window exchange serves the bounded 5-row frame collect; the sort + middle read are per-row Projects over a <=5-element array - state is O(frame), never O(partition)",
     "q_stream_dedup" -> "streaming idempotent ingest, batch twin (round 10): the redelivery union is scan-local (two reads of the same file, no shuffle to build duplicates) and the within-watermark dedup lowers to a HashAggregate on the delivery key before the final per-type agg")
+  // FULL coverage (VERDICT r10 next #7): every declared id gets a
+  // section — curated audit notes where written, a mechanical dump
+  // otherwise — in one alphabetical order so plan-shape regressions
+  // diff round-over-round with plain `diff`.
+  val noted = picks.toMap
+  val allNames = graft.SparkEntry.queries.keys.toSeq.sorted
   val sb = new StringBuilder
-  sb ++= "# PLANS - physical-plan audit evidence (round 10)\n\n"
-  sb ++= "Generated from `.queryExecution.executedPlan` at sf0.001, local[4].\n"
-  sb ++= "What to look for in each plan is noted per query; regenerate with\n`sbt \"Test/runMain PlanDump\"`.\n"
-  for ((n, note) <- picks) {
+  sb ++= "# PLANS - physical-plan audit evidence (round 11)\n\n"
+  sb ++= s"Generated from `.queryExecution.executedPlan` at sf0.001, local[4] —\n"
+  sb ++= s"ALL ${allNames.size} declared ids, alphabetical. What to look for is\n"
+  sb ++= "noted on the audited plans; unannotated sections are mechanical dumps\n"
+  sb ++= "for round-over-round diffing. Regenerate with `sbt \"Test/runMain PlanDump\"`.\n"
+  var failed = 0
+  for (n <- allNames) {
+    val note = noted.getOrElse(n, "(mechanical dump)")
     sb ++= s"\n## $n\n\n$note\n\n```\n"
-    val plan = graft.SparkEntry.queries(n)(spark, d).queryExecution.executedPlan.toString
+    val plan =
+      try graft.SparkEntry.queries(n)(spark, d).queryExecution.executedPlan.toString
+      catch { case e: Throwable => failed += 1; s"PLAN FAILED: ${e.getMessage}" }
     sb ++= plan.linesIterator.map(_.take(450)).take(40).mkString("\n")
     sb ++= "\n```\n"
   }
   Files.writeString(Paths.get("PLANS.md"), sb.toString)
-  println("WROTE PLANS.md")
+  println(s"WROTE PLANS.md (${allNames.size} sections, $failed failed)")
   spark.stop()
 }
