@@ -28,8 +28,10 @@ import graft.Tables
 object StoreFixture {
 
   /** Bump when the ingest/export layout changes, so cached fixtures
-    * built by older code rebuild instead of being served stale. */
-  private val LayoutVersion = 6
+    * built by older code rebuild instead of being served stale.
+    * (7: round-11 _DATA_STAMP — pre-stamp fixtures would silently
+    * disable the optimizer gate cache.) */
+  private val LayoutVersion = 7
 
   private def stampOf(src: File): String =
     s"v$LayoutVersion:${src.lastModified()}:${src.length()}"

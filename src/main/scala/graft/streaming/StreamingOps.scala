@@ -193,7 +193,9 @@ object StreamingOps {
         fs.listStatus(dtDir.getPath)
           .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
           .foreach { f =>
-            fs.rename(f.getPath, new Path(live, prefix + f.getPath.getName))
+            val dest = new Path(live, prefix + f.getPath.getName)
+            require(fs.rename(f.getPath, dest),
+              s"ingestBatch: could not move ${f.getPath} to $dest")
           }
       }
     fs.delete(stage, true)
