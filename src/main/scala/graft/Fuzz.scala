@@ -48,15 +48,7 @@ object Fuzz {
         System.err.println(s"[fuzz]   spark sql: ${q.sparkSql}")
       }
     }
-    def esc(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def esc(s: String): String = Util.jsonEscape(s)
     val json = queries.map(q => s"${esc(q.name)}: ${esc(q.duckSql)}")
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

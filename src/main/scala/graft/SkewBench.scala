@@ -45,15 +45,8 @@ object SkewBench {
     }
     def act(df: DataFrame): Unit = { df.agg(sum(col("v") + col("w"))).collect(): Unit }
 
-    def withConfs[A](kv: (String, String)*)(body: => A): A = {
-      val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
-      kv.foreach { case (k, v) => spark.conf.set(k, v) }
-      try body
-      finally old.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
-      }
-    }
+    def withConfs[A](kv: (String, String)*)(body: => A): A =
+      Util.withConfs(spark)(kv: _*)(body)
 
     // one untimed warmup of each side's generation + shuffle machinery
     act(fact.join(dim, "k"))

@@ -274,7 +274,9 @@ object QueryGen {
       case _ if intCols.nonEmpty =>
         (cat("(", pick(r, intCols).q, Tx(" div ", " // "),
           (r.nextInt(900) + 100).toString, ")"), IntK)
-      case _ => (Tx.same(pick(r, cols).q), pick(r, cols).col.kind)
+      case _ =>
+        val c = pick(r, cols)
+        (Tx.same(c.q), c.col.kind)
     }
   }
 

@@ -145,7 +145,11 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
   /** Serve a gate-job result from the store's content-stamped cache,
     * or run it. `keyOpt = None` (an input whose content can't be
     * fingerprinted) and an absent content stamp both degrade to
-    * running the job — never to a stale answer. */
+    * running the job — never to a stale answer. The map is bounded:
+    * past `MaxGateEntries` a new key runs uncached rather than
+    * growing driver memory without limit (the monotone global-bound
+    * entries that matter are inserted long before any cap bites). */
+  private val MaxGateEntries = 1024
   private def cachedGate[T](info: StoreInfo, keyOpt: Option[String])(run: => T): T = {
     def runCounted: T = {
       RollupSubstitution.gateJobsRun.incrementAndGet()
@@ -153,7 +157,13 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     }
     keyOpt match {
       case Some(key) if info.dataStamp.nonEmpty =>
-        info.gates.getOrElseUpdate(key, runCounted).asInstanceOf[T]
+        info.gates.get(key) match {
+          case Some(v) => v.asInstanceOf[T]
+          case None =>
+            val v = runCounted
+            if (info.gates.size < MaxGateEntries) info.gates.update(key, v)
+            v
+        }
       case _ => runCounted
     }
   }
@@ -1206,38 +1216,65 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     // so the gate joins the same dim subtree and sums n per group: the
     // merged sample must hold every sample of the whole group
     val (gateBase, gateC) = withDim(dtPruned(tableScan(info, store, s"agg_$t")))
-    // cache key = every input the count depends on: cascade level,
-    // evaluated grain, pruned range, series filter (by NAME — exprIds
-    // are fresh per query), and the dim subtree's content fingerprint.
-    // agg_$t's own content is covered by the store stamp cachedGate
-    // validates against. A None (unfingerprintable dim) runs the job.
-    val maxNKey: Option[String] = {
-      val seriesSig = seriesCond.map(_.transform {
-        case a: AttributeReference =>
-          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(a.name)
-      }.toString).getOrElse("none")
-      val dimSig = dimJoin match {
-        case None => Some("nodim")
-        case Some(dj) => planSignature(dj.dim).map { sig =>
-          val keyPos = dj.pairs
-            .map(p => dj.dim.output.indexWhere(_.exprId == p._2.exprId))
-          val grpPos = dimKeys
-            .map(a => dj.dim.output.indexWhere(_.exprId == a.exprId))
-          s"$sig|jk=${dj.pairs.map(_._1).mkString(",")}:${keyPos.mkString(",")}" +
-            s"|gk=${grpPos.mkString(",")}"
-        }
-      }
-      dimSig.map(d => s"maxN|t=$t|step=$stepSec|uid=$hasUid|et=$hasEtype" +
-        s"|lo=$loSec|hi=$hiSec|series=$seriesSig|$d")
-    }
-    val maxN: Long = cachedGate(info, maxNKey) {
-      val gateKeys = cellKeys(gateC) ++ dimKeyCols
+    // One gate job over (base, column-resolver): max over evaluated
+    // groups of the summed cell counts.
+    def maxCountJob(base: org.apache.spark.sql.DataFrame,
+                    c: String => Column): Long = {
+      val gateKeys = cellKeys(c) ++ dimKeyCols
       val counts =
-        if (gateKeys.isEmpty) gateBase.agg(F.sum("n").as("__graft_cnt"))
-        else gateBase.groupBy(gateKeys: _*).agg(F.sum("n").as("__graft_cnt"))
+        if (gateKeys.isEmpty) base.agg(F.sum("n").as("__graft_cnt"))
+        else base.groupBy(gateKeys: _*).agg(F.sum("n").as("__graft_cnt"))
       val r = counts.agg(F.max("__graft_cnt")).collect()
       if (r.isEmpty || r.head.isNullAt(0)) 0L else r.head.getLong(0)
     }
+    // Cache design (review r11): the count is MONOTONE in the filters —
+    // dropping the range/series predicates can only add rows to a
+    // group or add groups, so the UNFILTERED max is an upper bound for
+    // every filtered variant at the same grain. A sliding-window
+    // dashboard (new lo/hi every refresh) therefore hits ONE permanent
+    // "global" cache entry whenever the store's grain is sub-K, instead
+    // of missing forever on range-literal keys; only stores that are
+    // globally OVER K fall through to the per-range entry. Keys carry
+    // every remaining input: cascade level, evaluated grain, the dim
+    // subtree's content fingerprint, and (rng only) the range/series
+    // text by NAME (exprIds are fresh per query). agg_$t's own content
+    // is covered by the store stamp cachedGate validates against; an
+    // unfingerprintable dim runs the job uncached.
+    val seriesSig = seriesCond.map(_.transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(a.name)
+    }.toString).getOrElse("none")
+    val dimSig: Option[String] = dimJoin match {
+      case None => Some("nodim")
+      case Some(dj) => planSignature(dj.dim).map { sig =>
+        val keyPos = dj.pairs
+          .map(p => dj.dim.output.indexWhere(_.exprId == p._2.exprId))
+        val grpPos = dimKeys
+          .map(a => dj.dim.output.indexWhere(_.exprId == a.exprId))
+        s"$sig|jk=${dj.pairs.map(_._1).mkString(",")}:${keyPos.mkString(",")}" +
+          s"|gk=${grpPos.mkString(",")}"
+      }
+    }
+    def gateKey(scope: String): Option[String] =
+      dimSig.map(d => s"maxN|$scope|t=$t|step=$stepSec|uid=$hasUid|et=$hasEtype|$d")
+    val unfiltered = loSec.isEmpty && hiSec.isEmpty && seriesCond.isEmpty
+    val canCache = info.dataStamp.nonEmpty && dimSig.nonEmpty
+    val maxN: Long =
+      if (unfiltered)
+        cachedGate(info, gateKey("global"))(maxCountJob(gateBase, gateC))
+      else if (canCache) {
+        val (gb, gc) = withDim(tableScan(info, store, s"agg_$t"))
+        val bound = cachedGate(info, gateKey("global"))(maxCountJob(gb, gc))
+        val approxOn = session.conf
+          .get("spark.graft.rollup.quantile.approx", "false").toBoolean
+        // over-K bound: the exact per-range count only matters when it
+        // could still DECLINE the rewrite — with the approx flag on the
+        // gate never declines, so skip the per-range job entirely
+        if (bound < graft.functions.BottomKSample.K || approxOn) bound
+        else cachedGate(info,
+          gateKey(s"rng|lo=$loSec|hi=$hiSec|series=$seriesSig"))(
+          maxCountJob(gateBase, gateC))
+      } else maxCountJob(gateBase, gateC)
     // Above K samples per evaluated group the stored buffer is a
     // UNIFORM K-SAMPLE of the group, not its full multiset — by
     // default the rule declines (an estimate must never masquerade as

@@ -199,11 +199,24 @@ object StreamingOps {
           }
       }
     fs.delete(stage, true)
+    // content changed: bump the gate-cache stamp BEFORE the marker
+    // lands — a crash between the two costs one harmless extra
+    // invalidation on retry, whereas the reverse order could commit a
+    // batch whose stamp bump is skipped forever (the retry
+    // short-circuits at the marker). No-op if this path isn't a store.
+    graft.sources.TsdbStore.touchDataStamp(spark, storePath)
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
-    // base content changed: invalidate any optimizer gate caches keyed
-    // on the store's content stamp (no-op if this path isn't a store)
-    graft.sources.TsdbStore.touchDataStamp(spark, storePath)
+    // bounded marker retention: a checkpointed source can only replay
+    // the trailing uncommitted batches, so markers 1000 ids behind can
+    // never be consulted again — prune them (amortized: every 100th
+    // batch) or a years-long stream leaves millions of empty files
+    if (batchId % 100L == 0L && batchId > 1000L) {
+      val keepFrom = batchId - 1000L
+      fs.listStatus(marker.getParent)
+        .filter(m => m.getPath.getName.toLongOption.exists(_ < keepFrom))
+        .foreach(m => fs.delete(m.getPath, false))
+    }
   }
 
   /** Streaming ingest with ONLINE cascade maintenance: each microbatch

@@ -29,15 +29,8 @@ class FuzzSpec extends SparkSpec {
   private def rowsOf(sql: String): Seq[String] =
     spark.sql(sql).collect().map(_.toString).sorted.toSeq
 
-  private def withConfs[A](kv: (String, String)*)(body: => A): A = {
-    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
-    kv.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
+  private def withConfs[A](kv: (String, String)*)(body: => A): A =
+    Util.withConfs(spark)(kv: _*)(body)
 
   test("generation is deterministic per (seed, index)") {
     val a = QueryGen.generate(7L, 50)

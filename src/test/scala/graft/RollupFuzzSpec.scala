@@ -128,7 +128,6 @@ class RollupFuzzSpec extends SparkSpec {
     store // force fixture
     var fired = 0
     val failures = (0 until 150).flatMap { i =>
-      val r = new Random(7700L + i)
       def q = gen(new Random(7700L + i))
       try {
         val on = withFlag(on = true) {

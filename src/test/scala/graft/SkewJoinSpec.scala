@@ -33,15 +33,8 @@ class SkewJoinSpec extends SparkSpec {
   private def dim: DataFrame =
     spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("w"))
 
-  private def withConfs[A](kv: (String, String)*)(body: => A): A = {
-    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
-    kv.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
+  private def withConfs[A](kv: (String, String)*)(body: => A): A =
+    Util.withConfs(spark)(kv: _*)(body)
 
   /** Join forced to stay a shuffle join (dim under the broadcast
     * threshold would otherwise hide the skew question entirely). */
