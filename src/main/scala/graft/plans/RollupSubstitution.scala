@@ -1227,19 +1227,21 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
       val r = counts.agg(F.max("__graft_cnt")).collect()
       if (r.isEmpty || r.head.isNullAt(0)) 0L else r.head.getLong(0)
     }
-    // Cache design (review r11): the count is MONOTONE in the filters —
-    // dropping the range/series predicates can only add rows to a
-    // group or add groups, so the UNFILTERED max is an upper bound for
-    // every filtered variant at the same grain. A sliding-window
-    // dashboard (new lo/hi every refresh) therefore hits ONE permanent
-    // "global" cache entry whenever the store's grain is sub-K, instead
-    // of missing forever on range-literal keys; only stores that are
-    // globally OVER K fall through to the per-range entry. Keys carry
-    // every remaining input: cascade level, evaluated grain, the dim
-    // subtree's content fingerprint, and (rng only) the range/series
-    // text by NAME (exprIds are fresh per query). agg_$t's own content
-    // is covered by the store stamp cachedGate validates against; an
-    // unfingerprintable dim runs the job uncached.
+    // Cache design (review r11, twice-revised): the count is MONOTONE
+    // in the filters — dropping the range/series predicates can only
+    // add rows to a group or add groups, so an UNFILTERED max is an
+    // upper bound for every filtered variant at the same grain. A
+    // sliding-window dashboard (new lo/hi every refresh) therefore
+    // hits ONE permanent "global" cache entry whenever the grain is
+    // sub-K and some unfiltered query at the grain has run; otherwise
+    // each distinct range caches its own PRUNED count — on any miss
+    // the cost is exactly the round-10 pruned job, never an unpruned
+    // full-cascade scan. Keys carry every remaining input: cascade
+    // level, evaluated grain, the dim subtree's content fingerprint,
+    // and (rng only) the range/series text by NAME (exprIds are fresh
+    // per query). agg_$t's own content is covered by the store stamp
+    // cachedGate validates against; an unfingerprintable dim runs the
+    // job uncached.
     val seriesSig = seriesCond.map(_.transform {
       case a: AttributeReference =>
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(a.name)
@@ -1261,19 +1263,30 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
     val canCache = info.dataStamp.nonEmpty && dimSig.nonEmpty
     val maxN: Long =
       if (unfiltered)
+        // the query itself is global: its count IS the monotone bound,
+        // cached under the range-free key every filtered variant reads
         cachedGate(info, gateKey("global"))(maxCountJob(gateBase, gateC))
       else if (canCache) {
-        val (gb, gc) = withDim(tableScan(info, store, s"agg_$t"))
-        val bound = cachedGate(info, gateKey("global"))(maxCountJob(gb, gc))
+        // filtered query: consult an ALREADY-CACHED global bound (a
+        // cache miss never triggers the unpruned full-cascade job here —
+        // on a miss the cost must stay the round-10 pruned job, or a
+        // churning stamp under streaming ingest would make every
+        // optimize strictly more expensive than before the cache
+        // existed). The global entry is populated only when an
+        // unfiltered query at this grain actually runs.
+        val bound = info.gates.get(gateKey("global").get)
+          .collect { case b: Long => b }
         val approxOn = session.conf
           .get("spark.graft.rollup.quantile.approx", "false").toBoolean
-        // over-K bound: the exact per-range count only matters when it
-        // could still DECLINE the rewrite — with the approx flag on the
-        // gate never declines, so skip the per-range job entirely
-        if (bound < graft.functions.BottomKSample.K || approxOn) bound
-        else cachedGate(info,
-          gateKey(s"rng|lo=$loSec|hi=$hiSec|series=$seriesSig"))(
-          maxCountJob(gateBase, gateC))
+        bound match {
+          case Some(b) if b < graft.functions.BottomKSample.K => b
+          // over-K bound: the exact per-range count only matters when
+          // it could still DECLINE — with approx on it never does
+          case Some(b) if approxOn => b
+          case _ => cachedGate(info,
+            gateKey(s"rng|lo=$loSec|hi=$hiSec|series=$seriesSig"))(
+            maxCountJob(gateBase, gateC))
+        }
       } else maxCountJob(gateBase, gateC)
     // Above K samples per evaluated group the stored buffer is a
     // UNIFORM K-SAMPLE of the group, not its full multiset — by

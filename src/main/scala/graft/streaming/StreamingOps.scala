@@ -203,7 +203,10 @@ object StreamingOps {
     // lands — a crash between the two costs one harmless extra
     // invalidation on retry, whereas the reverse order could commit a
     // batch whose stamp bump is skipped forever (the retry
-    // short-circuits at the marker). No-op if this path isn't a store.
+    // short-circuits at the marker). On a non-store sink dir this
+    // writes a stray-but-ignored _DATA_STAMP file (readers skip
+    // underscore files; the gate caches only consult stamps under
+    // _LAYOUT-bearing store roots).
     graft.sources.TsdbStore.touchDataStamp(spark, storePath)
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()

@@ -1211,6 +1211,76 @@ class RollupSpec extends SparkSpec {
     }
   }
 
+  test("over-K gate branches: per-range counts are keyed by range AND series; " +
+      "a cached over-K global bound with approx on skips the job") {
+    // review r11 #2: the global/rng fast paths need their own pins.
+    // Fixture: day A holds 600 samples (over K=512) for (1, click);
+    // day B holds 50 for (1, click) and 50 for (2, click).
+    val dir = Files.createTempDirectory("graft_rollup_overk").toString
+    val dayB = QB + 86400L
+    val feed = spark.range(600).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(QB * 1000000L) + col("id") * 1000000L).as("ts"),
+        lit(1L).as("user_id"), lit("click").as("event_type"),
+        (col("id") % 97).cast("double").as("value"), lit("{}").as("props"))
+      .unionByName(spark.range(100).select(
+        (col("id") + 1000L).as("event_id"),
+        timestamp_micros(lit(dayB * 1000000L) + col("id") * 1000000L).as("ts"),
+        (col("id") % 2 + 1L).as("user_id"), lit("click").as("event_type"),
+        (col("id") % 31).cast("double").as("value"), lit("{}").as("props")))
+    TsdbStore.ingest(spark, feed, dir)
+    def pq(df: DataFrame): DataFrame = df
+      .groupBy(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(86400L).as("slot_ts"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)").as("p50"))
+    def base = spark.read.parquet(s"$dir/base")
+    def jobs: Long = graft.plans.RollupSubstitution.gateJobsRun.get()
+    // NOTE: withFlag scopes are SEQUENTIAL, never nested — the inner
+    // finally UNSETS the flag, so a nested flag-off comparison would
+    // silently leave the rest of the outer block running flag-off
+    // (this very test caught that the first way it was written)
+    // 1. unfiltered query: declines (600 >= K) and caches global=600
+    val allPaths = withFlag(on = true)(scanPaths(pq(base)))
+    assert(allPaths.exists(_.endsWith("/base")),
+      "over-K store must decline the unfiltered quantile")
+    // 2. range-filtered to day B: per-range job finds 50 < K -> exact
+    //    substitution, rows == raw
+    def qB = pq(base.filter(col("ts_us") >= dayB * 1000000L &&
+      col("ts_us") < (dayB + 86400L) * 1000000L))
+    val (bPaths, bGot) = withFlag(on = true)((scanPaths(qB), rows(qB)))
+    assert(bPaths.exists(_.contains("quant_")),
+      s"sub-K range of an over-K store must substitute: $bPaths")
+    assert(bGot == withFlag(on = false)(rows(qB)) && bGot.nonEmpty)
+    // 3. the rng key must DISCRIMINATE series filters: user 2 has no
+    //    day-A rows (count 0 -> substitutes) while user 1's day A is
+    //    over-K (must decline) — a key that dropped the series text
+    //    would reuse 0 for user 1 and serve an estimate as exact
+    def qA(uid: Long) = pq(base.filter(col("user_id") === uid)
+      .filter(col("ts_us") >= QB * 1000000L &&
+        col("ts_us") < (QB + 86400L) * 1000000L))
+    val (a2Paths, a1Paths) =
+      withFlag(on = true)((scanPaths(qA(2L)), scanPaths(qA(1L))))
+    assert(a2Paths.exists(_.contains("quant_")),
+      s"empty-range series filter should substitute: $a2Paths")
+    assert(a1Paths.exists(_.endsWith("/base")) &&
+      !a1Paths.exists(_.contains("quant_")),
+      "over-K series filter MUST decline — the rng cache key failed " +
+        "to discriminate the series condition")
+    // 4. approx flag on + cached over-K global: substitutes with NO
+    //    additional gate job (the per-range count is skipped)
+    spark.conf.set("spark.graft.rollup.quantile.approx", "true")
+    try withFlag(on = true) {
+      val before = jobs
+      val qApprox = pq(base.filter(col("ts_us") >= QB * 1000000L &&
+        col("ts_us") < (QB + 86400L) * 1000000L))
+      assert(scanPaths(qApprox).exists(_.contains("quant_")),
+        "approx flag must substitute above the cached over-K bound")
+      assert(jobs == before,
+        "approx-on above a cached over-K global bound must not run " +
+          "the per-range gate job")
+    } finally spark.conf.unset("spark.graft.rollup.quantile.approx")
+  }
+
   test("a CAST-wrapped unsupported aggregate declines without blowing the stack") {
     // regression (round 10): convert's decline branches must return the
     // MATCHED node, not the outer expression — returning the outer

@@ -238,6 +238,43 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot() == base2)
   }
 
+  test("commit-marker pruning keeps the replay window and stays idempotent past it") {
+    // review r11 #3: the prune path deletes the exactly-once protocol's
+    // source of truth — it must only drop markers far outside the
+    // replay window, and even an out-of-window replay with unchanged
+    // data must stay content-identical (the bid- prefix sweep)
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft-stream-prune").toString
+    def batchDf(rows: (Long, String, Timestamp, Long)*) =
+      rows.toDF("user_id", "event_type", "ts", "cents")
+    val b0 = batchDf((1L, "click", ts("2024-01-01 10:00:00"), 100L))
+    val b1 = batchDf((2L, "view", ts("2024-01-01 11:00:00"), 50L))
+    val bN = batchDf((3L, "click", ts("2024-01-02 09:00:00"), 700L))
+    StreamingOps.ingestBatch(b0, 0L, store)
+    StreamingOps.ingestBatch(b1, 1L, store)
+    // batch 1100: % 100 == 0 and > 1000 -> prunes markers < 100
+    StreamingOps.ingestBatch(bN, 1100L, store)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markers = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$store/_stream_commits"))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(markers == Seq("1100"), s"prune kept wrong markers: $markers")
+    def snapshot() = spark.read.parquet(s"$store/base")
+      .select("user_id", "event_type", "ts_us", "cents")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val base = snapshot()
+    assert(base.size == 3, "all three batches' rows must be present")
+    // in-window replay: marker short-circuits
+    StreamingOps.ingestBatch(bN, 1100L, store)
+    assert(snapshot() == base)
+    // OUT-of-window replay (marker pruned): the prefix sweep removes
+    // batch 1's live files before re-landing the identical content
+    StreamingOps.ingestBatch(b1, 1L, store)
+    assert(snapshot() == base,
+      "pruned-marker replay with unchanged data must be content-identical")
+  }
+
   test("incremental streaming ingest maintains the cascade per microbatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
