@@ -344,7 +344,16 @@ object TsdbStore {
         .partitionBy("dt").parquet(s"$path/base")
     }
     writeLayout(spark, path, layout)
+    buildCascades(spark, path, layout)
+    touchDataStamp(spark, path)
+  }
 
+  /** (Re)build every derived table (value + quantile + rate cascades)
+    * from the CURRENT `$path/base` — ingest's second half, shared with
+    * [[upsert]]'s post-swap rebuild. */
+  private def buildCascades(spark: SparkSession, path: String,
+                            layout: StoreLayout): Unit = {
+    import org.apache.spark.sql.functions._
     val base = spark.read.parquet(s"$path/base")
 
     // value cascade: finest from base, each coarser from the finer
@@ -398,7 +407,6 @@ object TsdbStore {
       case _ => ()
     }
     fineRate.unpersist()
-    touchDataStamp(spark, path)
   }
 
   /** Re-register (in a fresh session's catalog) and return the
@@ -440,7 +448,16 @@ object TsdbStore {
 
   /** Idempotent re-ingest of late/replayed rows: last write per
     * (series, event_id) wins — offset-addressing upsert semantics as a
-    * dedup-by-key pass over the union of old + new. */
+    * dedup-by-key pass over the union of old + new. Unlike
+    * [[upsertIncremental]] (whose blast radius is the touched dt
+    * partitions, and which REJECTS partition-moving replays), this is
+    * the full-rewrite path: the merged base is staged to `base_new`,
+    * swapped in whole (retire → rename → drop, the same sequence as
+    * [[swapPartitionDir]], at table granularity), and every cascade is
+    * rebuilt from the new base — so after upsert() the STORE IS
+    * CONSISTENT, not just the base (round 11; it used to leave the
+    * merge in `base_new` for the caller). A production deployment
+    * would sit the swap behind a table format's atomic commit. */
   def upsert(spark: SparkSession, newEvents: DataFrame, path: String): Unit =
       withRollupRewriteOff(spark) {
     val layout = readLayout(spark, path)
@@ -456,9 +473,17 @@ object TsdbStore {
       .agg(max_by(struct(col("ts_us"), col("cents"), col("dt")), col("gen")).as("r"))
       .select(col("user_id"), col("event_type"), col("event_id"),
         col("r.ts_us"), col("r.cents"), col("r.dt"))
-    // write-then-swap; a production store would use a table format with
-    // atomic commit (the layout and dedup semantics are the point here)
-    merged.write.mode(SaveMode.Overwrite).partitionBy("dt").parquet(s"$path/base_new")
+    // stage fully (this materializes the merge BEFORE base is touched —
+    // merged reads base lazily), then swap the whole table
+    merged.write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      .partitionBy("dt").parquet(s"$path/base_new")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    swapPartitionDir(fs,
+      new org.apache.hadoop.fs.Path(s"$path/base_new"),
+      new org.apache.hadoop.fs.Path(s"$path/base"),
+      new org.apache.hadoop.fs.Path(s"$path/base_retired"))
+    buildCascades(spark, path, layout)
     touchDataStamp(spark, path)
   }
 

@@ -89,22 +89,48 @@ class TsdbStoreSpec extends SparkSpec {
     assert(out.select("user_id", "event_type").distinct().count() == 2)
   }
 
-  test("upsert: replayed rows win by generation, counts unchanged") {
+  test("upsert: replayed rows win, base is SWAPPED live, cascades rebuilt") {
     import spark.implicits._
+    // private store: upsert now mutates the store in place (round 11),
+    // so the shared fixture must not be touched
+    val p = Files.createTempDirectory("graft-store-upsert").toString
+    TsdbStore.ingest(spark, Tables.events(spark, Sf), p)
     val replay = Seq((7L, "click", 424242L, // synthetic new event id
         java.sql.Timestamp.from(java.time.Instant.parse("2024-01-15T12:00:00Z")), 9.99))
       .toDF("user_id", "event_type", "event_id", "ts", "value")
-    val existing = spark.read.parquet(s"$store/base")
+    val existing = spark.read.parquet(s"$p/base")
+    val nBefore = existing.count()
     // replay an EXISTING row with a changed value + one new row
     val oneOld = existing.limit(1)
       .select(col("user_id"), col("event_type"), col("event_id"),
         timestamp_micros(col("ts_us")).as("ts"), lit(123.45).as("value"))
-    TsdbStore.upsert(spark, replay.unionByName(oneOld), store)
-    val merged = spark.read.parquet(s"$store/base_new")
-    assert(merged.count() == existing.count() + 1)
+      .cache()
+    oneOld.count()
+    TsdbStore.upsert(spark, replay.unionByName(oneOld), p)
+    // the merge is LIVE (no base_new left behind, no retired copy)
+    assert(!new java.io.File(s"$p/base_new").exists(), "staging dir left behind")
+    assert(!new java.io.File(s"$p/base_retired").exists(), "retired dir left behind")
+    val merged = spark.read.parquet(s"$p/base")
+    assert(merged.count() == nBefore + 1)
     val changed = merged.join(oneOld.select("event_id"), "event_id")
       .select("cents").head().getLong(0)
     assert(changed == 12345L, "replayed row did not win")
+    // the cascades were rebuilt from the new base: the daily cell
+    // holding the replayed row must reflect 12345, not the old cents,
+    // and the new row's day must include its cents
+    val rep = oneOld.select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts) div 86400000000 * 86400").as("slot_ts")).head()
+    val cell = spark.read.parquet(s"$p/agg_86400")
+      .filter(col("user_id") === rep.getLong(0) &&
+        col("event_type") === rep.getString(1) &&
+        col("slot_ts") === rep.getLong(2))
+    val rawSum = merged
+      .filter(col("user_id") === rep.getLong(0) &&
+        col("event_type") === rep.getString(1) &&
+        expr("ts_us div 86400000000 * 86400") === rep.getLong(2))
+      .agg(sum("cents")).head().getLong(0)
+    assert(cell.select("sum_cents").head().getLong(0) == rawSum,
+      "value cascade not rebuilt from the swapped base")
   }
 
   test("compaction: same rows, fewer files, clustering restored") {
