@@ -294,7 +294,9 @@ object QueryGen {
         c.col.kind == IntK || c.col.kind == StrK)).q})"), IntK)
       case 2 | 3 =>
         val e = genInt(r, cols, 2)
-        (cat(Tx("sum(", "CAST(sum("), e, Tx(")", ") AS BIGINT)")), IntK)
+        val distinct = if (r.nextInt(4) == 0) "DISTINCT " else ""
+        (cat(Tx(s"sum($distinct", s"CAST(sum($distinct"), e,
+          Tx(")", ") AS BIGINT)")), IntK)
       case 4 =>
         (cat(if (r.nextBoolean()) "min(" else "max(", genInt(r, cols, 2), ")"),
           IntK)
@@ -413,7 +415,7 @@ object QueryGen {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
       s"ROWS BETWEEN ${r.nextInt(5) + 1} PRECEDING AND CURRENT ROW",
       s"ROWS BETWEEN ${r.nextInt(3) + 1} PRECEDING AND ${r.nextInt(3) + 1} FOLLOWING"))
-    val wf: Tx = r.nextInt(6) match {
+    val wf: Tx = r.nextInt(10) match {
       case 0 => cat(s"row_number() OVER (PARTITION BY ", p, s" ORDER BY $uk)")
       case 1 => cat(s"rank() OVER (PARTITION BY ", p, s" ORDER BY $uk)")
       case 2 => cat("lag(", x, s", 1, 0) OVER (PARTITION BY ", p,
@@ -425,6 +427,21 @@ object QueryGen {
         // parse error — item()'s outer CAST normalizes the HUGEINT
         cat("sum(", x, ") OVER (PARTITION BY ", p,
           s" ORDER BY $uk $rowFrame)")
+      case 5 =>
+        cat(if (r.nextBoolean()) "min(" else "max(", x,
+          ") OVER (PARTITION BY ", p, s" ORDER BY $uk $rowFrame)")
+      case 6 =>
+        cat("count(*) OVER (PARTITION BY ", p, s" ORDER BY $uk $rowFrame)")
+      case 7 =>
+        // ntile assigns by ROW position — ties would be nondeterministic,
+        // so the unique key order is load-bearing here
+        cat(s"ntile(${r.nextInt(7) + 2}) OVER (PARTITION BY ", p,
+          s" ORDER BY $uk)")
+      case 8 =>
+        // dense_rank over a possibly-tied order IS deterministic
+        // (peer-based), unlike rank-by-position forms
+        cat("dense_rank() OVER (PARTITION BY ", p, " ORDER BY ",
+          genInt(r, cs, 0), s", $uk)")
       case _ =>
         // RANGE frame: peer-inclusive, so a non-unique int order key is
         // still deterministic
@@ -436,6 +453,37 @@ object QueryGen {
     cat("SELECT ", Tx.same(ukItems.mkString(", ")), ", ",
       item(wf, IntK, "w0"),
       s" FROM ${t.name} WHERE ", genPred(r, cs, 1))
+  }
+
+  /** Grouping-lattice aggregation (ROLLUP/CUBE). Grouping keys are
+    * COALESCED to sentinels in the projection: the lattice's total
+    * rows carry NULL keys, and a one-sided null would flip the pandas
+    * int64 dtype to float64 — the sentinel keeps both engines int64
+    * (source columns are non-null, so no real value collides). */
+  private def qRollup(r: Random): Tx = {
+    val t = pick(r, tables)
+    val cs = refs(t)
+    val keys = Seq(genKey(r, cs), genKey(r, cs))
+    val form = if (r.nextBoolean()) "ROLLUP" else "CUBE"
+    val keyItems = keys.zipWithIndex.map { case ((k, kind), i) =>
+      kind match {
+        case StrK => cat("coalesce(", k, s", '~total~') AS k$i")
+        case _ => cat("CAST(coalesce(", k, s", -99999) AS BIGINT) AS k$i")
+      }
+    }
+    val (agg, aggKind) = genAgg(r, cs)
+    // HAVING count(*) > 0 is load-bearing, not decoration: on EMPTY
+    // input DuckDB (like Postgres) emits the grand-total grouping-set
+    // row (count 0, NULL aggregates) while Spark emits NOTHING — a
+    // genuine engine divergence this fuzzer found on its first
+    // extended run. Every data-bearing lattice row has count >= 1, so
+    // the guard only drops the empty-input total both engines disagree
+    // on.
+    cat("SELECT ", mkTx(keyItems, ", "), ", count(*) AS a0, ",
+      item(agg, aggKind, "a1"),
+      s" FROM ${t.name} WHERE ", genPred(r, cs, 1),
+      s" GROUP BY $form (", keys(0)._1, ", ", keys(1)._1, ")",
+      " HAVING count(*) > 0")
   }
 
   private def qSetOp(r: Random): Tx = {
@@ -488,12 +536,13 @@ object QueryGen {
   def generate(seed: Long, n: Int): Seq[FuzzQuery] =
     (0 until n).map { i =>
       val r = new Random(seed * 1000003L + i)
-      val q = r.nextInt(10) match {
+      val q = r.nextInt(11) match {
         case 0 | 1 => qProject(r)
-        case 2 | 3 | 4 => qAgg(r)
-        case 5 | 6 => qJoinAgg(r)
-        case 7 => qWindow(r)
+        case 2 | 3 => qAgg(r)
+        case 4 | 5 => qJoinAgg(r)
+        case 6 | 7 => qWindow(r)
         case 8 => if (r.nextBoolean()) qSetOp(r) else qScalarSubq(r)
+        case 9 => qRollup(r)
         case _ => qTopK(r)
       }
       FuzzQuery(f"fz_${seed}_$i%04d", q.s, q.d)
