@@ -455,6 +455,55 @@ object QueryGen {
       s" FROM ${t.name} WHERE ", genPred(r, cs, 1))
   }
 
+  /** Text-pipeline shapes over the documents corpus — the one family
+    * whose Spark/DuckDB renderings differ STRUCTURALLY, not just
+    * lexically: tokenization is LATERAL VIEW explode(split(...)) vs
+    * unnest(string_split(...)), and digest dedup leans on md5() hex
+    * output being byte-identical across engines. `text` itself never
+    * appears in an output column (only its tokens/digest/length). */
+  private def qText(r: Random): Tx = {
+    val docPred: Tx = r.nextInt(3) match {
+      case 0 => Tx.same(s"n_chars ${pick(r, Seq("<", ">="))} ${r.nextInt(4000) + 200}")
+      case 1 => Tx.same(s"doc_id % ${r.nextInt(7) + 2} = ${r.nextInt(2)}")
+      case _ => Tx.same(s"lang ${if (r.nextBoolean()) "=" else "<>"} 'en'")
+    }
+    r.nextInt(3) match {
+      case 0 =>
+        // per-language token counts: the wordcount shape
+        val minLen = r.nextInt(4) + 1
+        cat(
+          Tx("SELECT lang AS k0, w AS k1, count(*) AS a0 FROM " +
+               "(SELECT lang, w FROM documents " +
+               "LATERAL VIEW explode(split(text, ' ')) tok AS w WHERE ",
+             "SELECT lang AS k0, w AS k1, count(*) AS a0 FROM " +
+               "(SELECT lang, unnest(string_split(text, ' ')) AS w " +
+               "FROM documents WHERE "),
+          docPred,
+          Tx(") t WHERE length(w) >= ", ") t WHERE length(w) >= "),
+          minLen.toString,
+          " GROUP BY lang, w HAVING count(*) > ", (r.nextInt(20) + 2).toString)
+      case 1 =>
+        // exact-dedup shape: digest groups with a duplicate floor
+        cat("SELECT md5(text) AS k0, count(*) AS a0, ",
+          "CAST(min(doc_id) AS BIGINT) AS a1 FROM documents WHERE ",
+          docPred, s" GROUP BY md5(text) HAVING count(*) > ${r.nextInt(2)}")
+      case _ =>
+        // token-length profile per source: tokenize + int aggregate
+        cat(
+          Tx("SELECT source AS k0, count(*) AS a0, " +
+               "CAST(sum(length(w)) AS BIGINT) AS a1, " +
+               "CAST(max(length(w)) AS BIGINT) AS a2 FROM " +
+               "(SELECT source, w FROM documents " +
+               "LATERAL VIEW explode(split(text, ' ')) tok AS w WHERE ",
+             "SELECT source AS k0, count(*) AS a0, " +
+               "CAST(sum(length(w)) AS BIGINT) AS a1, " +
+               "CAST(max(length(w)) AS BIGINT) AS a2 FROM " +
+               "(SELECT source, unnest(string_split(text, ' ')) AS w " +
+               "FROM documents WHERE "),
+          docPred, ") t GROUP BY source")
+    }
+  }
+
   /** Grouping-lattice aggregation (ROLLUP/CUBE). Grouping keys are
     * COALESCED to sentinels in the projection: the lattice's total
     * rows carry NULL keys, and a one-sided null would flip the pandas
@@ -536,13 +585,14 @@ object QueryGen {
   def generate(seed: Long, n: Int): Seq[FuzzQuery] =
     (0 until n).map { i =>
       val r = new Random(seed * 1000003L + i)
-      val q = r.nextInt(11) match {
+      val q = r.nextInt(12) match {
         case 0 | 1 => qProject(r)
         case 2 | 3 => qAgg(r)
         case 4 | 5 => qJoinAgg(r)
         case 6 | 7 => qWindow(r)
         case 8 => if (r.nextBoolean()) qSetOp(r) else qScalarSubq(r)
         case 9 => qRollup(r)
+        case 10 => qText(r)
         case _ => qTopK(r)
       }
       FuzzQuery(f"fz_${seed}_$i%04d", q.s, q.d)
