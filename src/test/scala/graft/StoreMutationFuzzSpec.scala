@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.TsdbStore
+
+/** Differential fuzzing of the store's MUTATION path (round 11):
+  * TsdbStoreSpec pins upsertIncremental's touched-partition contract
+  * for hand-picked cases; this spec drives a random SEQUENCE of
+  * incremental upserts — replays with changed values, new events on
+  * existing days, new events on NEW days (partition bootstrap), and
+  * occasional multi-day batches — and after every step compares EVERY
+  * table (base + value/rate/quant cascades at both levels) against a
+  * FRESH FULL INGEST of the accumulated truth. The incremental path's
+  * whole point is that its blast radius is bounded; its correctness
+  * contract is that the result is indistinguishable from the full
+  * rebuild, for any mutation history. */
+class StoreMutationFuzzSpec extends SparkSpec {
+
+  // plain tuples: a case class nested in the spec has no stable outer
+  // scope for Spark's encoder
+  private type Ev = (Long, String, Long, Long, Double)
+  private def uid(e: Ev) = e._1
+  private def etype(e: Ev) = e._2
+  private def eid(e: Ev) = e._3
+  private def value(e: Ev) = e._5
+
+  private def toDf(evs: Seq[Ev]): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    evs.toDF("user_id", "event_type", "event_id", "ts_us", "value")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        timestamp_micros(col("ts_us")).as("ts"), col("value"))
+  }
+
+  private def tableRows(path: String, table: String): Seq[String] = {
+    val dir = new java.io.File(s"$path/$table")
+    if (!dir.exists()) return Seq.empty
+    val df = spark.read.parquet(s"$path/$table")
+    df.select(df.columns.sorted.map(col).toIndexedSeq: _*)
+      .collect().map(_.toString).sorted.toSeq
+  }
+
+  test("random upsertIncremental sequences equal a fresh full ingest, every table") {
+    val T0 = 1704067200L * 1000000L // 2024-01-01 in µs
+    val r = new Random(66L)
+    val etypes = Seq("click", "view", "purchase")
+
+    // initial population: 3 users × 3 types over 4 days
+    var truth = Map.empty[(Long, String, Long), Ev]
+    var nextId = 0L
+    def mkEvent(day: Int): Ev = {
+      val u = r.nextInt(3).toLong
+      val et = etypes(r.nextInt(etypes.length))
+      val ts = T0 + day * 86400000000L + r.nextInt(86400) * 1000000L
+      val ev = (u, et, nextId, ts, (r.nextInt(9000) + 100) / 100.0)
+      nextId += 1
+      ev
+    }
+    val init = (0 until 120).map(_ => mkEvent(r.nextInt(4)))
+    init.foreach(e => truth += (uid(e), etype(e), eid(e)) -> e)
+
+    val inc = Files.createTempDirectory("graft_mutfuzz_inc").toString
+    TsdbStore.ingest(spark, toDf(init), inc)
+
+    val tables = Seq("base", "agg_21600", "agg_86400", "rate_21600",
+      "rate_86400", "quant_21600", "quant_86400")
+
+    var maxNewDay = 3
+    for (round <- 0 until 6) {
+      // a batch mixes replays (same key, same ts — partition-preserving,
+      // new value), new events on known days, and events on a NEW day
+      val existing = truth.values.toVector
+      val replays = (0 until r.nextInt(4) + 1).map { _ =>
+        val e = existing(r.nextInt(existing.size))
+        e.copy(_5 = value(e) + 1.0 + r.nextInt(100) / 100.0)
+      }
+      val newSameDays = (0 until r.nextInt(5) + 1).map(_ => mkEvent(r.nextInt(maxNewDay + 1)))
+      val newDays = if (r.nextBoolean()) {
+        maxNewDay += r.nextInt(2) + 1
+        (0 until r.nextInt(3) + 1).map(_ => mkEvent(maxNewDay))
+      } else Seq.empty
+      val batch = replays ++ newSameDays ++ newDays
+      batch.foreach(e => truth += (uid(e), etype(e), eid(e)) -> e)
+
+      TsdbStore.upsertIncremental(spark, toDf(batch), inc)
+
+      // oracle: a virgin store built from the accumulated truth
+      val full = Files.createTempDirectory(s"graft_mutfuzz_full$round").toString
+      TsdbStore.ingest(spark, toDf(truth.values.toSeq), full)
+      for (t <- tables) {
+        val a = tableRows(inc, t)
+        val b = tableRows(full, t)
+        assert(a == b,
+          s"round $round table $t diverged from full rebuild: " +
+            s"${a.size} vs ${b.size} rows; " +
+            s"first diff inc=${a.diff(b).take(2)} full=${b.diff(a).take(2)}")
+      }
+    }
+  }
+}
