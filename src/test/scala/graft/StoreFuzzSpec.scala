@@ -128,6 +128,69 @@ class StoreFuzzSpec extends SparkSpec {
       s"${failures.size} mismatches:\n${failures.take(5).mkString("\n")}")
   }
 
+  test("50 random fetchFilled draws: dense grid, present slots exact, absent slots NULL") {
+    store
+    val failures = (0 until 50).flatMap { i =>
+      val r = new Random(6600L + i)
+      val userId = r.nextInt(15).toLong
+      val etype = Seq("click", "view", "purchase", "signup", "error")(r.nextInt(5))
+      val step = Seq(21600L, 86400L)(r.nextInt(2))
+      val cf = cfs(r.nextInt(cfs.length))
+      val off = r.nextLong(Span - 8L * 86400L)
+      val begin = if (r.nextBoolean()) T0 + (off / step) * step else T0 + off
+      val end = begin + 3600L + r.nextLong(5L * 86400L)
+      try {
+        val got = rows(TsdbStore.fetchFilled(spark, store, userId, etype,
+          begin, end, aggStep = step, cf = cf, fill = "null"))
+        val firstSlot = Math.floorDiv(begin, step) * step
+        val present = rows(recompute(userId, etype, firstSlot, end, step, cf))
+          .map { case (s, v) => s -> v }.toMap
+        val want = (firstSlot until end by step)
+          .map(s => (s, present.getOrElse(s, None))).toSet
+        if (got == want) None
+        else Some(s"draw $i: cf=$cf step=$step ($userId,$etype) " +
+          s"[$begin,$end): grid=${want.size} got=${got.size}; " +
+          s"diff=${(got diff want).take(3)} / ${(want diff got).take(3)}")
+      } catch {
+        case ex: Throwable => Some(s"draw $i crashed (cf=$cf): ${ex.getMessage}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} mismatches:\n${failures.take(5).mkString("\n")}")
+  }
+
+  test("30 random fetch draws against the MONTHLY-chunk layout match the same recomputation") {
+    // the dt=YYYY-MM mapping changes partition pruning, not semantics:
+    // the identical raw recomputation must hold for random params
+    val monthly = {
+      val dir = Files.createTempDirectory("graft_store_fuzz_monthly").toString
+      TsdbStore.ingest(spark, Tables.events(spark, Sf), dir,
+        graft.sources.StoreLayout(monthly = true))
+      dir
+    }
+    val failures = (0 until 30).flatMap { i =>
+      val r = new Random(7700L + i)
+      val userId = r.nextInt(15).toLong
+      val etype = Seq("click", "view", "purchase", "signup", "error")(r.nextInt(5))
+      val step = Seq(21600L, 86400L)(r.nextInt(2))
+      val cf = cfs(r.nextInt(cfs.length))
+      val off = r.nextLong(Span - 8L * 86400L)
+      val begin = if (r.nextBoolean()) T0 + (off / step) * step else T0 + off
+      val end = begin + 3600L + r.nextLong(7L * 86400L)
+      try {
+        val got = rows(TsdbStore.fetch(spark, monthly, userId, etype,
+          begin, end, aggStep = step, cf = cf))
+        val want = rows(recompute(userId, etype, begin, end, step, cf))
+        if (got == want) None
+        else Some(s"draw $i: cf=$cf step=$step ($userId,$etype) [$begin,$end)")
+      } catch {
+        case ex: Throwable => Some(s"draw $i crashed (cf=$cf): ${ex.getMessage}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} mismatches:\n${failures.take(5).mkString("\n")}")
+  }
+
   test("40 random quantile draws equal exact nearest-rank/interpolated percentiles") {
     store
     val failures = (0 until 40).flatMap { i =>

@@ -90,6 +90,18 @@ class StoreMutationFuzzSpec extends SparkSpec {
 
       TsdbStore.upsertIncremental(spark, toDf(batch), inc)
 
+      // occasionally interleave a small-file compaction of a random
+      // live partition of a random table — rows must be invisible to
+      // the rebuild compare (compaction is a file-layout operation)
+      if (r.nextInt(2) == 0) {
+        val t = tables(r.nextInt(tables.length))
+        val parts = new java.io.File(s"$inc/$t").listFiles()
+          .filter(_.getName.startsWith("dt=")).map(_.getName.stripPrefix("dt="))
+        if (parts.nonEmpty)
+          TsdbStore.compactPartition(spark, inc, parts(r.nextInt(parts.length)),
+            targetFiles = r.nextInt(2) + 1, table = t)
+      }
+
       // oracle: a virgin store built from the accumulated truth
       val full = Files.createTempDirectory(s"graft_mutfuzz_full$round").toString
       TsdbStore.ingest(spark, toDf(truth.values.toSeq), full)
