@@ -42,6 +42,40 @@ class TvfSpec extends SparkSpec {
         aggStep = 21600L, cf = "last")))
   }
 
+  test("60 random-parameter graft_fetch calls equal the Scala API (round-11 fuzz)") {
+    // the hand-picked arities above pin the resolution paths; this
+    // pins that NO random (series, range, step, cf) combination can
+    // make the TVF and the Scala fetch diverge
+    val r = new scala.util.Random(88L)
+    val cfsAll = Seq("average", "min", "max", "sum", "raw", "first",
+      "last", "delta", "rate")
+    val failures = (0 until 60).flatMap { i =>
+      val userId = r.nextInt(15).toLong
+      val etype = Seq("click", "view", "purchase", "signup", "error")(r.nextInt(5))
+      val step = Seq(0L, 21600L, 86400L)(r.nextInt(3))
+      val cf = cfsAll(r.nextInt(cfsAll.length))
+      val begin = 1704067200L + r.nextInt(20).toLong * 86400L + r.nextInt(86400)
+      val end = begin + 3600L + r.nextInt(7 * 86400)
+      try {
+        val (sqlText, scala0) =
+          if (step == 0L)
+            (s"SELECT * FROM graft_fetch('$store', $userId, '$etype', $begin, $end)",
+              TsdbStore.fetch(spark, store, userId, etype, begin, end))
+          else
+            (s"SELECT * FROM graft_fetch('$store', $userId, '$etype', " +
+              s"$begin, $end, $step, '$cf')",
+              TsdbStore.fetch(spark, store, userId, etype, begin, end,
+                aggStep = step, cf = cf))
+        if (rows(spark.sql(sqlText)) == rows(scala0)) None
+        else Some(s"draw $i: $sqlText diverged from the Scala API")
+      } catch {
+        case ex: Throwable => Some(s"draw $i crashed: ${ex.getMessage}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} divergences:\n${failures.take(5).mkString("\n")}")
+  }
+
   test("graft_fetch_bulk: SQL parity with the Scala API, incl. counter cf") {
     assert(rows(spark.sql(
         s"SELECT * FROM graft_fetch_bulk('$store', $B, $E, 21600, 'average', " +
