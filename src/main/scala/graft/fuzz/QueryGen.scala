@@ -512,7 +512,13 @@ object QueryGen {
   private def qRollup(r: Random): Tx = {
     val t = pick(r, tables)
     val cs = refs(t)
-    val keys = Seq(genKey(r, cs), genKey(r, cs))
+    val k1 = genKey(r, cs)
+    // redraw until the second key's TEXT differs — ROLLUP(k, k) is a
+    // degenerate lattice and would gate on both engines agreeing about
+    // duplicate grouping-expression expansion, which nothing else pins
+    val k2 = Iterator.continually(genKey(r, cs))
+      .take(8).find(_._1.s != k1._1.s).getOrElse(genKey(r, cs))
+    val keys = Seq(k1, k2)
     val form = if (r.nextBoolean()) "ROLLUP" else "CUBE"
     val keyItems = keys.zipWithIndex.map { case ((k, kind), i) =>
       kind match {

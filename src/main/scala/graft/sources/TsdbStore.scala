@@ -353,7 +353,6 @@ object TsdbStore {
     * [[upsert]]'s post-swap rebuild. */
   private def buildCascades(spark: SparkSession, path: String,
                             layout: StoreLayout): Unit = {
-    import org.apache.spark.sql.functions._
     val base = spark.read.parquet(s"$path/base")
 
     // value cascade: finest from base, each coarser from the finer
@@ -450,14 +449,21 @@ object TsdbStore {
     * (series, event_id) wins — offset-addressing upsert semantics as a
     * dedup-by-key pass over the union of old + new. Unlike
     * [[upsertIncremental]] (whose blast radius is the touched dt
-    * partitions, and which REJECTS partition-moving replays), this is
-    * the full-rewrite path: the merged base is staged to `base_new`,
-    * swapped in whole (retire → rename → drop, the same sequence as
-    * [[swapPartitionDir]], at table granularity), and every cascade is
-    * rebuilt from the new base — so after upsert() the STORE IS
-    * CONSISTENT, not just the base (round 11; it used to leave the
-    * merge in `base_new` for the caller). A production deployment
-    * would sit the swap behind a table format's atomic commit. */
+    * partitions, and which rejects partition-moving replays only when
+    * `verifyNoPartitionMoves = true` — by default that hazard is the
+    * caller's contract), this is the full-rewrite path: the merged
+    * base is staged to `base_new`, swapped in whole (retire → rename →
+    * drop, the same sequence as [[swapPartitionDir]], at table
+    * granularity), and every cascade is rebuilt from the new base — so
+    * after upsert() the STORE IS CONSISTENT, not just the base
+    * (round 11; it used to leave the merge in `base_new` for the
+    * caller). Crash contract: a death between the swap and the cascade
+    * rebuild leaves base new / cascades old; RE-RUNNING THE SAME
+    * upsert REPAIRS the store (the merge is idempotent — replaying
+    * incoming against the already-merged base reproduces it — and the
+    * rebuild then realigns every cascade), the same re-run-repairs
+    * contract deleteSeries documents. A production deployment would
+    * sit the swap behind a table format's atomic commit. */
   def upsert(spark: SparkSession, newEvents: DataFrame, path: String): Unit =
       withRollupRewriteOff(spark) {
     val layout = readLayout(spark, path)
@@ -474,8 +480,13 @@ object TsdbStore {
       .select(col("user_id"), col("event_type"), col("event_id"),
         col("r.ts_us"), col("r.cents"), col("r.dt"))
     // stage fully (this materializes the merge BEFORE base is touched —
-    // merged reads base lazily), then swap the whole table
-    merged.write.mode(SaveMode.Overwrite).option("compression", "zstd")
+    // merged reads base lazily), CLUSTERED like ingest writes it —
+    // without the within-partition (series, ts) sort the swapped-in
+    // base would lose the row-group min/max pruning every read
+    // depends on (review r11 #3) — then swap the whole table
+    merged
+      .sortWithinPartitions("dt", "user_id", "event_type", "ts_us")
+      .write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .partitionBy("dt").parquet(s"$path/base_new")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

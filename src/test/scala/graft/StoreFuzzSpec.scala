@@ -49,7 +49,7 @@ class StoreFuzzSpec extends SparkSpec {
         // (a delta's validity doesn't depend on the requested range),
         // slotted by the current sample's ts
         val cap = Tables.WrapCap
-        val hbUs = 21600L * 1000000L // default layout heartbeat
+        val hbUs = TsdbStore.readLayout(spark, store).heartbeatSec * 1000000L
         val w = Window.partitionBy("user_id", "event_type")
           .orderBy("ts_us", "event_id")
         val deltas = raw

@@ -86,7 +86,13 @@ class StoreMutationFuzzSpec extends SparkSpec {
         (0 until r.nextInt(3) + 1).map(_ => mkEvent(maxNewDay))
       } else Seq.empty
       val batch = replays ++ newSameDays ++ newDays
-      batch.foreach(e => truth += (uid(e), etype(e), eid(e)) -> e)
+      // mirror dedupeBatch's WITHIN-batch tie rule: two same-key rows
+      // in one batch resolve by max(ts_us, cents), NOT by batch order —
+      // a last-in-batch truth rule would spuriously blame the store
+      // when two replays of the same event land in one batch
+      val batchDedup = batch.groupBy(e => (uid(e), etype(e), eid(e)))
+        .map { case (k, es) => k -> es.maxBy(e => (e._4, math.round(e._5 * 100))) }
+      truth ++= batchDedup
 
       TsdbStore.upsertIncremental(spark, toDf(batch), inc)
 

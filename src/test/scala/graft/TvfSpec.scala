@@ -66,7 +66,12 @@ class TvfSpec extends SparkSpec {
               s"$begin, $end, $step, '$cf')",
               TsdbStore.fetch(spark, store, userId, etype, begin, end,
                 aggStep = step, cf = cf))
-        if (rows(spark.sql(sqlText)) == rows(scala0)) None
+        // multiset compare: the step=0 path orders by ts_us only, so
+        // tied-timestamp rows may interleave differently between the
+        // two physical plans
+        def bag(df: org.apache.spark.sql.DataFrame) =
+          rows(df).map(_.toString).sorted
+        if (bag(spark.sql(sqlText)) == bag(scala0)) None
         else Some(s"draw $i: $sqlText diverged from the Scala API")
       } catch {
         case ex: Throwable => Some(s"draw $i crashed: ${ex.getMessage}")
