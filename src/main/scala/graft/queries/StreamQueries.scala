@@ -179,6 +179,48 @@ object StreamQueries {
           alpha = 0.25, beta = 0.125)
         .toDF()
         .orderBy("user_id", "event_type")
+    },
+
+    QueryDef("q_ts_forecast",
+      """WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        |             CAST(round(value*100) AS BIGINT) AS cents FROM events),
+        |l AS (SELECT user_id, event_type,
+        |        list(CAST(cents AS DOUBLE) ORDER BY ts_us, event_id) AS vs
+        |      FROM s GROUP BY user_id, event_type),
+        |r AS (SELECT user_id, event_type, CAST(len(vs) AS BIGINT) AS n,
+        |        list_reduce(
+        |          list_transform(vs, v -> [CAST(v AS DOUBLE), CAST(0.0 AS DOUBLE)]),
+        |          (acc, e) -> [0.25 * e[1] + 0.75 * (acc[1] + acc[2]),
+        |                       0.125 * ((0.25 * e[1] + 0.75 * (acc[1] + acc[2])) - acc[1]) + 0.875 * acc[2]]) AS st
+        |      FROM l)
+        |SELECT user_id, event_type, n,
+        |  st[1] + 1 * st[2] AS f1,
+        |  st[1] + 6 * st[2] AS f6,
+        |  st[1] + 24 * st[2] AS f24
+        |FROM r ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      // the FORECAST read (round 11) — "where is this series heading":
+      // Holt's h-step-ahead prediction ŷ(h) = level + h·trend
+      // projected at three horizons (next sample, +6, +24) from the
+      // SAME bounded sequential evaluation q_stream_holt declares.
+      // The projections are single IEEE multiply-adds over the
+      // identical (level, trend) doubles both engines already fold to
+      // bit-for-bit, so all three horizons compare UNROUNDED; the
+      // integer horizon literals (1/6/24) are exact in both engines.
+      // Plan cost: identical to q_stream_holt plus a three-column
+      // Project — the fold is the work, the forecast is free.
+      import s.implicits._
+      graft.streaming.StreamingOps.holtSequential(
+          Tables.measurements(s, d)
+            .select(col("user_id"), col("event_type"), col("ts_us"),
+              col("event_id"), col("cents"))
+            .as[graft.streaming.StreamingOps.MeasK],
+          alpha = 0.25, beta = 0.125)
+        .toDF()
+        .select(col("user_id"), col("event_type"), col("n"),
+          (col("level") + lit(1) * col("trend")).as("f1"),
+          (col("level") + lit(6) * col("trend")).as("f6"),
+          (col("level") + lit(24) * col("trend")).as("f24"))
+        .orderBy("user_id", "event_type")
     }
   )
 }
