@@ -391,6 +391,27 @@ object StoreQueries {
         aggStep = 21600L, cf = "last")
     },
 
+    QueryDef("q_store_fetch_first",
+      s"""WITH c AS (
+         |  SELECT (epoch_us(ts) // 21600000000) * 21600 AS slot_ts,
+         |         epoch_us(ts) AS ts_us, event_id,
+         |         CAST(round(value*100) AS BIGINT) AS cents
+         |  FROM events WHERE user_id = 3 AND event_type = 'view'
+         |)
+         |SELECT slot_ts,
+         |  CAST(first(cents ORDER BY ts_us, event_id) AS DOUBLE)/100.0 AS value
+         |FROM c WHERE slot_ts >= $B AND slot_ts < $E
+         |GROUP BY slot_ts ORDER BY slot_ts""".stripMargin) { (s, d) =>
+      // the FIRST endpoint cf (round 11 — q_store_fetch_last's mirror,
+      // declared so BOTH ends of the stored per-cell argmin/argmax
+      // endpoint pair carry an oracle row): same pruned agg_<step>
+      // scan, the stored argmin struct's cents projected. Oracle
+      // recomputes the per-slot first sample (ordered by the unique
+      // (ts, event_id)) from raw events
+      TsdbStore.fetch(s, StoreFixture.store(s, d), 3L, "view", B, E,
+        aggStep = 21600L, cf = "first")
+    },
+
     QueryDef("q_store_bulk",
       s"""WITH c AS (
          |  SELECT user_id, event_type,
