@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""At-scale differential correctness sweep (round 12, VERDICT r11 next #1).
+
+Builds a transformed replica corpus with graft.ScaleVerify (mag-sum /
+mag-moment / rows N — see its scaladoc for what each arm stresses),
+dumps every declared query over it with graft.Verify, then runs the
+driver-faithful DuckDB compare (check_driver.py) against the SAME
+replica. One JSON summary line per arm goes to stdout; per-query
+results print as the compare runs.
+
+Usage:
+    python3 scripts/scale_verify.py <srcSfDir> <arm> [factor]
+        [--skip-build] [--skip-spark] [--only q1 q2 ...]
+
+Round protocol: run all three arms from sf0.1 —
+    python3 scripts/scale_verify.py /root/testdata/sf0.1 mag-sum
+    python3 scripts/scale_verify.py /root/testdata/sf0.1 mag-moment
+    python3 scripts/scale_verify.py /root/testdata/sf0.1 rows 10
+"""
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+import check_driver  # noqa: E402
+
+REPO = Path(__file__).parent.parent
+
+
+def sbt(task):
+    return subprocess.call(["sbt", task], cwd=str(REPO))
+
+
+def main(argv):
+    src = argv[1]
+    arm = argv[2]
+    rest = argv[3:]
+    factor = rest[0] if rest and rest[0].isdigit() else "10"
+    only = set()
+    if "--only" in rest:
+        only = set(rest[rest.index("--only") + 1:])
+    tag = f"{arm}{factor}" if arm == "rows" else arm
+    data = f"/tmp/graft_sv_{tag}"
+    out = f"/tmp/graft_sv_out_{tag}"
+    if "--skip-build" not in rest and "--skip-spark" not in rest:
+        rc = sbt(f"runMain graft.ScaleVerify {src} {data} {arm} {factor}")
+        if rc != 0:
+            print(f"SCALE_VERIFY: corpus build failed (rc={rc})")
+            return rc
+    if "--skip-spark" not in rest:
+        filt = " " + " ".join(sorted(only)) if only else ""
+        rc = sbt(f"runMain graft.Verify {data} {out}{filt}")
+        if rc != 0:
+            print(f"SCALE_VERIFY: spark dump failed (rc={rc})")
+            return rc
+    rc = check_driver.main(data, out, only)
+    print(json.dumps({"metric": "scale_verify", "arm": arm,
+                      "src": src, "factor": int(factor),
+                      "all_match": rc == 0}))
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))

@@ -171,20 +171,40 @@ case class RollupSubstitution(session: SparkSession) extends Rule[LogicalPlan] {
   /** Content fingerprint of a dim-side subtree: the canonicalized
     * structure plus every leaf scan's CURRENT file listing (writers
     * emit uuid-named files, so the path set identifies content). None
-    * if any leaf is not a file scan — such plans are not cacheable. */
+    * if any leaf is not a file scan — such plans are not cacheable.
+    * Two hardenings (ADVICE r11):
+    *  - a subtree carrying a SUBQUERY expression (scalar/IN/EXISTS
+    *    over ANOTHER table) is never cacheable — the other table's
+    *    content is invisible to this subtree's leaf listing and the
+    *    store stamp, so a cached dimIsUnique/maxN verdict could go
+    *    stale when only that table changes;
+    *  - the key is a SHA-256 over the FULL untruncated plan string
+    *    plus the full sorted path list — the previous 32-bit
+    *    `hashCode` of the path seq and the maxToStringFields-truncated
+    *    `toString` could in principle collide two distinct dim plans
+    *    onto one gate-cache entry. */
   private def planSignature(p: LogicalPlan): Option[String] = {
+    if (p.exists(_.expressions.exists(_.exists(
+        _.isInstanceOf[PlanExpression[_]])))) return None
     val leafSigs = p.collectLeaves().map {
       case lr: LogicalRelation => lr.relation match {
         case fsr: HadoopFsRelation =>
-          val files = fsr.location.inputFiles
+          val files = fsr.location.inputFiles.sorted
           Some(s"${fsr.location.rootPaths.mkString(",")}#${files.length}" +
-            s"#${files.toSeq.hashCode}#${fsr.location.sizeInBytes}")
+            s"#${files.mkString("|")}#${fsr.location.sizeInBytes}")
         case _ => None
       }
       case _ => None
     }
     if (leafSigs.exists(_.isEmpty)) None
-    else Some(s"${p.canonicalized.toString}@${leafSigs.flatten.mkString(";")}")
+    else {
+      val full = p.canonicalized.treeString(
+        verbose = true, addSuffix = false, maxFields = Int.MaxValue,
+        printOperatorId = false) + "@" + leafSigs.flatten.mkString(";")
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      Some(md.digest(full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString)
+    }
   }
 
   private def tableExistsCached(info: StoreInfo, store: String, table: String): Boolean =

@@ -124,18 +124,24 @@ object WindowQueries {
     QueryDef("q_window_dist",
       """SELECT c_custkey,
         |  dense_rank() OVER w AS dr,
-        |  round(cume_dist() OVER w, 6) AS cd
+        |  cume_dist() OVER w AS cd
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
       // distribution window functions over a PARTITIONED window (the
       // global-order ntile window above cannot parallelize; this one
-      // fans out per nation)
+      // fans out per nation). cd is emitted UNROUNDED per §7.4:
+      // cume_dist = k/n with both sides exact integers, so the IEEE
+      // quotient is bit-identical across engines — while round(·, 6)
+      // DIVERGES whenever k/n lands exactly on a half-way dyadic
+      // (DuckDB rounds half-even, Spark decimal HALF_UP; first seen
+      // at sf0.1 where a nation partition produced cd = 0.5203125 —
+      // invisible at sf0.01, caught by the round-12 at-scale sweep)
       val w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
       Tables.customer(s, d)
         .select(col("c_custkey"),
           dense_rank().over(w).cast("bigint").as("dr"),
-          round(cume_dist().over(w), 6).as("cd"))
+          cume_dist().over(w).as("cd"))
         .orderBy("c_custkey")
     },
 

@@ -138,9 +138,10 @@ object StreamingOps {
     * later built from that base never double-counts its n/sum_cents
     * monoids). `foreachBatch` is the bridge that lets the SAME batch
     * writer serve the stream. */
-  def streamIngest(m: DataFrame, storePath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+  def streamIngest(m: DataFrame, storePath: String, runNs: String = "")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     m.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      ingestBatch(batch, batchId, storePath)
+      ingestBatch(batch, batchId, storePath, runNs)
     }
 
   /** One idempotent microbatch append: exactly-once per (storePath,
@@ -165,23 +166,49 @@ object StreamingOps {
     * mid-move → prefix sweep removes the partial files; after moves,
     * before marker → sweep + re-move lands byte-equal content; after
     * marker → step 1 short-circuits. The marker create is a
-    * single-file operation (atomic on HDFS/local rename semantics).
+    * single-file operation (atomic on HDFS/local rename semantics; the
+    * whole protocol is [[graft.sources.TsdbStore.requireAtomicRename]]-
+    * guarded, so an object-store path fails loudly up front).
     * Cost at scale: one listing of the touched dt dirs per batch —
-    * metadata-bounded, no data re-read. */
-  def ingestBatch(batch: DataFrame, batchId: Long, storePath: String): Unit = {
+    * metadata-bounded, no data re-read.
+    *
+    * `runNs` namespaces the protocol per checkpoint LINEAGE (ADVICE
+    * r11): markers live at `_stream_commits/ns-<runNs>/<batchId>` and
+    * live files carry a `bid-<runNs>-<batchId>-` prefix, so a NEW
+    * stream (fresh checkpoint, batchIds restarting at 0) pointed at
+    * the same store neither short-circuits on the old run's markers
+    * (silently dropping its data) nor prefix-sweeps the old run's
+    * batch-0 files. Pass anything stable per checkpoint (the
+    * checkpoint dir's name is the natural choice). The empty default
+    * keeps the single-lineage layout — with it, RESETTING the
+    * checkpoint while reusing the store is UNSUPPORTED: delete
+    * `_stream_commits/` first or batches replay as committed.
+    * The marker-prune window (how far back a checkpointed source could
+    * ever replay) is `spark.graft.stream.markerRetention` (default
+    * 1000 batches). */
+  def ingestBatch(batch: DataFrame, batchId: Long, storePath: String,
+                  runNs: String = ""): Unit = {
     import org.apache.hadoop.fs.Path
+    require(runNs.matches("[A-Za-z0-9._-]*"),
+      s"ingestBatch: runNs must be path-safe ([A-Za-z0-9._-]*): '$runNs'")
     val spark = batch.sparkSession
     val fs = new Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(s"$storePath/_stream_commits/$batchId")
+    graft.sources.TsdbStore.requireAtomicRename(fs)
+    val commitsDir =
+      if (runNs.isEmpty) s"$storePath/_stream_commits"
+      else s"$storePath/_stream_commits/ns-$runNs"
+    val marker = new Path(s"$commitsDir/$batchId")
     if (fs.exists(marker)) return
-    val stage = new Path(s"$storePath/_stream_stage/$batchId")
+    val stage = new Path(s"$storePath/_stream_stage/" +
+      (if (runNs.isEmpty) s"$batchId" else s"ns-$runNs-$batchId"))
     batch
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"), col("cents"))
       .withColumn("dt", to_date(timestamp_micros(col("ts_us"))))
       .write.mode("overwrite").partitionBy("dt").parquet(stage.toString)
-    val prefix = s"bid-$batchId-"
+    val prefix =
+      if (runNs.isEmpty) s"bid-$batchId-" else s"bid-$runNs-$batchId-"
     fs.listStatus(stage).filter(_.getPath.getName.startsWith("dt="))
       .foreach { dtDir =>
         val live = new Path(s"$storePath/base/${dtDir.getPath.getName}")
@@ -211,11 +238,15 @@ object StreamingOps {
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
     // bounded marker retention: a checkpointed source can only replay
-    // the trailing uncommitted batches, so markers 1000 ids behind can
-    // never be consulted again — prune them (amortized: every 100th
-    // batch) or a years-long stream leaves millions of empty files
-    if (batchId % 100L == 0L && batchId > 1000L) {
-      val keepFrom = batchId - 1000L
+    // the trailing uncommitted batches, so markers `markerRetention`
+    // ids behind can never be consulted again — prune them (amortized:
+    // every 100th batch) or a years-long stream leaves millions of
+    // empty files. The window is configurable (ADVICE r11): a source
+    // whose replay depth could exceed the default 1000 raises it.
+    val retention = spark.conf
+      .get("spark.graft.stream.markerRetention", "1000").toLong
+    if (batchId % 100L == 0L && batchId > retention) {
+      val keepFrom = batchId - retention
       fs.listStatus(marker.getParent)
         .filter(m => m.getPath.getName.toLongOption.exists(_ < keepFrom))
         .foreach(m => fs.delete(m.getPath, false))
@@ -342,8 +373,11 @@ object StreamingOps {
   def holtSequential(m: Dataset[MeasK], alpha: Double, beta: Double): Dataset[HoltSnap] = {
     val spark = m.sparkSession
     import spark.implicits._
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    m.repartition(parts, col("user_id"), col("event_type"))
+    // hash-partition on the series keys only — group colocation is the
+    // correctness requirement; the partition COUNT is whatever the
+    // session's shuffle default resolves to (parsing the conf ourselves
+    // broke on non-numeric values like "auto", ADVICE r11)
+    m.repartition(col("user_id"), col("event_type"))
       .sortWithinPartitions("user_id", "event_type", "ts_us", "event_id")
       .mapPartitions { it =>
         val buf = it.buffered

@@ -96,7 +96,7 @@ object PlanDump extends App {
   val noted = picks.toMap
   val allNames = graft.SparkEntry.queries.keys.toSeq.sorted
   val sb = new StringBuilder
-  sb ++= "# PLANS - physical-plan audit evidence (round 11)\n\n"
+  sb ++= "# PLANS - physical-plan audit evidence (round 12)\n\n"
   sb ++= s"Generated from `.queryExecution.executedPlan` at sf0.001, local[4] —\n"
   sb ++= s"ALL ${allNames.size} declared ids, alphabetical. What to look for is\n"
   sb ++= "noted on the audited plans; unannotated sections are mechanical dumps\n"
@@ -114,4 +114,7 @@ object PlanDump extends App {
   Files.writeString(Paths.get("PLANS.md"), sb.toString)
   println(s"WROTE PLANS.md (${allNames.size} sections, $failed failed)")
   spark.stop()
+  // a planning regression must fail the GATE, not just show up as a
+  // PLANS.md doc diff (ADVICE r11)
+  if (failed > 0) sys.exit(1)
 }

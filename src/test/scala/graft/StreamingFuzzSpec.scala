@@ -1,0 +1,231 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{GapAlert, Meas, MeasK, RateSample}
+
+/** Seeded-random microbatch-split fuzzing of the streaming half
+  * (VERDICT r11 next #2): StoreMutationFuzzSpec's recipe lifted to
+  * streaming. The hand-picked splits StreamingSpec pins (1/7/39,
+  * scripted replays) become RANDOM draws — random corpora, random
+  * microbatch boundary placement, within-batch delivery order
+  * shuffled (the ops' documented tolerance: each sorts per group per
+  * batch), and for the ingest protocol randomly REPLAYED batchIds —
+  * with every scenario asserted equal to the one-batch / scalar-fold
+  * truth computed independently in plain Scala.
+  *
+  * 55 seeded scenarios: 15 onlineHolt + 15 onlineRates +
+  * 15 heartbeatGaps + 10 ingestBatch replay histories. Seeds derive
+  * from [[RoundSeed]] — rotate it each round so every round sweeps a
+  * fresh region of the space; any failure reproduces from the printed
+  * (seed) alone. */
+class StreamingFuzzSpec extends SparkSpec {
+
+  /** Base seed for the round — bump per round (r12 = 1200). */
+  private val RoundSeed = 1200L
+
+  private val M = 1000000L
+
+  /** Random multi-series corpus in GLOBAL ts order: each step assigns
+    * the next (randomly spaced) timestamp to a random series, so
+    * per-series ts is strictly increasing while series interleave
+    * arbitrarily — the shape a poller feed actually has. `spacing`
+    * draws the next gap in seconds. */
+  private def corpus(r: Random, nRows: Int, nSeries: Int,
+                     spacing: () => Long,
+                     cents: () => Long): Vector[MeasK] = {
+    val keys = (0 until nSeries).map { i =>
+      (i / 2 + 1L, if (i % 2 == 0) "click" else "view")
+    }
+    var ts = 1704067200L * M
+    val perSeriesCount = scala.collection.mutable.Map.empty[Int, Long]
+    (0 until nRows).map { _ =>
+      val s = r.nextInt(nSeries)
+      val (uid, et) = keys(s)
+      ts += spacing() * M
+      val eid = perSeriesCount.getOrElse(s, 0L)
+      perSeriesCount(s) = eid + 1
+      MeasK(uid, et, ts, eid, cents())
+    }.toVector
+  }
+
+  /** Split into random contiguous batches (cross-batch order kept),
+    * each batch's delivery order shuffled. */
+  private def randomBatches[T](r: Random, rows: Vector[T]): Vector[Vector[T]] = {
+    val out = Vector.newBuilder[Vector[T]]
+    var i = 0
+    while (i < rows.size) {
+      val n = 1 + r.nextInt(math.max(1, rows.size / 4))
+      out += r.shuffle(rows.slice(i, i + n))
+      i += n
+    }
+    out.result()
+  }
+
+  test("onlineHolt == per-series scalar fold, bit-for-bit, over 15 random corpora × random splits") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    for (k <- 0 until 15) {
+      val seed = RoundSeed + k
+      val r = new Random(seed)
+      val rows = corpus(r, nRows = 40 + r.nextInt(80),
+        nSeries = 1 + r.nextInt(6),
+        spacing = () => 30L + r.nextInt(120),
+        cents = () => (r.nextInt(9000) + 100).toLong)
+      // truth: the scalar recurrence per series (dyadic α, β per §7.4)
+      val want = rows.groupBy(x => (x.user_id, x.event_type)).map {
+        case (key, rs) =>
+          val vs = rs.sortBy(x => (x.ts_us, x.event_id)).map(_.cents.toDouble)
+          val (l, b) = vs.tail.foldLeft((vs.head, 0.0)) { case ((l, b), x) =>
+            val l2 = 0.25 * x + (1 - 0.25) * (l + b)
+            (l2, 0.125 * (l2 - l) + (1 - 0.125) * b)
+          }
+          key -> ((vs.size.toLong, l, b))
+      }
+      val in = MemoryStream[MeasK]
+      val q = StreamingOps.onlineHolt(in.toDS(), alpha = 0.25, beta = 0.125)
+        .writeStream.format("memory").queryName(s"fuzzholt$k")
+        .outputMode("append").start()
+      try {
+        randomBatches(r, rows).foreach { b =>
+          in.addData(b); q.processAllAvailable()
+        }
+        // the LAST snapshot per series is the full-series fold
+        val got = spark.table(s"fuzzholt$k")
+          .as[StreamingOps.HoltSnap].collect()
+          .groupBy(s => (s.user_id, s.event_type))
+          .map { case (key, ss) =>
+            val last = ss.maxBy(_.n)
+            key -> ((last.n, last.level, last.trend))
+          }
+        assert(got == want, s"seed=$seed: online holt != scalar fold")
+      } finally q.stop()
+    }
+  }
+
+  test("onlineRates == one-pass wrap/heartbeat walk over 15 random corpora × random splits") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    for (k <- 0 until 15) {
+      val seed = RoundSeed + 100 + k
+      val r = new Random(seed)
+      val hbUs = 3600L * M
+      val wrapCap = 100000L
+      // spacing straddles the heartbeat (some gaps drop); cents draw
+      // arbitrary non-monotone values so wrap deltas exercise the
+      // modular arithmetic in both directions
+      val rows = corpus(r, nRows = 40 + r.nextInt(80),
+        nSeries = 1 + r.nextInt(5),
+        spacing = () => 60L + r.nextInt(7200),
+        cents = () => r.nextInt(200000).toLong)
+        .map(x => Meas(x.user_id, x.event_type, x.ts_us, x.cents))
+      val want = rows.groupBy(x => (x.user_id, x.event_type)).toSeq.flatMap {
+        case ((uid, et), rs) =>
+          rs.sortBy(_.ts_us).sliding(2).collect {
+            case Seq(a, b) if b.ts_us - a.ts_us > 0 && b.ts_us - a.ts_us <= hbUs =>
+              val dtUs = b.ts_us - a.ts_us
+              val d = ((b.cents - a.cents) % wrapCap + wrapCap) % wrapCap
+              RateSample(uid, et, b.ts_us, d, dtUs, d / 100.0 / (dtUs / 1000000.0))
+          }
+      }.sortBy(s => (s.user_id, s.event_type, s.ts_us))
+      val in = MemoryStream[Meas]
+      val q = StreamingOps.onlineRates(in.toDS(), hbUs = hbUs, wrapCap = wrapCap)
+        .writeStream.format("memory").queryName(s"fuzzrate$k")
+        .outputMode("append").start()
+      try {
+        randomBatches(r, rows).foreach { b =>
+          in.addData(b); q.processAllAvailable()
+        }
+        val got = spark.table(s"fuzzrate$k").as[RateSample].collect()
+          .sortBy(s => (s.user_id, s.event_type, s.ts_us)).toSeq
+        assert(got == want, s"seed=$seed: online rates != one-pass walk")
+      } finally q.stop()
+    }
+  }
+
+  test("heartbeatGaps == one-pass gap walk over 15 random corpora × random splits") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    for (k <- 0 until 15) {
+      val seed = RoundSeed + 200 + k
+      val r = new Random(seed)
+      val hbUs = 1800L * M
+      val rows = corpus(r, nRows = 30 + r.nextInt(60),
+        nSeries = 1 + r.nextInt(5),
+        spacing = () => 60L + r.nextInt(3600),
+        cents = () => 0L)
+        .map(x => Meas(x.user_id, x.event_type, x.ts_us, x.cents))
+      val want = rows.groupBy(x => (x.user_id, x.event_type)).toSeq.flatMap {
+        case ((uid, et), rs) =>
+          rs.sortBy(_.ts_us).sliding(2).collect {
+            case Seq(a, b) if b.ts_us - a.ts_us > hbUs =>
+              GapAlert(uid, et, a.ts_us, b.ts_us, b.ts_us - a.ts_us)
+          }
+      }.sortBy(g => (g.user_id, g.event_type, g.from_us))
+      val in = MemoryStream[Meas]
+      val q = StreamingOps.heartbeatGaps(in.toDS(), hbUs = hbUs)
+        .writeStream.format("memory").queryName(s"fuzzgap$k")
+        .outputMode("append").start()
+      try {
+        randomBatches(r, rows).foreach { b =>
+          in.addData(b); q.processAllAvailable()
+        }
+        val got = spark.table(s"fuzzgap$k").as[GapAlert].collect()
+          .sortBy(g => (g.user_id, g.event_type, g.from_us)).toSeq
+        assert(got == want, s"seed=$seed: gap alerts != one-pass walk")
+      } finally q.stop()
+    }
+  }
+
+  test("ingestBatch: 10 random delivery histories with replayed batchIds == clean one-shot append") {
+    val spark2 = spark
+    import spark2.implicits._
+    for (k <- 0 until 10) {
+      val seed = RoundSeed + 300 + k
+      val r = new Random(seed)
+      val T0 = 1704067200L * M
+      // 3-6 batches of arbitrary rows across a few days
+      val batches = (0 until 3 + r.nextInt(4)).map { _ =>
+        (0 until 1 + r.nextInt(6)).map { _ =>
+          (r.nextInt(3).toLong,
+            if (r.nextBoolean()) "click" else "view",
+            T0 + r.nextInt(5) * 86400L * M + r.nextInt(86400).toLong * M,
+            (r.nextInt(9000) + 100).toLong)
+        }.toVector
+      }.toVector
+      def df(rows: Vector[(Long, String, Long, Long)]) =
+        rows.toDF("user_id", "event_type", "ts_us", "cents")
+          .select(col("user_id"), col("event_type"),
+            timestamp_micros(col("ts_us")).as("ts"), col("cents"))
+      val store = java.nio.file.Files
+        .createTempDirectory(s"graft_streamfuzz_$k").toString
+      // delivery: each batch in order, then with p=0.5 a replay of a
+      // random already-committed id (the at-least-once retry), and a
+      // second replay of the final id at the end
+      batches.zipWithIndex.foreach { case (b, id) =>
+        StreamingOps.ingestBatch(df(b), id.toLong, store)
+        if (r.nextBoolean()) {
+          val past = r.nextInt(id + 1)
+          StreamingOps.ingestBatch(df(batches(past)), past.toLong, store)
+        }
+      }
+      StreamingOps.ingestBatch(
+        df(batches.last), batches.size - 1L, store)
+      val got = spark.read.parquet(s"$store/base")
+        .select("user_id", "event_type", "ts_us", "cents")
+        .collect().map(_.toSeq).toSeq.sorted(Ordering.by((s: Seq[Any]) => s.toString))
+      val want = batches.flatten
+        .map(t => Seq[Any](t._1, t._2, t._3, t._4))
+        .sorted(Ordering.by((s: Seq[Any]) => s.toString))
+      assert(got == want,
+        s"seed=$seed: replayed history != clean append (${got.size} vs ${want.size} rows)")
+    }
+  }
+}
