@@ -18,6 +18,7 @@ Round protocol: run all three arms from sf0.1 —
     python3 scripts/scale_verify.py /root/testdata/sf0.1 rows 10
 """
 import json
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -26,6 +27,31 @@ sys.path.insert(0, str(Path(__file__).parent))
 import check_driver  # noqa: E402
 
 REPO = Path(__file__).parent.parent
+
+# Tables ScaleVerify TRANSFORMS that carry a timestamp column. Spark
+# embeds its own schema (TIMESTAMP_NTZ) in the parquet footer and
+# trusts it over inference on read-back, so every session's
+# inferTimestampNTZ=false would be bypassed and unix_micros(ts) fail
+# to resolve. Rewriting through DuckDB strips the Spark metadata and
+# writes plain naive-µs TIMESTAMP — the exact shape the driver
+# testdata has. Tables without timestamps round-trip fine as written.
+TS_TABLES = {
+    "mag-sum": ["events", "lineitem"],
+    "mag-moment": ["events"],
+    "rows": ["events", "lineitem", "orders"],
+}
+
+
+def strip_spark_ts_metadata(data_dir, arm):
+    import duckdb
+    con = duckdb.connect()
+    for t in TS_TABLES[arm]:
+        f = f"{data_dir}/{t}.parquet"
+        tmp = f + ".ddb.parquet"
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{f}')) TO '{tmp}' (FORMAT PARQUET)")
+        os.replace(tmp, f)
+    con.close()
 
 
 def sbt(task):
@@ -48,6 +74,7 @@ def main(argv):
         if rc != 0:
             print(f"SCALE_VERIFY: corpus build failed (rc={rc})")
             return rc
+        strip_spark_ts_metadata(data, arm)
     if "--skip-spark" not in rest:
         filt = " " + " ".join(sorted(only)) if only else ""
         rc = sbt(f"runMain graft.Verify {data} {out}{filt}")

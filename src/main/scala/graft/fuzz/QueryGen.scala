@@ -263,14 +263,22 @@ object QueryGen {
     }
   }
 
-  /** Group-key expression: low-cardinality on purpose. */
+  /** Group-key expression: low-cardinality on purpose. Date-function
+    * keys (round 12, VERDICT r11 next #3): year/month/day over a
+    * timestamp column — calendar grouping is what real rollups key on,
+    * and both engines' extractors reduce the same µs instant to the
+    * same exact integer (session TZ pinned UTC on both sides). */
   private def genKey(r: Random, cols: Seq[Ref]): (Tx, Kind) = {
     val strCols = cols.filter(_.col.kind == StrK)
     val intCols = cols.filter(_.col.kind == IntK)
-    r.nextInt(3) match {
+    val tsCols = cols.filter(_.col.kind == TsK)
+    r.nextInt(4) match {
       case 0 if strCols.nonEmpty => (Tx.same(pick(r, strCols).q), StrK)
       case 1 if intCols.nonEmpty =>
         (cat("(", pick(r, intCols).q, " % ", (r.nextInt(9) + 2).toString, ")"), IntK)
+      case 2 if tsCols.nonEmpty =>
+        val f = pick(r, Seq("year", "month", "day"))
+        (Tx.same(s"$f(${pick(r, tsCols).q})"), IntK)
       case _ if intCols.nonEmpty =>
         (cat("(", pick(r, intCols).q, Tx(" div ", " // "),
           (r.nextInt(900) + 100).toString, ")"), IntK)
@@ -586,12 +594,72 @@ object QueryGen {
       s" LIMIT ${r.nextInt(200) + 1}")
   }
 
+  /** FULL OUTER join (round 12, VERDICT r11 next #3): null-completion
+    * on BOTH sides is a classic divergence nest — neither the declared
+    * inventory's fixed q_join_full_outer parameters nor the LEFT-join
+    * template reach it with random shapes. Each side is pre-FILTERED
+    * so both null-completions actually occur (an unfiltered PK side
+    * would match every FK row); every output that can be
+    * null-extended is coalesced to a sentinel (the pandas dtype
+    * discipline), and the group key is the coalesced join key reduced
+    * mod a small constant. */
+  private def qFullOuter(r: Random): Tx = {
+    val (lt, rt, lk, rk) = pick(r, joinPairs)
+    val l = refs(lt, "a")
+    val rr = refs(rt, "b")
+    val m = r.nextInt(9) + 2
+    val lAgg = cat("sum(coalesce(", genInt(r, l, 1), ", -3))")
+    val rAgg = cat("sum(coalesce(", genInt(r, rr, 1), ", -5))")
+    cat(s"SELECT CAST(coalesce(a.$lk, b.$rk) % $m AS BIGINT) AS k0, ",
+      "count(*) AS a0, ",
+      cat(Tx("", "CAST("), lAgg, Tx("", " AS BIGINT)"), " AS a1, "),
+      cat(Tx("", "CAST("), rAgg, Tx("", " AS BIGINT)"), " AS a2"),
+      s" FROM (SELECT * FROM ${lt.name} WHERE ", genPred(r, refs(lt), 1),
+      s") a FULL OUTER JOIN (SELECT * FROM ${rt.name} WHERE ",
+      genPred(r, refs(rt), 1),
+      s") b ON a.$lk = b.$rk GROUP BY coalesce(a.$lk, b.$rk) % $m")
+  }
+
+  /** Three-table join tree (round 12, VERDICT r11 next #3): the
+    * chain shapes the optimizer actually reorders —
+    * lineitem⋈orders⋈customer or orders⋈customer⋈nation — with a
+    * random key drawn over ALL THREE scopes and an optional LEFT
+    * final hop whose outputs coalesce to sentinels. */
+  private def q3Join(r: Random): Tx = {
+    val (t1, t2, t3, k12l, k12r, k23l, k23r) =
+      if (r.nextBoolean())
+        (lineitem, orders, customer,
+          "l_orderkey", "o_orderkey", "o_custkey", "c_custkey")
+      else
+        (orders, customer, nation,
+          "o_custkey", "c_custkey", "c_nationkey", "n_nationkey")
+    val a = refs(t1, "a"); val b = refs(t2, "b"); val c = refs(t3, "c")
+    val leftLast = r.nextBoolean()
+    val joinKind = if (leftLast) "LEFT JOIN" else "JOIN"
+    // with a LEFT last hop, c.* is nullable: keys/aggs over c coalesce
+    val innerScope = a ++ b
+    val (k, kind) =
+      if (leftLast || r.nextBoolean()) genKey(r, innerScope)
+      else genKey(r, a ++ b ++ c)
+    val aggs = (0 until r.nextInt(2) + 1).map(_ => genAgg(r, innerScope))
+    val cInt = c.filter(_.col.kind == IntK)
+    val cAgg = cat("sum(coalesce(", pick(r, cInt).q, ", -7))")
+    cat("SELECT ", item(k, kind, "k0"), ", count(*) AS a0, ",
+      cat(Tx("", "CAST("), cAgg, Tx("", " AS BIGINT)"), " AS ac"),
+      mkTx(Tx("", "") +: aggs.zipWithIndex.map { case ((g, gk), i) =>
+        item(g, gk, s"a${i + 1}") }, ", "),
+      s" FROM ${t1.name} a JOIN ${t2.name} b ON a.$k12l = b.$k12r",
+      s" $joinKind ${t3.name} c ON b.$k23l = c.$k23r",
+      " WHERE ", genPred(r, innerScope, 1),
+      " GROUP BY ", k)
+  }
+
   /** Generate `n` queries from `seed`. Deterministic: the i-th query
     * depends only on (seed, i). */
   def generate(seed: Long, n: Int): Seq[FuzzQuery] =
     (0 until n).map { i =>
       val r = new Random(seed * 1000003L + i)
-      val q = r.nextInt(12) match {
+      val q = r.nextInt(14) match {
         case 0 | 1 => qProject(r)
         case 2 | 3 => qAgg(r)
         case 4 | 5 => qJoinAgg(r)
@@ -599,7 +667,9 @@ object QueryGen {
         case 8 => if (r.nextBoolean()) qSetOp(r) else qScalarSubq(r)
         case 9 => qRollup(r)
         case 10 => qText(r)
-        case _ => qTopK(r)
+        case 11 => qTopK(r)
+        case 12 => qFullOuter(r)
+        case _ => q3Join(r)
       }
       FuzzQuery(f"fz_${seed}_$i%04d", q.s, q.d)
     }

@@ -89,15 +89,25 @@ object AggQueries {
         |        / CAST(count(*)*(count(*)-1) AS DOUBLE)) / 100.0, 4) AS std_bal,
         |  round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal
         |FROM c GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+      // n·Σx² − (Σx)² is computed in DECIMAL(38,0): the per-term square
+      // fits int64 (|cents| < 3e9) but the PRODUCT n·Σx² crosses 2^63
+      // once n·Σx² ≳ 9.2e18 — observed at the 10× rows-replica of sf0.1
+      // (6k customers/nation × cents² ≈ 2.4e15 sums, ×n ≈ 1.4e19;
+      // round-12 ScaleVerify find). DuckDB is immune (HUGEINT
+      // accumulation); decimal-first on the Spark side keeps both
+      // engines exact to ~1e38, and the final cast-to-double of the
+      // same exact integer is bit-identical (§7.4).
       Tables.customer(s, d)
         .withColumn("cents", expr("CAST(round(c_acctbal*100) AS BIGINT)"))
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n"),
           min("c_acctbal").as("min_bal"), max("c_acctbal").as("max_bal"),
-          sum(col("cents") * col("cents")).as("s2"), sum("cents").as("s1"),
+          sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("s2"),
+          sum(col("cents").cast("decimal(38,0)")).as("s1"),
           expr("round(percentile(c_acctbal, 0.5), 4)").as("median_bal"))
         .select(col("c_nationkey"), col("n"), col("min_bal"), col("max_bal"),
-          round(sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+          round(sqrt((col("n").cast("decimal(38,0)") * col("s2") -
+              col("s1") * col("s1")).cast("double") /
             (col("n") * (col("n") - 1)).cast("double")) / lit(100.0), 4).as("std_bal"),
           col("median_bal"))
         .orderBy("c_nationkey")

@@ -1135,6 +1135,13 @@ object TsQueries {
       // ~1e-12 agreement), and `+ 0` normalizes the −0.0 a rounded
       // negative trend can produce in DuckDB but not in Spark's
       // decimal HALF_UP (§7.4).
+      // MAGNITUDE BOUND (round-12 ScaleVerify find): the 4-dp round
+      // only absorbs the chunked refactor's ~1e-12 RELATIVE slack
+      // while |level|·1e-12 ≪ 0.5e-4, i.e. |level| ≲ 10^7 value
+      // units. The mag-sum replica (level ≈ 3.7e7) crossed it —
+      // oracle …347.49 vs spark …347.4901 — so the declared equality
+      // holds below ~10^7 and the at-scale gate verifies this family
+      // in the mag-moment arm (×100, well inside the bound) instead.
       TimeSeriesOps.holtChunked(
           Tables.events(s, d)
             .select(col("user_id"), col("event_type"),

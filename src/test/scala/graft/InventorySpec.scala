@@ -22,3 +22,16 @@ class InventorySpec extends AnyFunSuite {
       s"oracled set shrank: ${SparkEntry.oracleSql.size}")
   }
 }
+
+/** Driver t1 smoke in a COMPILED JVM (the sbt-console REPL can't
+  * serialize its lambda closures to executors, so the skill's
+  * interactive recipe is unreliable; this is the same check on the
+  * same entry point). entry() deliberately uses no extension-provided
+  * feature — plain scan/filter/agg/sort — so running it under the
+  * shared test session still demonstrates the extension-free driver
+  * smoke session would succeed. */
+class EntrySmokeSpec extends SparkSpec {
+  test("driver t1 smoke: entry() returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -18,8 +18,9 @@ import graft.streaming.StreamingOps.{GapAlert, Meas, MeasK, RateSample}
   * with every scenario asserted equal to the one-batch / scalar-fold
   * truth computed independently in plain Scala.
   *
-  * 55 seeded scenarios: 15 onlineHolt + 15 onlineRates +
-  * 15 heartbeatGaps + 10 ingestBatch replay histories. Seeds derive
+  * 65 seeded scenarios: 15 onlineHolt + 15 onlineRates +
+  * 15 heartbeatGaps + 10 ingestBatch replay histories +
+  * 10 onlineQuantileCells (the in-state sketch). Seeds derive
   * from [[RoundSeed]] — rotate it each round so every round sweeps a
   * fresh region of the space; any failure reproduces from the printed
   * (seed) alone. */
@@ -226,6 +227,83 @@ class StreamingFuzzSpec extends SparkSpec {
         .sorted(Ordering.by((s: Seq[Any]) => s.toString))
       assert(got == want,
         s"seed=$seed: replayed history != clean append (${got.size} vs ${want.size} rows)")
+    }
+  }
+
+  test("onlineQuantileCells == plain-Scala bottom-K distinct fold over " +
+      "10 random corpora × random splits with random re-delivery") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.QuantCell
+    for (k <- 0 until 10) {
+      val seed = RoundSeed + 400 + k
+      val r = new Random(seed)
+      val step = 300L // 5-minute cells
+      val ttlUs = (60L + r.nextInt(600)) * M
+      val rows = corpus(r, nRows = 30 + r.nextInt(50),
+        nSeries = 1 + r.nextInt(4),
+        spacing = () => 10L + r.nextInt(120),
+        cents = () => (r.nextInt(9000) + 100).toLong)
+      // pri is the SAME xxhash64 column expression the operator (and
+      // the batch cascade build) computes; the grouping, distinct-add,
+      // and bottom-K ordering are then recomputed in plain Scala in a
+      // SHUFFLED order, so the semilattice claim (split placement,
+      // delivery order, and duplicate delivery are invisible) is
+      // checked against arithmetic independent of any Spark operator
+      val withPri = rows
+        .toDF("user_id", "event_type", "ts_us", "event_id", "cents")
+        .select(col("user_id"), col("event_type"),
+          (expr(s"ts_us div ${step * M}") * step).as("slot_ts"),
+          xxhash64(col("user_id"), col("event_type"), col("event_id"))
+            .as("pri"),
+          col("cents").cast("double").as("v"))
+        .as[(Long, String, Long, Long, Double)].collect().toVector
+      val want = withPri.groupBy(x => (x._1, x._2, x._3)).toSeq.map {
+        case (key, rs) =>
+          val b = r.shuffle(rs).foldLeft(graft.functions.BottomKSample.empty) {
+            (acc, x) => graft.functions.BottomKSample.addDistinct(acc, x._4, x._5)
+          }
+          (key._1, key._2, key._3, b.pri.toSeq, b.value.toSeq)
+      }.sortBy(x => (x._1, x._2, x._3))
+      // wmDelay exceeds any corpus span (≤ 79·129 s), so no random
+      // re-delivery is ever behind the watermark — distinct-add alone
+      // must absorb it
+      val wmDelaySec = 30000L
+      val in = MemoryStream[MeasK]
+      val q = StreamingOps.onlineQuantileCells(
+          in.toDS().toDF(), stepSec = step, stateTtlUs = ttlUs,
+          wmDelay = s"$wmDelaySec seconds")
+        .writeStream.format("memory").queryName(s"fuzzqcell$k")
+        .outputMode("append").start()
+      try {
+        val delivered = scala.collection.mutable.ArrayBuffer.empty[MeasK]
+        randomBatches(r, rows).foreach { b =>
+          delivered ++= b
+          // at-least-once source: with p=½ re-deliver 1-3 already-seen
+          // rows across the microbatch boundary
+          val redelivery =
+            if (r.nextBoolean() && delivered.nonEmpty)
+              Vector.fill(1 + r.nextInt(3))(delivered(r.nextInt(delivered.size)))
+            else Vector.empty
+          in.addData(b ++ redelivery); q.processAllAvailable()
+        }
+        // sentinel advances the watermark past every slot end + ttl →
+        // every data cell expires and emits (exactly once: a second
+        // emission would break the multiset equality below)
+        val lastTs = rows.map(_.ts_us).max
+        in.addData(MeasK(999L, "z",
+          lastTs + (wmDelaySec + 2000L) * M + ttlUs, 0L, 1L))
+        q.processAllAvailable()
+        val got = spark.table(s"fuzzqcell$k")
+          .filter(col("user_id") =!= 999L)
+          .as[QuantCell].collect()
+          .map(c => (c.user_id, c.event_type, c.slot_ts,
+            c.pri.toSeq, c.value.toSeq))
+          .sortBy(x => (x._1, x._2, x._3)).toSeq
+        assert(got == want,
+          s"seed=$seed: online quantile cells != scalar distinct fold")
+      } finally q.stop()
     }
   }
 }
