@@ -12,10 +12,13 @@ Usage:
     python3 scripts/scale_verify.py <srcSfDir> <arm> [factor]
         [--skip-build] [--skip-spark] [--only q1 q2 ...]
 
-Round protocol: run all three arms from sf0.1 —
+Round protocol: run the magnitude and row arms from sf0.1, the
+series-length arm from sf0.01 (its events table grows by the factor;
+per-row outputs stay compare-sized from the smaller base) —
     python3 scripts/scale_verify.py /root/testdata/sf0.1 mag-sum
     python3 scripts/scale_verify.py /root/testdata/sf0.1 mag-moment
-    python3 scripts/scale_verify.py /root/testdata/sf0.1 rows 10
+    python3 scripts/scale_verify.py /root/testdata/sf0.1 rows 26
+    python3 scripts/scale_verify.py /root/testdata/sf0.01 len 12 --only <events families>
 """
 import json
 import os
@@ -39,6 +42,7 @@ TS_TABLES = {
     "mag-sum": ["events", "lineitem"],
     "mag-moment": ["events"],
     "rows": ["events", "lineitem", "orders"],
+    "len": ["events"],
 }
 
 
@@ -66,7 +70,7 @@ def main(argv):
     only = set()
     if "--only" in rest:
         only = set(rest[rest.index("--only") + 1:])
-    tag = f"{arm}{factor}" if arm == "rows" else arm
+    tag = f"{arm}{factor}" if arm in ("rows", "len") else arm
     data = f"/tmp/graft_sv_{tag}"
     out = f"/tmp/graft_sv_out_{tag}"
     if "--skip-build" not in rest and "--skip-spark" not in rest:

@@ -70,7 +70,8 @@ object ScaleVerify {
       case "mag-sum"    => buildMag(spark, src, out, sumEdge = true)
       case "mag-moment" => buildMag(spark, src, out, sumEdge = false)
       case "rows"       => buildRows(spark, src, out, factor)
-      case other => sys.error(s"unknown arm '$other' (mag-sum | mag-moment | rows)")
+      case "len"        => buildLen(spark, src, out, factor)
+      case other => sys.error(s"unknown arm '$other' (mag-sum | mag-moment | rows | len)")
     }
     println(s"""{"scale_verify_corpus":"$out","arm":"$arm"}""")
     spark.stop()
@@ -189,7 +190,7 @@ object ScaleVerify {
 
     // embeddings: per-replica array rotation (orthogonal — norms and
     // within-replica cosines preserved, cross-replica cosines
-    // scrambled), vec_id offset
+    // scrambled), vec_id offset (see end of buildRows)
     val emb = Tables.embeddings(spark, src)
     val vSt = stride(emb, "vec_id")
     writeSingle((0 until factor).map { k =>
@@ -200,5 +201,37 @@ object ScaleVerify {
            s"slice(embedding, 1, $k))")).as("embedding"),
         col("label"))
     }.reduce(_ unionByName _), out, "embeddings")
+  }
+
+  /** `len N` — the series-LENGTH axis (round 12, the one dimension
+    * `rows` cannot move): the FK-consistent row replica multiplies the
+    * NUMBER of series while keeping every series its fixture length,
+    * but the widened moment sums, the chunked Holt/EMA scans, the
+    * store's multi-res cascades, and every window partition grow with
+    * LENGTH, not series count. Here events becomes N time-shifted
+    * copies of itself — each copy the whole table displaced by
+    * (global span + 1 h) with event_id offset for uniqueness and
+    * user_id/event_type/value untouched — so every series keeps its
+    * key and value distribution but is N× longer, with one benign 1-h
+    * seam per copy (deterministically visible to BOTH engines, so
+    * gap/heartbeat queries stay comparable). All other tables copy
+    * verbatim; run the events-derived families against this corpus. */
+  private def buildLen(spark: SparkSession, src: String, out: String,
+                       factor: Int): Unit = {
+    require(factor >= 2 && factor <= 64, s"len factor in [2, 64]: $factor")
+    val ev = Tables.events(spark, src)
+    val r = ev.agg(
+      min(expr("unix_micros(ts)")).as("mn"),
+      max(expr("unix_micros(ts)")).as("mx"),
+      max(col("event_id")).as("me")).head()
+    val shiftUs = r.getLong(1) - r.getLong(0) + 3600L * 1000000L
+    val eSt = r.getLong(2) + 1L
+    writeSingle((0 until factor).map { k =>
+      ev.select(
+        (col("event_id") + lit(k * eSt)).as("event_id"),
+        expr(s"timestamp_micros(unix_micros(ts) + $k * ${shiftUs}L)").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _), out, "events")
+    AllTables.filterNot(_ == "events").foreach(copyVerbatim(src, out, _))
   }
 }

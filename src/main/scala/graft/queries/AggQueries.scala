@@ -396,9 +396,13 @@ object AggQueries {
         .select(col("event_type"),
           expr("CAST(round(value*100) AS BIGINT)").as("x"))
         .groupBy("event_type")
+        // s1/s2 joined s3 in decimal accumulation (the §7.4 group-size
+        // rule, round 12): their int64 sums were safe at fixture group
+        // sizes but grow with corpus rows per event_type
         .agg(count(lit(1)).as("n"),
-          sum("x").cast("double").as("s1"),
-          sum(col("x") * col("x")).cast("double").as("s2"),
+          sum(col("x").cast("decimal(38,0)")).cast("double").as("s1"),
+          sum((col("x") * col("x")).cast("decimal(38,0)"))
+            .cast("double").as("s2"),
           sum(col("x").cast("decimal(12,0)") * col("x") * col("x"))
             .cast("double").as("s3"),
           min("x").as("mn"), max("x").as("mx"))

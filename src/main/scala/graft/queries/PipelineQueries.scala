@@ -253,16 +253,23 @@ object PipelineQueries {
         |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 4) AS corr_xy,
         |  round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*(n-1) AS DOUBLE), 4) AS covar_xy
         |FROM a ORDER BY lang""".stripMargin) { (s, d) =>
-      // corr/covar from exact BIGINT moment sums — order-insensitive
+      // corr/covar from exact integer moment sums — order-insensitive
       // under partial aggregation, unlike the built-in streaming corr
-      // whose double accumulators are merge-order-dependent (§7.4)
+      // whose double accumulators are merge-order-dependent (§7.4).
+      // Sums accumulate in DECIMAL(38,0) (the §7.4 group-size rule,
+      // round 12): per-term products fit int64 but per-LANG sums and
+      // the n·sxy − sx·sy products grow with corpus size — decimal
+      // mirrors the oracle's HUGEINT arithmetic exactly to ~1e38
       Tables.documents(s, d)
         .selectExpr("lang", "CAST(n_chars AS BIGINT) AS x",
           "CAST(size(split(text, ' ')) AS BIGINT) AS y")
         .groupBy("lang")
-        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
-          sum(col("x") * col("y")).as("sxy"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
         .selectExpr("lang", "n",
           """round(CAST(n*sxy - sx*sy AS DOUBLE) /
             |  (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 4) AS corr_xy""".stripMargin,
@@ -494,11 +501,17 @@ object PipelineQueries {
       // (n, Σc, Σc²) — order-insensitive under partial agg; the tiny
       // per-series stats broadcast back onto the fact table. The
       // identical IEEE expression evaluates both the filter and the
-      // reported z, so the threshold cut is bit-deterministic
+      // reported z, so the threshold cut is bit-deterministic.
+      // Σc/Σc² accumulate in DECIMAL(38,0) (the §7.4 group-size rule,
+      // round 12): per-term cents² is int64-bounded by |cents| < 3e9,
+      // but the per-series SUM grows with history length — decimal
+      // matches the oracle's HUGEINT accumulation to ~1e38, and both
+      // cast the same exact integer to double
       val m = Tables.measurements(s, d)
       val st = m.groupBy(col("user_id").as("su"), col("event_type").as("se"))
-        .agg(count(lit(1)).as("n"), sum("cents").as("s1"),
-          sum(col("cents") * col("cents")).as("s2"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents").cast("decimal(38,0)")).as("s1"),
+          sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("s2"))
         .filter(col("n") > 1)
       val z = (col("cents").cast("double") - col("s1").cast("double") / col("n").cast("double")) /
         sqrt((col("n").cast("double") * col("s2").cast("double") -

@@ -515,17 +515,23 @@ object TsQueries {
       // per-series OLS trend slope — the drift detector behind
       // capacity alerts. NOT regr_slope: builtin regression aggregates
       // accumulate doubles (partial-agg-order dependent); here every
-      // sum is exact BIGINT — x in minutes offset from 2024-01-01
-      // (28401120 = 1704067200/60) keeps n·Σxx ≤ ~10^15, far from
-      // overflow — and the single double division at the end is
-      // deterministic. Map-side-combined integer sums: one shuffle
+      // sum is exact — x in minutes offset from 2024-01-01
+      // (28401120 = 1704067200/60) keeps per-term products in int64,
+      // and the sums + the n·sxy − sx·sy products accumulate in
+      // DECIMAL(38,0) (the §7.4 group-size rule, round 12: they grow
+      // with series LENGTH, mirroring the oracle's HUGEINT) — the
+      // single double division at the end is deterministic.
+      // Map-side-combined integer sums: one shuffle
       Tables.events(s, d)
         .select(col("user_id"), col("event_type"),
           (expr("unix_micros(ts) div 60000000") - 28401120L).as("x"),
           expr("CAST(round(value*100) AS BIGINT)").as("y"))
         .groupBy("user_id", "event_type")
-        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
         .select(col("user_id"), col("event_type"), col("n"),
           when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
             (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
@@ -1224,9 +1230,9 @@ object TsQueries {
         |a AS (
         |  SELECT user_id, event_type,
         |    CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
-        |    CAST(sum(x*y) AS BIGINT) AS sxy,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x*x) AS HUGEINT) AS sxx, CAST(sum(y*y) AS HUGEINT) AS syy,
+        |    CAST(sum(x*y) AS HUGEINT) AS sxy,
         |    CAST(min(x) AS BIGINT) AS mn_x, CAST(max(x) AS BIGINT) AS mx_x,
         |    CAST(min(y) AS BIGINT) AS mn_y, CAST(max(y) AS BIGINT) AS mx_y
         |  FROM p WHERE y IS NOT NULL
@@ -1239,8 +1245,10 @@ object TsQueries {
       // seasonality detector (a counter ramping smoothly → acf1 ≈ 1, a
       // white gauge → ≈ 0): Pearson r over the (xₜ, xₜ₊₁) pair stream.
       // The §7.4 moment pattern: ALL six sufficient statistics
-      // aggregate as exact BIGINT (cents² ≤ 2.5e9, summed over a
-      // series ≪ 2⁶³ — order-independent, partial-agg-proof), and the
+      // aggregate as exact integers (per-term products in int64 while
+      // |cents| < 3e9; sums in DECIMAL(38,0)/HUGEINT so series LENGTH
+      // can never overflow them — order-independent,
+      // partial-agg-proof), and the
       // single projection evaluates a TEXTUALLY IDENTICAL IEEE tree in
       // both engines (products of exact integers in double round
       // identically; sqrt and / are correctly-rounded IEEE ops), so
@@ -1257,11 +1265,17 @@ object TsQueries {
         .withColumn("y", lead("x", 1).over(wTime))
         .filter(col("y").isNotNull)
         .groupBy("user_id", "event_type")
+        // sums accumulate in DECIMAL(38,0) / HUGEINT (the §7.4
+        // group-size rule, round 12): per-term products stay
+        // int64-bounded by |cents| < 3e9, the sums grow with series
+        // LENGTH — both widenings are exact and acfCaseSql's
+        // per-operand CAST(... AS DOUBLE) is unchanged
         .agg(count(lit(1)).as("n"),
-          sum("x").cast("bigint").as("sx"), sum("y").cast("bigint").as("sy"),
-          sum(col("x") * col("x")).cast("bigint").as("sxx"),
-          sum(col("y") * col("y")).cast("bigint").as("syy"),
-          sum(col("x") * col("y")).cast("bigint").as("sxy"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
           min("x").as("mn_x"), max("x").as("mx_x"),
           min("y").as("mn_y"), max("y").as("mx_y"))
         .select(col("user_id"), col("event_type"), col("n"),
@@ -1363,9 +1377,9 @@ object TsQueries {
         |a AS (
         |  SELECT user_id,
         |    CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
-        |    CAST(sum(x*y) AS BIGINT) AS sxy,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x*x) AS HUGEINT) AS sxx, CAST(sum(y*y) AS HUGEINT) AS syy,
+        |    CAST(sum(x*y) AS HUGEINT) AS sxy,
         |    CAST(min(x) AS BIGINT) AS mn_x, CAST(max(x) AS BIGINT) AS mx_x,
         |    CAST(min(y) AS BIGINT) AS mn_y, CAST(max(y) AS BIGINT) AS mx_y
         |  FROM sl GROUP BY user_id
@@ -1396,11 +1410,14 @@ object TsQueries {
           coalesce(sum(when(col("event_type") === "view", col("cents"))), lit(0L))
             .cast("bigint").as("y"))
         .groupBy("user_id")
+        // DECIMAL(38,0)/HUGEINT sums per the §7.4 group-size rule
+        // (round 12) — see q_ts_autocorr
         .agg(count(lit(1)).as("n"),
-          sum("x").cast("bigint").as("sx"), sum("y").cast("bigint").as("sy"),
-          sum(col("x") * col("x")).cast("bigint").as("sxx"),
-          sum(col("y") * col("y")).cast("bigint").as("syy"),
-          sum(col("x") * col("y")).cast("bigint").as("sxy"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
           min("x").as("mn_x"), max("x").as("mx_x"),
           min("y").as("mn_y"), max("y").as("mx_y"))
         .select(col("user_id"), col("n"), expr(TsQueries.acfCaseSql).as("xcorr"))
