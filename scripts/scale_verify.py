@@ -69,7 +69,13 @@ def main(argv):
     factor = rest[0] if rest and rest[0].isdigit() else "10"
     only = set()
     if "--only" in rest:
-        only = set(rest[rest.index("--only") + 1:])
+        # everything after --only up to the next flag; flags must not
+        # be swallowed into the query-name set
+        only = {a for a in rest[rest.index("--only") + 1:]
+                if not a.startswith("--")}
+        if not only:
+            print("SCALE_VERIFY: --only given but no query names followed")
+            return 2
     tag = f"{arm}{factor}" if arm in ("rows", "len") else arm
     data = f"/tmp/graft_sv_{tag}"
     out = f"/tmp/graft_sv_out_{tag}"
@@ -85,6 +91,20 @@ def main(argv):
         if rc != 0:
             print(f"SCALE_VERIFY: spark dump failed (rc={rc})")
             return rc
+    # graft.Verify treats --only entries as PREFIX filters while
+    # check_driver requires exact id membership — expand prefixes
+    # against the dumped oracle ids so both halves see the same set,
+    # and fail LOUDLY if an entry matches nothing (a typo'd or renamed
+    # id must not produce a vacuous 0/0 green gate)
+    if only:
+        with open(f"{out}/oracle_sql.json") as fh:
+            oracle_ids = set(json.load(fh))
+        unmatched = sorted(o for o in only
+                           if not any(n.startswith(o) for n in oracle_ids))
+        if unmatched:
+            print(f"SCALE_VERIFY: --only entries match no oracle ids: {unmatched}")
+            return 2
+        only = {n for n in oracle_ids if any(n.startswith(o) for o in only)}
     rc = check_driver.main(data, out, only)
     print(json.dumps({"metric": "scale_verify", "arm": arm,
                       "src": src, "factor": int(factor),

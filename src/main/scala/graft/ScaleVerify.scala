@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampType
 
 /** At-scale differential-correctness corpus builder (VERDICT r11 next
   * #1 — "every oracle gate so far runs at toy scale"): writes a
@@ -94,11 +93,7 @@ object ScaleVerify {
     * `read_parquet` in check_driver opens a file, not a directory)
     * with TimestampType columns cast to timestamp_ntz. */
   private def writeSingle(df: DataFrame, out: String, t: String): Unit = {
-    val ntz = df.select(df.schema.fields.map { f =>
-      if (f.dataType == TimestampType)
-        col(f.name).cast("timestamp_ntz").as(f.name)
-      else col(f.name)
-    }.toIndexedSeq: _*)
+    val ntz = Util.ntzNormalize(df)
     val tmp = s"$out/_tmp_$t"
     ntz.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
     val part = new java.io.File(tmp).listFiles()

@@ -21,6 +21,24 @@ object Util {
     case c => c.toString
   } + "\""
 
+  /** Cast every top-level TimestampType column to TIMESTAMP_NTZ
+    * (§7.4 tz-naive discipline): the driver testdata and the DuckDB
+    * oracle both carry naive-µs timestamps, and with a UTC session
+    * the cast is wall-clock identical. One definition feeds BOTH
+    * parquet writers the oracle reads back (Verify's query dumps and
+    * ScaleVerify's replica corpus) — round-12 review: the two copies
+    * must never drift, or one side reintroduces the Spark-metadata
+    * read-back divergence. */
+  def ntzNormalize(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.TimestampType
+    df.select(df.schema.fields.map { f =>
+      if (f.dataType == TimestampType)
+        col(f.name).cast("timestamp_ntz").as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*)
+  }
+
   /** Run `body` with the given SQL confs set, restoring (or
     * unsetting) the previous values afterwards. */
   def withConfs[A](spark: SparkSession)(kv: (String, String)*)(body: => A): A = {

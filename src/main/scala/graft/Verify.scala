@@ -34,20 +34,10 @@ object Verify {
     // (round-9 q_scan_parquet). Session TZ is UTC, so casting top-level
     // TimestampType outputs to TIMESTAMP_NTZ is wall-clock identical and
     // matches the oracle's naive dtype exactly.
-    def ntzNormalize(df: org.apache.spark.sql.DataFrame) = {
-      import org.apache.spark.sql.functions.col
-      import org.apache.spark.sql.types.TimestampType
-      val cols = df.schema.fields.map { f =>
-        if (f.dataType == TimestampType)
-          col(f.name).cast("timestamp_ntz").as(f.name)
-        else col(f.name)
-      }
-      df.select(cols.toIndexedSeq: _*)
-    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.exists(name.startsWith) }
       .foreach { case (name, fn) =>
-        try ntzNormalize(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
+        try Util.ntzNormalize(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")

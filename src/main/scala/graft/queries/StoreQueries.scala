@@ -1516,8 +1516,8 @@ object StoreQueries {
         |), f AS (
         |  SELECT user_id, event_type,
         |    CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(t) AS BIGINT) AS st, CAST(sum(vol) AS BIGINT) AS sx,
-        |    CAST(sum(t * vol) AS BIGINT) AS stx, CAST(sum(t * t) AS BIGINT) AS stt
+        |    CAST(sum(t) AS HUGEINT) AS st, CAST(sum(vol) AS HUGEINT) AS sx,
+        |    CAST(sum(t * vol) AS HUGEINT) AS stx, CAST(sum(t * t) AS HUGEINT) AS stt
         |  FROM day GROUP BY 1, 2
         |)
         |SELECT user_id, event_type, n,
@@ -1542,11 +1542,17 @@ object StoreQueries {
         .select(col("user_id"), col("event_type"), t.as("t"),
           col("sum_cents").as("vol"))
         .groupBy("user_id", "event_type")
+        // DECIMAL(38,0)/HUGEINT sums per the §7.4 group-size rule
+        // (round-12 review find): sx is the series' TOTAL cents and
+        // stx its day-weighted total — both grow with history length
+        // AND density, so int64 accumulation carried the q_agg_stats
+        // overflow class. Per-term t·vol stays int64-bounded by the
+        // cascade's own int64 sum_cents storage.
         .agg(count(lit(1)).as("n"),
-          sum("t").cast("bigint").as("st"),
-          sum("vol").cast("bigint").as("sx"),
-          sum(col("t") * col("vol")).cast("bigint").as("stx"),
-          sum(col("t") * col("t")).cast("bigint").as("stt"))
+          sum(col("t").cast("decimal(38,0)")).as("st"),
+          sum(col("vol").cast("decimal(38,0)")).as("sx"),
+          sum((col("t") * col("vol")).cast("decimal(38,0)")).as("stx"),
+          sum((col("t") * col("t")).cast("decimal(38,0)")).as("stt"))
         .select(col("user_id"), col("event_type"), col("n"),
           expr(WindowQueries.slopeSql).as("trend_cents_per_day"))
         .orderBy("user_id", "event_type")

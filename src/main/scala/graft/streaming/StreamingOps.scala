@@ -174,11 +174,20 @@ object StreamingOps {
     *
     * `runNs` namespaces the protocol per checkpoint LINEAGE (ADVICE
     * r11): markers live at `_stream_commits/ns-<runNs>/<batchId>` and
-    * live files carry a `bid-<runNs>-<batchId>-` prefix, so a NEW
-    * stream (fresh checkpoint, batchIds restarting at 0) pointed at
-    * the same store neither short-circuits on the old run's markers
-    * (silently dropping its data) nor prefix-sweeps the old run's
-    * batch-0 files. Pass anything stable per checkpoint (the
+    * live files carry a `bid-ns<len(runNs)>-<runNs>-<batchId>-`
+    * prefix, so a NEW stream (fresh checkpoint, batchIds restarting
+    * at 0) pointed at the same store neither short-circuits on the
+    * old run's markers (silently dropping its data) nor prefix-sweeps
+    * the old run's batch-0 files. The length field makes the prefix
+    * family PREFIX-FREE — runNs may contain dashes (a UUID is the
+    * natural value), so a plain `bid-<runNs>-<batchId>-` layout lets
+    * one lineage's sweep prefix be a proper prefix of another's
+    * committed file names (runNs "7" batch 0 collides with the
+    * default lineage's batch 7, "a-1" batch 0 with "a" batch 1 —
+    * a retry sweep would DELETE the other lineage's committed data);
+    * with the dash-terminated decimal length up front no sweep prefix
+    * can extend across lineages, and the trailing dash after batchId
+    * separates batch 1 from batch 10 within one. Pass anything stable per checkpoint (the
     * checkpoint dir's name is the natural choice). The empty default
     * keeps the single-lineage layout — with it, RESETTING the
     * checkpoint while reusing the store is UNSUPPORTED: delete
@@ -208,7 +217,8 @@ object StreamingOps {
       .withColumn("dt", to_date(timestamp_micros(col("ts_us"))))
       .write.mode("overwrite").partitionBy("dt").parquet(stage.toString)
     val prefix =
-      if (runNs.isEmpty) s"bid-$batchId-" else s"bid-$runNs-$batchId-"
+      if (runNs.isEmpty) s"bid-$batchId-"
+      else s"bid-ns${runNs.length}-$runNs-$batchId-"
     fs.listStatus(stage).filter(_.getPath.getName.startsWith("dt="))
       .foreach { dtDir =>
         val live = new Path(s"$storePath/base/${dtDir.getPath.getName}")

@@ -307,6 +307,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("lineage file prefixes are prefix-free: no cross-lineage sweep can delete committed data") {
+    // round-12 review find: with a plain bid-<runNs>-<batchId>- layout
+    // a numeric runNs "7" at batch 0 names files bid-7-0-* — a proper
+    // extension of the DEFAULT lineage's batch-7 sweep prefix bid-7-,
+    // so a default-lineage crash-retry of batch 7 would DELETE the
+    // other lineage's committed batch. Same nest for "a-1" batch 0 vs
+    // "a" batch 1. The length-prefixed bid-ns<len>-<runNs>-<batchId>-
+    // layout makes every sweep prefix prefix-free across lineages;
+    // this pins the two collision shapes end-to-end.
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft-stream-pfx").toString
+    def batchDf(rows: (Long, String, Timestamp, Long)*) =
+      rows.toDF("user_id", "event_type", "ts", "cents")
+    def snapshot() = spark.read.parquet(s"$store/base")
+      .select("user_id", "event_type", "ts_us", "cents")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    // lineage runNs="7" commits its batch 0
+    StreamingOps.ingestBatch(
+      batchDf((1L, "click", ts("2024-01-01 10:00:00"), 100L)), 0L, store,
+      runNs = "7")
+    // lineage runNs="a-1" commits its batch 0; lineage "a" will run batch 1
+    StreamingOps.ingestBatch(
+      batchDf((2L, "view", ts("2024-01-01 11:00:00"), 50L)), 0L, store,
+      runNs = "a-1")
+    val committed = snapshot()
+    assert(committed.size == 2)
+    // DEFAULT lineage batch 7, same dt dir — its sweep must not touch
+    // lineage "7"'s files; run it twice (second = crash-retry replay
+    // path through the sweep)
+    val d7 = batchDf((3L, "click", ts("2024-01-01 12:00:00"), 700L))
+    StreamingOps.ingestBatch(d7, 7L, store)
+    // simulate the dead-attempt retry: remove the marker so the sweep
+    // re-runs against the live dir that also holds lineage "7"'s files
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store/_stream_commits/7"), false)
+    StreamingOps.ingestBatch(d7, 7L, store)
+    // lineage "a" batch 1 — its sweep must not touch lineage "a-1"'s
+    StreamingOps.ingestBatch(
+      batchDf((4L, "view", ts("2024-01-01 13:00:00"), 25L)), 1L, store,
+      runNs = "a")
+    val after = snapshot()
+    assert(after.size == 4, s"cross-lineage sweep deleted committed data: $after")
+    assert(committed.forall(after.contains),
+      "a previously committed lineage row vanished after another lineage's sweep")
+  }
+
   test("marker-retention window is configurable (spark.graft.stream.markerRetention)") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("graft-stream-ret").toString
