@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Mechanically reconstruct the scale_verify `--only` subsets (round 12).
+
+CORRECTNESS_SCALE.md's rows-26 and len-N arms run on SUBSETS of the
+declared inventory (the compare-sized families / the events-derived
+families). This module defines those subsets as PREDICATES over two
+repo artifacts — no hand-maintained id lists:
+
+  events — oracled ids whose oracle SQL references the `events` table
+           (every store/TVF oracle derives from it too, so the match is
+           textual on the SQL). The `len N` arm transforms ONLY events;
+           queries that never read it would compare a byte-identical
+           copy — true but vacuous.
+  small  — oracled ids whose sf0.01 output stayed <= 1000 rows, per the
+           latest CORRECTNESS_r*.json in the repo root, MINUS ids whose
+           oracle reads the embeddings table. The rows-26 arm
+           replicates the corpus 260x over the per-round gate; the
+           large-output dumps (full-table scans, per-row projections)
+           are already covered by the rows-10 full sweep, and this
+           subset keeps the 26x compare bounded. The embeddings
+           exclusion is an ORACLE-cost bound, not a coverage hole: the
+           pairwise-cosine oracles are DuckDB list-lambda self-joins
+           (quadratic — q_dedup_embed alone ran >18 min at 26x before
+           being cut), the family's arithmetic is float dot products
+           with NO integer group-extent overflow class (the class
+           rows arms exist to catch), and all of them hash-matched in
+           the rows-10 FULL sweep.
+
+Oracle SQL comes from `sbt "runMain graft.OracleDump <json>"` (pure
+JVM, no Spark session); pass --oracle to reuse an existing dump.
+
+Usage:
+    python3 scripts/scale_subsets.py events [--oracle oracle_sql.json]
+    python3 scripts/scale_subsets.py small
+
+Prints the subset as one space-separated line (feed to scale_verify's
+--only / graft.Verify's prefix args; full ids are their own prefixes).
+"""
+import json
+import re
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).parent.parent
+
+
+def latest_correctness():
+    cands = sorted(REPO.glob("CORRECTNESS_r*.json"))
+    if not cands:
+        raise SystemExit("scale_subsets: no CORRECTNESS_r*.json in repo root")
+    return cands[-1]
+
+
+def oracle_sql(path=None):
+    if path is None:
+        path = Path(tempfile.gettempdir()) / "graft_oracle_sql.json"
+        rc = subprocess.call(["sbt", f"runMain graft.OracleDump {path}"],
+                             cwd=str(REPO), stdout=subprocess.DEVNULL)
+        if rc != 0:
+            raise SystemExit(f"scale_subsets: OracleDump failed (rc={rc})")
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def subset(preset, oracle_path=None):
+    with open(latest_correctness()) as fh:
+        corr = json.load(fh)
+    oracled = {k for k, v in corr.items() if not v.get("err")}
+    if preset == "events":
+        sql = oracle_sql(oracle_path)
+        return sorted(k for k in oracled
+                      if re.search(r"\bevents\b", sql.get(k, "")))
+    if preset == "small":
+        sql = oracle_sql(oracle_path)
+        return sorted(k for k in oracled
+                      if (corr[k].get("spark_rows") or 0) <= 1000
+                      and not re.search(r"\bembeddings\b", sql.get(k, "")))
+    raise SystemExit(f"scale_subsets: unknown preset '{preset}' (events | small)")
+
+
+def main(argv):
+    preset = argv[1]
+    oracle_path = None
+    if "--oracle" in argv:
+        oracle_path = argv[argv.index("--oracle") + 1]
+    ids = subset(preset, oracle_path)
+    print(" ".join(ids))
+    print(f"scale_subsets: {preset} -> {len(ids)} ids", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))

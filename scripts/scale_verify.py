@@ -11,14 +11,19 @@ results print as the compare runs.
 Usage:
     python3 scripts/scale_verify.py <srcSfDir> <arm> [factor]
         [--skip-build] [--skip-spark] [--only q1 q2 ...]
+        [--preset events|small]
+
+`--preset` resolves a documented query subset mechanically (see
+scripts/scale_subsets.py) instead of a hand-passed --only list.
 
 Round protocol: run the magnitude and row arms from sf0.1, the
 series-length arm from sf0.01 (its events table grows by the factor;
 per-row outputs stay compare-sized from the smaller base) —
     python3 scripts/scale_verify.py /root/testdata/sf0.1 mag-sum
     python3 scripts/scale_verify.py /root/testdata/sf0.1 mag-moment
-    python3 scripts/scale_verify.py /root/testdata/sf0.1 rows 26
-    python3 scripts/scale_verify.py /root/testdata/sf0.01 len 12 --only <events families>
+    python3 scripts/scale_verify.py /root/testdata/sf0.1 rows 10
+    python3 scripts/scale_verify.py /root/testdata/sf0.1 rows 26 --preset small
+    python3 scripts/scale_verify.py /root/testdata/sf0.01 len 12 --preset events
 """
 import json
 import os
@@ -76,6 +81,15 @@ def main(argv):
         if not only:
             print("SCALE_VERIFY: --only given but no query names followed")
             return 2
+    if "--preset" in rest:
+        import scale_subsets
+        preset = rest[rest.index("--preset") + 1]
+        ids = scale_subsets.subset(preset)
+        if not ids:
+            print(f"SCALE_VERIFY: preset '{preset}' resolved to zero ids")
+            return 2
+        print(f"SCALE_VERIFY: preset '{preset}' -> {len(ids)} ids")
+        only |= set(ids)
     tag = f"{arm}{factor}" if arm in ("rows", "len") else arm
     data = f"/tmp/graft_sv_{tag}"
     out = f"/tmp/graft_sv_out_{tag}"
