@@ -296,7 +296,7 @@ object QueryGen {
     * ROUNDS — kind = MoneyK keeps them uncast. */
   private def genAgg(r: Random, cols: Seq[Ref]): (Tx, Kind) = {
     val moneyCols = cols.filter(_.col.kind == MoneyK)
-    r.nextInt(8) match {
+    r.nextInt(9) match {
       case 0 => (Tx.same("count(*)"), IntK)
       case 1 => (Tx.same(s"count(DISTINCT ${pick(r, cols.filter(c =>
         c.col.kind == IntK || c.col.kind == StrK)).q})"), IntK)
@@ -317,10 +317,17 @@ object QueryGen {
         val e = genInt(r, cols, 1)
         (cat("(CAST(", Tx("sum(", "CAST(sum("), e, Tx(")", ") AS BIGINT)"),
           " AS DOUBLE) / CAST(count(*) AS DOUBLE))"), MoneyK)
-      case _ =>
+      case 7 =>
         // bool→BIGINT casts agree exactly (0/1), unlike double→bigint
         (cat(if (r.nextBoolean()) "bool_and(" else "bool_or(",
           genPred(r, cols, 1), ")"), IntK)
+      case _ =>
+        // conditional aggregation (round 12): sum(CASE WHEN p THEN a
+        // ELSE b END) — the pivot/sparse-metric shape; identical text
+        // in both dialects, exact-integer branches
+        (cat(Tx("sum(", "CAST(sum("), "CASE WHEN ", genPred(r, cols, 1),
+          " THEN ", genInt(r, cols, 1), " ELSE ", genInt(r, cols, 1),
+          Tx(" END)", " END) AS BIGINT)")), IntK)
     }
   }
 
@@ -654,12 +661,36 @@ object QueryGen {
       " GROUP BY ", k)
   }
 
+  /** Two-level nested aggregation (round 12): an inner GROUP BY over a
+    * mid-cardinality derived key feeding an outer re-aggregation — the
+    * rollup-of-rollup shape (daily→monthly, per-key→per-bucket) no
+    * single-level template reaches. The inner sum goes HUGEINT in
+    * DuckDB, so it is cast back to BIGINT INSIDE the subquery — the
+    * outer aggregates then see identical exact-integer inputs. */
+  private def qNestedAgg(r: Random): Tx = {
+    val t = pick(r, tables)
+    val cs = refs(t)
+    val intCols = cs.filter(_.col.kind == IntK)
+    val g = cat("(", pick(r, intCols).q, Tx(" div ", " // "),
+      (r.nextInt(40) + 3).toString, ")")
+    val m = r.nextInt(9) + 2
+    val inner = cat("SELECT ", g, " AS g, count(*) AS cnt, ",
+      cat(Tx("sum(", "CAST(sum("), genInt(r, cs, 1),
+        Tx(")", ") AS BIGINT)")), " AS s",
+      s" FROM ${t.name} WHERE ", genPred(r, cs, 1), " GROUP BY ", g)
+    cat(s"SELECT CAST(g % $m AS BIGINT) AS k0, ",
+      "CAST(count(*) AS BIGINT) AS a0, ",
+      "CAST(sum(cnt) AS BIGINT) AS a1, ",
+      "CAST(min(s) AS BIGINT) AS a2, CAST(max(s) AS BIGINT) AS a3",
+      " FROM (", inner, s") i GROUP BY g % $m")
+  }
+
   /** Generate `n` queries from `seed`. Deterministic: the i-th query
     * depends only on (seed, i). */
   def generate(seed: Long, n: Int): Seq[FuzzQuery] =
     (0 until n).map { i =>
       val r = new Random(seed * 1000003L + i)
-      val q = r.nextInt(14) match {
+      val q = r.nextInt(15) match {
         case 0 | 1 => qProject(r)
         case 2 | 3 => qAgg(r)
         case 4 | 5 => qJoinAgg(r)
@@ -669,7 +700,8 @@ object QueryGen {
         case 10 => qText(r)
         case 11 => qTopK(r)
         case 12 => qFullOuter(r)
-        case _ => q3Join(r)
+        case 13 => q3Join(r)
+        case _ => qNestedAgg(r)
       }
       FuzzQuery(f"fz_${seed}_$i%04d", q.s, q.d)
     }
