@@ -47,10 +47,29 @@ REPO = Path(__file__).parent.parent
 
 
 def latest_correctness():
-    cands = sorted(REPO.glob("CORRECTNESS_r*.json"))
+    # Numeric round sort: lexical sorting breaks at r100 (or any
+    # non-zero-padded round name), silently resolving presets against
+    # a stale round's row counts.
+    cands = sorted(REPO.glob("CORRECTNESS_r*.json"),
+                   key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)))
     if not cands:
         raise SystemExit("scale_subsets: no CORRECTNESS_r*.json in repo root")
     return cands[-1]
+
+
+def reads_table(sql, table):
+    """True iff `sql` READS `table`: either a view reference
+    (FROM/JOIN/comma list — the oracles read the driver's registered
+    DuckDB views by bare name) or a read_*() file-source call whose
+    quoted path has a segment named after the table (the interchange
+    fixtures — e.g. read_csv('/tmp/graft_csv/<sf>/events/*.csv.gz') —
+    are exported FROM that table by the Spark side, so both engines
+    read table-derived data). An incidental mention in a string
+    literal, alias, or comment no longer classifies the query."""
+    if re.search(rf"(?:\bfrom\b|\bjoin\b|,)\s*{table}\b", sql,
+                 re.IGNORECASE):
+        return True
+    return re.search(rf"read_\w+\('[^']*/{table}[/.]", sql) is not None
 
 
 def oracle_sql(path=None):
@@ -71,12 +90,12 @@ def subset(preset, oracle_path=None):
     if preset == "events":
         sql = oracle_sql(oracle_path)
         return sorted(k for k in oracled
-                      if re.search(r"\bevents\b", sql.get(k, "")))
+                      if reads_table(sql.get(k, ""), "events"))
     if preset == "small":
         sql = oracle_sql(oracle_path)
         return sorted(k for k in oracled
                       if (corr[k].get("spark_rows") or 0) <= 1000
-                      and not re.search(r"\bembeddings\b", sql.get(k, "")))
+                      and not reads_table(sql.get(k, ""), "embeddings"))
     raise SystemExit(f"scale_subsets: unknown preset '{preset}' (events | small)")
 
 

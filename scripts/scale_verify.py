@@ -67,49 +67,85 @@ def sbt(task):
     return subprocess.call(["sbt", task], cwd=str(REPO))
 
 
+def parse_args(rest):
+    """Positional-flag parse: --only collects names up to the NEXT flag
+    (so '--only q1 --preset small' can never swallow 'small' into the
+    query-name set), --preset takes exactly one value (bounds-checked),
+    unknown tokens fail loudly."""
+    factor, only, preset, flags = "10", set(), None, set()
+    i = 0
+    if rest and rest[0].isdigit():
+        factor, i = rest[0], 1
+    while i < len(rest):
+        a = rest[i]
+        if a == "--preset":
+            if i + 1 >= len(rest) or rest[i + 1].startswith("--"):
+                raise SystemExit(
+                    "SCALE_VERIFY: --preset needs a value (events | small)")
+            preset, i = rest[i + 1], i + 2
+        elif a == "--only":
+            i += 1
+            start = i
+            while i < len(rest) and not rest[i].startswith("--"):
+                only.add(rest[i])
+                i += 1
+            if i == start:
+                raise SystemExit(
+                    "SCALE_VERIFY: --only given but no query names followed")
+        elif a in ("--skip-build", "--skip-spark"):
+            flags.add(a)
+            i += 1
+        else:
+            raise SystemExit(f"SCALE_VERIFY: unknown argument '{a}'")
+    return factor, only, preset, flags
+
+
 def main(argv):
     src = argv[1]
     arm = argv[2]
     rest = argv[3:]
-    factor = rest[0] if rest and rest[0].isdigit() else "10"
-    only = set()
-    if "--only" in rest:
-        # everything after --only up to the next flag; flags must not
-        # be swallowed into the query-name set
-        only = {a for a in rest[rest.index("--only") + 1:]
-                if not a.startswith("--")}
-        if not only:
-            print("SCALE_VERIFY: --only given but no query names followed")
-            return 2
-    if "--preset" in rest:
+    factor, only, preset, flags = parse_args(rest)
+    # Preset ids are EXACT full ids — they bypass the prefix expansion
+    # below, so a deliberate preset exclusion (e.g. the embeddings
+    # oracle-cost cut) can never be silently re-included by a future id
+    # that happens to have an included id as a prefix (q_source_json →
+    # q_source_jsonl was exactly that collision).
+    preset_ids = set()
+    if preset is not None:
         import scale_subsets
-        preset = rest[rest.index("--preset") + 1]
         ids = scale_subsets.subset(preset)
         if not ids:
             print(f"SCALE_VERIFY: preset '{preset}' resolved to zero ids")
             return 2
         print(f"SCALE_VERIFY: preset '{preset}' -> {len(ids)} ids")
-        only |= set(ids)
+        preset_ids = set(ids)
     tag = f"{arm}{factor}" if arm in ("rows", "len") else arm
     data = f"/tmp/graft_sv_{tag}"
     out = f"/tmp/graft_sv_out_{tag}"
-    if "--skip-build" not in rest and "--skip-spark" not in rest:
+    if "--skip-build" not in flags and "--skip-spark" not in flags:
         rc = sbt(f"runMain graft.ScaleVerify {src} {data} {arm} {factor}")
         if rc != 0:
             print(f"SCALE_VERIFY: corpus build failed (rc={rc})")
             return rc
         strip_spark_ts_metadata(data, arm)
-    if "--skip-spark" not in rest:
-        filt = " " + " ".join(sorted(only)) if only else ""
+    if "--skip-spark" not in flags:
+        names = sorted(only | preset_ids)
+        filt = " " + " ".join(names) if names else ""
         rc = sbt(f"runMain graft.Verify {data} {out}{filt}")
         if rc != 0:
             print(f"SCALE_VERIFY: spark dump failed (rc={rc})")
             return rc
-    # graft.Verify treats --only entries as PREFIX filters while
-    # check_driver requires exact id membership — expand prefixes
-    # against the dumped oracle ids so both halves see the same set,
-    # and fail LOUDLY if an entry matches nothing (a typo'd or renamed
-    # id must not produce a vacuous 0/0 green gate)
+    # graft.Verify treats filter entries as PREFIX filters while
+    # check_driver requires exact id membership. Hand-passed --only
+    # entries are expanded against the dumped oracle ids so both halves
+    # see the same set, failing LOUDLY if an entry matches nothing (a
+    # typo'd or renamed id must not produce a vacuous 0/0 green gate)
+    # and LOGGING every id the expansion ADDS (so prefix collisions
+    # like q_source_json → q_source_jsonl are visible, never silent).
+    # Preset ids skip expansion entirely: they are exact by
+    # construction, and widening them would reopen the preset's
+    # documented exclusions.
+    compare = set(preset_ids)
     if only:
         with open(f"{out}/oracle_sql.json") as fh:
             oracle_ids = set(json.load(fh))
@@ -118,8 +154,14 @@ def main(argv):
         if unmatched:
             print(f"SCALE_VERIFY: --only entries match no oracle ids: {unmatched}")
             return 2
-        only = {n for n in oracle_ids if any(n.startswith(o) for o in only)}
-    rc = check_driver.main(data, out, only)
+        expanded = {n for n in oracle_ids
+                    if any(n.startswith(o) for o in only)}
+        added = sorted(expanded - only)
+        if added:
+            print(f"SCALE_VERIFY: prefix expansion added {len(added)} ids: "
+                  f"{added}")
+        compare |= expanded
+    rc = check_driver.main(data, out, compare)
     print(json.dumps({"metric": "scale_verify", "arm": arm,
                       "src": src, "factor": int(factor),
                       "all_match": rc == 0}))
