@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Multi-JVM masters (SPARK_GRAFT_MASTER=local-cluster[...]): the
+// in-process Worker builds executor launch commands via the launcher's
+// AbstractCommandBuilder, which eagerly resolves the Scala version from
+// SPARK_SCALA_VERSION — normally exported by bin/load-spark-env.sh,
+// which an in-JVM worker never sources ("Cannot find any build
+// directories" otherwise).
+run / envVars += "SPARK_SCALA_VERSION" -> "2.13"
+Test / envVars += "SPARK_SCALA_VERSION" -> "2.13"
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

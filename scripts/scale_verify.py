@@ -63,8 +63,9 @@ def strip_spark_ts_metadata(data_dir, arm):
     con.close()
 
 
-def sbt(task):
-    return subprocess.call(["sbt", task], cwd=str(REPO))
+def sbt(task, extra_env=None):
+    env = dict(os.environ, **(extra_env or {}))
+    return subprocess.call(["sbt", task], cwd=str(REPO), env=env)
 
 
 def parse_args(rest):
@@ -92,7 +93,7 @@ def parse_args(rest):
             if i == start:
                 raise SystemExit(
                     "SCALE_VERIFY: --only given but no query names followed")
-        elif a in ("--skip-build", "--skip-spark"):
+        elif a in ("--skip-build", "--skip-spark", "--wide"):
             flags.add(a)
             i += 1
         else:
@@ -119,9 +120,15 @@ def main(argv):
             return 2
         print(f"SCALE_VERIFY: preset '{preset}' -> {len(ids)} ids")
         preset_ids = set(ids)
+    # --wide: run the Spark dump with spark.graft.wideMoments=true (the
+    # §7.4 magnitude escape hatch) — same replica corpus, separate out
+    # dir; the oracles are magnitude-unbounded (HUGEINT-first products)
+    # so the compare expects N/N where the default mag-sum arm
+    # documents its 8 loud exclusions.
+    wide = "--wide" in flags
     tag = f"{arm}{factor}" if arm in ("rows", "len") else arm
     data = f"/tmp/graft_sv_{tag}"
-    out = f"/tmp/graft_sv_out_{tag}"
+    out = f"/tmp/graft_sv_out_{tag}" + ("_wide" if wide else "")
     if "--skip-build" not in flags and "--skip-spark" not in flags:
         rc = sbt(f"runMain graft.ScaleVerify {src} {data} {arm} {factor}")
         if rc != 0:
@@ -131,7 +138,8 @@ def main(argv):
     if "--skip-spark" not in flags:
         names = sorted(only | preset_ids)
         filt = " " + " ".join(names) if names else ""
-        rc = sbt(f"runMain graft.Verify {data} {out}{filt}")
+        rc = sbt(f"runMain graft.Verify {data} {out}{filt}",
+                 {"SPARK_GRAFT_WIDE_MOMENTS": "true"} if wide else None)
         if rc != 0:
             print(f"SCALE_VERIFY: spark dump failed (rc={rc})")
             return rc
@@ -163,7 +171,7 @@ def main(argv):
         compare |= expanded
     rc = check_driver.main(data, out, compare)
     print(json.dumps({"metric": "scale_verify", "arm": arm,
-                      "src": src, "factor": int(factor),
+                      "src": src, "factor": int(factor), "wide": wide,
                       "all_match": rc == 0}))
     return rc
 

@@ -4,14 +4,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val spark = Util.withMaster(SparkSession.builder(), s"local[$cpus]")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // tz-naive parquet timestamps read as UTC instants, not NTZ
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // SPARK_GRAFT_WIDE_MOMENTS=true benches the widened moment paths
+      .config("spark.graft.wideMoments",
+        sys.env.getOrElse("SPARK_GRAFT_WIDE_MOMENTS", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed JVM/codegen warmup so the first timed query isn't charged

@@ -10,8 +10,7 @@ object Verify {
     // the driver always calls with exactly two args = run everything
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val spark = Util.withMaster(SparkSession.builder(), s"local[$cpus]")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -23,6 +22,10 @@ object Verify {
       // every ts_us derivation require TIMESTAMP
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // SPARK_GRAFT_WIDE_MOMENTS=true → the §7.4 magnitude escape
+      // hatch (Util.wideMoments): scale_verify's --wide arm sets this
+      .config("spark.graft.wideMoments",
+        sys.env.getOrElse("SPARK_GRAFT_WIDE_MOMENTS", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.{QueryDef, Tables}
+import graft.{QueryDef, Tables, Util}
 import graft.Tables.MeasurementsSql
 import graft.functions.TimeWeightedMean
 
@@ -172,17 +172,33 @@ object AggQueries {
         |  FROM m
         |)
         |SELECT user_id, event_type,
-        |  CAST(sum(cents*w_us) AS DOUBLE) / CAST(sum(w_us) AS DOUBLE) / 100.0 AS wmean
+        |  CAST(sum(CAST(cents AS HUGEINT)*w_us) AS DOUBLE) / CAST(sum(w_us) AS DOUBLE) / 100.0 AS wmean
         |FROM wt WHERE w_us IS NOT NULL
         |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      Util.requireLoudOverflow(s)
       val w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
-      val twMean = udaf(new TimeWeightedMean)
-      Tables.measurements(s, d)
+      val wt = Tables.measurements(s, d)
         .withColumn("w_us", lead("ts_us", 1).over(w) - col("ts_us"))
         .filter(col("w_us").isNotNull)
         .groupBy("user_id", "event_type")
-        .agg(twMean(col("cents"), col("w_us")).as("wmean"))
-        .orderBy("user_id", "event_type")
+      // default: the typed Aggregator — exact Long monoid whose
+      // Math.multiplyExact fails LOUDLY past |cents·w_us| ≥ 2^63 (JVM
+      // arithmetic never passes through ANSI, round 12). Wide: the
+      // same exact quotient with DECIMAL(38,0)/HUGEINT products — an
+      // Aggregator buffer can't carry >1e20 integers (product-encoder
+      // decimals cap at (38,18)), so the wide path IS the Catalyst
+      // decimal aggregation; Σw_us stays int64 (a series' covered µs
+      // span always fits). Both emit one double division.
+      val agged =
+        if (Util.wideMoments(s))
+          wt.agg((sum(col("cents").cast("decimal(19,0)") * col("w_us"))
+              .cast("double") / sum(col("w_us")).cast("double") / 100.0)
+            .as("wmean"))
+        else {
+          val twMean = udaf(new TimeWeightedMean)
+          wt.agg(twMean(col("cents"), col("w_us")).as("wmean"))
+        }
+      agged.orderBy("user_id", "event_type")
     },
 
     QueryDef("q_agg_salted",
@@ -368,7 +384,7 @@ object AggQueries {
         |a AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(x) AS DOUBLE) AS s1,
-        |    CAST(sum(x*x) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(x AS HUGEINT)*x) AS DOUBLE) AS s2,
         |    CAST(sum(CAST(x AS HUGEINT)*x*x) AS DOUBLE) AS s3,
         |    CAST(min(x) AS BIGINT) AS mn, CAST(max(x) AS BIGINT) AS mx
         |  FROM c GROUP BY event_type
@@ -392,16 +408,21 @@ object AggQueries {
       // correctly-rounded IEEE, while pow(x, 1.5) is NOT guaranteed
       // bit-identical across math libraries and is banned here. Skew
       // emitted UNROUNDED; zero-variance groups fall to NULL.
+      Util.requireLoudOverflow(s)
       Tables.events(s, d)
         .select(col("event_type"),
           expr("CAST(round(value*100) AS BIGINT)").as("x"))
         .groupBy("event_type")
         // s1/s2 joined s3 in decimal accumulation (the §7.4 group-size
         // rule, round 12): their int64 sums were safe at fixture group
-        // sizes but grow with corpus rows per event_type
+        // sizes but grow with corpus rows per event_type. s2's PER-TERM
+        // x·x stays int64 by default (|x| < 3.0e9 bound, ANSI-loud
+        // past it) and goes decimal-first under
+        // spark.graft.wideMoments (round 13; the oracle's x·x is
+        // HUGEINT-first unconditionally, so it is exact either way)
         .agg(count(lit(1)).as("n"),
           sum(col("x").cast("decimal(38,0)")).cast("double").as("s1"),
-          sum((col("x") * col("x")).cast("decimal(38,0)"))
+          sum(Util.momentProd(s)(col("x"), col("x")))
             .cast("double").as("s2"),
           sum(col("x").cast("decimal(12,0)") * col("x") * col("x"))
             .cast("double").as("s3"),

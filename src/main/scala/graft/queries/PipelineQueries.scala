@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.{QueryDef, Tables}
+import graft.{QueryDef, Tables, Util}
 import graft.functions.{TopKByValue, TopKEntry}
 import graft.operators.{DedupOps, MultimodalOps, TextOps}
 
@@ -484,7 +484,7 @@ object PipelineQueries {
       """,
         |st AS (
         |  SELECT user_id, event_type,
-        |    CAST(count(*) AS BIGINT) AS n, sum(cents) AS s1, sum(cents*cents) AS s2
+        |    CAST(count(*) AS BIGINT) AS n, sum(cents) AS s1, sum(CAST(cents AS HUGEINT)*cents) AS s2
         |  FROM m GROUP BY user_id, event_type
         |)
         |SELECT m.event_id, m.user_id, m.event_type,
@@ -507,11 +507,15 @@ object PipelineQueries {
       // but the per-series SUM grows with history length — decimal
       // matches the oracle's HUGEINT accumulation to ~1e38, and both
       // cast the same exact integer to double
+      Util.requireLoudOverflow(s)
       val m = Tables.measurements(s, d)
       val st = m.groupBy(col("user_id").as("su"), col("event_type").as("se"))
         .agg(count(lit(1)).as("n"),
           sum(col("cents").cast("decimal(38,0)")).as("s1"),
-          sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("s2"))
+          // per-term cents²: int64 by default (|cents| < 3.0e9,
+          // ANSI-loud past it), decimal-first under
+          // spark.graft.wideMoments (round 13; oracle HUGEINT-first)
+          sum(Util.momentProd(s)(col("cents"), col("cents"))).as("s2"))
         .filter(col("n") > 1)
       val z = (col("cents").cast("double") - col("s1").cast("double") / col("n").cast("double")) /
         sqrt((col("n").cast("double") * col("s2").cast("double") -

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.{QueryDef, Tables}
+import graft.{QueryDef, Tables, Util}
 import graft.operators.TimeSeriesOps
 import graft.Tables.MeasurementsSql
 
@@ -962,7 +962,8 @@ object TsQueries {
         |), a AS (
         |  SELECT user_id, event_type, ts_us, event_id, cents,
         |    (ts_us // 21600000000) * 21600 AS slot_ts,
-        |    abs((pts - nts) * (cents - pc) - (pts - ts_us) * (nc - pc)) AS area2
+        |    abs(CAST(pts - nts AS HUGEINT) * (cents - pc)
+        |        - CAST(pts - ts_us AS HUGEINT) * (nc - pc)) AS area2
         |  FROM p WHERE pts IS NOT NULL AND nts IS NOT NULL
         |), r AS (
         |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type, slot_ts
@@ -992,17 +993,26 @@ object TsQueries {
       // (…, event_id) suffix — the repo-wide series-window convention:
       // a tied (series, ts) pair would otherwise make the lag/lead
       // neighbor assignment (and so area2 itself) nondeterministic
+      Util.requireLoudOverflow(s)
       val m = Tables.measurements(s, d)
         .withColumn("slot_ts", TimeSeriesOps.slotSec(21600L))
       val w = Window.partitionBy("user_id", "event_type")
         .orderBy("ts_us", "event_id")
+      // area2's µs·cents cross products: int64 by default (bound
+      // |Δts_us·Δcents| < 2^63, ANSI-loud past it), decimal-first
+      // under spark.graft.wideMoments (round 13) — the argmax then
+      // orders on exact decimals; the oracle is HUGEINT-first
+      // unconditionally. Only the ORDERING uses area2, so the output
+      // column types are identical either way.
+      def dx(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        if (Util.wideMoments(s)) (a - b).cast("decimal(20,0)") else a - b
       val p = m.select(col("user_id"), col("event_type"), col("ts_us"),
           col("event_id"), col("cents"), col("slot_ts"),
           lag("ts_us", 1).over(w).as("pts"), lag("cents", 1).over(w).as("pc"),
           lead("ts_us", 1).over(w).as("nts"), lead("cents", 1).over(w).as("nc"))
         .filter(col("pts").isNotNull && col("nts").isNotNull)
-        .withColumn("area2", abs((col("pts") - col("nts")) * (col("cents") - col("pc"))
-          - (col("pts") - col("ts_us")) * (col("nc") - col("pc"))))
+        .withColumn("area2", abs(dx(col("pts"), col("nts")) * (col("cents") - col("pc"))
+          - dx(col("pts"), col("ts_us")) * (col("nc") - col("pc"))))
       val wr = Window.partitionBy("user_id", "event_type", "slot_ts")
         .orderBy(col("area2").desc, col("ts_us").asc, col("event_id").asc)
       p.withColumn("rn", row_number().over(wr))
@@ -1148,12 +1158,30 @@ object TsQueries {
       // oracle …347.49 vs spark …347.4901 — so the declared equality
       // holds below ~10^7 and the at-scale gate verifies this family
       // in the mag-moment arm (×100, well inside the bound) instead.
-      TimeSeriesOps.holtChunked(
+      // spark.graft.wideMoments (round 13) lifts the |level| ≲ 10⁷
+      // bound by swapping the chunked scan for holtSequential — the
+      // IDENTICAL scalar step tree as the oracle fold (1−α and 1−β
+      // for α=0.2, β=0.1 round to the very doubles the oracle's
+      // 0.8/0.9 literals denote — verified bit-exact), so level and
+      // trend agree BIT-FOR-BIT pre-round at any magnitude, at the
+      // cost of the sequential per-series pass q_stream_holt declares.
+      val core =
+        if (Util.wideMoments(s)) {
+          import s.implicits._
+          graft.streaming.StreamingOps.holtSequential(
+              Tables.events(s, d)
+                .select(col("user_id"), col("event_type"),
+                  unix_micros(col("ts")).as("ts_us"), col("event_id"),
+                  expr("CAST(round(value*100) AS BIGINT)").as("cents"))
+                .as[graft.streaming.StreamingOps.MeasK],
+              alpha = 0.2, beta = 0.1).toDF()
+        } else TimeSeriesOps.holtChunked(
           Tables.events(s, d)
             .select(col("user_id"), col("event_type"),
               unix_micros(col("ts")).as("ts_us"), col("event_id"),
               expr("CAST(round(value*100) AS BIGINT)").cast("double").as("v")),
           alpha = 0.2, beta = 0.1)
+      core
         .select(col("user_id"), col("event_type"), col("n"),
           (round(col("level") / 100.0, 4) + lit(0)).as("level"),
           (round(col("trend") / 100.0, 4) + lit(0)).as("trend"))
@@ -1231,8 +1259,9 @@ object TsQueries {
         |  SELECT user_id, event_type,
         |    CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
-        |    CAST(sum(x*x) AS HUGEINT) AS sxx, CAST(sum(y*y) AS HUGEINT) AS syy,
-        |    CAST(sum(x*y) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT)*x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(y AS HUGEINT)*y) AS HUGEINT) AS syy,
+        |    CAST(sum(CAST(x AS HUGEINT)*y) AS HUGEINT) AS sxy,
         |    CAST(min(x) AS BIGINT) AS mn_x, CAST(max(x) AS BIGINT) AS mx_x,
         |    CAST(min(y) AS BIGINT) AS mn_y, CAST(max(y) AS BIGINT) AS mx_y
         |  FROM p WHERE y IS NOT NULL
@@ -1246,7 +1275,9 @@ object TsQueries {
       // white gauge → ≈ 0): Pearson r over the (xₜ, xₜ₊₁) pair stream.
       // The §7.4 moment pattern: ALL six sufficient statistics
       // aggregate as exact integers (per-term products in int64 while
-      // |cents| < 3e9; sums in DECIMAL(38,0)/HUGEINT so series LENGTH
+      // |cents| < 3e9 — ANSI-loud past it, or exact decimal-first
+      // under spark.graft.wideMoments (round 13); sums in
+      // DECIMAL(38,0)/HUGEINT so series LENGTH
       // can never overflow them — order-independent,
       // partial-agg-proof), and the
       // single projection evaluates a TEXTUALLY IDENTICAL IEEE tree in
@@ -1257,6 +1288,7 @@ object TsQueries {
       // guard, identically in both engines. Plan: the lead window
       // shares the series exchange convention; the moment agg is ONE
       // map-side-combined hash aggregate over 6 integer sums.
+      Util.requireLoudOverflow(s)
       val wTime = Window.partitionBy("user_id", "event_type")
         .orderBy("ts_us", "event_id")
       Tables.measurements(s, d)
@@ -1273,9 +1305,9 @@ object TsQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("x").cast("decimal(38,0)")).as("sx"),
           sum(col("y").cast("decimal(38,0)")).as("sy"),
-          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
-          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
-          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+          sum(Util.momentProd(s)(col("x"), col("x"))).as("sxx"),
+          sum(Util.momentProd(s)(col("y"), col("y"))).as("syy"),
+          sum(Util.momentProd(s)(col("x"), col("y"))).as("sxy"),
           min("x").as("mn_x"), max("x").as("mx_x"),
           min("y").as("mn_y"), max("y").as("mx_y"))
         .select(col("user_id"), col("event_type"), col("n"),
@@ -1378,8 +1410,9 @@ object TsQueries {
         |  SELECT user_id,
         |    CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
-        |    CAST(sum(x*x) AS HUGEINT) AS sxx, CAST(sum(y*y) AS HUGEINT) AS syy,
-        |    CAST(sum(x*y) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT)*x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(y AS HUGEINT)*y) AS HUGEINT) AS syy,
+        |    CAST(sum(CAST(x AS HUGEINT)*y) AS HUGEINT) AS sxy,
         |    CAST(min(x) AS BIGINT) AS mn_x, CAST(max(x) AS BIGINT) AS mx_x,
         |    CAST(min(y) AS BIGINT) AS mn_y, CAST(max(y) AS BIGINT) AS mx_y
         |  FROM sl GROUP BY user_id
@@ -1400,6 +1433,7 @@ object TsQueries {
       // partitioning, so this costs two exchanges by design — at 100 TB
       // both are map-side-combined and the second input is |users|·
       // slots, already tiny.
+      Util.requireLoudOverflow(s)
       Tables.measurements(s, d)
         .filter(col("event_type").isin("click", "view"))
         .groupBy(col("user_id"),
@@ -1415,9 +1449,9 @@ object TsQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("x").cast("decimal(38,0)")).as("sx"),
           sum(col("y").cast("decimal(38,0)")).as("sy"),
-          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
-          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
-          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+          sum(Util.momentProd(s)(col("x"), col("x"))).as("sxx"),
+          sum(Util.momentProd(s)(col("y"), col("y"))).as("syy"),
+          sum(Util.momentProd(s)(col("x"), col("y"))).as("sxy"),
           min("x").as("mn_x"), max("x").as("mx_x"),
           min("y").as("mn_y"), max("y").as("mx_y"))
         .select(col("user_id"), col("n"), expr(TsQueries.acfCaseSql).as("xcorr"))

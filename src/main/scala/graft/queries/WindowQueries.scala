@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.{QueryDef, Tables}
+import graft.{QueryDef, Tables, Util}
 import graft.Tables.MeasurementsSql
 
 /** SURVEY.md §2 F–H: window functions, sort/limit/top-k, set ops.
@@ -316,7 +316,7 @@ object WindowQueries {
         |  SELECT event_id, cents AS x,
         |    count(*) OVER w AS n,
         |    sum(cents) OVER w AS sx,
-        |    sum(cents * cents) OVER w AS sxx
+        |    sum(CAST(cents AS HUGEINT) * cents) OVER w AS sxx
         |  FROM m WINDOW w AS (PARTITION BY user_id, event_type
         |    ORDER BY ts_us, event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
         |)
@@ -333,12 +333,26 @@ object WindowQueries {
       // keeps every operand exact until the single IEEE chain, so z
       // emits UNROUNDED; single-row and zero-variance frames fall to
       // NULL through exact integer guards.
+      Util.requireLoudOverflow(s)
       val w = seriesW.rowsBetween(-9, 0)
+      // frame extents are bounded (10 rows), so the int64 sums carry
+      // no group-size class — only the |cents| < 3.0e9 per-term bound
+      // on cents². spark.graft.wideMoments (round 13) lifts it: sx
+      // and the decimal-first sxx widen together so the zscoreSql
+      // guard n·sxx − sx² stays an exact integer test past the bound
+      // (the oracle's sums are HUGEINT in every DuckDB frame already).
+      val (sx, sxx) =
+        if (Util.wideMoments(s))
+          (sum(col("cents").cast("decimal(38,0)")).over(w),
+           sum(col("cents").cast("decimal(19,0)") * col("cents")).over(w))
+        else
+          (sum(col("cents")).over(w),
+           sum(col("cents") * col("cents")).over(w))
       Tables.measurements(s, d)
         .select(col("event_id"), col("cents").as("x"),
           count(lit(1)).over(w).as("n"),
-          sum(col("cents")).over(w).as("sx"),
-          sum(col("cents") * col("cents")).over(w).as("sxx"))
+          sx.as("sx"),
+          sxx.as("sxx"))
         .select(col("event_id"), col("n").cast("bigint").as("n"),
           expr(WindowQueries.zscoreSql).as("z"))
         .orderBy("event_id")

@@ -5,8 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local session for all specs (one JVM-wide instance). */
 object TestSpark {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+  // SPARK_GRAFT_MASTER=local-cluster[2,4,2048] runs the whole suite
+  // multi-JVM (round 13): executor JVMs get the test classpath and
+  // JDK-17 opens via Util.withMaster.
+  lazy val spark: SparkSession = Util.withMaster(SparkSession.builder(), "local[4]")
     .appName("graft-test")
     .withExtensions(new GraftExtensions)
     .config("spark.sql.shuffle.partitions", "4")
