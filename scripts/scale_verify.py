@@ -24,6 +24,12 @@ per-row outputs stay compare-sized from the smaller base) —
     python3 scripts/scale_verify.py /root/testdata/sf0.1 rows 10
     python3 scripts/scale_verify.py /root/testdata/sf0.1 rows 26 --preset small
     python3 scripts/scale_verify.py /root/testdata/sf0.01 len 12 --preset events
+    python3 scripts/scale_verify.py /root/testdata/sf0.1 rows-mag 10
+    python3 scripts/scale_verify.py /root/testdata/sf0.1 mag-sum --wide
+
+`--wide` re-runs the Spark dump with spark.graft.wideMoments=true (the
+section-7.4 magnitude escape hatch): the mag-sum arm's 8 documented
+loud exclusions are expected to go N/N under it.
 """
 import json
 import os
@@ -47,6 +53,7 @@ TS_TABLES = {
     "mag-sum": ["events", "lineitem"],
     "mag-moment": ["events"],
     "rows": ["events", "lineitem", "orders"],
+    "rows-mag": ["events", "lineitem", "orders"],
     "len": ["events"],
 }
 
@@ -126,7 +133,7 @@ def main(argv):
     # so the compare expects N/N where the default mag-sum arm
     # documents its 8 loud exclusions.
     wide = "--wide" in flags
-    tag = f"{arm}{factor}" if arm in ("rows", "len") else arm
+    tag = f"{arm}{factor}" if arm in ("rows", "rows-mag", "len") else arm
     data = f"/tmp/graft_sv_{tag}"
     out = f"/tmp/graft_sv_out_{tag}" + ("_wide" if wide else "")
     if "--skip-build" not in flags and "--skip-spark" not in flags:

@@ -69,8 +69,9 @@ object ScaleVerify {
       case "mag-sum"    => buildMag(spark, src, out, sumEdge = true)
       case "mag-moment" => buildMag(spark, src, out, sumEdge = false)
       case "rows"       => buildRows(spark, src, out, factor)
+      case "rows-mag"   => buildRows(spark, src, out, factor, magMoment = true)
       case "len"        => buildLen(spark, src, out, factor)
-      case other => sys.error(s"unknown arm '$other' (mag-sum | mag-moment | rows | len)")
+      case other => sys.error(s"unknown arm '$other' (mag-sum | mag-moment | rows | rows-mag | len)")
     }
     println(s"""{"scale_verify_corpus":"$out","arm":"$arm"}""")
     spark.stop()
@@ -125,8 +126,17 @@ object ScaleVerify {
       .foreach(copyVerbatim(src, out, _))
   }
 
+  /** `rows-mag` (round 13, VERDICT r12 next #2 — the COMBINED axis):
+    * the same FK-consistent N× replica with events.value ALSO
+    * transformed to the mag-moment magnitude (value := cents, every
+    * derived cents ×100). Round 12's q_agg_stats find was precisely an
+    * INTERACTION bug — per-term magnitudes in bounds, group size
+    * moved — so this arm moves BOTH at once: at ×10 rows × ×100
+    * magnitude the corpus Σcents² ≈ 7.8e18 sits just under int64's
+    * 9.2e18, the deepest single-corpus stress any int64-accumulating
+    * kernel can face without crossing its documented bound. */
   private def buildRows(spark: SparkSession, src: String, out: String,
-                        factor: Int): Unit = {
+                        factor: Int, magMoment: Boolean = false): Unit = {
     require(factor >= 2 && factor <= 26,
       s"rows factor in [2, 26] (Caesar decorrelation is alphabet-bound): $factor")
     // fixed dimension domains replicate verbatim
@@ -159,7 +169,13 @@ object ScaleVerify {
     writeSingle(replicate(lineitem, "l_orderkey" -> oSt,
       "l_partkey" -> pSt, "l_suppkey" -> sSt), out, "lineitem")
 
-    val ev = Tables.events(spark, src)
+    val ev0 = Tables.events(spark, src)
+    // rows-mag: the mag-moment value transform (an exact
+    // integer-of-cents double) composed with the row replica
+    val ev =
+      if (magMoment)
+        ev0.withColumn("value", round(col("value") * 100).cast("long").cast("double"))
+      else ev0
     writeSingle(replicate(ev,
       "user_id" -> stride(ev, "user_id"),
       "event_id" -> stride(ev, "event_id")), out, "events")

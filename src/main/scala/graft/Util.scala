@@ -69,15 +69,22 @@ object Util {
   def withMaster(b: SparkSession.Builder, default: String): SparkSession.Builder = {
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", default)
     val withM = b.master(master)
-    if (master.startsWith("local-cluster") || master.startsWith("spark://"))
+    if (master.startsWith("local-cluster") || master.startsWith("spark://")) {
+      // executor memory must fit the per-worker budget — for
+      // local-cluster[w,c,mb] take the declared mb (one executor per
+      // worker; Spark's 1g default would waste the budget and a fixed
+      // larger default dies loudly at "requested > MiB/worker")
+      val execMem = sys.env.get("SPARK_GRAFT_EXECUTOR_MEM").orElse {
+        "local-cluster\\[\\s*\\d+\\s*,\\s*\\d+\\s*,\\s*(\\d+)\\s*\\]".r
+          .findFirstMatchIn(master).map(_.group(1) + "m")
+      }.getOrElse("3g")
       withM
         .config("spark.executor.extraClassPath", sys.props("java.class.path"))
         // NB no -Dspark.* here: SparkConf.validateSettings rejects
         // Spark options inside executor extraJavaOptions
         .config("spark.executor.extraJavaOptions", Jdk17Opens)
-        .config("spark.executor.memory",
-          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "3g"))
-    else withM
+        .config("spark.executor.memory", execMem)
+    } else withM
   }
 
   /** The §7.4 magnitude escape hatch (round 13, VERDICT r12 next #3):

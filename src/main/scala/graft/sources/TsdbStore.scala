@@ -778,7 +778,32 @@ object TsdbStore {
     * rename fails, rather than creating parents, when the destination
     * parent is missing — the local filesystem masks this). Guarded by
     * [[requireAtomicRename]]: refuses to run at all on a filesystem
-    * whose rename is not atomic. */
+    * whose rename is not atomic.
+    *
+    * READER-VISIBILITY CONTRACT (round 13, SwapSemanticsSpec pins each
+    * state): because both steps are whole-directory atomic renames, a
+    * concurrent reader observes exactly one of
+    *  - WHOLE-old (before the first rename),
+    *  - WHOLE-new (after the second), or
+    *  - during the two-rename window: a direct read of the partition
+    *    path fails LOUDLY (path absent), and a whole-table read sees
+    *    the store WITHOUT this partition — complete partitions only,
+    *    silently short for the duration of one metadata op.
+    * A MIXED listing (staged + live files together) and torn files are
+    * unobservable; in-flight reads that opened files pre-swap finish
+    * against the old bytes (POSIX rename/unlink keep the inode alive —
+    * HDFS likewise serves open block streams to completion).
+    *
+    * SINGLE-WRITER CONTRACT: one maintenance writer per partition at a
+    * time. A concurrent second swapper usually dies loudly (its
+    * retire-rename finds live missing), but interleavings exist where
+    * the later writer's staged output simply wins and the earlier
+    * one's work is dropped (last-install-wins) — and a second writer
+    * running after a crash-mid-swap would delete the retired backup
+    * that crash recovery needs. Serialize maintenance per partition
+    * externally; this layer deliberately does not lock (a production
+    * object-store deployment should sit these swaps behind a table
+    * format's atomic commit instead). */
   private def swapPartitionDir(fs: org.apache.hadoop.fs.FileSystem,
                                staged: org.apache.hadoop.fs.Path,
                                live: org.apache.hadoop.fs.Path,
