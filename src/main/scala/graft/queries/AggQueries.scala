@@ -85,7 +85,7 @@ object AggQueries {
         |)
         |SELECT c_nationkey, count(*) AS n,
         |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
-        |  round(sqrt(CAST(count(*)*sum(cents*cents) - sum(cents)*sum(cents) AS DOUBLE)
+        |  round(sqrt(CAST(CAST(count(*)*sum(cents*cents) - sum(cents)*sum(cents) AS STRING) AS DOUBLE)
         |        / CAST(count(*)*(count(*)-1) AS DOUBLE)) / 100.0, 4) AS std_bal,
         |  round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal
         |FROM c GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
@@ -172,7 +172,7 @@ object AggQueries {
         |  FROM m
         |)
         |SELECT user_id, event_type,
-        |  CAST(sum(CAST(cents AS HUGEINT)*w_us) AS DOUBLE) / CAST(sum(w_us) AS DOUBLE) / 100.0 AS wmean
+        |  CAST(CAST(sum(CAST(cents AS HUGEINT)*w_us) AS STRING) AS DOUBLE) / CAST(sum(w_us) AS DOUBLE) / 100.0 AS wmean
         |FROM wt WHERE w_us IS NOT NULL
         |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
       Util.requireLoudOverflow(s)
@@ -384,8 +384,8 @@ object AggQueries {
         |a AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(x) AS DOUBLE) AS s1,
-        |    CAST(sum(CAST(x AS HUGEINT)*x) AS DOUBLE) AS s2,
-        |    CAST(sum(CAST(x AS HUGEINT)*x*x) AS DOUBLE) AS s3,
+        |    CAST(CAST(sum(CAST(x AS HUGEINT)*x) AS STRING) AS DOUBLE) AS s2,
+        |    CAST(CAST(sum(CAST(x AS HUGEINT)*x*x) AS STRING) AS DOUBLE) AS s3,
         |    CAST(min(x) AS BIGINT) AS mn, CAST(max(x) AS BIGINT) AS mx
         |  FROM c GROUP BY event_type
         |)

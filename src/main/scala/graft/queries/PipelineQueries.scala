@@ -249,9 +249,9 @@ object PipelineQueries {
         |    sum(y*y) AS syy, sum(x*y) AS sxy
         |  FROM t GROUP BY lang)
         |SELECT lang, n,
-        |  round(CAST(n*sxy - sx*sy AS DOUBLE) /
-        |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 4) AS corr_xy,
-        |  round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*(n-1) AS DOUBLE), 4) AS covar_xy
+        |  round(CAST(CAST(n*sxy - sx*sy AS STRING) AS DOUBLE) /
+        |    (sqrt(CAST(CAST(n*sxx - sx*sx AS STRING) AS DOUBLE)) * sqrt(CAST(CAST(n*syy - sy*sy AS STRING) AS DOUBLE))), 4) AS corr_xy,
+        |  round(CAST(CAST(n*sxy - sx*sy AS STRING) AS DOUBLE) / CAST(n*(n-1) AS DOUBLE), 4) AS covar_xy
         |FROM a ORDER BY lang""".stripMargin) { (s, d) =>
       // corr/covar from exact integer moment sums — order-insensitive
       // under partial aggregation, unlike the built-in streaming corr
@@ -271,9 +271,9 @@ object PipelineQueries {
           sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
           sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
         .selectExpr("lang", "n",
-          """round(CAST(n*sxy - sx*sy AS DOUBLE) /
-            |  (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 4) AS corr_xy""".stripMargin,
-          "round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*(n-1) AS DOUBLE), 4) AS covar_xy")
+          """round(CAST(CAST(n*sxy - sx*sy AS STRING) AS DOUBLE) /
+            |  (sqrt(CAST(CAST(n*sxx - sx*sx AS STRING) AS DOUBLE)) * sqrt(CAST(CAST(n*syy - sy*sy AS STRING) AS DOUBLE))), 4) AS corr_xy""".stripMargin,
+          "round(CAST(CAST(n*sxy - sx*sy AS STRING) AS DOUBLE) / CAST(n*(n-1) AS DOUBLE), 4) AS covar_xy")
         .orderBy("lang")
     },
 
@@ -489,12 +489,12 @@ object PipelineQueries {
         |)
         |SELECT m.event_id, m.user_id, m.event_type,
         |  round((CAST(m.cents AS DOUBLE) - CAST(st.s1 AS DOUBLE) / CAST(st.n AS DOUBLE)) /
-        |    sqrt((CAST(st.n AS DOUBLE) * CAST(st.s2 AS DOUBLE) - CAST(st.s1 AS DOUBLE) * CAST(st.s1 AS DOUBLE))
+        |    sqrt((CAST(st.n AS DOUBLE) * CAST(CAST(st.s2 AS STRING) AS DOUBLE) - CAST(st.s1 AS DOUBLE) * CAST(st.s1 AS DOUBLE))
         |         / (CAST(st.n AS DOUBLE) * CAST(st.n - 1 AS DOUBLE))), 3) AS z
         |FROM m JOIN st ON st.user_id = m.user_id AND st.event_type = m.event_type
         |WHERE st.n > 1 AND abs(
         |    (CAST(m.cents AS DOUBLE) - CAST(st.s1 AS DOUBLE) / CAST(st.n AS DOUBLE)) /
-        |    sqrt((CAST(st.n AS DOUBLE) * CAST(st.s2 AS DOUBLE) - CAST(st.s1 AS DOUBLE) * CAST(st.s1 AS DOUBLE))
+        |    sqrt((CAST(st.n AS DOUBLE) * CAST(CAST(st.s2 AS STRING) AS DOUBLE) - CAST(st.s1 AS DOUBLE) * CAST(st.s1 AS DOUBLE))
         |         / (CAST(st.n AS DOUBLE) * CAST(st.n - 1 AS DOUBLE)))) > 2.5
         |ORDER BY event_id""".stripMargin) { (s, d) =>
       // per-series z-score outliers from EXACT integer moment sums

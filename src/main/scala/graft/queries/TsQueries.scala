@@ -509,7 +509,8 @@ object TsQueries {
         |      FROM s GROUP BY user_id, event_type)
         |SELECT user_id, event_type, CAST(n AS BIGINT) AS n,
         |  CASE WHEN n * sxx - sx * sx > 0 THEN
-        |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |    CAST(CAST(n * sxy - sx * sy AS STRING) AS DOUBLE)
+        |      / CAST(CAST(n * sxx - sx * sx AS STRING) AS DOUBLE)
         |  END AS slope_cents_per_min
         |FROM a ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
       // per-series OLS trend slope — the drift detector behind
@@ -1614,9 +1615,15 @@ object TsQueries {
     * mn_x/mx_x/mn_y/mx_y. */
   def acfCaseSql: String = {
     def d(c: String) = s"CAST($c AS DOUBLE)"
-    val varX = s"(${d("n")} * ${d("sxx")} - ${d("sx")} * ${d("sx")})"
-    val varY = s"(${d("n")} * ${d("syy")} - ${d("sy")} * ${d("sy")})"
-    val cov = s"(${d("n")} * ${d("sxy")} - ${d("sx")} * ${d("sy")})"
+    // the second moments route through VARCHAR (§7.4 int128→double
+    // rule): DuckDB's HUGEINT→DOUBLE double-rounds past ~2^64 (and for
+    // negatives past 2^53), while VARCHAR→DOUBLE (strtod) and Spark's
+    // decimal→double are both correctly rounded — one exact value, one
+    // rounding, both engines identical at every magnitude
+    def dv(c: String) = s"CAST(CAST($c AS STRING) AS DOUBLE)"
+    val varX = s"(${d("n")} * ${dv("sxx")} - ${d("sx")} * ${d("sx")})"
+    val varY = s"(${d("n")} * ${dv("syy")} - ${d("sy")} * ${d("sy")})"
+    val cov = s"(${d("n")} * ${dv("sxy")} - ${d("sx")} * ${d("sy")})"
     s"CASE WHEN mn_x < mx_x AND mn_y < mx_y AND $varX * $varY > 0 " +
       s"THEN $cov / sqrt($varX * $varY) END"
   }

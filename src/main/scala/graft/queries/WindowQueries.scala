@@ -367,7 +367,12 @@ object WindowQueries {
     * single-row or zero-variance frames via EXACT integer guards. */
   def zscoreSql: String = {
     def d(c: String) = s"CAST($c AS DOUBLE)"
-    val varN = s"(${d("n")} * ${d("sxx")} - ${d("sx")} * ${d("sx")})"
+    // sxx (the one frame sum that can cross 2^64 under wide moments)
+    // routes through VARCHAR — §7.4 int128→double rule: DuckDB's
+    // HUGEINT→DOUBLE double-rounds there; VARCHAR→DOUBLE and Spark's
+    // long/decimal→double are correctly rounded
+    def dv(c: String) = s"CAST(CAST($c AS STRING) AS DOUBLE)"
+    val varN = s"(${d("n")} * ${dv("sxx")} - ${d("sx")} * ${d("sx")})"
     s"CASE WHEN n > 1 AND n * sxx - sx * sx > 0 THEN " +
       s"(${d("n")} * ${d("x")} - ${d("sx")}) / sqrt(${d("n")} * $varN / (${d("n")} - 1.0)) END"
   }
@@ -379,8 +384,12 @@ object WindowQueries {
     * is zero exactly, never approximately). */
   def slopeSql: String = {
     def d(c: String) = s"CAST($c AS DOUBLE)"
-    val den = s"(${d("n")} * ${d("stt")} - ${d("st")} * ${d("st")})"
-    val num = s"(${d("n")} * ${d("stx")} - ${d("st")} * ${d("sx")})"
+    // every 128-bit-capable frame sum routes through VARCHAR (§7.4
+    // int128→double rule; q_store_trend's Σt·vol sits within one order
+    // of 2^64 already) — correctly rounded in both engines
+    def dv(c: String) = s"CAST(CAST($c AS STRING) AS DOUBLE)"
+    val den = s"(${d("n")} * ${dv("stt")} - ${dv("st")} * ${dv("st")})"
+    val num = s"(${d("n")} * ${dv("stx")} - ${dv("st")} * ${dv("sx")})"
     s"CASE WHEN n * stt - st * st > 0 THEN $num / $den END"
   }
 }

@@ -128,7 +128,22 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
     // with the cap raised — and RELIABLE checkpointing, the 1000-executor
     // option where executor-local blocks don't survive failures — the
-    // same graph resolves to its two min labels
+    // same graph resolves to its two min labels. Under a multi-JVM
+    // master the op (correctly) REFUSES to invent a checkpoint dir —
+    // pin that guard, then satisfy it: local-cluster workers share
+    // this host's filesystem, so an explicit temp dir IS
+    // cluster-visible here (a real deployment would point this at
+    // HDFS/S3)
+    if (!spark.sparkContext.isLocal &&
+        spark.sparkContext.getCheckpointDir.isEmpty) {
+      val guard = intercept[IllegalArgumentException] {
+        DedupOps.connectedComponents(nodes, edges, maxIters = 60,
+          reliableCheckpoint = true)
+      }
+      assert(guard.getMessage.contains("cluster-visible"))
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-cc-ckpt-spec").toString)
+    }
     val got = DedupOps.connectedComponents(nodes, edges, maxIters = 60,
       reliableCheckpoint = true)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
