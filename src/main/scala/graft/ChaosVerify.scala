@@ -110,11 +110,51 @@ object ChaosVerify {
       require(executorPids().size >= 2,
         s"worker did not relaunch an executor after killing $victim")
     }
-    println(s"""{"chaos_summary":true,"queries":${Queries.size},""" +
+    // ---- streaming phase: executor loss DURING a foreachBatch ingest.
+    // The batch path above retries pure reads; the streaming sink also
+    // carries STATE across the failure — staged files, commit markers,
+    // and the per-batch cascade recompute must come out exactly as if
+    // no executor had died (the commit-marker idempotency contract,
+    // now exercised by a REAL mid-batch executor loss rather than a
+    // replayed batchId).
+    val sfBase = new java.io.File(sfDir).getName
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-chaos-stream").toString
+    val truth = java.nio.file.Files
+      .createTempDirectory("graft-chaos-truth").toString
+    val cols = Seq("user_id", "event_type", "event_id", "ts", "value")
+    graft.sources.TsdbStore.ingest(spark,
+      Tables.events(spark, sfDir).selectExpr(cols: _*), truth)
+    val feed = graft.streaming.StreamingOps.eventFileStream(spark, sfDir)
+      .selectExpr(cols: _*)
+    val q = graft.streaming.StreamingOps.streamIngestIncremental(feed, store)
+      .outputMode("update")
+      .option("checkpointLocation", s"$store/_ckpt")
+      .start()
+    val streamBefore = executorPids()
+    Thread.sleep(3000) // one 100k-row batch takes ~10-30 s multi-JVM
+    val midBatch = q.lastProgress == null ||
+      q.lastProgress.sources.forall(_.numInputRows == 0)
+    val streamVictim = streamBefore.head
+    val _ = scala.sys.process.Process(
+      Seq("kill", "-9", streamVictim.toString)).!
+    q.processAllAvailable()
+    q.stop()
+    def rows(p: String) = spark.read.parquet(p)
+    val baseOk = rows(s"$store/base").exceptAll(rows(s"$truth/base")).isEmpty &&
+      rows(s"$truth/base").exceptAll(rows(s"$store/base")).isEmpty
+    val aggOk = rows(s"$store/agg_86400").exceptAll(rows(s"$truth/agg_86400")).isEmpty &&
+      rows(s"$truth/agg_86400").exceptAll(rows(s"$store/agg_86400")).isEmpty
+    if (!(baseOk && aggOk)) failures += 1
+    if (midBatch) killsLanded += 1
+    println(s"""{"chaos":"stream_ingest_$sfBase","mid_query":$midBatch,""" +
+      s""""killed_pid":$streamVictim,"base_match":$baseOk,"agg_match":$aggOk}""")
+
+    println(s"""{"chaos_summary":true,"queries":${Queries.size + 1},""" +
       s""""mid_query_kills":$killsLanded,"failures":$failures}""")
     spark.stop()
     // at least half the kills must have landed mid-query, else the run
     // proved nothing about retry (queries finished before the kill)
-    if (failures > 0 || killsLanded < Queries.size / 2) sys.exit(1)
+    if (failures > 0 || killsLanded < (Queries.size + 1) / 2) sys.exit(1)
   }
 }
