@@ -1521,7 +1521,7 @@ object StoreQueries {
         |  FROM day GROUP BY 1, 2
         |)
         |SELECT user_id, event_type, n,
-        |  ${WindowQueries.slopeSql} AS trend_cents_per_day
+        |  ${WindowQueries.slopeSql(forOracle = true)} AS trend_cents_per_day
         |FROM f ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
       // per-series daily-volume TREND served from the CASCADE — OLS of
       // each day's total cents against the day index, computed over
@@ -1554,7 +1554,7 @@ object StoreQueries {
           sum((col("t") * col("vol")).cast("decimal(38,0)")).as("stx"),
           sum((col("t") * col("t")).cast("decimal(38,0)")).as("stt"))
         .select(col("user_id"), col("event_type"), col("n"),
-          expr(WindowQueries.slopeSql).as("trend_cents_per_day"))
+          expr(WindowQueries.slopeSql(forOracle = false)).as("trend_cents_per_day"))
         .orderBy("user_id", "event_type")
     },
 

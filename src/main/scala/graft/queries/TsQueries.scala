@@ -1269,7 +1269,7 @@ object TsQueries {
         |  GROUP BY user_id, event_type
         |)
         |SELECT user_id, event_type, n,
-        |  ${TsQueries.acfCaseSql} AS acf1
+        |  ${TsQueries.acfCaseSql(forOracle = true)} AS acf1
         |FROM a ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
       // lag-1 autocorrelation per series — the self-similarity /
       // seasonality detector (a counter ramping smoothly → acf1 ≈ 1, a
@@ -1312,7 +1312,7 @@ object TsQueries {
           min("x").as("mn_x"), max("x").as("mx_x"),
           min("y").as("mn_y"), max("y").as("mx_y"))
         .select(col("user_id"), col("event_type"), col("n"),
-          expr(TsQueries.acfCaseSql).as("acf1"))
+          expr(TsQueries.acfCaseSql(forOracle = false)).as("acf1"))
         .orderBy("user_id", "event_type")
     },
 
@@ -1419,7 +1419,7 @@ object TsQueries {
         |  FROM sl GROUP BY user_id
         |)
         |SELECT user_id, n,
-        |  ${TsQueries.acfCaseSql} AS xcorr
+        |  ${TsQueries.acfCaseSql(forOracle = true)} AS xcorr
         |FROM a ORDER BY user_id""".stripMargin) { (s, d) =>
       // cross-correlation between two metrics per entity — "do this
       // user's clicks and views co-move?": align both series on the 6h
@@ -1455,7 +1455,7 @@ object TsQueries {
           sum(Util.momentProd(s)(col("x"), col("y"))).as("sxy"),
           min("x").as("mn_x"), max("x").as("mx_x"),
           min("y").as("mn_y"), max("y").as("mx_y"))
-        .select(col("user_id"), col("n"), expr(TsQueries.acfCaseSql).as("xcorr"))
+        .select(col("user_id"), col("n"), expr(TsQueries.acfCaseSql(forOracle = false)).as("xcorr"))
         .orderBy("user_id")
     },
 
@@ -1613,17 +1613,22 @@ object TsQueries {
     * pathological rounded-nonpositive product can never reach sqrt.
     * Callers must carry min/max of x and y through the aggregate as
     * mn_x/mx_x/mn_y/mx_y. */
-  def acfCaseSql: String = {
+  def acfCaseSql(forOracle: Boolean): String = {
     def d(c: String) = s"CAST($c AS DOUBLE)"
-    // the second moments route through VARCHAR (§7.4 int128→double
-    // rule): DuckDB's HUGEINT→DOUBLE double-rounds past ~2^64 (and for
-    // negatives past 2^53), while VARCHAR→DOUBLE (strtod) and Spark's
-    // decimal→double are both correctly rounded — one exact value, one
-    // rounding, both engines identical at every magnitude
-    def dv(c: String) = s"CAST(CAST($c AS STRING) AS DOUBLE)"
-    val varX = s"(${d("n")} * ${dv("sxx")} - ${d("sx")} * ${d("sx")})"
-    val varY = s"(${d("n")} * ${dv("syy")} - ${d("sy")} * ${d("sy")})"
-    val cov = s"(${d("n")} * ${dv("sxy")} - ${d("sx")} * ${d("sy")})"
+    // §7.4 int128→double rule, engine-split form (round 14): DuckDB's
+    // HUGEINT→DOUBLE double-rounds past ~2^64 (and for NEGATIVES past
+    // 2^53), so the ORACLE variant routes every 128-bit-capable sum —
+    // the second moments AND the sign-indefinite first moments sx/sy
+    // (ADVICE r13 #2: |Σcents| past 2^53 negative is reachable within
+    // the documented per-term bounds) — through VARCHAR (strtod,
+    // correctly rounded). Spark's long/decimal→double are already
+    // correctly rounded, so the Spark variant casts directly and the
+    // hot path skips the per-row VARCHAR round-trip. One exact value,
+    // one rounding each side → bit-identical doubles (hash-gated).
+    def dv(c: String) = if (forOracle) s"CAST(CAST($c AS STRING) AS DOUBLE)" else d(c)
+    val varX = s"(${d("n")} * ${dv("sxx")} - ${dv("sx")} * ${dv("sx")})"
+    val varY = s"(${d("n")} * ${dv("syy")} - ${dv("sy")} * ${dv("sy")})"
+    val cov = s"(${d("n")} * ${dv("sxy")} - ${dv("sx")} * ${dv("sy")})"
     s"CASE WHEN mn_x < mx_x AND mn_y < mx_y AND $varX * $varY > 0 " +
       s"THEN $cov / sqrt($varX * $varY) END"
   }

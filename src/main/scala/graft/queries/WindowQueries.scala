@@ -282,7 +282,7 @@ object WindowQueries {
         |    ORDER BY ts_us, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |)
         |SELECT event_id, CAST(n AS BIGINT) AS n,
-        |  ${WindowQueries.slopeSql} AS slope
+        |  ${WindowQueries.slopeSql(forOracle = true)} AS slope
         |FROM f ORDER BY event_id""".stripMargin) { (s, d) =>
       // rolling regression slope (PromQL `deriv` over a trailing
       // 5-sample frame): OLS of value-cents against epoch-RELATIVE
@@ -305,7 +305,7 @@ object WindowQueries {
           sum(t * col("cents")).over(w).as("stx"),
           sum(t * t).over(w).as("stt"))
         .select(col("event_id"), col("n").cast("bigint").as("n"),
-          expr(WindowQueries.slopeSql).as("slope"))
+          expr(WindowQueries.slopeSql(forOracle = false)).as("slope"))
         .orderBy("event_id")
     },
 
@@ -321,7 +321,7 @@ object WindowQueries {
         |    ORDER BY ts_us, event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
         |)
         |SELECT event_id, CAST(n AS BIGINT) AS n,
-        |  ${WindowQueries.zscoreSql} AS z
+        |  ${WindowQueries.zscoreSql(forOracle = true)} AS z
         |FROM f ORDER BY event_id""".stripMargin) { (s, d) =>
       // rolling PARAMETRIC z-score over the trailing 10-sample frame —
       // the classic online anomaly primitive, sitting next to the
@@ -354,40 +354,53 @@ object WindowQueries {
           sx.as("sx"),
           sxx.as("sxx"))
         .select(col("event_id"), col("n").cast("bigint").as("n"),
-          expr(WindowQueries.zscoreSql).as("z"))
+          expr(WindowQueries.zscoreSql(forOracle = false)).as("z"))
         .orderBy("event_id")
     }
   )
 
   /** q_window_zscore's per-row projection over (x, n, sx, sxx) —
-    * generated once, evaluated verbatim by both engines:
-    * z = (n·x − Σx) / √(n·(n·Σx² − (Σx)²)/(n−1)), the algebraic
-    * rearrangement of (x − mean)/stddev_samp that keeps every operand
-    * an exact integer until the single division chain; NULL on
-    * single-row or zero-variance frames via EXACT integer guards. */
-  def zscoreSql: String = {
+    * generated once per ENGINE (the round-14 split of the verbatim
+    * contract): z = (n·x − Σx) / √(n·(n·Σx² − (Σx)²)/(n−1)), the
+    * algebraic rearrangement of (x − mean)/stddev_samp that keeps
+    * every operand an exact integer until the single division chain;
+    * NULL on single-row or zero-variance frames via EXACT integer
+    * guards. The two variants differ ONLY in how exact-integer sums
+    * reach double — see the dv note below — and both routes are
+    * correctly rounded, so the emitted doubles are bit-identical
+    * (the hash gate verifies this, not just asserts it). */
+  def zscoreSql(forOracle: Boolean): String = {
     def d(c: String) = s"CAST($c AS DOUBLE)"
-    // sxx (the one frame sum that can cross 2^64 under wide moments)
-    // routes through VARCHAR — §7.4 int128→double rule: DuckDB's
-    // HUGEINT→DOUBLE double-rounds there; VARCHAR→DOUBLE and Spark's
-    // long/decimal→double are correctly rounded
-    def dv(c: String) = s"CAST(CAST($c AS STRING) AS DOUBLE)"
-    val varN = s"(${d("n")} * ${dv("sxx")} - ${d("sx")} * ${d("sx")})"
+    // §7.4 int128→double rule, engine-split form (round 14): DuckDB's
+    // HUGEINT→DOUBLE double-rounds via two 64-bit halves (wrong past
+    // 2^64 positive and past 2^53 NEGATIVE), so every oracle cast of a
+    // sum that can cross either line routes through VARCHAR (strtod,
+    // correctly rounded). Spark's long→double and decimal→double are
+    // already correctly rounded, so the Spark variant casts DIRECTLY —
+    // the r13 all-dv form paid a per-row VARCHAR round-trip in the hot
+    // window path for a bug Spark never had (q_window_slope 1.61× /
+    // q_window_zscore 1.31× vs r12; VERDICT r13 What's-wrong #2).
+    // sx is sign-indefinite and HUGEINT in the oracle frame, so the
+    // oracle variant routes it too (ADVICE r13 #2: the negative-past-
+    // 2^53 class is reachable for first moments under wideMoments).
+    def dv(c: String) = if (forOracle) s"CAST(CAST($c AS STRING) AS DOUBLE)" else d(c)
+    val varN = s"(${d("n")} * ${dv("sxx")} - ${dv("sx")} * ${dv("sx")})"
     s"CASE WHEN n > 1 AND n * sxx - sx * sx > 0 THEN " +
-      s"(${d("n")} * ${d("x")} - ${d("sx")}) / sqrt(${d("n")} * $varN / (${d("n")} - 1.0)) END"
+      s"(${d("n")} * ${d("x")} - ${dv("sx")}) / sqrt(${d("n")} * $varN / (${d("n")} - 1.0)) END"
   }
 
   /** q_window_slope's per-frame OLS projection over (n, st, sx, stx,
-    * stt) — generated once, evaluated verbatim by both engines (the
-    * acfCaseSql pattern): slope = (n·Σtx − Σt·Σx)/(n·Σt² − (Σt)²),
-    * NULL when the frame has no time spread (the integer denominator
-    * is zero exactly, never approximately). */
-  def slopeSql: String = {
+    * stt) — generated once per ENGINE (the zscoreSql split; casts are
+    * the only divergence and both routes are correctly rounded):
+    * slope = (n·Σtx − Σt·Σx)/(n·Σt² − (Σt)²), NULL when the frame has
+    * no time spread (the integer denominator is zero exactly, never
+    * approximately). */
+  def slopeSql(forOracle: Boolean): String = {
     def d(c: String) = s"CAST($c AS DOUBLE)"
-    // every 128-bit-capable frame sum routes through VARCHAR (§7.4
-    // int128→double rule; q_store_trend's Σt·vol sits within one order
-    // of 2^64 already) — correctly rounded in both engines
-    def dv(c: String) = s"CAST(CAST($c AS STRING) AS DOUBLE)"
+    // every 128-bit-capable frame sum routes through VARCHAR on the
+    // ORACLE side only (§7.4 engine-split rule — see zscoreSql);
+    // Spark's casts are correctly rounded without the detour
+    def dv(c: String) = if (forOracle) s"CAST(CAST($c AS STRING) AS DOUBLE)" else d(c)
     val den = s"(${d("n")} * ${dv("stt")} - ${dv("st")} * ${dv("st")})"
     val num = s"(${d("n")} * ${dv("stx")} - ${dv("st")} * ${dv("sx")})"
     s"CASE WHEN n * stt - st * st > 0 THEN $num / $den END"
