@@ -80,6 +80,22 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // FROZEN core subset (round 14, VERDICT r13 next #1): the 120 ids
+    // benched since round 3, pinned in src/main/resources/
+    // core_queries.txt — the 2× gate stopped being mechanically
+    // readable once the inventory tripled past the 79-query round-1
+    // baseline (r13's naive total read 2.11× while the judge's
+    // hand-computed shared-120 ratio was 0.98). core_sec compares
+    // identical query sets forever; scripts/core_bench.py backfills
+    // the per-round trend from bench_logs. NEVER edit the frozen list.
+    val coreIds = {
+      val in = getClass.getResourceAsStream("/core_queries.txt")
+      scala.io.Source.fromInputStream(in).getLines().map(_.trim)
+        .filter(_.nonEmpty).toSet
+    }
+    val coreSec = results.collect {
+      case (k, v) if v >= 0 && coreIds(k) => v }.sum
+    val nCore = results.count { case (k, v) => v >= 0 && coreIds(k) }
     // detail line first, compact total-only line LAST: the driver
     // captures a bounded TAIL of the output (r6's BENCH artifact shows
     // the detail line with its START truncated → parsed:null), so the
@@ -87,8 +103,8 @@ object Bench {
     // the per-query detail line carries a DISTINCT metric key so a
     // consumer scanning for "total" finds exactly one line — the
     // compact, truncation-safe one printed last (ADVICE r7 #3)
-    println(s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"detail","value":$total,"unit":"sec","core_sec":$coreSec,"n_core":$nCore,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"core_sec":$coreSec,"n_core":$nCore,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
