@@ -57,18 +57,60 @@ def latest_correctness():
     return cands[-1]
 
 
+FROM_STOP = re.compile(
+    r"(where|group|order|having|window|limit|qualify|"
+    r"union|intersect|except)\b", re.IGNORECASE)
+
+
+def from_list_items(sql):
+    """Yield the top-level items of every FROM list in `sql`: the span
+    from each FROM to the next clause keyword or unbalanced ')' at
+    paren depth 0, with paren innards blanked (so only FROM-list commas
+    split) and split additionally on JOIN boundaries. Subquery FROMs
+    get their own iteration of the outer finditer."""
+    for m in re.finditer(r"\bfrom\b", sql, re.IGNORECASE):
+        tail, depth, out = sql[m.end():], 0, []
+        i = 0
+        while i < len(tail):
+            c = tail[i]
+            if c == "(":
+                depth += 1
+                out.append(" ")
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+                out.append(" ")
+            elif depth == 0:
+                if FROM_STOP.match(tail, i) and (i == 0 or not tail[i - 1].isalnum()):
+                    break
+                out.append(c)
+            else:
+                out.append(" ")
+            i += 1
+        for item in re.split(r",|\bjoin\b", "".join(out), flags=re.IGNORECASE):
+            yield item.strip()
+
+
 def reads_table(sql, table):
-    """True iff `sql` READS `table`: either a view reference
-    (FROM/JOIN/comma list — the oracles read the driver's registered
-    DuckDB views by bare name) or a read_*() file-source call whose
-    quoted path has a segment named after the table (the interchange
-    fixtures — e.g. read_csv('/tmp/graft_csv/<sf>/events/*.csv.gz') —
-    are exported FROM that table by the Spark side, so both engines
-    read table-derived data). An incidental mention in a string
-    literal, alias, or comment no longer classifies the query."""
-    if re.search(rf"(?:\bfrom\b|\bjoin\b|,)\s*{table}\b", sql,
-                 re.IGNORECASE):
+    """True iff `sql` READS `table`: either a view reference — the
+    table name as a FROM-list item or JOIN target (the oracles read
+    the driver's registered DuckDB views by bare name) — or a
+    read_*() file-source call whose quoted path has a segment named
+    after the table (the interchange fixtures — e.g.
+    read_csv('/tmp/graft_csv/<sf>/events/*.csv.gz') — are exported
+    FROM that table by the Spark side, so both engines read
+    table-derived data). An incidental mention in a string literal,
+    select-list item, alias, or comment does not classify the query
+    (ADVICE r13 #4: the old any-comma branch matched select-list
+    items like "count(*), events")."""
+    if re.search(rf"\bjoin\s+{table}\b", sql, re.IGNORECASE):
         return True
+    t = table.lower()
+    for item in from_list_items(sql):
+        toks = item.split()
+        if toks and toks[0].lower() == t:
+            return True
     return re.search(rf"read_\w+\('[^']*/{table}[/.]", sql) is not None
 
 
