@@ -14,13 +14,16 @@ import org.apache.spark.sql.SparkSession
   * unchanged. A query that fails on the Spark side writes no output
   * dir, which the compare reports as a FAIL (never silently skipped).
   *
-  * Run:  sbt "runMain graft.Fuzz <sfDir> <outDir> [seed] [count]"
+  * Run:  sbt "runMain graft.Fuzz <sfDir> <outDir> [seed] [count] [tvfCount]"
   */
 object Fuzz {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     val seed = if (args.length > 2) args(2).toLong else 11L
     val count = if (args.length > 3) args(3).toInt else 500
+    // TVF draws ride along by default (round 14, VERDICT r13 next #6):
+    // the graft_fetch* SQL TEXT path under the same seeded pressure
+    val tvfCount = if (args.length > 4) args(4).toInt else 100
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,7 +40,17 @@ object Fuzz {
         "orders", "lineitem", "events", "documents", "embeddings"))
       spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
 
-    val queries = graft.fuzz.QueryGen.generate(seed, count)
+    // TVF draws need the store fixture (built once per sf under /tmp);
+    // their Spark text carries __STORE__, resolved here — the DuckDB
+    // side reads the events view the fixture was ingested from
+    val tvf =
+      if (tvfCount <= 0) Seq.empty
+      else {
+        val store = graft.sources.StoreFixture.store(spark, sfDir)
+        graft.fuzz.TvfGen.generate(seed, tvfCount)
+          .map(q => q.copy(sparkSql = q.sparkSql.replace("__STORE__", store)))
+      }
+    val queries = graft.fuzz.QueryGen.generate(seed, count) ++ tvf
     var failed = 0
     queries.foreach { q =>
       try spark.sql(q.sparkSql).coalesce(1).write.mode("overwrite")
