@@ -88,11 +88,15 @@ object Bench {
     // hand-computed shared-120 ratio was 0.98). core_sec compares
     // identical query sets forever; scripts/core_bench.py backfills
     // the per-round trend from bench_logs. NEVER edit the frozen list.
-    val coreIds = {
+    val coreIds = scala.util.Try {
       val in = getClass.getResourceAsStream("/core_queries.txt")
-      scala.io.Source.fromInputStream(in).getLines().map(_.trim)
+      try scala.io.Source.fromInputStream(in).getLines().map(_.trim)
         .filter(_.nonEmpty).toSet
-    }
+      finally in.close()
+    }.getOrElse(Set.empty[String])
+    // n_core < 120 (or 0 on a classpath without the resource) flags a
+    // broken core reading rather than crashing the round's one BENCH
+    // artifact over an auxiliary metric
     val coreSec = results.collect {
       case (k, v) if v >= 0 && coreIds(k) => v }.sum
     val nCore = results.count { case (k, v) => v >= 0 && coreIds(k) }

@@ -217,10 +217,10 @@ object ChaosVerify {
         val x = rows(s"$truth/$t"); val y = rows(s"$mutTruth/$t")
         x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty
       }
-      def killDuring(label: String)(op: => Unit): Unit = {
+      def killDuring(label: String, delayMs: Long = 1500)(op: => Unit): Unit = {
         val before = executorPids()
         val fut = Future(op)
-        Thread.sleep(1500)
+        Thread.sleep(delayMs)
         val midOp = !fut.isCompleted
         val victim = before.head
         val _ = scala.sys.process.Process(Seq("kill", "-9", victim.toString)).!
@@ -243,7 +243,9 @@ object ChaosVerify {
       val baseDt = new java.io.File(s"$truth/base").listFiles()
         .map(_.getName).filter(_.startsWith("dt=")).sorted
         .head.stripPrefix("dt=")
-      killDuring("mutation_compact_partition") {
+      // single-partition compaction completes in ~1-2 s multi-JVM, so
+      // the kill fires early to land inside the rewrite job
+      killDuring("mutation_compact_partition", delayMs = 400) {
         graft.sources.TsdbStore.compactPartition(spark, truth, baseDt,
           targetFiles = 2)
       }
