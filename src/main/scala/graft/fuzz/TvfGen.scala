@@ -20,8 +20,9 @@ import scala.util.Random
   * ranges overhanging the data span on both sides, empty ranges,
   * series keys with no data, every value cf {average,min,max,sum,raw,
   * first,last}, both counter cfs {delta,rate}, both cascade steps,
-  * bulk series lists, the dense-grid filled read, and sub-K-exact
-  * quantile reads (step-ALIGNED bounds — fetchQuantile's raw-ts
+  * bulk series lists, the dense-grid filled reads (single-series AND
+  * bulk), and sub-K-exact quantile reads (step-ALIGNED bounds —
+  * fetchQuantile's raw-ts
   * semantics and the slot filter only coincide on aligned ranges,
   * which is also how the declared oracle pins it).
   *
@@ -192,6 +193,40 @@ object TvfGen {
     (spark, duck)
   }
 
+  private def fetchBulkFilled(r: Random): (String, String) = {
+    val step = pick(r, Steps)
+    val cf = pick(r, ValueCfs)
+    val (b, e) = randRange(r)
+    val firstSlot = Math.floorDiv(b, step) * step
+    val series = (0 until r.nextInt(2) + 1)
+      .map(_ => (r.nextInt(15), pick(r, Etypes))).distinct
+    val tail = series.map { case (u, t) => s"$u, '$t'" }.mkString(", ")
+    val pred = series.map { case (u, t) =>
+      s"(user_id = $u AND event_type = '$t')" }.mkString(" OR ")
+    val vals = series.map { case (u, t) => s"($u, '$t')" }.mkString(", ")
+    val spark =
+      s"SELECT * FROM graft_fetch_bulk_filled('__STORE__', $b, $e, $step, '$cf', $tail)"
+    val duck =
+      s"""WITH c AS (
+         |  SELECT user_id, event_type,
+         |         (epoch_us(ts) // ${step}000000) * $step AS slot_ts,
+         |         epoch_us(ts) AS ts_us, event_id, ${cents()} AS cents
+         |  FROM events WHERE $pred
+         |), h AS (
+         |  SELECT user_id, event_type, slot_ts, ${cfAggSql(cf)} AS v
+         |  FROM c WHERE slot_ts >= $firstSlot AND slot_ts < $e
+         |  GROUP BY user_id, event_type, slot_ts
+         |)
+         |SELECT CAST(k.user_id AS BIGINT) AS user_id, k.event_type,
+         |  g.slot_ts, h.v AS value
+         |FROM range($firstSlot, $e, $step) g(slot_ts)
+         |CROSS JOIN (VALUES $vals) k(user_id, event_type)
+         |LEFT JOIN h ON h.user_id = k.user_id AND h.event_type = k.event_type
+         |  AND h.slot_ts = g.slot_ts
+         |ORDER BY k.user_id, k.event_type, g.slot_ts""".stripMargin
+    (spark, duck)
+  }
+
   private def fetchQuantile(r: Random): (String, String) = {
     val (uid, et) = (r.nextInt(15), pick(r, Etypes))
     val step = pick(r, Steps)
@@ -224,12 +259,13 @@ object TvfGen {
   def generate(seed: Long, n: Int): Seq[FuzzQuery] =
     (0 until n).map { i =>
       val r = new Random(seed * 7368787L + i)
-      val (s, d) = r.nextInt(8) match {
+      val (s, d) = r.nextInt(9) match {
         case 0 | 1 => fetchAgg(r)
         case 2 => fetchRaw(r)
         case 3 => fetchCounter(r)
         case 4 | 5 => fetchBulk(r)
         case 6 => fetchFilled(r)
+        case 7 => fetchBulkFilled(r)
         case _ => fetchQuantile(r)
       }
       FuzzQuery(f"fz_tvf_${seed}_$i%04d", s, d)
