@@ -193,6 +193,56 @@ object TvfGen {
     (spark, duck)
   }
 
+  /** fill = interp — the q_store_fetch_interp template parameterized:
+    * interior gaps interpolate between nearest valid neighbours via
+    * the SAME IEEE tree both engines evaluate; leading/trailing gaps
+    * stay NULL. cfs restricted to the endpoint/extremum family so
+    * present-slot values are exact two-decimal doubles (the declared
+    * query's convention — interpolating between computed averages
+    * would also match, but this keeps the draw inside the pinned
+    * contract). */
+  private def fetchInterp(r: Random): (String, String) = {
+    val (uid, et) = (r.nextInt(15), pick(r, Etypes))
+    val step = pick(r, Steps)
+    val cf = pick(r, Seq("min", "max", "first", "last"))
+    val (b, e) = randRange(r)
+    val firstSlot = Math.floorDiv(b, step) * step
+    val spark =
+      s"SELECT * FROM graft_fetch_filled('__STORE__', $uid, '$et', $b, $e, $step, '$cf', 'interp')"
+    val duck =
+      s"""WITH c AS (
+         |  SELECT (epoch_us(ts) // ${step}000000) * $step AS slot_ts,
+         |         epoch_us(ts) AS ts_us, event_id, ${cents()} AS cents
+         |  FROM events WHERE user_id = $uid AND event_type = '$et'
+         |), h AS (
+         |  SELECT slot_ts, ${cfAggSql(cf)} AS v
+         |  FROM c WHERE slot_ts >= $firstSlot AND slot_ts < $e GROUP BY slot_ts
+         |), gf AS (
+         |  SELECT g.slot_ts, h.v
+         |  FROM range($firstSlot, $e, $step) g(slot_ts)
+         |  LEFT JOIN h ON h.slot_ts = g.slot_ts
+         |), n AS (
+         |  SELECT slot_ts, v,
+         |    max(CASE WHEN v IS NOT NULL THEN slot_ts END) OVER wp AS prev_ts,
+         |    last_value(v IGNORE NULLS) OVER wp AS prev_val,
+         |    min(CASE WHEN v IS NOT NULL THEN slot_ts END) OVER wf AS next_ts,
+         |    first_value(v IGNORE NULLS) OVER wf AS next_val
+         |  FROM gf
+         |  WINDOW wp AS (ORDER BY slot_ts
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         wf AS (ORDER BY slot_ts
+         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |)
+         |SELECT slot_ts,
+         |  CASE WHEN v IS NOT NULL THEN v
+         |       WHEN prev_val IS NULL OR next_val IS NULL THEN NULL
+         |       ELSE prev_val + (next_val - prev_val) *
+         |            (CAST(slot_ts - prev_ts AS DOUBLE) / CAST(next_ts - prev_ts AS DOUBLE))
+         |  END AS value
+         |FROM n ORDER BY slot_ts""".stripMargin
+    (spark, duck)
+  }
+
   private def fetchBulkFilled(r: Random): (String, String) = {
     val step = pick(r, Steps)
     val cf = pick(r, ValueCfs)
@@ -259,13 +309,14 @@ object TvfGen {
   def generate(seed: Long, n: Int): Seq[FuzzQuery] =
     (0 until n).map { i =>
       val r = new Random(seed * 7368787L + i)
-      val (s, d) = r.nextInt(9) match {
+      val (s, d) = r.nextInt(10) match {
         case 0 | 1 => fetchAgg(r)
         case 2 => fetchRaw(r)
         case 3 => fetchCounter(r)
         case 4 | 5 => fetchBulk(r)
         case 6 => fetchFilled(r)
         case 7 => fetchBulkFilled(r)
+        case 8 => fetchInterp(r)
         case _ => fetchQuantile(r)
       }
       FuzzQuery(f"fz_tvf_${seed}_$i%04d", s, d)
