@@ -89,8 +89,9 @@ def collect():
 def trend():
     ids = core_ids()
     rows = []
-    for rnd in sorted(collect().keys()):
-        maps = collect()[rnd]
+    rounds = collect()
+    for rnd in sorted(rounds):
+        maps = rounds[rnd]
         minima = {}
         for mp in maps:
             for k, v in mp.items():
