@@ -82,6 +82,11 @@ def collect():
         m = re.match(r"bench_r(\d+)", p.name)
         if not m:
             continue
+        # the trend is the LOCAL-master minima protocol; multi-JVM
+        # datapoints (bench_r*_cluster_*.json) are a different config
+        # and live in their own BASELINE.md row
+        if "cluster" in p.name:
+            continue
         rounds[int(m.group(1))].extend(maps_from_file(p))
     return rounds
 
