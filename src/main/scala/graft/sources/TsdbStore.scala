@@ -30,13 +30,23 @@ import graft.operators.TimeSeriesOps
   *   column family (default on). A store that never serves percentile
   *   reads can opt out of that ingest/maintenance cost; quantile
   *   fetches against it fail loudly instead of scanning raw
+  * @param commit the store's commit protocol: `"rename"` (default) —
+  *   staged-dir atomic-rename swaps, POSIX/HDFS only (rename-less
+  *   filesystems are refused loudly at every mutation entry point);
+  *   `"manifest"` — the [[StoreManifest]] snapshot protocol: data in
+  *   write-once segment dirs, the live set resolved from the newest
+  *   `_commits/v<N>.mf`, every mutation committed by ONE new-file
+  *   create — object-store-safe, and every multi-table maintenance
+  *   pass becomes atomic to readers. The bucketed layout needs a
+  *   stable catalog location, so `buckets > 0` requires `"rename"`
   */
 case class StoreLayout(
     steps: Seq[Long] = Seq(21600L, 86400L),
     monthly: Boolean = false,
     heartbeatSec: Long = 21600L,
     buckets: Int = 0,
-    quantiles: Boolean = true) {
+    quantiles: Boolean = true,
+    commit: String = "rename") {
   require(steps.nonEmpty, "at least one aggregate step")
   require(steps == steps.sorted && steps.distinct == steps,
     s"steps must be strictly ascending: $steps")
@@ -49,6 +59,12 @@ case class StoreLayout(
   }
   require(heartbeatSec > 0, "heartbeatSec must be positive")
   require(buckets >= 0, "buckets must be >= 0")
+  require(commit == "rename" || commit == "manifest",
+    s"commit must be 'rename' or 'manifest': $commit")
+  require(buckets == 0 || commit == "rename",
+    "the bucketed layout registers a catalog table at a stable path, " +
+      "which the segment-per-commit manifest layout cannot provide — " +
+      "use commit = \"rename\" with buckets")
 }
 
 /** The storage layer: the reference's directory-tree TSDB re-expressed
@@ -151,7 +167,8 @@ object TsdbStore {
         s"monthly=${layout.monthly}\n" +
         s"heartbeat=${layout.heartbeatSec}\n" +
         s"buckets=${layout.buckets}\n" +
-        s"quantiles=${layout.quantiles}\n").getBytes("UTF-8"))
+        s"quantiles=${layout.quantiles}\n" +
+        s"commit=${layout.commit}\n").getBytes("UTF-8"))
     out.close()
   }
 
@@ -201,9 +218,60 @@ object TsdbStore {
         monthly = kv.getOrElse("monthly", "false").toBoolean,
         heartbeatSec = kv.getOrElse("heartbeat", "21600").toLong,
         buckets = kv.getOrElse("buckets", "0").toInt,
-        quantiles = kv.getOrElse("quantiles", "true").toBoolean)
+        quantiles = kv.getOrElse("quantiles", "true").toBoolean,
+        commit = kv.getOrElse("commit", "rename"))
     }
   }
+
+  // ---- table resolution (rename layout: a directory; manifest
+  //      layout: the newest snapshot's live partition set) ------------
+
+  private def fsOf(spark: SparkSession,
+                   path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Read `table` from an explicit manifest entry set. Segment dirs
+    * are grouped by their `_segs/<segId>/<table>` parent so each group
+    * keeps hive-style partition discovery (`basePath` recovers the dt
+    * column with the same type inference a whole-directory read gets);
+    * groups union by name. Manifest resolution is itself driver-side
+    * partition pruning: only LIVE partitions ever reach the scan. */
+  private def manifestRead(spark: SparkSession, path: String,
+                           entries: Map[(String, String), String],
+                           table: String): DataFrame = {
+    val live = entries.collect { case ((t, dt), rel) if t == table => (dt, rel) }
+    require(live.nonEmpty,
+      s"manifest store at $path has no live data for table '$table'")
+    if (live.size == 1 && live.head._1 == StoreManifest.NoDt)
+      spark.read.parquet(s"$path/${live.head._2}")
+    else
+      live.toSeq.groupBy { case (_, rel) => rel.take(rel.lastIndexOf('/')) }
+        .toSeq.sortBy(_._1)
+        .map { case (base, es) =>
+          spark.read.option("basePath", s"$path/$base")
+            .parquet(es.map { case (_, rel) => s"$path/$rel" }.sorted: _*)
+        }.reduce(_.unionByName(_))
+  }
+
+  /** The one table-read entry point every fetch/maintenance path goes
+    * through: a plain directory read on the rename layout, manifest
+    * resolution on the manifest layout. */
+  private def readTable(spark: SparkSession, path: String,
+                        layout: StoreLayout, table: String): DataFrame =
+    if (layout.commit == "manifest")
+      manifestRead(spark, path,
+        StoreManifest.load(fsOf(spark, path), path).entries, table)
+    else spark.read.parquet(s"$path/$table")
+
+  /** Whether `table` currently exists (has any live data). */
+  private def tableExists(spark: SparkSession, path: String,
+                          layout: StoreLayout, table: String): Boolean =
+    if (layout.commit == "manifest")
+      StoreManifest.load(fsOf(spark, path), path).entries.keys
+        .exists(_._1 == table)
+    else fsOf(spark, path)
+      .exists(new org.apache.hadoop.fs.Path(s"$path/$table"))
 
   // ---- ingest ---------------------------------------------------------
 
@@ -321,8 +389,34 @@ object TsdbStore {
 
   def ingest(spark: SparkSession, events: DataFrame, path: String,
              layout: StoreLayout = StoreLayout()): Unit = withRollupRewriteOff(spark) {
-    requireAtomicRenameAt(spark, path)
+    if (layout.commit == "rename") requireAtomicRenameAt(spark, path)
     val m = normalize(events, layout)
+    if (layout.commit == "manifest") {
+      // whole-store build into one fresh segment, committed by a single
+      // manifest create: readers see the OLD store (or none) until the
+      // base AND every cascade level have fully landed — full ingest is
+      // atomic here, where the rename layout exposes table-at-a-time
+      val fs = fsOf(spark, path)
+      val seg = StoreManifest.newSegId()
+      m.sortWithinPartitions("dt", "user_id", "event_type", "ts_us")
+        .write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd")
+        .partitionBy("dt").parquet(StoreManifest.segTableDir(path, seg, "base"))
+      writeLayout(spark, path, layout)
+      buildCascades(spark, s"$path/_segs/$seg", layout)
+      val prev = StoreManifest.load(fs, path)
+      val tables = "base" +: layout.steps.flatMap(s =>
+        Seq(s"agg_$s", s"rate_$s") ++
+          (if (layout.quantiles) Seq(s"quant_$s") else Seq.empty))
+      val fresh = tables.flatMap(t =>
+        StoreManifest.segEntries(fs, path, seg, t)).toMap
+      // a re-ingest replaces every data table but PRESERVES the
+      // metadata sidecar (append-only as-of history, like deleteSeries)
+      StoreManifest.publish(fs, path, prev.version,
+        prev.entries.filter(_._1._1 == "meta") ++ fresh)
+      touchDataStamp(spark, path)
+      return
+    }
     if (layout.buckets > 0) {
       // Hive-bucketed layout: per-series windows / joins read
       // pre-clustered buckets (no exchange); the files under
@@ -350,8 +444,11 @@ object TsdbStore {
   }
 
   /** (Re)build every derived table (value + quantile + rate cascades)
-    * from the CURRENT `$path/base` — ingest's second half, shared with
-    * [[upsert]]'s post-swap rebuild. */
+    * from the CURRENT `$root/base` — ingest's second half, shared with
+    * [[upsert]]'s post-swap rebuild. `root` is the store path on the
+    * rename layout, or the not-yet-committed segment dir on the
+    * manifest layout (the whole build stays invisible until the
+    * caller's single manifest publish). */
   private def buildCascades(spark: SparkSession, path: String,
                             layout: StoreLayout): Unit = {
     val base = spark.read.parquet(s"$path/base")
@@ -467,12 +564,12 @@ object TsdbStore {
     * sit the swap behind a table format's atomic commit. */
   def upsert(spark: SparkSession, newEvents: DataFrame, path: String): Unit =
       withRollupRewriteOff(spark) {
-    requireAtomicRenameAt(spark, path)
     val layout = readLayout(spark, path)
+    if (layout.commit == "rename") requireAtomicRenameAt(spark, path)
     require(layout.buckets == 0,
       "upsert writes plain parquet, which would not honor the bucketed " +
         "table's file layout — rewrite the bucketed table via ingest() instead")
-    val existing = spark.read.parquet(s"$path/base")
+    val existing = readTable(spark, path, layout, "base")
       .select("user_id", "event_type", "event_id", "ts_us", "cents", "dt")
     val incoming = dedupeBatch(normalize(newEvents, layout))
     val merged = existing.withColumn("gen", lit(0))
@@ -481,6 +578,29 @@ object TsdbStore {
       .agg(max_by(struct(col("ts_us"), col("cents"), col("dt")), col("gen")).as("r"))
       .select(col("user_id"), col("event_type"), col("event_id"),
         col("r.ts_us"), col("r.cents"), col("r.dt"))
+    val fs = fsOf(spark, path)
+    if (layout.commit == "manifest") {
+      // merge + full cascade rebuild into one fresh segment, ONE
+      // publish: the rename layout's documented crash window (base
+      // swapped, cascades stale) does not exist here — readers see the
+      // old store whole until everything has landed
+      val seg = StoreManifest.newSegId()
+      merged
+        .sortWithinPartitions("dt", "user_id", "event_type", "ts_us")
+        .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+        .partitionBy("dt").parquet(StoreManifest.segTableDir(path, seg, "base"))
+      buildCascades(spark, s"$path/_segs/$seg", layout)
+      val prev = StoreManifest.load(fs, path)
+      val tables = "base" +: layout.steps.flatMap(s =>
+        Seq(s"agg_$s", s"rate_$s") ++
+          (if (layout.quantiles) Seq(s"quant_$s") else Seq.empty))
+      val fresh = tables.flatMap(t =>
+        StoreManifest.segEntries(fs, path, seg, t)).toMap
+      StoreManifest.publish(fs, path, prev.version,
+        prev.entries.filter(_._1._1 == "meta") ++ fresh)
+      touchDataStamp(spark, path)
+      return
+    }
     // stage fully (this materializes the merge BEFORE base is touched —
     // merged reads base lazily), CLUSTERED like ingest writes it —
     // without the within-partition (series, ts) sort the swapped-in
@@ -490,8 +610,6 @@ object TsdbStore {
       .sortWithinPartitions("dt", "user_id", "event_type", "ts_us")
       .write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .partitionBy("dt").parquet(s"$path/base_new")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     swapPartitionDir(fs,
       new org.apache.hadoop.fs.Path(s"$path/base_new"),
       new org.apache.hadoop.fs.Path(s"$path/base"),
@@ -533,8 +651,8 @@ object TsdbStore {
                         verifyNoPartitionMoves: Boolean = false): Seq[String] =
       withRollupRewriteOff(spark) {
     import org.apache.hadoop.fs.Path
-    requireAtomicRenameAt(spark, path)
     val layout = readLayout(spark, path)
+    if (layout.commit == "rename") requireAtomicRenameAt(spark, path)
     // same guard as compactPartition: swapIn would install plain
     // parquet files (no bucket-id naming) into a bucketed table's live
     // partition dirs, breaking every later bucketed read (ADVICE r4)
@@ -549,18 +667,38 @@ object TsdbStore {
     val touched = incoming.select(col("dt").cast("string")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def existingDts(table: String): Set[String] = {
-      val dir = new Path(s"$path/$table")
-      if (!fs.exists(dir)) Set.empty
-      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("dt=")).map(_.stripPrefix("dt=")).toSet
-    }
+    // manifest layout: every table's recompute lands in ONE fresh
+    // segment and `work` accumulates the would-be snapshot; internal
+    // reads resolve through `work` (base swaps in before the cascades
+    // read it), and the single publish at the end makes the WHOLE
+    // multi-table update atomic to readers — the rename layout exposes
+    // each table's swap as it lands
+    val manifest = layout.commit == "manifest"
+    val snap =
+      if (manifest) StoreManifest.load(fs, path)
+      else StoreManifest.Snapshot(0L, Map.empty)
+    var work = snap.entries
+    val seg = StoreManifest.newSegId()
+    def readTbl(table: String): DataFrame =
+      if (manifest) manifestRead(spark, path, work, table)
+      else spark.read.parquet(s"$path/$table")
+    def tblExists(table: String): Boolean =
+      if (manifest) work.keys.exists(_._1 == table)
+      else fs.exists(new Path(s"$path/$table"))
+    def existingDts(table: String): Set[String] =
+      if (manifest) work.keys.collect { case (t, dt) if t == table => dt }.toSet
+      else {
+        val dir = new Path(s"$path/$table")
+        if (!fs.exists(dir)) Set.empty
+        else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("dt=")).map(_.stripPrefix("dt=")).toSet
+      }
     // dt partition values as typed filter literals (DATE or STRING)
     def dtLits(dts: Seq[String]): Seq[Any] =
       if (layout.monthly) dts else dts.map(java.sql.Date.valueOf)
 
-    if (verifyNoPartitionMoves && fs.exists(new Path(s"$path/base"))) {
-      val moved = spark.read.parquet(s"$path/base")
+    if (verifyNoPartitionMoves && tblExists("base")) {
+      val moved = readTbl("base")
         .filter(!col("dt").isin(dtLits(touched): _*))
         .join(incoming.select("user_id", "event_type", "event_id"),
           Seq("user_id", "event_type", "event_id"), "left_semi")
@@ -570,32 +708,46 @@ object TsdbStore {
           "in an untouched partition (a partition-moving replay) — use upsert()")
     }
 
-    // write df (the given dts only) to a staging dir, then rename each
-    // staged dt directory over the live one — the same swap as
-    // [[compactPartition]], one partition at a time. A recompute that
-    // produces NO rows for a dt (e.g. every delta in it became invalid)
-    // legitimately deletes the live partition.
-    def swapIn(table: String, df: DataFrame, dts: Seq[String]): Unit = {
-      val staged = s"$path/${table}_inc"
-      df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
-        .partitionBy("dt").parquet(staged)
-      dts.foreach { dt =>
-        val st = new Path(s"$staged/dt=$dt")
-        val live = new Path(s"$path/$table/dt=$dt")
-        if (fs.exists(st))
-          swapPartitionDir(fs, st, live, new Path(s"$path/${table}_retired/dt=$dt"))
-        else fs.delete(live, true)
+    // rename layout: write df (the given dts only) to a staging dir,
+    // then rename each staged dt directory over the live one — the
+    // same swap as [[compactPartition]], one partition at a time.
+    // Manifest layout: write into this mutation's segment and update
+    // `work` (nothing live is touched; the publish below commits).
+    // A recompute that produces NO rows for a dt (e.g. every delta in
+    // it became invalid) legitimately deletes the live partition.
+    def swapIn(table: String, df: DataFrame, dts: Seq[String]): Unit =
+      if (manifest) {
+        df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
+          .partitionBy("dt")
+          .parquet(StoreManifest.segTableDir(path, seg, table))
+        val fresh = StoreManifest.segEntries(fs, path, seg, table)
+        dts.foreach { dt =>
+          fresh.get((table, dt)) match {
+            case Some(rel) => work += ((table, dt) -> rel)
+            case None => work -= ((table, dt))
+          }
+        }
+      } else {
+        val staged = s"$path/${table}_inc"
+        df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
+          .partitionBy("dt").parquet(staged)
+        dts.foreach { dt =>
+          val st = new Path(s"$staged/dt=$dt")
+          val live = new Path(s"$path/$table/dt=$dt")
+          if (fs.exists(st))
+            swapPartitionDir(fs, st, live, new Path(s"$path/${table}_retired/dt=$dt"))
+          else fs.delete(live, true)
+        }
+        fs.delete(new Path(staged), true)
+        fs.delete(new Path(s"$path/${table}_retired"), true)
       }
-      fs.delete(new Path(staged), true)
-      fs.delete(new Path(s"$path/${table}_retired"), true)
-    }
 
     // base: last write wins within the touched partitions only
     // (bootstrap: no base yet ⇒ empty existing side — this makes the
     // incremental path usable as the streaming ingest sink too)
     val existing =
-      if (fs.exists(new Path(s"$path/base")))
-        spark.read.parquet(s"$path/base")
+      if (tblExists("base"))
+        readTbl("base")
           .filter(col("dt").isin(dtLits(touched): _*)) // partition pruning
           .select("user_id", "event_type", "event_id", "ts_us", "cents", "dt")
       else incoming.filter(lit(false))
@@ -608,14 +760,14 @@ object TsdbStore {
     swapIn("base", merged, touched)
 
     // value cascade: coarse from fine, touched partitions only
-    val newBase = spark.read.parquet(s"$path/base")
+    val newBase = readTbl("base")
       .filter(col("dt").isin(dtLits(touched): _*))
     swapIn(s"agg_${layout.steps.head}",
       TimeSeriesOps.downsampleWide(newBase, layout.steps.head)
         .withColumn("dt", dtFromSlot(layout)), touched)
     layout.steps.sliding(2).foreach {
       case Seq(fine, coarse) =>
-        val f = spark.read.parquet(s"$path/agg_$fine")
+        val f = readTbl(s"agg_$fine")
           .filter(col("dt").isin(dtLits(touched): _*))
         swapIn(s"agg_$coarse",
           valueAggCoarser(f, coarse).withColumn("dt", dtFromSlot(layout)), touched)
@@ -632,7 +784,7 @@ object TsdbStore {
         .withColumn("dt", dtFromSlot(layout)), touched)
     layout.steps.sliding(2).foreach {
       case Seq(fine, coarse) =>
-        val f = spark.read.parquet(s"$path/quant_$fine")
+        val f = readTbl(s"quant_$fine")
           .filter(col("dt").isin(dtLits(touched): _*))
         swapIn(s"quant_$coarse",
           quantAggCoarser(f, coarse).withColumn("dt", dtFromSlot(layout)), touched)
@@ -648,7 +800,7 @@ object TsdbStore {
       .distinct.filter(baseDts.contains).sorted
     val readDts = (rateTouched ++ rateTouched.map(prevDt(layout, _)))
       .distinct.filter(baseDts.contains).sorted
-    val window = spark.read.parquet(s"$path/base")
+    val window = readTbl("base")
       .filter(col("dt").isin(dtLits(readDts): _*))
     val deltas = validDeltas(window, layout.heartbeatSec)
       .filter(col("dt").isin(dtLits(rateTouched): _*)) // sample's own partition
@@ -668,6 +820,10 @@ object TsdbStore {
       case _ => ()
     }
     fineRate.unpersist()
+    // the manifest layout's single commit point: every table's update
+    // above becomes visible to readers at once, or (on a crash before
+    // this line) not at all — the segment is vacuumable garbage
+    if (manifest) StoreManifest.publish(fs, path, snap.version, work)
     touchDataStamp(spark, path)
     touched
   }
@@ -689,8 +845,8 @@ object TsdbStore {
   def compactPartition(spark: SparkSession, path: String, dt: String,
                        targetFiles: Int = 1,
                        table: String = "base"): Unit = withRollupRewriteOff(spark) {
-    requireAtomicRenameAt(spark, path)
     val layout = readLayout(spark, path)
+    if (layout.commit == "rename") requireAtomicRenameAt(spark, path)
     require(layout.buckets == 0,
       "compactPartition would destroy bucket-file metadata; rewrite the bucketed table instead")
     val derived = "^(agg|rate|quant)_(\\d+)$".r
@@ -708,14 +864,25 @@ object TsdbStore {
           s"compactPartition: unknown table '$other' " +
             "(expected base | agg_<step> | rate_<step> | quant_<step>)")
     }
-    val staged = s"$path/${table}_compacted/dt=$dt"
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(spark, path)
+    val manifest = layout.commit == "manifest"
+    val snap =
+      if (manifest) StoreManifest.load(fs, path)
+      else StoreManifest.Snapshot(0L, Map.empty)
+    val seg = StoreManifest.newSegId()
+    val staged =
+      if (manifest) s"${StoreManifest.segTableDir(path, seg, table)}/dt=$dt"
+      else s"$path/${table}_compacted/dt=$dt"
     // fail fast on a typo'd / already-dropped partition — compacting
     // an empty read would otherwise install an empty junk partition
-    require(new org.apache.hadoop.fs.Path(s"$path/$table/dt=$dt")
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(new org.apache.hadoop.fs.Path(s"$path/$table/dt=$dt")),
-      s"compactPartition: no such partition dt=$dt under $path/$table")
-    spark.read.parquet(s"$path/$table")
+    if (manifest)
+      require(snap.entries.contains((table, dt)),
+        s"compactPartition: no such partition dt=$dt under $path/$table")
+    else
+      require(fs.exists(new Path(s"$path/$table/dt=$dt")),
+        s"compactPartition: no such partition dt=$dt under $path/$table")
+    readTable(spark, path, layout, table)
       .filter(col("dt") ===
         (if (layout.monthly) lit(dt) else lit(java.sql.Date.valueOf(dt))))
       .drop("dt") // encoded by the target directory name (hive layout)
@@ -727,15 +894,19 @@ object TsdbStore {
       .write.mode(SaveMode.Overwrite)
       .option("compression", "zstd")
       .parquet(staged)
-    // swap the staged directory into the live partition path so readers
-    // of the table actually see the compaction (a production deployment
-    // would sit this behind a table format's atomic commit)
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    swapPartitionDir(fs, new Path(staged),
-      new Path(s"$path/$table/dt=$dt"), new Path(s"$path/${table}_retired/dt=$dt"))
-    fs.delete(new Path(s"$path/${table}_compacted"), true)
-    fs.delete(new Path(s"$path/${table}_retired"), true)
+    if (manifest) {
+      // commit = one manifest create pointing the partition at the
+      // compacted copy; the old files become vacuumable garbage
+      StoreManifest.publish(fs, path, snap.version,
+        snap.entries.updated((table, dt), s"_segs/$seg/$table/dt=$dt"))
+    } else {
+      // swap the staged directory into the live partition path so
+      // readers of the table actually see the compaction
+      swapPartitionDir(fs, new Path(staged),
+        new Path(s"$path/$table/dt=$dt"), new Path(s"$path/${table}_retired/dt=$dt"))
+      fs.delete(new Path(s"$path/${table}_compacted"), true)
+      fs.delete(new Path(s"$path/${table}_retired"), true)
+    }
     touchDataStamp(spark, path)
   }
 
@@ -855,7 +1026,7 @@ object TsdbStore {
   def listSeries(spark: SparkSession, path: String): DataFrame = {
     val layout = readLayout(spark, path)
     val t = layout.steps.max
-    spark.read.parquet(s"$path/agg_$t")
+    readTable(spark, path, layout, s"agg_$t")
       .groupBy("user_id", "event_type")
       .agg(min("slot_ts").as("first_slot_ts"), max("slot_ts").as("last_slot_ts"),
         sum("n").as("n_samples"))
@@ -892,48 +1063,82 @@ object TsdbStore {
                    userId: Long, eventType: String): Map[String, Seq[String]] =
       withRollupRewriteOff(spark) {
     import org.apache.hadoop.fs.Path
-    requireAtomicRenameAt(spark, path)
     val layout = readLayout(spark, path)
+    if (layout.commit == "rename") requireAtomicRenameAt(spark, path)
     require(layout.buckets == 0,
       "deleteSeries rewrites plain parquet partitions, which would destroy " +
         "bucket-file metadata; rewrite the bucketed table via ingest() instead")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = layout.commit == "manifest"
+    val snap =
+      if (manifest) StoreManifest.load(fs, path)
+      else StoreManifest.Snapshot(0L, Map.empty)
+    var work = snap.entries
+    val seg = StoreManifest.newSegId()
     def dtLits(dts: Seq[String]): Seq[Any] =
       if (layout.monthly) dts else dts.map(java.sql.Date.valueOf)
     val tables = "base" +: layout.steps.flatMap(s =>
       Seq(s"agg_$s", s"rate_$s", s"quant_$s"))
     val rewritten = tables.flatMap { table =>
-      if (!fs.exists(new Path(s"$path/$table"))) None
+      val exists =
+        if (manifest) work.keys.exists(_._1 == table)
+        else fs.exists(new Path(s"$path/$table"))
+      if (!exists) None
       else {
-        val t = spark.read.parquet(s"$path/$table")
+        val t =
+          if (manifest) manifestRead(spark, path, work, table)
+          else spark.read.parquet(s"$path/$table")
         val touched = t
           .filter(col("user_id") === userId && col("event_type") === eventType)
           .select(col("dt").cast("string")).distinct()
           .collect().map(_.getString(0)).sorted.toSeq
         if (touched.isEmpty) Some(table -> Seq.empty[String])
         else {
-          val staged = s"$path/${table}_del"
+          val staged =
+            if (manifest) StoreManifest.segTableDir(path, seg, table)
+            else s"$path/${table}_del"
           t.filter(col("dt").isin(dtLits(touched): _*))
             .filter(!(col("user_id") === userId && col("event_type") === eventType))
             .write.mode(SaveMode.Overwrite).option("compression", "zstd")
             .partitionBy("dt").parquet(staged)
-          touched.foreach { dt =>
-            val st = new Path(s"$staged/dt=$dt")
-            val live = new Path(s"$path/$table/dt=$dt")
-            if (fs.exists(st))
-              swapPartitionDir(fs, st, live,
-                new Path(s"$path/${table}_retired/dt=$dt"), keepRetired = true)
-            else fs.delete(live, true) // the series was the partition's only content
+          if (manifest) {
+            // nothing live is touched: accumulate the entry updates and
+            // commit ONCE below — readers never see the half-deleted
+            // state the rename layout's crash contract has to document
+            val fresh = StoreManifest.segEntries(fs, path, seg, table)
+            touched.foreach { dt =>
+              fresh.get((table, dt)) match {
+                case Some(rel) => work += ((table, dt) -> rel)
+                case None => work -= ((table, dt)) // series was the partition's only content
+              }
+            }
+          } else {
+            touched.foreach { dt =>
+              val st = new Path(s"$staged/dt=$dt")
+              val live = new Path(s"$path/$table/dt=$dt")
+              if (fs.exists(st))
+                swapPartitionDir(fs, st, live,
+                  new Path(s"$path/${table}_retired/dt=$dt"), keepRetired = true)
+              else fs.delete(live, true) // the series was the partition's only content
+            }
+            fs.delete(new Path(staged), true)
           }
-          fs.delete(new Path(staged), true)
           Some(table -> touched)
         }
       }
     }.toMap
-    // only after EVERY table has swapped do the backups go: a crash
-    // anywhere above leaves each touched partition either live or
-    // retired-but-present, and a re-run repairs the divergence
-    tables.foreach(t => fs.delete(new Path(s"$path/${t}_retired"), true))
+    if (manifest) {
+      // the atomic cross-table commit (vs the rename layout's
+      // table-by-table visibility): one manifest create — skipped when
+      // the series touched nothing (no junk snapshot versions)
+      if (work != snap.entries)
+        StoreManifest.publish(fs, path, snap.version, work)
+    } else {
+      // only after EVERY table has swapped do the backups go: a crash
+      // anywhere above leaves each touched partition either live or
+      // retired-but-present, and a re-run repairs the divergence
+      tables.foreach(t => fs.delete(new Path(s"$path/${t}_retired"), true))
+    }
     touchDataStamp(spark, path)
     rewritten
   }
@@ -953,19 +1158,30 @@ object TsdbStore {
     * sized, not sample-sized, so one sorted parquet table serves both
     * the as-of merge and interval scans. */
   def ingestMetadata(spark: SparkSession, meta: DataFrame, path: String): Unit = {
-    requireAtomicRenameAt(spark, path)
+    val layout = readLayout(spark, path)
+    if (layout.commit == "rename") requireAtomicRenameAt(spark, path)
     val w = Window.partitionBy("user_id").orderBy("valid_from_us", "ver_id")
-    meta
+    val derived = meta
       .withColumn("valid_to_us",
         coalesce(lead("valid_from_us", 1).over(w), lit(Long.MaxValue)))
       .sortWithinPartitions("user_id", "valid_from_us")
-      .write.mode(SaveMode.Overwrite).option("compression", "zstd")
-      .parquet(s"$path/meta")
+    if (layout.commit == "manifest") {
+      val fs = fsOf(spark, path)
+      val seg = StoreManifest.newSegId()
+      derived.write.mode(SaveMode.Overwrite).option("compression", "zstd")
+        .parquet(StoreManifest.segTableDir(path, seg, "meta"))
+      val prev = StoreManifest.load(fs, path)
+      StoreManifest.publish(fs, path, prev.version,
+        prev.entries.updated(("meta", StoreManifest.NoDt), s"_segs/$seg/meta"))
+    } else {
+      derived.write.mode(SaveMode.Overwrite).option("compression", "zstd")
+        .parquet(s"$path/meta")
+    }
     touchDataStamp(spark, path)
   }
 
   def readMetadata(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/meta")
+    readTable(spark, path, readLayout(spark, path), "meta")
 
   /** Point-in-time metadata resolution served FROM the store: each
     * sample joins to the metadata version valid at its timestamp via
@@ -989,7 +1205,7 @@ object TsdbStore {
   def fetchMetaAsof(spark: SparkSession, path: String, eventType: String,
                     beginSec: Long, endSec: Long): DataFrame = {
     val layout = readLayout(spark, path)
-    val samples = spark.read.parquet(s"$path/base")
+    val samples = readTable(spark, path, layout, "base")
       .filter(dtPrune(layout, beginSec, endSec)) // partition prune
       .filter(col("event_type") === eventType)
       .filter(col("ts_us") >= beginSec * 1000000L && col("ts_us") < endSec * 1000000L)
@@ -1012,8 +1228,8 @@ object TsdbStore {
   def dropBefore(spark: SparkSession, path: String,
                  cutoffSec: Long): Map[String, Seq[String]] = {
     import org.apache.hadoop.fs.Path
-    requireAtomicRenameAt(spark, path)
     val layout = readLayout(spark, path)
+    if (layout.commit == "rename") requireAtomicRenameAt(spark, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cutoffDay = utcDay(cutoffSec) // integer UTC math, like ingest's dt
     def wholePartitionBefore(dt: String): Boolean =
@@ -1025,6 +1241,26 @@ object TsdbStore {
     val tables = "base" +: (layout.steps.map(s => s"agg_$s") ++
       layout.steps.map(s => s"rate_$s") ++
       layout.steps.map(s => s"quant_$s"))
+    if (layout.commit == "manifest") {
+      // retention on the manifest layout is a PURE metadata commit:
+      // drop the expired (table, dt) entries from the snapshot in one
+      // publish — zero data operations, and the expired files stay
+      // until [[vacuum]] reclaims them (in-flight readers finish
+      // against the old snapshot undisturbed)
+      val snap = StoreManifest.load(fs, path)
+      val droppedByTable = tables.map { t =>
+        t -> snap.entries.keys.collect {
+          case (`t`, dt) if wholePartitionBefore(dt) => dt
+        }.toSeq.sorted
+      }.toMap
+      val work = snap.entries.filterNot { case ((t, dt), _) =>
+        droppedByTable.getOrElse(t, Seq.empty).contains(dt)
+      }
+      if (work != snap.entries)
+        StoreManifest.publish(fs, path, snap.version, work)
+      touchDataStamp(spark, path)
+      return droppedByTable
+    }
     val droppedByTable = tables.map { t =>
       val dir = new Path(s"$path/$t")
       val dropped =
@@ -1043,6 +1279,24 @@ object TsdbStore {
     }.toMap
     touchDataStamp(spark, path)
     droppedByTable
+  }
+
+  /** Garbage-collection for the manifest layout: delete every data
+    * dir no retained snapshot references — crash-orphan segments and
+    * the old files of compacted/deleted/expired partitions — plus
+    * snapshots older than the newest `keepManifests`. Run it from THE
+    * writer between mutations (single-writer contract: an in-flight
+    * mutation's uncommitted segment looks exactly like crash garbage).
+    * `keepManifests > 1` retains short read-side time travel; 1 keeps
+    * only the live snapshot. Returns (store-relative dirs deleted,
+    * snapshot versions deleted). */
+  def vacuum(spark: SparkSession, path: String,
+             keepManifests: Int = 2): (Seq[String], Seq[Long]) = {
+    val layout = readLayout(spark, path)
+    require(layout.commit == "manifest",
+      s"vacuum is a manifest-layout operation; the store at $path uses " +
+        s"commit = '${layout.commit}'")
+    StoreManifest.vacuum(fsOf(spark, path), path, keepManifests)
   }
 
   /** Interchange sink/source: newline-delimited JSON export of any
@@ -1081,7 +1335,7 @@ object TsdbStore {
     val layout = readLayout(spark, path)
     require(aggStep == 0L || layout.steps.contains(aggStep), s"no such aggregate: $aggStep")
     if (aggStep == 0L) {
-      spark.read.parquet(s"$path/base")
+      readTable(spark, path, layout, "base")
         .filter(dtPrune(layout, beginSec, endSec)) // partition prune
         .filter(col("user_id") === userId && col("event_type") === eventType)
         .filter(col("ts_us") >= beginSec * 1000000L && col("ts_us") < endSec * 1000000L)
@@ -1117,7 +1371,7 @@ object TsdbStore {
     val layout = readLayout(spark, path)
     val t = quantLevelOf(layout, aggStep, q, interp)
     val ms = udaf(new graft.functions.BottomKMergeState)
-    spark.read.parquet(s"$path/quant_$t")
+    readTable(spark, path, layout, s"quant_$t")
       .filter(dtPrune(layout, beginSec, endSec))
       .filter(col("user_id") === userId && col("event_type") === eventType)
       .filter(col("slot_ts") >= beginSec && col("slot_ts") < endSec)
@@ -1143,7 +1397,7 @@ object TsdbStore {
     val layout = readLayout(spark, path)
     val t = quantLevelOf(layout, aggStep, q, interp)
     val ms = udaf(new graft.functions.BottomKMergeState)
-    spark.read.parquet(s"$path/quant_$t")
+    readTable(spark, path, layout, s"quant_$t")
       .filter(dtPrune(layout, beginSec, endSec))
       .filter(col("event_type") === eventType)
       .filter(col("slot_ts") >= beginSec && col("slot_ts") < endSec)
@@ -1264,7 +1518,7 @@ object TsdbStore {
                        beginSec: Long, endSec: Long,
                        aggStep: Long, cf: String): DataFrame = {
     val (table, cfCol) = cfColumn(cf)
-    spark.read.parquet(s"$path/${table}_$aggStep")
+    readTable(spark, path, layout, s"${table}_$aggStep")
       .filter(dtPrune(layout, beginSec, endSec))
       .filter(col("user_id") === userId && col("event_type") === eventType)
       .filter(col("slot_ts") >= beginSec && col("slot_ts") < endSec)
@@ -1392,7 +1646,7 @@ object TsdbStore {
     require(aggStep == 0L || layout.steps.contains(aggStep), s"no such aggregate: $aggStep")
     val keys = series.map { case (u, e) => struct(lit(u), lit(e)) }
     if (aggStep == 0L)
-      spark.read.parquet(s"$path/base")
+      readTable(spark, path, layout, "base")
         .filter(dtPrune(layout, beginSec, endSec)) // partition prune
         .filter(struct(col("user_id"), col("event_type")).isin(keys: _*))
         .filter(col("ts_us") >= beginSec * 1000000L && col("ts_us") < endSec * 1000000L)
@@ -1401,7 +1655,7 @@ object TsdbStore {
         .orderBy("user_id", "event_type", "ts_us")
     else {
       val (table, cfCol) = cfColumn(cf)
-      spark.read.parquet(s"$path/${table}_$aggStep")
+      readTable(spark, path, layout, s"${table}_$aggStep")
         .filter(dtPrune(layout, beginSec, endSec)) // partition prune
         .filter(struct(col("user_id"), col("event_type")).isin(keys: _*))
         .filter(col("slot_ts") >= beginSec && col("slot_ts") < endSec)

@@ -204,6 +204,16 @@ object StreamingOps {
     val fs = new Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.sources.TsdbStore.requireAtomicRename(fs)
+    // the marker protocol appends files INTO live base partitions —
+    // a rename-layout (or plain-dir) concept. A manifest store's live
+    // set is whatever the newest snapshot says; direct appends would
+    // be invisible to readers. Its streaming path is
+    // [[streamIngestIncremental]] (one snapshot commit per microbatch).
+    require(graft.sources.TsdbStore
+        .readLayout(spark, storePath).commit != "manifest",
+      s"ingestBatch appends into live partition dirs, which a manifest " +
+        s"store's readers never resolve — use streamIngestIncremental " +
+        s"for the store at $storePath")
     val commitsDir =
       if (runNs.isEmpty) s"$storePath/_stream_commits"
       else s"$storePath/_stream_commits/ns-$runNs"
