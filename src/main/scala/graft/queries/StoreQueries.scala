@@ -353,6 +353,55 @@ object StoreQueries {
       TsdbStore.fetch(s, StoreFixture.store(s, d), 7L, "click", B, E)
     },
 
+    QueryDef("q_store_manifest_fetch",
+      s"""SELECT epoch_us(ts) AS ts_us,
+         |  CAST(CASE WHEN epoch_us(ts) >= 1704758400000000
+         |              AND epoch_us(ts) < 1705104000000000
+         |         THEN CAST(round((value+1.0)*100) AS BIGINT)
+         |         ELSE CAST(round(value*100) AS BIGINT) END
+         |       AS DOUBLE)/100.0 AS value
+         |FROM events
+         |WHERE user_id = 7 AND event_type = 'click'
+         |  AND epoch_us(ts) >= ${B}000000 AND epoch_us(ts) < ${E}000000
+         |ORDER BY ts_us""".stripMargin) { (s, d) =>
+      // raw fetch from the MANIFEST-committed store (snapshot-resolved
+      // segment reads, StoreManifest) AFTER its maintenance lifecycle:
+      // the oracle recomputes the replayed window's last-write-wins
+      // values from raw events — the hash match certifies the upsert
+      // merge, the 2024-01-12 compaction, and the vacuum left exactly
+      // the right live rows on the object-store-safe layout
+      TsdbStore.fetch(s, StoreFixture.manifestStore(s, d), 7L, "click", B, E)
+    },
+
+    QueryDef("q_store_manifest_bulk",
+      s"""WITH c AS (
+         |  SELECT user_id, event_type,
+         |         (epoch_us(ts) // 21600000000) * 21600 AS slot_ts,
+         |         CASE WHEN user_id = 7 AND event_type = 'click'
+         |                AND epoch_us(ts) >= 1704758400000000
+         |                AND epoch_us(ts) < 1705104000000000
+         |           THEN CAST(round((value+1.0)*100) AS BIGINT)
+         |           ELSE CAST(round(value*100) AS BIGINT) END AS cents
+         |  FROM events
+         |  WHERE (user_id = 5 AND event_type = 'click')
+         |     OR (user_id = 7 AND event_type = 'click')
+         |)
+         |SELECT user_id, event_type, slot_ts,
+         |  CAST(sum(cents) AS DOUBLE)/100.0/CAST(count(*) AS DOUBLE) AS value
+         |FROM c WHERE slot_ts >= $B AND slot_ts < $E
+         |GROUP BY 1, 2, 3
+         |ORDER BY user_id, event_type, slot_ts""".stripMargin) { (s, d) =>
+      // consolidated bulk fetch from the manifest store's 6h cascade,
+      // REQUESTING the deleted series (5, view) alongside two live
+      // ones: the oracle simply omits it, so the hash match proves the
+      // snapshot-committed deletion removed the series from the
+      // cascade everywhere — and that the incremental upsert's
+      // touched-partition recompute propagated the replay into the
+      // aggregates
+      TsdbStore.fetchBulk(s, StoreFixture.manifestStore(s, d),
+        Seq((5L, "view"), (5L, "click"), (7L, "click")), B, E, 21600L)
+    },
+
     QueryDef("q_store_fetch_agg",
       s"""WITH c AS (
          |  SELECT (epoch_us(ts) // 21600000000) * 21600 AS slot_ts,

@@ -96,6 +96,37 @@ object StoreFixture {
     tgt
   }
 
+  /** The events store under the MANIFEST commit protocol
+    * ([[StoreLayout]] `commit = "manifest"`: `_segs` write-once
+    * segments + `_commits` snapshots, [[StoreManifest]]) — built, then
+    * MUTATED through the full object-store-safe maintenance surface:
+    * an incremental upsert replaying user 7's clicks over
+    * [2024-01-09, 2024-01-13) with values shifted +1.0 (same event
+    * ids/timestamps — last write wins), a compaction of the
+    * 2024-01-12 base partition, deletion of series (5, view), and a
+    * vacuum down to the single live snapshot. The declared
+    * `q_store_manifest_*` reads therefore certify the POST-MUTATION
+    * snapshot contents against raw-events oracles — upsert merge,
+    * compaction row preservation, delete completeness, and vacuum
+    * safety all sit under the driver's hash gate, not just ScalaTest. */
+  def manifestStore(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val tgt = s"/tmp/graft_store_manifest/${new File(sfDir).getName}"
+    buildOnce(new File(s"$sfDir/events.parquet"), tgt) {
+      val ev = Tables.events(spark, sfDir)
+      TsdbStore.ingest(spark, ev, tgt, StoreLayout(commit = "manifest"))
+      TsdbStore.upsertIncremental(spark,
+        ev.filter(col("user_id") === 7 && col("event_type") === "click" &&
+            col("ts") >= lit("2024-01-09") && col("ts") < lit("2024-01-13"))
+          .withColumn("value", col("value") + 1.0),
+        tgt)
+      TsdbStore.compactPartition(spark, tgt, "2024-01-12")
+      TsdbStore.deleteSeries(spark, tgt, 5L, "view")
+      TsdbStore.vacuum(spark, tgt, keepManifests = 1)
+    }
+    tgt
+  }
+
   /** documents corpus as JSONL part files (uncompressed, one dir). */
   def docsJsonl(spark: SparkSession, sfDir: String): String = {
     val tgt = s"/tmp/graft_jsonl/${new File(sfDir).getName}"
