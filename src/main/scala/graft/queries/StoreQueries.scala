@@ -368,7 +368,7 @@ object StoreQueries {
       // segment reads, StoreManifest) AFTER its maintenance lifecycle:
       // the oracle recomputes the replayed window's last-write-wins
       // values from raw events — the hash match certifies the upsert
-      // merge, the 2024-01-12 compaction, and the vacuum left exactly
+      // merge, the touched-partition compaction, and the vacuum left exactly
       // the right live rows on the object-store-safe layout
       TsdbStore.fetch(s, StoreFixture.manifestStore(s, d), 7L, "click", B, E)
     },

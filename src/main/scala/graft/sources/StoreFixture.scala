@@ -102,8 +102,8 @@ object StoreFixture {
     * MUTATED through the full object-store-safe maintenance surface:
     * an incremental upsert replaying user 7's clicks over
     * [2024-01-09, 2024-01-13) with values shifted +1.0 (same event
-    * ids/timestamps — last write wins), a compaction of the
-    * 2024-01-12 base partition, deletion of series (5, view), and a
+    * ids/timestamps — last write wins), a compaction of the first
+    * touched base partition, deletion of series (5, view), and a
     * vacuum down to the single live snapshot. The declared
     * `q_store_manifest_*` reads therefore certify the POST-MUTATION
     * snapshot contents against raw-events oracles — upsert merge,
@@ -115,12 +115,16 @@ object StoreFixture {
     buildOnce(new File(s"$sfDir/events.parquet"), tgt) {
       val ev = Tables.events(spark, sfDir)
       TsdbStore.ingest(spark, ev, tgt, StoreLayout(commit = "manifest"))
-      TsdbStore.upsertIncremental(spark,
+      val touched = TsdbStore.upsertIncremental(spark,
         ev.filter(col("user_id") === 7 && col("event_type") === "click" &&
             col("ts") >= lit("2024-01-09") && col("ts") < lit("2024-01-13"))
           .withColumn("value", col("value") + 1.0),
         tgt)
-      TsdbStore.compactPartition(spark, tgt, "2024-01-12")
+      // compact a partition the upsert actually touched — derived, not
+      // hard-coded, so reshaped scale-arm corpora (different dates /
+      // sparser series) build the fixture instead of failing a
+      // compaction of a partition they don't have
+      touched.headOption.foreach(dt => TsdbStore.compactPartition(spark, tgt, dt))
       TsdbStore.deleteSeries(spark, tgt, 5L, "view")
       TsdbStore.vacuum(spark, tgt, keepManifests = 1)
     }

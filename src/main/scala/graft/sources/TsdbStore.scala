@@ -822,8 +822,11 @@ object TsdbStore {
     fineRate.unpersist()
     // the manifest layout's single commit point: every table's update
     // above becomes visible to readers at once, or (on a crash before
-    // this line) not at all — the segment is vacuumable garbage
-    if (manifest) StoreManifest.publish(fs, path, snap.version, work)
+    // this line) not at all — the segment is vacuumable garbage.
+    // An EMPTY batch leaves the entry set untouched — skip the
+    // publish rather than committing a junk identical snapshot
+    if (manifest && work != snap.entries)
+      StoreManifest.publish(fs, path, snap.version, work)
     touchDataStamp(spark, path)
     touched
   }

@@ -141,6 +141,10 @@ class ManifestCommitSpec extends SparkSpec {
       rows(TsdbStore.fetch(spark, r, 7L, "click", B, E, 86400L, "delta")))
     assert(rows(TsdbStore.fetchQuantile(spark, m, 7L, "click", B, E, 86400L, 0.5)) ==
       rows(TsdbStore.fetchQuantile(spark, r, 7L, "click", B, E, 86400L, 0.5)))
+    // an EMPTY batch must not commit a junk identical snapshot
+    val count = manifestCount(m)
+    TsdbStore.upsertIncremental(spark, replay().filter(lit(false)), m)
+    assert(manifestCount(m) == count, "empty upsert published a snapshot")
   }
 
   test("compaction: same rows, fewer live files, old files wait for vacuum") {
