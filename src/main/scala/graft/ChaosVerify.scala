@@ -43,7 +43,13 @@ import org.apache.spark.sql.SparkSession
   * loss mid-MAINTENANCE — an incremental upsert and a partition
   * compaction, each diffed table-by-table against a virgin full
   * ingest of the accumulated truth (StoreMutationFuzzSpec's oracle,
-  * now under a real SIGKILL on a multi-JVM master). */
+  * now under a real SIGKILL on a multi-JVM master). The maintenance
+  * phase also runs a MANIFEST-layout arm (the snapshot commit
+  * protocol): its contract is tri-state — the killed upsert either
+  * commits (tables equal the virgin rebuild) or never happened
+  * (tables still equal the pre-mutation ingest; a dead mutation is
+  * invisible orphan garbage, not a torn store), and a retry
+  * converges. */
 object ChaosVerify {
 
   private val Queries = Seq("q_dedup_cluster", "q_sql_q5", "q_text_tfidf",
@@ -249,9 +255,63 @@ object ChaosVerify {
         graft.sources.TsdbStore.compactPartition(spark, truth, baseDt,
           targetFiles = 2)
       }
+
+      // ---- manifest-layout arm (round 14): the same executor kill
+      // mid-incremental-upsert against a store on the SNAPSHOT commit
+      // protocol. Its contract is stronger than the rename layout's
+      // and tri-state testable: the mutation either commits (every
+      // table equals the virgin rebuild), or it never happened (every
+      // table still equals the PRE-mutation ingest — a dead mutation
+      // is invisible orphan garbage, not a torn store), and a plain
+      // re-run then converges. maxFailures=8 means the job usually
+      // survives the kill, so the commit branch is the common case;
+      // the abort branch asserts atomicity when it does fire.
+      {
+        val mStore = java.nio.file.Files
+          .createTempDirectory("graft-chaos-manifest").toString
+        val mLayout = graft.sources.StoreLayout(commit = "manifest")
+        graft.sources.TsdbStore.ingest(spark, evs, mStore, mLayout)
+        def mEquals(oracle: String): Boolean = mutTables.forall { t =>
+          val x = graft.sources.TsdbStore.readTable(spark, mStore, mLayout, t)
+          val y = rows(s"$oracle/$t")
+          x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty
+        }
+        val before = executorPids()
+        val fut = Future(
+          graft.sources.TsdbStore.upsertIncremental(spark, batch, mStore))
+        Thread.sleep(1500)
+        val midOp = !fut.isCompleted
+        val victim = before.head
+        val _ = scala.sys.process.Process(Seq("kill", "-9", victim.toString)).!
+        val res = scala.util.Try(Await.result(fut, 10.minutes))
+        val ok =
+          if (res.isSuccess) mEquals(mutTruth)
+          else {
+            System.err.println(
+              s"[chaos] manifest upsert aborted: ${res.failed.get.getMessage}")
+            // atomicity: the dead mutation must be invisible — the
+            // store must still equal a pristine ingest of the
+            // pre-mutation events (built here, only the abort branch
+            // pays for it)...
+            val preTruth = java.nio.file.Files
+              .createTempDirectory("graft-chaos-mpre").toString
+            graft.sources.TsdbStore.ingest(spark, evs, preTruth)
+            val untouched = mEquals(preTruth)
+            // ...and a clean retry must converge to the truth
+            graft.sources.TsdbStore.upsertIncremental(spark, batch, mStore)
+            untouched && mEquals(mutTruth)
+          }
+        if (!ok) failures += 1
+        if (midOp) killsLanded += 1
+        println(s"""{"chaos":"mutation_upsert_manifest","mid_query":$midOp,""" +
+          s""""killed_pid":$victim,"committed":${res.isSuccess},"match":$ok}""")
+        var w = 0
+        while (executorPids().size < 2 && w < 120) { Thread.sleep(1000); w += 1 }
+        require(executorPids().size >= 2, "no executor relaunch after manifest arm")
+      }
     }
 
-    val totalOps = Queries.size + 3 // batch queries + stream + 2 mutations
+    val totalOps = Queries.size + 4 // batch queries + stream + 3 mutations
     println(s"""{"chaos_summary":true,"queries":$totalOps,""" +
       s""""mid_query_kills":$killsLanded,"failures":$failures}""")
     spark.stop()

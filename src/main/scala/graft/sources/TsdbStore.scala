@@ -256,9 +256,10 @@ object TsdbStore {
 
   /** The one table-read entry point every fetch/maintenance path goes
     * through: a plain directory read on the rename layout, manifest
-    * resolution on the manifest layout. */
-  private def readTable(spark: SparkSession, path: String,
-                        layout: StoreLayout, table: String): DataFrame =
+    * resolution on the manifest layout. Package-visible so the chaos
+    * harness can diff manifest-store tables against a virgin rebuild. */
+  private[graft] def readTable(spark: SparkSession, path: String,
+                               layout: StoreLayout, table: String): DataFrame =
     if (layout.commit == "manifest")
       manifestRead(spark, path,
         StoreManifest.load(fsOf(spark, path), path).entries, table)
