@@ -41,6 +41,10 @@ object Bench {
     try {
       graft.sources.StoreFixture.store(spark, sfDir)
       graft.sources.StoreFixture.storeMonthly(spark, sfDir)
+      // the manifest fixture's build runs a whole maintenance
+      // lifecycle (ingest + incremental upsert + compaction + series
+      // delete + vacuum) — far heavier than its two timed READS
+      graft.sources.StoreFixture.manifestStore(spark, sfDir)
       graft.sources.StoreFixture.docsJsonl(spark, sfDir)
       graft.sources.StoreFixture.docsOrc(spark, sfDir)
       graft.sources.StoreFixture.eventsCsv(spark, sfDir)
