@@ -78,29 +78,44 @@ object StoreManifest {
   def segTableDir(path: String, segId: String, table: String): String =
     s"$path/_segs/$segId/$table"
 
+  /** Snapshot versions currently on disk, ascending. Older versions
+    * beyond the newest remain readable ([[loadAt]] — time travel)
+    * until [[vacuum]] trims past its `keepManifests`. */
+  def versions(fs: FileSystem, path: String): Seq[Long] = {
+    val dir = commitsDir(path)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".mf"))
+      .map(_.stripPrefix("v").stripSuffix(".mf").toLong).sorted
+  }
+
   /** Newest snapshot, or an empty version-0 snapshot when the store
     * has no manifest yet. */
-  def load(fs: FileSystem, path: String): Snapshot = {
-    val dir = commitsDir(path)
-    if (!fs.exists(dir)) return Snapshot(0L, Map.empty)
-    val versions = fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".mf"))
-      .map(_.stripPrefix("v").stripSuffix(".mf").toLong)
-    if (versions.isEmpty) return Snapshot(0L, Map.empty)
-    val v = versions.max
-    val in = fs.open(manifestFile(path, v))
+  def load(fs: FileSystem, path: String): Snapshot =
+    versions(fs, path).lastOption
+      .map(loadAt(fs, path, _)).getOrElse(Snapshot(0L, Map.empty))
+
+  /** A SPECIFIC retained snapshot — the time-travel read point. Fails
+    * loudly on a version vacuum already trimmed (or that never
+    * committed). */
+  def loadAt(fs: FileSystem, path: String, version: Long): Snapshot = {
+    val f = manifestFile(path, version)
+    require(fs.exists(f),
+      s"no snapshot v$version at $path (retained: " +
+        s"${versions(fs, path).mkString(",")}) — vacuumed or never committed")
+    val in = fs.open(f)
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.linesIterator.toSeq
     require(lines.headOption.contains(Header),
-      s"unrecognized manifest header in ${manifestFile(path, v)}: " +
+      s"unrecognized manifest header in $f: " +
         lines.headOption.getOrElse("<empty>"))
     val entries = lines.drop(1).filter(_.nonEmpty).map { l =>
       val Array(table, dt, rel) = l.split("\t", 3)
       (table, dt) -> rel
     }.toMap
-    Snapshot(v, entries)
+    Snapshot(version, entries)
   }
 
   /** Commit: create snapshot `prevVersion + 1` exclusively

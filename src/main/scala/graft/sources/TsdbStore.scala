@@ -265,6 +265,36 @@ object TsdbStore {
         StoreManifest.load(fsOf(spark, path), path).entries, table)
     else spark.read.parquet(s"$path/$table")
 
+  /** Retained snapshot versions of a manifest store, ascending — the
+    * read points [[readTableAt]] accepts. Only the newest is the live
+    * state; older ones survive until [[vacuum]] trims past its
+    * `keepManifests` (default 2 ⇒ one step of history). */
+  def snapshotVersions(spark: SparkSession, path: String): Seq[Long] = {
+    require(readLayout(spark, path).commit == "manifest",
+      s"snapshots are a manifest-layout concept; the store at $path " +
+        "uses rename commits")
+    StoreManifest.versions(fsOf(spark, path), path)
+  }
+
+  /** TIME-TRAVEL read: `table` exactly as snapshot `version` committed
+    * it. Free by construction on the manifest layout — data files are
+    * write-once and deletion is logical until vacuum, so an old
+    * snapshot is just an alternative (table, dt) → segment-dir map
+    * over files that still exist. The read plan is identical to the
+    * live read's (per-segment pruned scans); audits, incident
+    * forensics ("what did the dashboard serve before the upsert?"),
+    * and reproducible training-data snapshots at 100 TB all read this
+    * way instead of restoring backups. Fails loudly on a vacuumed
+    * version, listing what is retained. */
+  def readTableAt(spark: SparkSession, path: String, table: String,
+                  version: Long): DataFrame = {
+    require(readLayout(spark, path).commit == "manifest",
+      s"time travel needs the manifest layout; the store at $path " +
+        "uses rename commits")
+    manifestRead(spark, path,
+      StoreManifest.loadAt(fsOf(spark, path), path, version).entries, table)
+  }
+
   /** Whether `table` currently exists (has any live data). */
   private def tableExists(spark: SparkSession, path: String,
                           layout: StoreLayout, table: String): Boolean =

@@ -207,6 +207,32 @@ class ManifestCommitSpec extends SparkSpec {
     assert(!new java.io.File(m.stripPrefix("rec:"), s"_segs/$seg").exists())
   }
 
+  test("time travel: a retained snapshot reads exactly as it committed, until vacuumed") {
+    val m = recRoot()
+    TsdbStore.ingest(spark, events(), m, ManifestLayout)
+    val v1 = TsdbStore.snapshotVersions(spark, m).last
+    val before = rows(TsdbStore.readTableAt(spark, m, "base", v1)
+      .filter(col("user_id") === 5 && col("event_type") === "view"))
+    assert(before.nonEmpty)
+    TsdbStore.deleteSeries(spark, m, 5L, "view")
+    val v2 = TsdbStore.snapshotVersions(spark, m).last
+    assert(v2 == v1 + 1)
+    // the live snapshot lost the series; the old one still serves it
+    assert(rows(TsdbStore.readTableAt(spark, m, "base", v2)
+      .filter(col("user_id") === 5 && col("event_type") === "view")).isEmpty)
+    assert(rows(TsdbStore.readTableAt(spark, m, "base", v1)
+      .filter(col("user_id") === 5 && col("event_type") === "view")) == before)
+    // trimming history makes the old read fail LOUDLY, naming what's left
+    TsdbStore.vacuum(spark, m, keepManifests = 1)
+    val e = intercept[IllegalArgumentException] {
+      TsdbStore.readTableAt(spark, m, "base", v1).collect()
+    }
+    assert(e.getMessage.contains("retained"), e.getMessage)
+    // ...and the live snapshot is undisturbed by the trim
+    assert(rows(TsdbStore.readTableAt(spark, m, "base", v2)
+      .filter(col("user_id") === 5)).nonEmpty)
+  }
+
   test("single-writer violation fails loudly at the commit point") {
     val (m, _) = stores
     val fs = new org.apache.hadoop.fs.Path(m)
