@@ -45,6 +45,9 @@ object Bench {
       // lifecycle (ingest + incremental upsert + compaction + series
       // delete + vacuum) — far heavier than its two timed READS
       graft.sources.StoreFixture.manifestStore(spark, sfDir)
+      // the bucketed fixture was the one derived store missing here —
+      // on a cold /tmp its build landed in q_join_bucketed's timing
+      graft.sources.StoreFixture.bucketedStore(spark, sfDir)
       graft.sources.StoreFixture.docsJsonl(spark, sfDir)
       graft.sources.StoreFixture.docsOrc(spark, sfDir)
       graft.sources.StoreFixture.eventsCsv(spark, sfDir)
