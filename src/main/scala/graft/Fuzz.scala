@@ -43,12 +43,19 @@ object Fuzz {
     // TVF draws need the store fixture (built once per sf under /tmp);
     // their Spark text carries __STORE__, resolved here — the DuckDB
     // side reads the events view the fixture was ingested from
+    // draws alternate between the rename-layout fixture and a
+    // PRISTINE manifest-layout twin (identical content ⇒ identical
+    // oracles), so snapshot resolution shares the seeded pressure
     val tvf =
       if (tvfCount <= 0) Seq.empty
       else {
         val store = graft.sources.StoreFixture.store(spark, sfDir)
-        graft.fuzz.TvfGen.generate(seed, tvfCount)
-          .map(q => q.copy(sparkSql = q.sparkSql.replace("__STORE__", store)))
+        val mstore = graft.sources.StoreFixture.manifestStorePristine(spark, sfDir)
+        graft.fuzz.TvfGen.generate(seed, tvfCount).zipWithIndex
+          .map { case (q, i) =>
+            q.copy(sparkSql = q.sparkSql
+              .replace("__STORE__", if (i % 2 == 0) store else mstore))
+          }
       }
     val queries = graft.fuzz.QueryGen.generate(seed, count) ++ tvf
     var failed = 0

@@ -131,6 +131,22 @@ object StoreFixture {
     tgt
   }
 
+  /** PRISTINE manifest-layout twin of [[store]] (ingest only, no
+    * mutations) — content-identical to the rename-layout fixture, so
+    * every oracle template written against raw `events` holds
+    * verbatim. The TVF fuzz alternates its random `graft_fetch*`
+    * draws between the two fixtures, putting snapshot resolution
+    * (manifest load → per-segment pruned scans) under the same seeded
+    * differential pressure as the rename read path. */
+  def manifestStorePristine(spark: SparkSession, sfDir: String): String = {
+    val tgt = s"/tmp/graft_store_manifest_pristine/${new File(sfDir).getName}"
+    buildOnce(new File(s"$sfDir/events.parquet"), tgt) {
+      TsdbStore.ingest(spark, Tables.events(spark, sfDir), tgt,
+        StoreLayout(commit = "manifest"))
+    }
+    tgt
+  }
+
   /** documents corpus as JSONL part files (uncompressed, one dir). */
   def docsJsonl(spark: SparkSession, sfDir: String): String = {
     val tgt = s"/tmp/graft_jsonl/${new File(sfDir).getName}"
