@@ -30,8 +30,9 @@ object StoreFixture {
   /** Bump when the ingest/export layout changes, so cached fixtures
     * built by older code rebuild instead of being served stale.
     * (7: round-11 _DATA_STAMP — pre-stamp fixtures would silently
-    * disable the optimizer gate cache.) */
-  private val LayoutVersion = 7
+    * disable the optimizer gate cache. 8: round-14 manifest terminator
+    * line — terminator-less manifest fixtures read as torn commits.) */
+  private val LayoutVersion = 8
 
   private def stampOf(src: File): String =
     s"v$LayoutVersion:${src.lastModified()}:${src.length()}"

@@ -89,47 +89,96 @@ object StoreManifest {
       .map(_.stripPrefix("v").stripSuffix(".mf").toLong).sorted
   }
 
-  /** Newest snapshot, or an empty version-0 snapshot when the store
-    * has no manifest yet. */
-  def load(fs: FileSystem, path: String): Snapshot =
-    versions(fs, path).lastOption
-      .map(loadAt(fs, path, _)).getOrElse(Snapshot(0L, Map.empty))
+  /** Newest COMPLETE snapshot, or an empty version-0 snapshot when
+    * the store has no manifest yet. Completeness matters on
+    * POSIX-family filesystems, where create+write+close is NOT atomic
+    * to concurrent listers the way an object-store PUT is: a reader
+    * racing the commit can open the new version file and see a
+    * PREFIX of it. The terminator line ([[publish]]) makes that
+    * detectable — visible bytes of a single sequential writer are
+    * always a prefix, and no prefix short of the whole file contains
+    * the final line — so an unterminated newest manifest is read as
+    * "this commit has not happened yet" and the previous version
+    * serves the read (ordinary snapshot isolation; the same rule
+    * covers a writer that CRASHED mid-publish, whose torn file the
+    * next [[publish]] clears). */
+  def load(fs: FileSystem, path: String): Snapshot = {
+    val vs = versions(fs, path)
+    vs.reverseIterator
+      .map(v => tryLoad(fs, path, v))
+      .collectFirst { case Some(s) => s }
+      .getOrElse(Snapshot(0L, Map.empty))
+  }
 
   /** A SPECIFIC retained snapshot — the time-travel read point. Fails
     * loudly on a version vacuum already trimmed (or that never
-    * committed). */
+    * committed), and on a torn (never-completed) manifest after a
+    * short re-read grace for an in-flight commit. */
   def loadAt(fs: FileSystem, path: String, version: Long): Snapshot = {
     val f = manifestFile(path, version)
     require(fs.exists(f),
       s"no snapshot v$version at $path (retained: " +
         s"${versions(fs, path).mkString(",")}) — vacuumed or never committed")
+    var attempt = 0
+    while (true) {
+      tryLoad(fs, path, version) match {
+        case Some(s) => return s
+        case None if attempt < 5 => attempt += 1; Thread.sleep(100L)
+        case None =>
+          throw new IllegalStateException(
+            s"manifest $f is incomplete (no terminator) — a commit " +
+              "crashed mid-publish; the next mutation's publish clears it")
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Parse one manifest; None when the file is a torn prefix (header
+    * or terminator missing / entry count short). */
+  private def tryLoad(fs: FileSystem, path: String,
+                      version: Long): Option[Snapshot] = {
+    val f = manifestFile(path, version)
+    if (!fs.exists(f)) return None
     val in = fs.open(f)
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.linesIterator.toSeq
-    require(lines.headOption.contains(Header),
-      s"unrecognized manifest header in $f: " +
-        lines.headOption.getOrElse("<empty>"))
-    val entries = lines.drop(1).filter(_.nonEmpty).map { l =>
+    if (!lines.headOption.contains(Header)) return None
+    val body = lines.drop(1).filter(_.nonEmpty)
+    if (body.isEmpty || !body.last.startsWith("end ")) return None
+    val declared = body.last.stripPrefix("end ").toLongOption
+    val entryLines = body.dropRight(1)
+    if (!declared.contains(entryLines.size.toLong)) return None
+    Some(Snapshot(version, entryLines.map { l =>
       val Array(table, dt, rel) = l.split("\t", 3)
       (table, dt) -> rel
-    }.toMap
-    Snapshot(version, entries)
+    }.toMap))
   }
 
   /** Commit: create snapshot `prevVersion + 1` exclusively
     * (`overwrite = false` — the single-writer enforcement point; a
     * concurrent writer that already took this version makes this call
-    * fail loudly instead of silently last-write-winning). Returns the
-    * committed version. */
+    * fail loudly instead of silently last-write-winning). The file
+    * ends with a `end <entryCount>` terminator: the COMMIT POINT is
+    * the terminator becoming durable, so a reader racing the write on
+    * a POSIX filesystem (where a new file's bytes appear as a growing
+    * prefix, unlike an object store's all-or-nothing PUT) simply
+    * treats the unterminated file as not-committed-yet ([[load]]).
+    * A predecessor that CRASHED mid-publish left a torn file at this
+    * version; under the single-writer contract it is safe to clear
+    * and take the slot. Returns the committed version. */
   def publish(fs: FileSystem, path: String, prevVersion: Long,
               entries: Map[(String, String), String]): Long = {
     val next = prevVersion + 1
-    val body = (Header +: entries.toSeq.sortBy(_._1)
-      .map { case ((t, dt), rel) => s"$t\t$dt\t$rel" }).mkString("\n") + "\n"
+    val entryLines = entries.toSeq.sortBy(_._1)
+      .map { case ((t, dt), rel) => s"$t\t$dt\t$rel" }
+    val body = ((Header +: entryLines) :+ s"end ${entryLines.size}")
+      .mkString("\n") + "\n"
     fs.mkdirs(commitsDir(path))
     val target = manifestFile(path, next)
+    if (fs.exists(target) && tryLoad(fs, path, next).isEmpty)
+      fs.delete(target, false) // crashed predecessor's torn commit
     val out =
       try fs.create(target, false)
       catch {
@@ -176,14 +225,11 @@ object StoreManifest {
       .filter(n => n.startsWith("v") && n.endsWith(".mf"))
       .map(_.stripPrefix("v").stripSuffix(".mf").toLong).sorted
     val retained = versions.takeRight(keepManifests)
-    // full relative dirs referenced by ANY retained snapshot
+    // full relative dirs referenced by ANY retained snapshot (a torn
+    // retained manifest — a crashed commit — references nothing; its
+    // segments are exactly the garbage this pass exists to clear)
     val referenced: Set[String] = retained.flatMap { v =>
-      val in = fs.open(manifestFile(path, v))
-      val text =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      text.linesIterator.drop(1).filter(_.nonEmpty)
-        .map(_.split("\t", 3)(2))
+      tryLoad(fs, path, v).map(_.entries.values.toSeq).getOrElse(Seq.empty)
     }.toSet
     val deleted = scala.collection.mutable.Buffer.empty[String]
     val segsRoot = new Path(s"$path/_segs")

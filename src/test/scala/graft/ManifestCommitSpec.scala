@@ -207,6 +207,35 @@ class ManifestCommitSpec extends SparkSpec {
     assert(!new java.io.File(m.stripPrefix("rec:"), s"_segs/$seg").exists())
   }
 
+  test("a CONCURRENT reader sees whole-old or whole-new, never a blend") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val m = recRoot()
+    TsdbStore.ingest(spark, events(), m, ManifestLayout)
+    // old and new states of the touched series, as row sets
+    def read(): Seq[String] = rows(
+      TsdbStore.fetch(spark, m, 7L, "click", 1704067200L, 1706659200L))
+    val before = read()
+    val mutation = Future(TsdbStore.upsertIncremental(spark, replay(), m))
+    // hammer reads for the mutation's whole duration: the multi-table
+    // update (base + 6 cascade tables) must be invisible until its
+    // single snapshot create, so every observed row set must equal
+    // EXACTLY the old or the new state — a torn base (partition mix)
+    // or a half-published table set would produce a third row set
+    var observed = Set.empty[Seq[String]]
+    var n = 0
+    while (!mutation.isCompleted) { observed += read(); n += 1 }
+    Await.result(mutation, 5.minutes)
+    val after = read()
+    assert(after != before, "replay should change the fetched rows")
+    assert(n >= 3, s"only $n concurrent reads landed — mutation too fast to exercise")
+    val stray = observed -- Set(before, after)
+    assert(stray.isEmpty,
+      s"a concurrent reader observed ${stray.size} state(s) that are " +
+        "neither whole-old nor whole-new")
+  }
+
   test("time travel: a retained snapshot reads exactly as it committed, until vacuumed") {
     val m = recRoot()
     TsdbStore.ingest(spark, events(), m, ManifestLayout)
@@ -231,6 +260,38 @@ class ManifestCommitSpec extends SparkSpec {
     // ...and the live snapshot is undisturbed by the trim
     assert(rows(TsdbStore.readTableAt(spark, m, "base", v2)
       .filter(col("user_id") === 5)).nonEmpty)
+  }
+
+  test("a torn (crashed-mid-publish) manifest is not-committed-yet, and the next publish clears it") {
+    val m = recRoot()
+    TsdbStore.ingest(spark, events(), m, ManifestLayout)
+    val fs = new org.apache.hadoop.fs.Path(m)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = StoreManifest.load(fs, m)
+    val pre = rows(TsdbStore.fetch(spark, m, 7L, "click", B, E))
+    // simulate a writer that died mid-publish: a PREFIX of the next
+    // version file — header + one entry, NO terminator (on POSIX a
+    // concurrent reader can also observe exactly this during a live
+    // commit; both must read as "commit not yet happened")
+    val torn = new org.apache.hadoop.fs.Path(
+      s"$m/_commits/v${"%019d".format(live.version + 1)}.mf")
+    val out = fs.create(torn, false)
+    out.write("graft-manifest v1\nbase\t2024-01-09\t_segs/dead/base/dt=2024-01-09\n"
+      .getBytes("UTF-8"))
+    out.close()
+    // readers serve the previous (complete) snapshot
+    assert(StoreManifest.load(fs, m).version == live.version)
+    assert(rows(TsdbStore.fetch(spark, m, 7L, "click", B, E)) == pre)
+    // pinning the exact read a prefix would otherwise corrupt: the
+    // torn version is loudly incomplete, not a silently short table
+    val e = intercept[IllegalStateException] {
+      StoreManifest.loadAt(fs, m, live.version + 1)
+    }
+    assert(e.getMessage.contains("incomplete"), e.getMessage)
+    // the next mutation takes the slot the dead writer left torn
+    TsdbStore.upsertIncremental(spark, replay(), m)
+    assert(StoreManifest.load(fs, m).version == live.version + 1)
+    assert(rows(TsdbStore.fetch(spark, m, 7L, "click", B, E)) != pre)
   }
 
   test("single-writer violation fails loudly at the commit point") {
