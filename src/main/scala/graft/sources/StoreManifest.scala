@@ -13,9 +13,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * renamed, overwritten, or deleted by a mutation, which is what makes
   * the protocol safe on object stores where rename is copy+delete:
   *
-  *  - the commit point is a single-object create — atomic and
-  *    all-or-nothing on POSIX, HDFS, and every strongly-consistent
-  *    object store (one PUT of a new key);
+  *  - the commit is one new-object create — all-or-nothing on every
+  *    strongly-consistent object store (a single PUT); on POSIX,
+  *    where a new file's bytes surface to concurrent listers as a
+  *    growing prefix, the terminator line makes the commit point "the
+  *    terminator is durable" and an unterminated file reads as
+  *    not-committed-yet ([[load]]/[[publish]]);
   *  - a crash before the commit leaves an orphan segment no reader can
   *    observe ([[vacuumable]] garbage), never a torn table;
   *  - the job-level renames INSIDE a segment write (Spark's
@@ -46,12 +49,15 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * loser must re-load and re-run its mutation; it never corrupts.
   *
   * Manifest file format (version-numbered, lexically sortable names
-  * `v%019d.mf`, newest = max):
+  * `v%019d.mf`, newest complete = live):
   * {{{
   * graft-manifest v1
   * <table>\t<dt>\t<store-relative segment dir>
+  * end <entry count>
   * }}}
-  * Unpartitioned tables (the `meta` sidecar) use `-` as their dt.
+  * Unpartitioned tables (the `meta` sidecar) use `-` as their dt; a
+  * file without the `end` terminator is an in-flight or crashed
+  * commit and resolves as if it did not exist.
   */
 object StoreManifest {
 
