@@ -85,6 +85,24 @@ object ChaosVerify {
       .createTempDirectory("graft-chaos-ckpt").toString)
     implicit val ec: ExecutionContext = ExecutionContext.global
 
+    /** Await a chaos arm's future, but never leave its Spark job
+      * running past a TIMEOUT (ADVICE r14 #3: the abort branch retries
+      * the mutation — doing that while the timed-out original is still
+      * executing would run two concurrent writers against a
+      * single-writer store). On timeout: cancel every running job and
+      * block until the future actually settles, then report the
+      * timeout as the arm's failure. */
+    def awaitSettled[A](fut: Future[A], label: String): scala.util.Try[A] =
+      try scala.util.Success(Await.result(fut, 10.minutes))
+      catch {
+        case te: java.util.concurrent.TimeoutException =>
+          System.err.println(
+            s"[chaos] $label timed out — cancelling its jobs before moving on")
+          spark.sparkContext.cancelAllJobs()
+          scala.util.Try(Await.result(fut, 5.minutes))
+            .transform(_ => scala.util.Failure(te), _ => scala.util.Failure(te))
+      }
+
     // pgrep, not ProcessHandle: Info.commandLine() comes back empty for
     // the executor JVMs (their -cp arg lists exceed what the JDK
     // surfaces), which would read as "0 executors" forever. Scoped to
@@ -129,7 +147,7 @@ object ChaosVerify {
       // non-recomputable blocks) must be a counted failure with its
       // message in the record, not an uncaught crash that takes the
       // whole harness down mid-sweep (ADVICE r13 #1)
-      val res = scala.util.Try(Await.result(fut, 10.minutes))
+      val res = awaitSettled(fut, name)
       val ok = res match {
         case scala.util.Success(killed) => killed.size == clean.size &&
           killed.sortBy(_.toString) == clean.sortBy(_.toString)
@@ -188,6 +206,65 @@ object ChaosVerify {
     println(s"""{"chaos":"stream_ingest_$sfBase","mid_query":$midBatch,""" +
       s""""killed_pid":$streamVictim,"base_match":$baseOk,"agg_match":$aggOk}""")
 
+    // ---- streaming on the MANIFEST layout (round 15, VERDICT r14
+    // next #2): the same mid-batch executor kill against the
+    // snapshot-commit streaming sink — each microbatch is one atomic
+    // manifest create carrying data + its batch high-water mark, so
+    // the killed batch either committed whole (tables equal truth) or
+    // re-ran whole, and a REPLAY of the final batchId afterwards must
+    // no-op at the high-water mark without touching the store.
+    {
+      var w0 = 0
+      while (executorPids().size < 2 && w0 < 120) { Thread.sleep(1000); w0 += 1 }
+      require(executorPids().size >= 2, "no executor before manifest stream arm")
+      val mStore = java.nio.file.Files
+        .createTempDirectory("graft-chaos-mstream").toString
+      graft.sources.TsdbStore.initStore(spark, mStore,
+        graft.sources.StoreLayout(commit = "manifest"))
+      val mFeed = graft.streaming.StreamingOps.eventFileStream(spark, sfDir)
+        .selectExpr(cols: _*)
+      val mq = graft.streaming.StreamingOps
+        .streamIngestIncremental(mFeed, mStore, runNs = "chaos")
+        .outputMode("update")
+        .option("checkpointLocation", s"$mStore/_ckpt")
+        .start()
+      val mBefore = executorPids()
+      Thread.sleep(3000)
+      val mMid = mq.lastProgress == null ||
+        mq.lastProgress.sources.forall(_.numInputRows == 0)
+      val mVictim = mBefore.head
+      val _ = scala.sys.process.Process(Seq("kill", "-9", mVictim.toString)).!
+      mq.processAllAvailable()
+      mq.stop()
+      val mLayout = graft.sources.StoreLayout(commit = "manifest")
+      def mRead(t: String) =
+        graft.sources.TsdbStore.readTable(spark, mStore, mLayout, t)
+      val mBaseOk = mRead("base").exceptAll(rows(s"$truth/base")).isEmpty &&
+        rows(s"$truth/base").exceptAll(mRead("base")).isEmpty
+      val mAggOk = mRead("agg_86400").exceptAll(rows(s"$truth/agg_86400")).isEmpty &&
+        rows(s"$truth/agg_86400").exceptAll(mRead("agg_86400")).isEmpty
+      // exactly-once: re-deliver the last committed batch by hand —
+      // the stored high-water mark must turn it into a no-op (no new
+      // snapshot version, same rows)
+      val fsM = new org.apache.hadoop.fs.Path(mStore)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val verBefore = graft.sources.StoreManifest.load(fsM, mStore).version
+      val replayed = graft.sources.TsdbStore.upsertIncremental(spark,
+        Tables.events(spark, sfDir).selectExpr(cols: _*), mStore,
+        streamCommit = Some(("chaos", 0L)))
+      val verAfter = graft.sources.StoreManifest.load(fsM, mStore).version
+      val replayOk = replayed.isEmpty && verAfter == verBefore
+      val mOk = mBaseOk && mAggOk && replayOk
+      if (!mOk) failures += 1
+      if (mMid) killsLanded += 1
+      println(s"""{"chaos":"stream_ingest_manifest_$sfBase","mid_query":$mMid,""" +
+        s""""killed_pid":$mVictim,"base_match":$mBaseOk,"agg_match":$mAggOk,""" +
+        s""""replay_noop":$replayOk}""")
+      var w1 = 0
+      while (executorPids().size < 2 && w1 < 120) { Thread.sleep(1000); w1 += 1 }
+      require(executorPids().size >= 2, "no executor relaunch after manifest stream arm")
+    }
+
     // ---- mutation phase (round 14, VERDICT r13 missing #3): the batch
     // phase retries pure reads and the streaming phase a stateful sink;
     // this one SIGKILLs an executor mid-MAINTENANCE — first an
@@ -230,7 +307,7 @@ object ChaosVerify {
         val midOp = !fut.isCompleted
         val victim = before.head
         val _ = scala.sys.process.Process(Seq("kill", "-9", victim.toString)).!
-        val res = scala.util.Try(Await.result(fut, 10.minutes))
+        val res = awaitSettled(fut, label)
         res.failed.foreach(e =>
           System.err.println(s"[chaos] $label aborted: ${e.getMessage}"))
         val ok = res.isSuccess && tablesEqual()
@@ -283,7 +360,7 @@ object ChaosVerify {
         val midOp = !fut.isCompleted
         val victim = before.head
         val _ = scala.sys.process.Process(Seq("kill", "-9", victim.toString)).!
-        val res = scala.util.Try(Await.result(fut, 10.minutes))
+        val res = awaitSettled(fut, "mutation_upsert_manifest")
         val ok =
           if (res.isSuccess) mEquals(mutTruth)
           else {

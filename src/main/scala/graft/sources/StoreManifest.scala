@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Snapshot-manifest commit protocol for [[TsdbStore]]'s
@@ -20,7 +22,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    terminator is durable" and an unterminated file reads as
   *    not-committed-yet ([[load]]/[[publish]]);
   *  - a crash before the commit leaves an orphan segment no reader can
-  *    observe ([[vacuumable]] garbage), never a torn table;
+  *    observe ([[vacuum]]able garbage), never a torn table;
   *  - the job-level renames INSIDE a segment write (Spark's
   *    FileOutputCommitter moving task attempts into place) need no
   *    atomicity: the segment is private until the manifest lands, so a
@@ -48,28 +50,76 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * Hadoop connector surfaces through this same `create` path. The
   * loser must re-load and re-run its mutation; it never corrupts.
   *
-  * Manifest file format (version-numbered, lexically sortable names
-  * `v%019d.mf`, newest complete = live):
+  * Manifest file format, VERSION 2 (round 15; version-numbered,
+  * lexically sortable names `v%019d.mf`, newest complete = live):
   * {{{
-  * graft-manifest v1
-  * <table>\t<dt>\t<store-relative segment dir>
-  * end <entry count>
+  * graft-manifest v2
+  * prop\t<key>\t<value>                                  (0 or more)
+  * <table>\t<dt>\t<rel>\t<tmin>\t<tmax>\t<rows>\t<bytes> (0 or more)
+  * end <body line count>
   * }}}
+  * `prop` lines carry snapshot-scoped key→value properties committed
+  * ATOMICALLY with the entry set (the streaming ingest's exactly-once
+  * batch high-water marks ride here — `prop` is therefore a reserved
+  * table name). Each entry line carries the partition's file
+  * statistics — min/max of the table's time column in its native unit
+  * (µs for base `ts_us`, epoch-seconds for cascade `slot_ts`), row
+  * count, byte size — harvested from parquet footers at publish time;
+  * `-` marks an unknown field (stats are advisory: a reader must
+  * treat a missing stat as "may contain anything"). The stats are the
+  * Iceberg-style manifest-level skip data: a time-ranged read drops
+  * non-overlapping entries BEFORE any file listing happens
+  * ([[TsdbStore]] `readTableRange`), which at 100 TB is the difference
+  * between listing 2 partitions and listing 3650. Version-1 files
+  * (3-field entries, no props) remain readable; writes always emit v2.
+  *
   * Unpartitioned tables (the `meta` sidecar) use `-` as their dt; a
   * file without the `end` terminator is an in-flight or crashed
   * commit and resolves as if it did not exist.
   */
 object StoreManifest {
 
+  /** Per-entry file statistics ([[Snapshot.stats]]): `tmin`/`tmax`
+    * bound the table's time column (native unit), `rows`/`bytes` size
+    * it. Absent fields mean "unknown — cannot be used to skip". */
+  case class EntryStats(tmin: Option[Long], tmax: Option[Long],
+                        rows: Option[Long], bytes: Option[Long]) {
+    /** True when the entry PROVABLY holds no row with time in
+      * [lo, hi) — the only case a ranged read may skip it. */
+    def disjointFrom(lo: Long, hi: Long): Boolean = (tmin, tmax) match {
+      case (Some(mn), Some(mx)) => mx < lo || mn >= hi
+      case _ => false
+    }
+  }
+
+  object EntryStats {
+    val unknown: EntryStats = EntryStats(None, None, None, None)
+  }
+
   /** One resolved snapshot: `entries` maps (table, dt) → the
-    * store-relative directory holding that partition's live files.
+    * store-relative directory holding that partition's live files;
+    * `stats` (same keys, possibly missing) carries that partition's
+    * skip statistics; `props` the snapshot-scoped properties.
     * Version 0 = no manifest yet (empty store). */
-  case class Snapshot(version: Long, entries: Map[(String, String), String])
+  case class Snapshot(version: Long,
+                      entries: Map[(String, String), String],
+                      stats: Map[(String, String), EntryStats] = Map.empty,
+                      props: Map[String, String] = Map.empty)
 
   /** dt key used for unpartitioned tables (the metadata sidecar). */
   val NoDt = "-"
 
-  private val Header = "graft-manifest v1"
+  /** Grace before a torn (terminator-less) manifest at the next
+    * version slot may be treated as crash garbage and cleared by
+    * [[publish]] (ADVICE r14 #2: an immediate exists→delete→create
+    * would unlink a SLOW concurrent writer's in-flight file under it,
+    * turning the single-writer violation into a silently lost commit;
+    * with the grace, clearing only touches files provably older than
+    * any plausible create-to-close publish window). */
+  val DefaultTornGraceMs = 60000L
+
+  private val HeaderV1 = "graft-manifest v1"
+  private val HeaderV2 = "graft-manifest v2"
 
   private def commitsDir(path: String) = new Path(s"$path/_commits")
 
@@ -86,7 +136,9 @@ object StoreManifest {
 
   /** Snapshot versions currently on disk, ascending. Older versions
     * beyond the newest remain readable ([[loadAt]] — time travel)
-    * until [[vacuum]] trims past its `keepManifests`. */
+    * until [[vacuum]] trims past its `keepManifests`. Includes torn
+    * (never-completed) files — callers that need committed versions
+    * only filter via [[tryLoad]] like [[load]]/[[vacuum]] do. */
   def versions(fs: FileSystem, path: String): Seq[Long] = {
     val dir = commitsDir(path)
     if (!fs.exists(dir)) Seq.empty
@@ -106,8 +158,9 @@ object StoreManifest {
     * the final line — so an unterminated newest manifest is read as
     * "this commit has not happened yet" and the previous version
     * serves the read (ordinary snapshot isolation; the same rule
-    * covers a writer that CRASHED mid-publish, whose torn file the
-    * next [[publish]] clears). */
+    * covers a writer that CRASHED mid-publish, whose torn file
+    * [[publish]] clears after [[DefaultTornGraceMs]], or [[vacuum]]
+    * clears as garbage). */
   def load(fs: FileSystem, path: String): Snapshot = {
     val vs = versions(fs, path)
     vs.reverseIterator
@@ -133,16 +186,21 @@ object StoreManifest {
         case None =>
           throw new IllegalStateException(
             s"manifest $f is incomplete (no terminator) — a commit " +
-              "crashed mid-publish; the next mutation's publish clears it")
+              "crashed mid-publish; publish clears it after the torn " +
+              "grace, or vacuum reclaims it")
       }
     }
     sys.error("unreachable")
   }
 
+  private def parseLong(s: String): Option[Long] =
+    if (s == "-") None else s.toLongOption
+
   /** Parse one manifest; None when the file is a torn prefix (header
-    * or terminator missing / entry count short). */
-  private def tryLoad(fs: FileSystem, path: String,
-                      version: Long): Option[Snapshot] = {
+    * or terminator missing / declared line count short). Reads both
+    * format versions; see the format doc above. */
+  private[graft] def tryLoad(fs: FileSystem, path: String,
+                             version: Long): Option[Snapshot] = {
     val f = manifestFile(path, version)
     if (!fs.exists(f)) return None
     val in = fs.open(f)
@@ -150,41 +208,99 @@ object StoreManifest {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.linesIterator.toSeq
-    if (!lines.headOption.contains(Header)) return None
+    val header = lines.headOption
+    if (!header.contains(HeaderV1) && !header.contains(HeaderV2)) return None
     val body = lines.drop(1).filter(_.nonEmpty)
     if (body.isEmpty || !body.last.startsWith("end ")) return None
     val declared = body.last.stripPrefix("end ").toLongOption
-    val entryLines = body.dropRight(1)
-    if (!declared.contains(entryLines.size.toLong)) return None
-    Some(Snapshot(version, entryLines.map { l =>
-      val Array(table, dt, rel) = l.split("\t", 3)
-      (table, dt) -> rel
-    }.toMap))
+    val bodyLines = body.dropRight(1)
+    if (!declared.contains(bodyLines.size.toLong)) return None
+    val (propLines, entryLines) = bodyLines.partition(_.startsWith("prop\t"))
+    val props = propLines.map { l =>
+      val Array(_, k, v) = l.split("\t", 3)
+      k -> v
+    }.toMap
+    var stats = Map.empty[(String, String), EntryStats]
+    val entries = entryLines.map { l =>
+      l.split("\t", -1) match {
+        case Array(table, dt, rel) =>
+          (table, dt) -> rel
+        case Array(table, dt, rel, tmin, tmax, rows, bytes) =>
+          val st = EntryStats(parseLong(tmin), parseLong(tmax),
+            parseLong(rows), parseLong(bytes))
+          if (st != EntryStats.unknown) stats += ((table, dt) -> st)
+          (table, dt) -> rel
+        case _ =>
+          throw new IllegalStateException(
+            s"manifest $f: unparseable entry line '$l'")
+      }
+    }.toMap
+    Some(Snapshot(version, entries, stats, props))
   }
 
   /** Commit: create snapshot `prevVersion + 1` exclusively
     * (`overwrite = false` — the single-writer enforcement point; a
     * concurrent writer that already took this version makes this call
     * fail loudly instead of silently last-write-winning). The file
-    * ends with a `end <entryCount>` terminator: the COMMIT POINT is
+    * ends with a `end <lineCount>` terminator: the COMMIT POINT is
     * the terminator becoming durable, so a reader racing the write on
     * a POSIX filesystem (where a new file's bytes appear as a growing
     * prefix, unlike an object store's all-or-nothing PUT) simply
     * treats the unterminated file as not-committed-yet ([[load]]).
-    * A predecessor that CRASHED mid-publish left a torn file at this
-    * version; under the single-writer contract it is safe to clear
-    * and take the slot. Returns the committed version. */
+    *
+    * A torn file already AT the target version is a predecessor that
+    * crashed mid-publish — but an in-flight slow writer's file looks
+    * identical, and deleting it under the writer would let its
+    * remaining write+close succeed on the orphaned inode and its
+    * publish return as a silently lost commit (ADVICE r14 #2). So the
+    * slot is only cleared when the torn file is OLDER than
+    * `tornGraceMs` (no sane publish holds a KB-sized manifest open
+    * that long; a crashed one is torn forever); a younger torn file
+    * fails loudly with a retry-after-grace message instead.
+    *
+    * `stats`/`props` ride in the same atomic create — see the format
+    * doc. Returns the committed version. */
   def publish(fs: FileSystem, path: String, prevVersion: Long,
-              entries: Map[(String, String), String]): Long = {
+              entries: Map[(String, String), String],
+              stats: Map[(String, String), EntryStats] = Map.empty,
+              props: Map[String, String] = Map.empty,
+              tornGraceMs: Long = DefaultTornGraceMs): Long = {
     val next = prevVersion + 1
+    require(!entries.keys.exists(_._1 == "prop"),
+      "'prop' is a reserved table name in the manifest format")
+    val propLines = props.toSeq.sorted.map { case (k, v) =>
+      require(!k.contains("\t") && !k.contains("\n") &&
+          !v.contains("\t") && !v.contains("\n"),
+        s"manifest property must be tab/newline-free: $k=$v")
+      s"prop\t$k\t$v"
+    }
+    def fmt(o: Option[Long]): String = o.map(_.toString).getOrElse("-")
     val entryLines = entries.toSeq.sortBy(_._1)
-      .map { case ((t, dt), rel) => s"$t\t$dt\t$rel" }
-    val body = ((Header +: entryLines) :+ s"end ${entryLines.size}")
+      .map { case ((t, dt), rel) =>
+        val st = stats.getOrElse((t, dt), EntryStats.unknown)
+        s"$t\t$dt\t$rel\t${fmt(st.tmin)}\t${fmt(st.tmax)}\t" +
+          s"${fmt(st.rows)}\t${fmt(st.bytes)}"
+      }
+    val bodyLines = propLines ++ entryLines
+    val body = ((HeaderV2 +: bodyLines) :+ s"end ${bodyLines.size}")
       .mkString("\n") + "\n"
     fs.mkdirs(commitsDir(path))
     val target = manifestFile(path, next)
-    if (fs.exists(target) && tryLoad(fs, path, next).isEmpty)
-      fs.delete(target, false) // crashed predecessor's torn commit
+    if (fs.exists(target) && tryLoad(fs, path, next).isEmpty) {
+      // torn predecessor — clear only past the in-flight grace
+      val ageMs = System.currentTimeMillis() -
+        fs.getFileStatus(target).getModificationTime
+      if (ageMs >= tornGraceMs)
+        fs.delete(target, false)
+      else
+        throw new IllegalStateException(
+          s"manifest commit conflict at $target — a torn (unterminated) " +
+            s"file ${ageMs}ms old occupies this version; it is either an " +
+            "IN-FLIGHT concurrent publish (a single-writer violation — " +
+            "deleting it would silently lose that commit) or a crash " +
+            s"within the last ${tornGraceMs}ms. Retry after the grace, " +
+            "or run vacuum from the sole writer to clear it")
+    }
     val out =
       try fs.create(target, false)
       catch {
@@ -212,28 +328,85 @@ object StoreManifest {
       }.toMap
   }
 
+  /** [[EntryStats]] for one store-relative partition directory,
+    * harvested DRIVER-SIDE from parquet footers: rows and time-column
+    * min/max come from the footer's block metadata (written by every
+    * parquet writer, no data pages read), bytes from file status. One
+    * footer read per file, run once per mutation per written
+    * partition — not per query. `timeCol` is the table's canonical
+    * time column; a file without stats for it yields unknown bounds
+    * (never wrong ones). */
+  def statsOf(fs: FileSystem, path: String, rel: String,
+              timeCol: String): EntryStats = {
+    val dir = new Path(s"$path/$rel")
+    if (!fs.exists(dir)) return EntryStats.unknown
+    val files = fs.listStatus(dir).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+    var rows = 0L
+    var bytes = 0L
+    var tmin = Option.empty[Long]
+    var tmax = Option.empty[Long]
+    var boundsComplete = true
+    files.foreach { f =>
+      bytes += f.getLen
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(f, fs.getConf))
+      try {
+        val footer = reader.getFooter
+        footer.getBlocks.forEach { block =>
+          rows += block.getRowCount
+          val col = block.getColumns.asScala
+            .find(_.getPath.toDotString == timeCol)
+          col.flatMap(c => Option(c.getStatistics)) match {
+            case Some(st: org.apache.parquet.column.statistics.LongStatistics)
+                if !st.isEmpty && st.isNumNullsSet && st.hasNonNullValue =>
+              tmin = Some(tmin.fold(st.getMin)(math.min(_, st.getMin)))
+              tmax = Some(tmax.fold(st.getMax)(math.max(_, st.getMax)))
+            case _ => boundsComplete = false
+          }
+        }
+      } finally reader.close()
+    }
+    EntryStats(
+      if (boundsComplete) tmin else None,
+      if (boundsComplete) tmax else None,
+      Some(rows), Some(bytes))
+  }
+
   /** Garbage-collect every data directory no retained manifest
     * references — whole orphan segments (a mutation that crashed
     * before its commit) AND individual partition dirs inside
     * still-live segments (a compacted/deleted/expired partition's old
-    * files) — plus manifests older than the newest `keepManifests`.
-    * Run by THE writer (single-writer contract: an in-flight
+    * files) — plus manifests older than the newest `keepManifests`
+    * COMPLETE versions, plus torn (terminator-less) manifest files
+    * older than `tornGraceMs` (crashed commits; under this method's
+    * contract nothing is in flight, but the grace keeps an
+    * accidentally-concurrent publish from being unlinked mid-write).
+    *
+    * Retention counts COMPLETE manifests only (ADVICE r14 #1: counting
+    * a torn newest file toward `keepManifests` could retain ONLY the
+    * torn file, resolve an empty referenced set, and delete every live
+    * segment plus the last complete manifest — total store loss in
+    * exactly the crashed-commit scenario the protocol exists to
+    * survive). Run by THE writer (single-writer contract: an in-flight
     * mutation's not-yet-committed segment is indistinguishable from
     * crash garbage, so never vacuum concurrently with a mutation).
     * Returns (store-relative dirs deleted, manifest versions
-    * deleted). */
+    * deleted — torn files included). */
   def vacuum(fs: FileSystem, path: String,
-             keepManifests: Int = 2): (Seq[String], Seq[Long]) = {
+             keepManifests: Int = 2,
+             tornGraceMs: Long = DefaultTornGraceMs): (Seq[String], Seq[Long]) = {
     require(keepManifests >= 1, "must keep at least the live manifest")
     val dir = commitsDir(path)
     if (!fs.exists(dir)) return (Seq.empty, Seq.empty)
-    val versions = fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".mf"))
-      .map(_.stripPrefix("v").stripSuffix(".mf").toLong).sorted
-    val retained = versions.takeRight(keepManifests)
-    // full relative dirs referenced by ANY retained snapshot (a torn
-    // retained manifest — a crashed commit — references nothing; its
-    // segments are exactly the garbage this pass exists to clear)
+    val all = versions(fs, path)
+    val complete = all.filter(v => tryLoad(fs, path, v).isDefined)
+    val retained = complete.takeRight(keepManifests)
+    // full relative dirs referenced by ANY retained snapshot — all
+    // retained manifests are complete by construction, so a crashed
+    // commit's torn file can never empty this set
     val referenced: Set[String] = retained.flatMap { v =>
       tryLoad(fs, path, v).map(_.entries.values.toSeq).getOrElse(Seq.empty)
     }.toSet
@@ -273,7 +446,12 @@ object StoreManifest {
         if (fs.listStatus(seg.getPath).isEmpty) fs.delete(seg.getPath, true)
       }
     }
-    val deadVersions = versions.dropRight(keepManifests)
+    val deadComplete = complete.dropRight(keepManifests)
+    val deadTorn = all.filterNot(complete.contains).filter { v =>
+      System.currentTimeMillis() -
+        fs.getFileStatus(manifestFile(path, v)).getModificationTime >= tornGraceMs
+    }
+    val deadVersions = (deadComplete ++ deadTorn).sorted
     deadVersions.foreach { v =>
       require(fs.delete(manifestFile(path, v), false),
         s"vacuum: could not delete manifest v$v")

@@ -189,6 +189,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin"), "co-located join degraded from SMJ")
   }
 
+  test("bucketed co-located agg+join stays zero-exchange on the MANIFEST layout") {
+    // the per-snapshot catalog registration must surface the bucket
+    // spec exactly like the stable-location table does — same plan,
+    // object-store-safe layout (round 15)
+    val p = plan("q_join_bucketed_manifest")
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n == 0, s"manifest bucketed join shuffled ($n hash exchanges):\n${p.take(2000)}")
+    assert(p.contains("SortMergeJoin"), "co-located join degraded from SMJ")
+    assert(p.contains("_segs"), "scan should read segment-located partitions")
+  }
+
   test("histogram_quantile is one hash aggregate — no window, no sort") {
     // the cumulative le-bucket counts are 8 filtered counts in a single
     // map-side-combined aggregate; the bucket walk is a projection. A

@@ -1427,4 +1427,80 @@ class RollupSpec extends SparkSpec {
         "sum_cents", "min_cents", "max_cents")) == rows(recomputed),
       "maintenance under a live flag corrupted the cascade")
   }
+
+  // ---- manifest layout (round 15, VERDICT r14 next #1): the rewrite
+  //      must fire on the snapshot-resolved read — the object-store
+  //      deployment layout — and decline exactly the unsound shapes --
+
+  private lazy val manifestStore: String = {
+    val dir = Files.createTempDirectory("graft_rollup_mani").toString
+    TsdbStore.ingest(spark, Tables.events(spark, Sf), dir,
+      graft.sources.StoreLayout(commit = "manifest"))
+    dir
+  }
+
+  private def manifestSlotAgg(stepSec: Long): DataFrame =
+    TsdbStore.readTable(spark, manifestStore,
+        TsdbStore.readLayout(spark, manifestStore), "base")
+      .groupBy(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(stepSec).as("slot_ts"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+
+  test("manifest store: exact-step hit substitutes the snapshot-resolved cascade") {
+    val (paths, reagg, got) = withFlag(on = true) {
+      val df = manifestSlotAgg(21600L)
+      (scanPaths(df), hasAggregate(df), rows(df))
+    }
+    assert(paths.nonEmpty && paths.forall(_.contains("/_segs/")),
+      s"substituted read should resolve through segments: $paths")
+    assert(paths.exists(_.contains("/agg_21600/dt=")),
+      s"cascade not substituted on the manifest layout: $paths")
+    assert(!paths.exists(_.contains("/base/dt=")), s"base scan survived: $paths")
+    assert(!reagg, "exact-step hit should not re-aggregate")
+    val expect = withFlag(on = false)(rows(manifestSlotAgg(21600L)))
+    assert(got == expect && got.nonEmpty,
+      "manifest-substituted result differs from the raw-scan result")
+  }
+
+  test("manifest store: a MUTATION invalidates the cached snapshot — the rewrite answers from the new one") {
+    val pre = withFlag(on = true)(rows(manifestSlotAgg(21600L)))
+    val replay = Tables.events(spark, Sf)
+      .filter(col("user_id") === 7 && col("event_type") === "click" &&
+        col("ts") >= lit("2024-01-09") && col("ts") < lit("2024-01-11"))
+      .withColumn("value", col("value") + 2.0)
+    TsdbStore.upsertIncremental(spark, replay, manifestStore)
+    val (paths, got) = withFlag(on = true) {
+      val df = manifestSlotAgg(21600L)
+      (scanPaths(df), rows(df))
+    }
+    assert(paths.exists(_.contains("/agg_21600/dt=")),
+      s"rewrite stopped firing after the mutation: $paths")
+    val expect = withFlag(on = false)(rows(manifestSlotAgg(21600L)))
+    assert(got == expect, "post-mutation substituted result is stale")
+    assert(got != pre, "the replay should have changed the rollup")
+  }
+
+  test("manifest store: a TIME-TRAVEL base read declines (live cascade would be the wrong snapshot)") {
+    // runs after the mutation above: the retained pre-upsert snapshot's
+    // base set differs from live, so substituting the live cascade
+    // would silently answer post-upsert values for a pre-upsert read
+    val versions = TsdbStore.snapshotVersions(spark, manifestStore)
+    assert(versions.size >= 2, s"expected retained history: $versions")
+    val old = versions.init.last
+    def q: DataFrame = TsdbStore.readTableAt(spark, manifestStore, "base", old)
+      .groupBy(col("user_id"), col("event_type"),
+        TimeSeriesOps.slotSec(21600L).as("slot_ts"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+    val (paths, got) = withFlag(on = true)((scanPaths(q), rows(q)))
+    assert(paths.exists(_.contains("/base/dt=")) &&
+      !paths.exists(_.contains("/agg_21600/")),
+      s"time-travel read must NOT substitute the live cascade: $paths")
+    val expect = withFlag(on = false)(rows(q))
+    assert(got == expect && got.nonEmpty)
+    // and the old snapshot's answer differs from live (the hazard is real)
+    assert(got != withFlag(on = false)(rows(manifestSlotAgg(21600L))),
+      "fixture should make old and live snapshots disagree")
+  }
 }

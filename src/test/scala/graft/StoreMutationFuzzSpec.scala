@@ -7,19 +7,25 @@ import scala.util.Random
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.sources.TsdbStore
+import graft.sources.{StoreLayout, StoreManifest, TsdbStore}
 
-/** Differential fuzzing of the store's MUTATION path (round 11):
-  * TsdbStoreSpec pins upsertIncremental's touched-partition contract
-  * for hand-picked cases; this spec drives a random SEQUENCE of
-  * incremental upserts — replays with changed values, new events on
-  * existing days, new events on NEW days (partition bootstrap), and
-  * occasional multi-day batches — and after every step compares EVERY
-  * table (base + value/rate/quant cascades at both levels) against a
-  * FRESH FULL INGEST of the accumulated truth. The incremental path's
-  * whole point is that its blast radius is bounded; its correctness
-  * contract is that the result is indistinguishable from the full
-  * rebuild, for any mutation history. */
+/** Differential fuzzing of the store's MUTATION path (round 11;
+  * round 15 parameterizes the whole history over BOTH commit layouts —
+  * VERDICT r14 next #7): TsdbStoreSpec pins upsertIncremental's
+  * touched-partition contract for hand-picked cases; this spec drives
+  * a random SEQUENCE of mutations — replays with changed values, new
+  * events on existing days, new events on NEW days (partition
+  * bootstrap), multi-day batches, interleaved small-file compactions,
+  * whole-series deletions, and (manifest layout) vacuums — and after
+  * every step compares EVERY table (base + value/rate/quant cascades
+  * at both levels) against a FRESH FULL INGEST of the accumulated
+  * truth. The incremental path's whole point is that its blast radius
+  * is bounded; its correctness contract is that the result is
+  * indistinguishable from the full rebuild, for any mutation history,
+  * under either commit protocol. (dropBefore stays out of the mix by
+  * design: retention truncates rate-delta lineage at the cutoff, so a
+  * full rebuild of the truncated truth legitimately differs on the
+  * boundary delta — its contract is pinned in TsdbStoreSpec instead.) */
 class StoreMutationFuzzSpec extends SparkSpec {
 
   // plain tuples: a case class nested in the spec has no stable outer
@@ -38,15 +44,41 @@ class StoreMutationFuzzSpec extends SparkSpec {
         timestamp_micros(col("ts_us")).as("ts"), col("value"))
   }
 
-  private def tableRows(path: String, table: String): Seq[String] = {
-    val dir = new java.io.File(s"$path/$table")
-    if (!dir.exists()) return Seq.empty
-    val df = spark.read.parquet(s"$path/$table")
+  /** Sorted row strings of one store table, empty when the table has
+    * no live data — resolved through the layout's own read path, so
+    * the manifest arm exercises snapshot resolution on every compare. */
+  private def tableRows(path: String, layout: StoreLayout,
+                        table: String): Seq[String] = {
+    if (layout.commit == "rename" &&
+        !new java.io.File(s"$path/$table").exists()) return Seq.empty
+    val df =
+      try TsdbStore.readTable(spark, path, layout, table)
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage.contains("no live data") => return Seq.empty
+      }
     df.select(df.columns.sorted.map(col).toIndexedSeq: _*)
       .collect().map(_.toString).sorted.toSeq
   }
 
-  test("random upsertIncremental sequences equal a fresh full ingest, every table") {
+  /** Live dt partitions of one table under either layout. */
+  private def livePartitions(path: String, layout: StoreLayout,
+                             table: String): Seq[String] =
+    if (layout.commit == "manifest") {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      StoreManifest.load(fs, path).entries.keys
+        .collect { case (`table`, dt) => dt }.toSeq.sorted
+    } else {
+      val dir = new java.io.File(s"$path/$table")
+      if (!dir.exists()) Seq.empty
+      else dir.listFiles().filter(_.getName.startsWith("dt="))
+        .map(_.getName.stripPrefix("dt=")).toSeq.sorted
+    }
+
+  for (commit <- Seq("rename", "manifest"))
+  test(s"random mutation sequences equal a fresh full ingest, every table [$commit]") {
+    val layout = StoreLayout(commit = commit)
     val T0 = 1704067200L * 1000000L // 2024-01-01 in µs
     val r = new Random(66L)
     val etypes = Seq("click", "view", "purchase")
@@ -65,8 +97,8 @@ class StoreMutationFuzzSpec extends SparkSpec {
     val init = (0 until 120).map(_ => mkEvent(r.nextInt(4)))
     init.foreach(e => truth += (uid(e), etype(e), eid(e)) -> e)
 
-    val inc = Files.createTempDirectory("graft_mutfuzz_inc").toString
-    TsdbStore.ingest(spark, toDf(init), inc)
+    val inc = Files.createTempDirectory(s"graft_mutfuzz_inc_$commit").toString
+    TsdbStore.ingest(spark, toDf(init), inc, layout)
 
     val tables = Seq("base", "agg_21600", "agg_86400", "rate_21600",
       "rate_86400", "quant_21600", "quant_86400")
@@ -101,21 +133,41 @@ class StoreMutationFuzzSpec extends SparkSpec {
       // the rebuild compare (compaction is a file-layout operation)
       if (r.nextInt(2) == 0) {
         val t = tables(r.nextInt(tables.length))
-        val parts = new java.io.File(s"$inc/$t").listFiles()
-          .filter(_.getName.startsWith("dt=")).map(_.getName.stripPrefix("dt="))
+        val parts = livePartitions(inc, layout, t)
         if (parts.nonEmpty)
           TsdbStore.compactPartition(spark, inc, parts(r.nextInt(parts.length)),
             targetFiles = r.nextInt(2) + 1, table = t)
       }
 
-      // oracle: a virgin store built from the accumulated truth
-      val full = Files.createTempDirectory(s"graft_mutfuzz_full$round").toString
+      // occasionally delete a random live series outright — truth
+      // loses every event of that series, both layouts rewrite every
+      // touched partition of every table (one atomic snapshot on the
+      // manifest layout)
+      if (r.nextInt(3) == 0 && truth.nonEmpty) {
+        val all = truth.values.toVector
+        val victim = all(r.nextInt(all.size))
+        TsdbStore.deleteSeries(spark, inc, uid(victim), etype(victim))
+        truth = truth.filterNot { case ((u, et, _), _) =>
+          u == uid(victim) && et == etype(victim)
+        }
+      }
+
+      // manifest layout: occasionally vacuum mid-history — GC of dead
+      // segments/snapshots must be invisible to every later read and
+      // mutation
+      if (commit == "manifest" && r.nextInt(3) == 0)
+        TsdbStore.vacuum(spark, inc, keepManifests = 1 + r.nextInt(2))
+
+      // oracle: a virgin rename-layout store built from the
+      // accumulated truth (cross-layout equality is itself part of
+      // the contract — both protocols must serve the same bytes)
+      val full = Files.createTempDirectory(s"graft_mutfuzz_full_$commit$round").toString
       TsdbStore.ingest(spark, toDf(truth.values.toSeq), full)
       for (t <- tables) {
-        val a = tableRows(inc, t)
-        val b = tableRows(full, t)
+        val a = tableRows(inc, layout, t)
+        val b = tableRows(full, StoreLayout(), t)
         assert(a == b,
-          s"round $round table $t diverged from full rebuild: " +
+          s"[$commit] round $round table $t diverged from full rebuild: " +
             s"${a.size} vs ${b.size} rows; " +
             s"first diff inc=${a.diff(b).take(2)} full=${b.diff(a).take(2)}")
       }

@@ -932,4 +932,86 @@ class StreamingSpec extends SparkSpec {
     // emitted bits
     assert(run("qcells_ttl10", ttlUs = 600L * M) == cells)
   }
+
+  test("manifest-layout streaming ingest is EXACTLY-ONCE: batch marks ride the snapshot commit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-stream-mani").toString
+    val mLayout = graft.sources.StoreLayout(commit = "manifest")
+    // streaming-first deployment: no batch ingest ever runs — initStore
+    // stamps the layout so the sink's first microbatch bootstraps base
+    // under the manifest protocol
+    graft.sources.TsdbStore.initStore(spark, store, mLayout)
+    val in = MemoryStream[(Long, String, Long, Timestamp, Double)]
+    val q = StreamingOps.streamIngestIncremental(
+        in.toDF().toDF("user_id", "event_type", "event_id", "ts", "value"),
+        store, runNs = "lin")
+      .outputMode("update")
+      .option("checkpointLocation", s"$store/_ckpt")
+      .start()
+    try {
+      in.addData(
+        (1L, "click", 10L, ts("2024-01-01 10:00:00"), 1.00),
+        (1L, "click", 11L, ts("2024-01-02 11:00:00"), 2.00))
+      q.processAllAvailable()
+      in.addData(
+        (1L, "click", 10L, ts("2024-01-01 10:00:00"), 5.00),
+        (1L, "click", 12L, ts("2024-01-05 09:00:00"), 3.00))
+      q.processAllAvailable()
+    } finally q.stop()
+    def base() = graft.sources.TsdbStore.readTable(spark, store, mLayout, "base")
+    assert(base().count() == 3)
+    assert(base().filter(col("event_id") === 10L)
+      .select("cents").head().getLong(0) == 500L)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = graft.sources.StoreManifest.load(fs, store)
+    // one atomic snapshot per microbatch, each carrying its mark
+    assert(snap.props.get("streamhwm:lin").contains("1"), snap.props.toString)
+    // EXACTLY-ONCE, not just idempotent-by-content: re-deliver batch 1
+    // with POISONED values — the high-water mark must turn it into a
+    // no-op before any job runs (content never even looked at)
+    val poisoned = Seq((1L, "click", 10L, ts("2024-01-01 10:00:00"), 999.0))
+      .toDF("user_id", "event_type", "event_id", "ts", "value")
+    val touched = graft.sources.TsdbStore.upsertIncremental(
+      spark, poisoned, store, streamCommit = Some(("lin", 1L)))
+    assert(touched.isEmpty, "replayed batch must no-op at the high-water mark")
+    assert(graft.sources.StoreManifest.load(fs, store).version == snap.version,
+      "replay must not publish a snapshot")
+    assert(base().filter(col("event_id") === 10L)
+      .select("cents").head().getLong(0) == 500L, "replay mutated the store")
+    // a FRESH batch id applies and advances the mark atomically with it
+    val t2 = graft.sources.TsdbStore.upsertIncremental(spark,
+      Seq((1L, "click", 13L, ts("2024-01-06 08:00:00"), 4.00))
+        .toDF("user_id", "event_type", "event_id", "ts", "value"),
+      store, streamCommit = Some(("lin", 2L)))
+    assert(t2.nonEmpty)
+    val snap2 = graft.sources.StoreManifest.load(fs, store)
+    assert(snap2.version == snap.version + 1)
+    assert(snap2.props.get("streamhwm:lin").contains("2"))
+    assert(base().count() == 4)
+    // an INDEPENDENT checkpoint lineage carries its own mark: its
+    // batch 0 applies even though lineage "lin" is already past 2
+    val t3 = graft.sources.TsdbStore.upsertIncremental(spark,
+      Seq((2L, "view", 20L, ts("2024-01-06 09:00:00"), 7.00))
+        .toDF("user_id", "event_type", "event_id", "ts", "value"),
+      store, streamCommit = Some(("other", 0L)))
+    assert(t3.nonEmpty)
+    val snap3 = graft.sources.StoreManifest.load(fs, store)
+    assert(snap3.props.get("streamhwm:other").contains("0") &&
+      snap3.props.get("streamhwm:lin").contains("2"),
+      s"lineage marks must be independent: ${snap3.props}")
+    // streamCommit refuses the rename layout loudly (its streaming
+    // exactly-once story is ingestBatch's marker protocol)
+    val rStore = java.nio.file.Files
+      .createTempDirectory("graft-stream-mani-r").toString
+    graft.sources.TsdbStore.ingest(spark,
+      Tables.events(spark, Sf).limit(20), rStore)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.TsdbStore.upsertIncremental(spark, poisoned, rStore,
+        streamCommit = Some(("x", 0L)))
+    }
+    assert(e.getMessage.contains("manifest"), e.getMessage)
+  }
 }
