@@ -724,11 +724,14 @@ object TsdbStore {
         // table-level location is a never-scanned placeholder: every
         // partition carries its own explicit segment-dir location
         createTable(name, s"$path/_segs")
-        snap.entries.toSeq.sortBy(_._1).foreach {
+        // BATCHED registration: one ALTER per 500 partitions, not one
+        // per partition — at 10⁴ live partitions that is 20 catalog
+        // round-trips instead of 10⁴
+        snap.entries.toSeq.sortBy(_._1).collect {
           case (("base", dt), rel) =>
-            spark.sql(s"ALTER TABLE $name ADD PARTITION (dt='$dt') " +
-              s"LOCATION '$path/$rel'")
-          case _ => ()
+            s"PARTITION (dt='$dt') LOCATION '$path/$rel'"
+        }.grouped(500).foreach { chunk =>
+          spark.sql(s"ALTER TABLE $name ADD ${chunk.mkString(" ")}")
         }
       }
       name
