@@ -269,8 +269,7 @@ object StoreManifest {
     require(!entries.keys.exists(_._1 == "prop"),
       "'prop' is a reserved table name in the manifest format")
     val propLines = props.toSeq.sorted.map { case (k, v) =>
-      require(!k.contains("\t") && !k.contains("\n") &&
-          !v.contains("\t") && !v.contains("\n"),
+      require(Seq("\t", "\n", "\r").forall(c => !k.contains(c) && !v.contains(c)),
         s"manifest property must be tab/newline-free: $k=$v")
       s"prop\t$k\t$v"
     }
