@@ -268,6 +268,48 @@ object TsdbStore {
       key -> StoreManifest.statsOf(fs, path, rel, timeColOf(table))
     }
 
+  /** Snapshot props for a mutation's publish: carry the previous
+    * snapshot's props forward (high-water marks survive unrelated
+    * maintenance) and stamp THIS commit's operation name + wall-clock —
+    * the provenance [[history]] surfaces. `op`/`committed_ms` are
+    * per-commit, so they OVERWRITE rather than carry. */
+  private def opProps(prev: Map[String, String],
+                      op: String): Map[String, String] =
+    prev + ("op" -> op) +
+      ("committed_ms" -> System.currentTimeMillis().toString)
+
+  /** Commit HISTORY of a manifest store — the operational "what
+    * happened to this table" view (the DESCRIBE HISTORY of the
+    * snapshot-log lineage): one row per RETAINED snapshot, newest
+    * first, with the committing operation, its wall-clock stamp, the
+    * live entry/table counts, and the total live bytes where the
+    * entries carry stats. Rounds older than the op-stamping release
+    * (or hand-published snapshots) show a NULL op. Reads manifests
+    * only — never data files; vacuum trims history together with the
+    * snapshots it deletes. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    require(readLayout(spark, path).commit == "manifest",
+      s"history is a manifest-layout concept; the store at $path " +
+        "uses rename commits")
+    val fs = fsOf(spark, path)
+    val rows = StoreManifest.versions(fs, path).flatMap { v =>
+      StoreManifest.tryLoad(fs, path, v).map { s =>
+        val bytes = s.stats.values.flatMap(_.bytes)
+        (s.version,
+          s.props.get("op").orNull,
+          s.props.get("committed_ms").flatMap(_.toLongOption)
+            .map(java.lang.Long.valueOf).orNull,
+          s.entries.size,
+          s.entries.keys.map(_._1).toSet.size,
+          if (bytes.isEmpty) null
+          else java.lang.Long.valueOf(bytes.sum))
+      }
+    }.sortBy(-_._1)
+    import spark.implicits._
+    rows.toDF("version", "op", "committed_ms", "n_entries",
+      "n_tables", "live_bytes")
+  }
+
   /** The torn-manifest clearing grace [[StoreManifest.publish]] and
     * [[StoreManifest.vacuum]] apply (ADVICE r14 #2) — configurable so
     * tests and fast-restart deployments can tighten it. */
@@ -589,7 +631,7 @@ object TsdbStore {
         prev.entries.filter(_._1._1 == "meta") ++ fresh,
         prev.stats.view.filterKeys(_._1 == "meta").toMap ++
           segStats(fs, path, fresh),
-        prev.props, tornGraceMs(spark))
+        opProps(prev.props, "ingest"), tornGraceMs(spark))
       touchDataStamp(spark, path)
       return
     }
@@ -814,7 +856,7 @@ object TsdbStore {
         prev.entries.filter(_._1._1 == "meta") ++ fresh,
         prev.stats.view.filterKeys(_._1 == "meta").toMap ++
           segStats(fs, path, fresh),
-        prev.props, tornGraceMs(spark))
+        opProps(prev.props, "upsert"), tornGraceMs(spark))
       touchDataStamp(spark, path)
       return
     }
@@ -1076,9 +1118,9 @@ object TsdbStore {
     if (manifest && work != snap.entries)
       StoreManifest.publish(fs, path, snap.version, work,
         workStats.view.filterKeys(work.contains).toMap,
-        snap.props ++ streamCommit.map { case (ns, b) =>
-          s"streamhwm:$ns" -> b.toString
-        },
+        opProps(snap.props, streamCommit
+            .map(_ => "streamIngest").getOrElse("upsertIncremental")) ++
+          streamCommit.map { case (ns, b) => s"streamhwm:$ns" -> b.toString },
         tornGraceMs(spark))
     touchDataStamp(spark, path)
     touched
@@ -1158,7 +1200,7 @@ object TsdbStore {
         snap.entries.updated((table, dt), rel),
         snap.stats.updated((table, dt),
           StoreManifest.statsOf(fs, path, rel, timeColOf(table))),
-        snap.props, tornGraceMs(spark))
+        opProps(snap.props, "compactPartition"), tornGraceMs(spark))
     } else {
       // swap the staged directory into the live partition path so
       // readers of the table actually see the compaction
@@ -1402,7 +1444,7 @@ object TsdbStore {
       if (work != snap.entries)
         StoreManifest.publish(fs, path, snap.version, work,
           workStats.view.filterKeys(work.contains).toMap,
-          snap.props, tornGraceMs(spark))
+          opProps(snap.props, "deleteSeries"), tornGraceMs(spark))
     } else {
       // only after EVERY table has swapped do the backups go: a crash
       // anywhere above leaves each touched partition either live or
@@ -1446,7 +1488,7 @@ object TsdbStore {
         prev.entries.updated(("meta", StoreManifest.NoDt), rel),
         prev.stats.updated(("meta", StoreManifest.NoDt),
           StoreManifest.statsOf(fs, path, rel, timeColOf("meta"))),
-        prev.props, tornGraceMs(spark))
+        opProps(prev.props, "ingestMetadata"), tornGraceMs(spark))
     } else {
       derived.write.mode(SaveMode.Overwrite).option("compression", "zstd")
         .parquet(s"$path/meta")
@@ -1533,7 +1575,7 @@ object TsdbStore {
       if (work != snap.entries)
         StoreManifest.publish(fs, path, snap.version, work,
           snap.stats.view.filterKeys(work.contains).toMap,
-          snap.props, tornGraceMs(spark))
+          opProps(snap.props, "dropBefore"), tornGraceMs(spark))
       touchDataStamp(spark, path)
       return droppedByTable
     }

@@ -475,6 +475,28 @@ class ManifestCommitSpec extends SparkSpec {
       "vacuum disturbed a reader over the retained live snapshot")
   }
 
+  test("history: each commit records its operation; vacuum trims history with the snapshots") {
+    val m = recRoot()
+    TsdbStore.ingest(spark, events(), m, ManifestLayout)
+    TsdbStore.upsertIncremental(spark, replay(), m)
+    TsdbStore.deleteSeries(spark, m, 5L, "view")
+    val h = TsdbStore.history(spark, m).collect()
+    assert(h.map(_.getAs[String]("op")).toSeq ==
+      Seq("deleteSeries", "upsertIncremental", "ingest"),
+      h.mkString("; ")) // newest first
+    assert(h.map(_.getAs[Long]("version")).toSeq == h.map(_.getAs[Long]("version")).sorted.reverse.toSeq)
+    h.foreach { r =>
+      assert(r.getAs[java.lang.Long]("committed_ms") != null &&
+        r.getAs[Int]("n_entries") > 0 && r.getAs[Int]("n_tables") >= 7 &&
+        r.getAs[java.lang.Long]("live_bytes") > 0L, r.toString)
+    }
+    // provenance survives vacuum for retained snapshots; trimmed ones go
+    TsdbStore.vacuum(spark, m, keepManifests = 2)
+    val h2 = TsdbStore.history(spark, m).collect()
+    assert(h2.map(_.getAs[String]("op")).toSeq ==
+      Seq("deleteSeries", "upsertIncremental"))
+  }
+
   test("single-writer violation fails loudly at the commit point") {
     val (m, _) = stores
     val fs = new org.apache.hadoop.fs.Path(m)
