@@ -101,6 +101,13 @@ object ChaosVerify {
           spark.sparkContext.cancelAllJobs()
           scala.util.Try(Await.result(fut, 5.minutes))
             .transform(_ => scala.util.Failure(te), _ => scala.util.Failure(te))
+        // a FAILED future (e.g. the manifest upsert aborting after the
+        // SIGKILL) must settle as a counted Failure the arm's abort
+        // branch can assert on — rethrowing here would crash the whole
+        // harness mid-sweep and make the abort-atomicity branch
+        // unreachable for real aborts (ADVICE r15 #1; the regression
+        // ADVICE r13 #1 originally fixed)
+        case scala.util.control.NonFatal(e) => scala.util.Failure(e)
       }
 
     // pgrep, not ProcessHandle: Info.commandLine() comes back empty for
@@ -388,7 +395,7 @@ object ChaosVerify {
       }
     }
 
-    val totalOps = Queries.size + 4 // batch queries + stream + 3 mutations
+    val totalOps = Queries.size + 5 // batch queries + 2 streams + 3 mutations
     println(s"""{"chaos_summary":true,"queries":$totalOps,""" +
       s""""mid_query_kills":$killsLanded,"failures":$failures}""")
     spark.stop()

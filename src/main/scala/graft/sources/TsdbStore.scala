@@ -432,12 +432,21 @@ object TsdbStore {
   /** Retained snapshot versions of a manifest store, ascending — the
     * read points [[readTableAt]] accepts. Only the newest is the live
     * state; older ones survive until [[vacuum]] trims past its
-    * `keepManifests` (default 2 ⇒ one step of history). */
+    * `keepManifests` (default 2 ⇒ one step of history). COMPLETE
+    * (committed) versions only (ADVICE r15 #3: the raw
+    * [[StoreManifest.versions]] listing deliberately includes torn,
+    * never-committed files so publish/vacuum can manage them — but
+    * every version THIS public API returns must actually be readable,
+    * and a caller selecting `versions.init.last` on a store with a
+    * crashed commit would otherwise pick a torn file [[readTableAt]]
+    * then throws on). */
   def snapshotVersions(spark: SparkSession, path: String): Seq[Long] = {
     require(readLayout(spark, path).commit == "manifest",
       s"snapshots are a manifest-layout concept; the store at $path " +
         "uses rename commits")
-    StoreManifest.versions(fsOf(spark, path), path)
+    val fs = fsOf(spark, path)
+    StoreManifest.versions(fs, path)
+      .filter(v => StoreManifest.tryLoad(fs, path, v).isDefined)
   }
 
   /** TIME-TRAVEL read: `table` exactly as snapshot `version` committed
@@ -949,10 +958,23 @@ object TsdbStore {
       if (manifest) StoreManifest.load(fs, path)
       else StoreManifest.Snapshot(0L, Map.empty)
     // exactly-once replay guard: checked BEFORE any Spark job runs, so
-    // a re-delivered batch costs one manifest read, not a recompute
+    // a re-delivered batch costs one manifest read, not a recompute.
+    // The skip is LOUD (ADVICE r15 #4): after a crash recovery exactly
+    // one replayed batch should ever land here — a stream whose EVERY
+    // batch skips is a mis-lineaged checkpoint (reset checkpoint dir,
+    // reused store + runNs: fresh batch ids restart at 0 below the
+    // stored mark), which without the log reads as silent data loss
     streamCommit.foreach { case (ns, batchId) =>
       val committed = snap.props.get(s"streamhwm:$ns").flatMap(_.toLongOption)
-      if (committed.exists(batchId <= _)) return Seq.empty
+      if (committed.exists(batchId <= _)) {
+        System.err.println(
+          s"[graft] streaming batch $batchId skipped at high-water mark " +
+            s"${committed.get} (runNs='$ns', store=$path) — expected ONCE " +
+            "after a checkpoint crash recovery; if every batch logs this, " +
+            "the checkpoint lineage and runNs are out of sync (a reset " +
+            "checkpoint reusing a store needs a fresh runNs)")
+        return Seq.empty
+      }
     }
     val incoming = dedupeBatch(normalize(newEvents, layout))
     val touched = incoming.select(col("dt").cast("string")).distinct()

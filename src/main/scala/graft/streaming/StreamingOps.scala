@@ -293,20 +293,38 @@ object StreamingOps {
     * (pass the checkpoint dir's name; the empty default supports one
     * lineage — resetting the checkpoint while reusing the store needs
     * a fresh runNs or batch ids restart below the stored mark and
-    * no-op). On the rename layout the upsert itself is last-write-wins
-    * idempotent for re-delivered content, but each replay re-pays the
-    * recompute — the manifest mark makes replays O(1). */
+    * no-op at the mark, LOUDLY: the skip logs with full context, so a
+    * mis-lineaged stream is observable, not silent data loss — ADVICE
+    * r15 #4). Passing `checkpointLocation` HERE instead of setting the
+    * option on the returned writer removes the hazard entirely: the
+    * run namespace is then derived from the checkpoint path itself, so
+    * a NEW checkpoint directory automatically gets a fresh namespace
+    * and its batch-0 restart can never hide below an old lineage's
+    * high-water mark. On the rename layout the upsert itself is
+    * last-write-wins idempotent for re-delivered content, but each
+    * replay re-pays the recompute — the manifest mark makes replays
+    * O(1). */
   def streamIngestIncremental(events: DataFrame, storePath: String,
-      runNs: String = ""): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      runNs: String = "",
+      checkpointLocation: Option[String] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val ns =
+      if (runNs.nonEmpty || checkpointLocation.isEmpty) runNs
+      else { // one namespace per checkpoint path = one per lineage
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(checkpointLocation.get.getBytes("UTF-8"))
+        "ckpt-" + digest.take(8).map(b => f"$b%02x").mkString
+      }
+    val writer = events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val commit =
         if (graft.sources.TsdbStore.readLayout(spark, storePath).commit == "manifest")
-          Some((runNs, batchId))
+          Some((ns, batchId))
         else None
       graft.sources.TsdbStore.upsertIncremental(spark, batch, storePath,
         streamCommit = commit): Unit
     }
+    checkpointLocation.fold(writer)(l => writer.option("checkpointLocation", l))
+  }
 
   /** Online wrap-corrected counter RATES: keyed state holds the last
     * (ts, cents) per series; each arriving sample joins to its stored
