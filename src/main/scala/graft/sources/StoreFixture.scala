@@ -34,8 +34,11 @@ object StoreFixture {
     * line — terminator-less manifest fixtures read as torn commits.
     * 9: round-15 manifest format v2 — per-entry stats + snapshot
     * props, and the manifest fixture now RETAINS one snapshot of
-    * history for the declared time-travel read.) */
-  private val LayoutVersion = 9
+    * history for the declared time-travel read. 10: round-16 manifest
+    * format v3 — manifest-list + per-table manifests with per-file
+    * series-key stats, schema-in-snapshot, and range-clustered store
+    * writes; pre-v3 fixtures would miss the file-skip evidence.) */
+  private val LayoutVersion = 10
 
   private def stampOf(src: File): String =
     s"v$LayoutVersion:${src.lastModified()}:${src.length()}"

@@ -258,25 +258,89 @@ object TsdbStore {
     case _ => "slot_ts" // agg_<step> / rate_<step> / quant_<step>
   }
 
-  /** Harvest [[StoreManifest.EntryStats]] for a fresh entry set (one
-    * driver-side parquet-footer pass per written partition — per
-    * mutation, never per query). */
+  /** A fresh entry set's harvested statistics: per-partition
+    * [[StoreManifest.EntryStats]] plus per-file
+    * [[StoreManifest.FileStats]] (round 16 — the series-key skip
+    * data), from one driver-side parquet-footer pass per written
+    * partition — per mutation, never per query. */
+  private case class Harvest(
+      stats: Map[(String, String), StoreManifest.EntryStats],
+      files: Map[(String, String), Seq[StoreManifest.FileStats]])
+
   private def segStats(fs: org.apache.hadoop.fs.FileSystem, path: String,
-                       entries: Map[(String, String), String])
-      : Map[(String, String), StoreManifest.EntryStats] =
-    entries.map { case (key @ (table, _), rel) =>
+                       entries: Map[(String, String), String]): Harvest = {
+    val h = entries.map { case (key @ (table, _), rel) =>
       key -> StoreManifest.statsOf(fs, path, rel, timeColOf(table))
     }
+    Harvest(h.map { case (k, (e, _)) => k -> e },
+      h.collect { case (k, (_, f)) if f.nonEmpty => k -> f })
+  }
 
-  /** Snapshot props for a mutation's publish: carry the previous
-    * snapshot's props forward (high-water marks survive unrelated
-    * maintenance) and stamp THIS commit's operation name + wall-clock —
-    * the provenance [[history]] surfaces. `op`/`committed_ms` are
-    * per-commit, so they OVERWRITE rather than carry. */
-  private def opProps(prev: Map[String, String],
-                      op: String): Map[String, String] =
-    prev + ("op" -> op) +
-      ("committed_ms" -> System.currentTimeMillis().toString)
+  /** Declared data schemas for freshly written tables, read back from
+    * the written files themselves (one driver-side footer per table
+    * per mutation): the read-back inference is the ground truth the
+    * per-query inference used to produce, so stamping IT into the
+    * snapshot changes nothing about reads except that they no longer
+    * pay the inference. The partition dir is read directly, so the dt
+    * partition column is naturally excluded. */
+  private def segSchemas(spark: SparkSession, path: String,
+                         fresh: Map[(String, String), String]): Map[String, String] =
+    fresh.keys.map(_._1).toSeq.distinct.map { t =>
+      val rel = fresh.collectFirst { case ((`t`, _), r) => r }.get
+      t -> spark.read.parquet(s"$path/$rel").schema.json
+    }.toMap
+
+  /** Bounded optimistic-commit retries ([[StoreManifest.publishOptimistic]]). */
+  private def maxCommitAttempts(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.manifest.maxCommitAttempts", "5").toInt
+
+  /** ADDITIVE schema evolution (round 16, VERDICT r15 missing #3):
+    * declare a new NULLABLE column on a manifest-store table as a PURE
+    * METADATA commit — the snapshot's declared schema widens, no data
+    * file is touched (every table manifest is reused verbatim, so the
+    * commit writes one small list file). Old segments null-complete
+    * under the wider declared schema at read (Spark's parquet reader
+    * fills columns absent from a file's footer with nulls when given
+    * an explicit dataSchema); mutations from then on carry the column
+    * when their input feed provides it and null it otherwise
+    * ([[normalize]]). The CASCADES deliberately do not carry evolved
+    * base columns — aggregate shapes are the layout's contract, and a
+    * column with aggregation semantics belongs in a layout change, not
+    * a schema patch. This is Iceberg/Delta's ALTER TABLE ADD COLUMN
+    * shape on the same snapshot-log lineage. */
+  def addColumn(spark: SparkSession, path: String, table: String,
+                field: org.apache.spark.sql.types.StructField): Unit = {
+    val layout = readLayout(spark, path)
+    require(layout.commit == "manifest",
+      s"schema evolution needs the manifest layout's schema-in-snapshot; " +
+        s"the store at $path uses rename commits")
+    require(field.nullable,
+      s"added columns must be nullable — existing rows have no value " +
+        s"for '${field.name}'")
+    val fs = fsOf(spark, path)
+    StoreManifest.publishOptimistic(fs, path, tornGraceMs(spark),
+        maxCommitAttempts(spark)) { snap =>
+      require(snap.entries.keys.exists(_._1 == table),
+        s"no live table '$table' at $path")
+      val cur = snap.schemas.get(table)
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .getOrElse {
+          // pre-v3 store: harvest the declared base from a live footer
+          val rel = snap.entries.collectFirst { case ((`table`, _), r) => r }.get
+          spark.read.parquet(s"$path/$rel").schema
+        }
+      require(!cur.fieldNames.contains(field.name),
+        s"column '${field.name}' already exists on '$table' " +
+          s"(${cur.fieldNames.mkString(", ")})")
+      Some(StoreManifest.Mutation(
+        entries = snap.entries, stats = snap.stats, files = snap.files,
+        schemas = snap.schemas.updated(table,
+          org.apache.spark.sql.types.StructType(cur.fields :+ field).json),
+        op = "addColumn"))
+    }
+    touchDataStamp(spark, path)
+  }
 
   /** Commit HISTORY of a manifest store — the operational "what
     * happened to this table" view (the DESCRIBE HISTORY of the
@@ -336,53 +400,87 @@ object TsdbStore {
     * manifest skip a 100 TB store needs when a year of partitions is
     * live but the dashboard wants two days. Entries without stats
     * (format-v1 manifests) are always kept — stats only ever SKIP
-    * provably-disjoint data. */
+    * provably-disjoint data.
+    *
+    * `series` (round 16, VERDICT r15 missing #1) prunes at FILE level
+    * using the v3 manifest's per-file statistics: each requested key
+    * is an optional (user_id, event_type) equality pair, and a file
+    * whose recorded series-key bounds exclude EVERY requested key is
+    * dropped before the file index ever sees it — the surviving files
+    * are handed to the planner EXPLICITLY, so a one-series fetch on a
+    * store whose partitions hold thousands of range-clustered files
+    * neither lists the partition directories nor opens excluded
+    * footers. The reference's file-per-var addressing [pub: tsdb
+    * TSDBVar — unverified, SURVEY.md §0] re-expressed as manifest skip
+    * data. File pruning engages only on ranged/filtered reads (bounds
+    * or series present): whole-table plan-level reads keep DIRECTORY
+    * roots, which is the shape [[graft.plans.RollupSubstitution]]'s
+    * live-set-equality guard matches against. Entries without file
+    * stats (v1/v2 manifests, stat-less writers) fall back to listing
+    * their directory — skipping is always provably-safe-only. */
   private def manifestRead(spark: SparkSession, path: String,
                            layout: StoreLayout,
                            snap: StoreManifest.Snapshot,
                            table: String,
                            bounds: Option[(Long, Long)] = None,
-                           dataSchemaHint: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+                           dataSchemaHint: Option[org.apache.spark.sql.types.StructType] = None,
+                           series: Option[Seq[(Option[Long], Option[String])]] = None): DataFrame = {
+    import org.apache.spark.sql.types._
     val live = snap.entries.collect {
       case ((t, dt), rel) if t == table => (dt, rel)
     }
     require(live.nonEmpty,
       s"manifest store at $path has no live data for table '$table'")
-    if (live.size == 1 && live.head._1 == StoreManifest.NoDt)
-      return spark.read.parquet(s"$path/${live.head._2}")
+    val declared = dataSchemaHint.orElse(snap.schemas.get(table).map(j =>
+      DataType.fromJson(j).asInstanceOf[StructType]))
+    if (live.size == 1 && live.head._1 == StoreManifest.NoDt) {
+      val r = spark.read
+      return declared.fold(r)(s => r.schema(s))
+        .parquet(s"$path/${live.head._2}")
+    }
     val kept = bounds match {
       case Some((lo, hi)) => live.filter { case (dt, _) =>
         !snap.stats.get((table, dt)).exists(_.disjointFrom(lo, hi))
       }
       case None => live
     }
-    import org.apache.spark.sql.types._
     val dtField =
       if (layout.monthly) StructField("dt", StringType)
       else StructField("dt", DateType)
+    val pruneFiles = bounds.isDefined || series.isDefined
     val parts = kept.toSeq.sortBy(_._1).map { case (dt, rel) =>
       val value =
         if (layout.monthly)
           org.apache.spark.unsafe.types.UTF8String.fromString(dt)
         else java.lang.Integer.valueOf(LocalDate.parse(dt).toEpochDay.toInt)
-      (org.apache.spark.sql.catalyst.InternalRow(value),
-        new org.apache.hadoop.fs.Path(s"$path/$rel"))
+      val dir = new org.apache.hadoop.fs.Path(s"$path/$rel")
+      val explicit =
+        if (!pruneFiles) None
+        else snap.files.get((table, dt)).filter(_.nonEmpty).map { fls =>
+          fls.filter { f =>
+            bounds.forall { case (lo, hi) => !f.disjointFromTime(lo, hi) } &&
+              series.forall(_.exists(k => f.mayMatchSeries(k._1, k._2)))
+          }.map(f => new org.apache.hadoop.fs.Path(dir, f.name))
+        }
+      (org.apache.spark.sql.catalyst.InternalRow(value), dir, explicit)
+    }.filter { case (_, _, explicit) =>
+      explicit.forall(_.nonEmpty) // every file provably excluded ⇒ drop the partition whole
     }
     if (parts.isEmpty) {
-      // every live partition is provably outside the requested range:
-      // serve the correctly-typed empty relation without listing
-      val schema = dataSchemaHint
+      // every live partition is provably outside the request: serve
+      // the correctly-typed empty relation without listing anything
+      val schema = declared
         .getOrElse(spark.read.parquet(s"$path/${live.head._2}").schema)
         .add(dtField)
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     }
-    // file schema from one partition's footer (every segment of a
-    // table is written by the same normalize/cascade code path); the
-    // optimizer passes its cached copy to skip the per-call inference
-    val dataSchema = dataSchemaHint
+    // declared schema from the snapshot (v3), the optimizer's cached
+    // copy (hint), or one partition's footer (v1/v2 fallback — every
+    // segment of a table is written by the same normalize/cascade path)
+    val dataSchema = declared
       .getOrElse(spark.read.parquet(parts.head._2.toString).schema)
-    org.apache.spark.sql.graftshim.PartitionedRelationBridge.dataFrame(
+    org.apache.spark.sql.graftshim.PartitionedRelationBridge.dataFrameWithFiles(
       spark, StructType(Seq(dtField)), parts, dataSchema)
   }
 
@@ -405,23 +503,28 @@ object TsdbStore {
     readTableRange(spark, path, layout, table, None)
 
   /** [[readTable]] with a time-range hint `[lo, hi)` in the table's
-    * native time unit ([[timeColOf]]): on the manifest layout the
-    * snapshot's per-entry statistics drop provably-disjoint partitions
-    * BEFORE any file listing. Purely an optimization hint — the caller
-    * still applies its own row-level range filters. `atVersion` reads
-    * a RETAINED snapshot instead of the live one (time travel —
-    * [[readTableAt]] semantics inside the fetch surface). */
+    * native time unit ([[timeColOf]]) and an optional series-key hint
+    * (requested (user_id, event_type) equality pairs, each side
+    * optional): on the manifest layout the snapshot's per-entry
+    * statistics drop provably-disjoint partitions BEFORE any file
+    * listing, and the per-file statistics then drop provably-excluded
+    * FILES before the index sees them ([[manifestRead]]). Purely
+    * optimization hints — the caller still applies its own row-level
+    * filters. `atVersion` reads a RETAINED snapshot instead of the
+    * live one (time travel — [[readTableAt]] semantics inside the
+    * fetch surface). */
   private def readTableRange(spark: SparkSession, path: String,
                              layout: StoreLayout, table: String,
                              bounds: Option[(Long, Long)],
-                             atVersion: Option[Long] = None): DataFrame =
+                             atVersion: Option[Long] = None,
+                             series: Option[Seq[(Option[Long], Option[String])]] = None): DataFrame =
     if (layout.commit == "manifest") {
       val fs = fsOf(spark, path)
       val snap = atVersion match {
         case Some(v) => StoreManifest.loadAt(fs, path, v)
         case None => StoreManifest.load(fs, path)
       }
-      manifestRead(spark, path, layout, snap, table, bounds)
+      manifestRead(spark, path, layout, snap, table, bounds, None, series)
     } else {
       require(atVersion.isEmpty,
         s"time travel needs the manifest layout; the store at $path " +
@@ -481,13 +584,44 @@ object TsdbStore {
   // ---- ingest ---------------------------------------------------------
 
   /** events-shaped feed → the store's row shape, with the dt partition
-    * key derived from the timestamp (integer UTC math). */
-  private def normalize(events: DataFrame, layout: StoreLayout): DataFrame =
+    * key derived from the timestamp (integer UTC math). `extras` are
+    * the base table's EVOLVED columns beyond the canonical five
+    * ([[addColumn]] — manifest layout only): each is taken from the
+    * input when present (cast to its declared type) and
+    * null-completed otherwise, so pre-evolution feeds keep working
+    * against an evolved store. */
+  private def normalize(events: DataFrame, layout: StoreLayout,
+                        extras: Seq[org.apache.spark.sql.types.StructField] = Seq.empty): DataFrame = {
+    val extraCols = extras.map { f =>
+      if (events.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
     events
-      .select(col("user_id"), col("event_type"), col("event_id"),
-        unix_micros(col("ts")).as("ts_us"),
-        expr("CAST(round(value*100) AS BIGINT)").as("cents"))
+      .select(col("user_id") +: col("event_type") +: col("event_id") +:
+        unix_micros(col("ts")).as("ts_us") +:
+        expr("CAST(round(value*100) AS BIGINT)").as("cents") +:
+        extraCols: _*)
       .withColumn("dt", dtFromTsUs(layout))
+  }
+
+  /** The base table's canonical column order plus its evolved extras
+    * (dt last — the partition key). */
+  private def baseCols(extras: Seq[org.apache.spark.sql.types.StructField]): Seq[String] =
+    Seq("user_id", "event_type", "event_id", "ts_us", "cents") ++
+      extras.map(_.name) :+ "dt"
+
+  /** Evolved columns a snapshot declares for `table` beyond the
+    * canonical store shape ([[addColumn]]): the declared schema minus
+    * the columns the written files always carry. Empty when the
+    * snapshot carries no schema (v1/v2 manifests, rename layout). */
+  private def declaredExtras(snap: StoreManifest.Snapshot,
+                             table: String): Seq[org.apache.spark.sql.types.StructField] =
+    snap.schemas.get(table).map { j =>
+      val canonical = Set("user_id", "event_type", "event_id", "ts_us", "cents", "dt")
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fields.filterNot(f => canonical.contains(f.name)).toSeq
+    }.getOrElse(Seq.empty)
 
   /** Wrap-corrected, heartbeat-validated counter deltas over the stored
     * sample column — the SAME expression tree as the declared
@@ -600,47 +734,56 @@ object TsdbStore {
       // whole-store build into one fresh segment, committed by a single
       // manifest create: readers see the OLD store (or none) until the
       // base AND every cascade level have fully landed — full ingest is
-      // atomic here, where the rename layout exposes table-at-a-time
+      // atomic here, where the rename layout exposes table-at-a-time.
+      // publishOptimistic: a conflicting concurrent commit re-runs the
+      // build against the new snapshot (a full ingest replaces every
+      // data table, so it can never rebase past another data mutation)
       val fs = fsOf(spark, path)
-      val seg = StoreManifest.newSegId()
-      val segBase = StoreManifest.segTableDir(path, seg, "base")
-      if (layout.buckets > 0) {
-        // bucketed base INSIDE the write-once segment (round 15): the
-        // bucket-id file naming needs a catalog write, so the data
-        // lands via a throwaway external-table registration whose
-        // files stay when it is dropped; the DURABLE catalog identity
-        // is per-snapshot ([[bucketedBaseTable]] registers the live
-        // partition locations at resolve time)
-        val tmp = tableNameFor(path) + "_ingest_tmp"
-        spark.sql(s"DROP TABLE IF EXISTS $tmp")
-        m.write.mode(SaveMode.Overwrite)
-          .option("compression", "zstd").option("path", segBase)
-          .partitionBy("dt")
-          .bucketBy(layout.buckets, "user_id", "event_type")
-          .sortBy("user_id", "event_type", "ts_us")
-          .saveAsTable(tmp)
-        spark.sql(s"DROP TABLE $tmp")
-      } else
-      m.sortWithinPartitions("dt", "user_id", "event_type", "ts_us")
-        .write.mode(SaveMode.Overwrite)
-        .option("compression", "zstd")
-        .partitionBy("dt").parquet(segBase)
       writeLayout(spark, path, layout)
-      buildCascades(spark, s"$path/_segs/$seg", layout)
-      val prev = StoreManifest.load(fs, path)
-      val tables = "base" +: layout.steps.flatMap(s =>
-        Seq(s"agg_$s", s"rate_$s") ++
-          (if (layout.quantiles) Seq(s"quant_$s") else Seq.empty))
-      val fresh = tables.flatMap(t =>
-        StoreManifest.segEntries(fs, path, seg, t)).toMap
-      // a re-ingest replaces every data table but PRESERVES the
-      // metadata sidecar (append-only as-of history, like deleteSeries)
-      // and the snapshot properties (streaming high-water marks)
-      StoreManifest.publish(fs, path, prev.version,
-        prev.entries.filter(_._1._1 == "meta") ++ fresh,
-        prev.stats.view.filterKeys(_._1 == "meta").toMap ++
-          segStats(fs, path, fresh),
-        opProps(prev.props, "ingest"), tornGraceMs(spark))
+      StoreManifest.publishOptimistic(fs, path, tornGraceMs(spark),
+          maxCommitAttempts(spark)) { prev =>
+        val seg = StoreManifest.newSegId()
+        val segBase = StoreManifest.segTableDir(path, seg, "base")
+        if (layout.buckets > 0) {
+          // bucketed base INSIDE the write-once segment (round 15): the
+          // bucket-id file naming needs a catalog write, so the data
+          // lands via a throwaway external-table registration whose
+          // files stay when it is dropped; the DURABLE catalog identity
+          // is per-snapshot ([[bucketedBaseTable]] registers the live
+          // partition locations at resolve time)
+          val tmp = tableNameFor(path) + "_ingest_tmp"
+          spark.sql(s"DROP TABLE IF EXISTS $tmp")
+          m.write.mode(SaveMode.Overwrite)
+            .option("compression", "zstd").option("path", segBase)
+            .partitionBy("dt")
+            .bucketBy(layout.buckets, "user_id", "event_type")
+            .sortBy("user_id", "event_type", "ts_us")
+            .saveAsTable(tmp)
+          spark.sql(s"DROP TABLE $tmp")
+        } else
+          clusteredByDt(m, "ts_us")
+            .write.mode(SaveMode.Overwrite)
+            .option("compression", "zstd")
+            .partitionBy("dt").parquet(segBase)
+        buildCascades(spark, s"$path/_segs/$seg", layout)
+        val tables = "base" +: layout.steps.flatMap(s =>
+          Seq(s"agg_$s", s"rate_$s") ++
+            (if (layout.quantiles) Seq(s"quant_$s") else Seq.empty))
+        val fresh = tables.flatMap(t =>
+          StoreManifest.segEntries(fs, path, seg, t)).toMap
+        val h = segStats(fs, path, fresh)
+        // a re-ingest replaces every data table but PRESERVES the
+        // metadata sidecar (append-only as-of history, like
+        // deleteSeries), its schema, and the snapshot properties
+        // (streaming high-water marks ride propSets-free carry-over)
+        Some(StoreManifest.Mutation(
+          entries = prev.entries.filter(_._1._1 == "meta") ++ fresh,
+          stats = prev.stats.view.filterKeys(_._1 == "meta").toMap ++ h.stats,
+          files = prev.files.view.filterKeys(_._1 == "meta").toMap ++ h.files,
+          schemas = prev.schemas.view.filterKeys(_ == "meta").toMap ++
+            segSchemas(spark, path, fresh),
+          op = "ingest"))
+      }
       touchDataStamp(spark, path)
       return
     }
@@ -660,7 +803,7 @@ object TsdbStore {
       // cluster rows by (series, ts) inside each date partition: parquet
       // row-group min/max then prunes BOTH the series filter and the
       // time range within a day — the offset-addressing story at file level
-      m.sortWithinPartitions("dt", "user_id", "event_type", "ts_us")
+      clusteredByDt(m, "ts_us")
         .write.mode(SaveMode.Overwrite)
         .option("compression", "zstd")
         .partitionBy("dt").parquet(s"$path/base")
@@ -669,6 +812,23 @@ object TsdbStore {
     buildCascades(spark, path, layout)
     touchDataStamp(spark, path)
   }
+
+  /** GLOBAL range clustering on (dt, series, time) for every
+    * plain-parquet store-table write (round 16; ingest previously only
+    * sorted WITHIN arbitrary input partitions): each output task gets
+    * a contiguous slice of the (dt, user_id, event_type, time) order,
+    * so within a dt partition the files carry tight, near-disjoint
+    * series-key ranges — which is what makes the manifest's per-file
+    * user_id/event_type statistics selective (a one-series fetch
+    * skips all but ~one file per partition) and keeps parquet
+    * row-group pruning sharp across files, not just within them. Costs
+    * one range exchange per table write AT MUTATION TIME — paid once,
+    * amortized over every later fetch; at 100 TB this is the
+    * write-side investment that turns the per-file stats from
+    * advisory into decisive. */
+  private def clusteredByDt(df: DataFrame, timeCol: String): DataFrame =
+    df.repartitionByRange(col("dt"), col("user_id"), col("event_type"), col(timeCol))
+      .sortWithinPartitions("dt", "user_id", "event_type", timeCol)
 
   /** (Re)build every derived table (value + quantile + rate cascades)
     * from the CURRENT `$root/base` — ingest's second half, shared with
@@ -681,15 +841,16 @@ object TsdbStore {
     val base = spark.read.parquet(s"$path/base")
 
     // value cascade: finest from base, each coarser from the finer
-    // (never re-scan raw)
-    TimeSeriesOps.downsampleWide(base, layout.steps.head)
-      .withColumn("dt", dtFromSlot(layout))
+    // (never re-scan raw); every level range-clustered on (dt, series,
+    // slot) so its files carry tight series-key stats ([[clusteredByDt]])
+    clusteredByDt(TimeSeriesOps.downsampleWide(base, layout.steps.head)
+        .withColumn("dt", dtFromSlot(layout)), "slot_ts")
       .write.mode(SaveMode.Overwrite).partitionBy("dt")
       .parquet(s"$path/agg_${layout.steps.head}")
     layout.steps.sliding(2).foreach {
       case Seq(fine, coarse) =>
-        valueAggCoarser(spark.read.parquet(s"$path/agg_$fine"), coarse)
-          .withColumn("dt", dtFromSlot(layout))
+        clusteredByDt(valueAggCoarser(spark.read.parquet(s"$path/agg_$fine"), coarse)
+            .withColumn("dt", dtFromSlot(layout)), "slot_ts")
           .write.mode(SaveMode.Overwrite).partitionBy("dt").parquet(s"$path/agg_$coarse")
       case _ => ()
     }
@@ -697,14 +858,14 @@ object TsdbStore {
     // quantile cascade: per-slot bottom-k sketches from base, coarser
     // levels by semilattice merge of the finer (never re-scan raw)
     if (layout.quantiles) {
-    quantAggFromBase(base, layout.steps.head)
-      .withColumn("dt", dtFromSlot(layout))
+    clusteredByDt(quantAggFromBase(base, layout.steps.head)
+        .withColumn("dt", dtFromSlot(layout)), "slot_ts")
       .write.mode(SaveMode.Overwrite).partitionBy("dt")
       .parquet(s"$path/quant_${layout.steps.head}")
     layout.steps.sliding(2).foreach {
       case Seq(fine, coarse) =>
-        quantAggCoarser(spark.read.parquet(s"$path/quant_$fine"), coarse)
-          .withColumn("dt", dtFromSlot(layout))
+        clusteredByDt(quantAggCoarser(spark.read.parquet(s"$path/quant_$fine"), coarse)
+            .withColumn("dt", dtFromSlot(layout)), "slot_ts")
           .write.mode(SaveMode.Overwrite).partitionBy("dt").parquet(s"$path/quant_$coarse")
       case _ => ()
     }
@@ -718,13 +879,13 @@ object TsdbStore {
     // inference on the re-read.
     var fineRate = rateAggFromDeltas(
       validDeltas(base, layout.heartbeatSec), layout.steps.head).persist()
-    fineRate.withColumn("dt", dtFromSlot(layout))
+    clusteredByDt(fineRate.withColumn("dt", dtFromSlot(layout)), "slot_ts")
       .write.mode(SaveMode.Overwrite).partitionBy("dt")
       .parquet(s"$path/rate_${layout.steps.head}")
     layout.steps.sliding(2).foreach {
       case Seq(_, coarse) =>
         val next = rateAggCoarser(fineRate, coarse).persist()
-        next.withColumn("dt", dtFromSlot(layout))
+        clusteredByDt(next.withColumn("dt", dtFromSlot(layout)), "slot_ts")
           .write.mode(SaveMode.Overwrite).partitionBy("dt").parquet(s"$path/rate_$coarse")
         fineRate.unpersist()
         fineRate = next
@@ -797,16 +958,22 @@ object TsdbStore {
   }
 
   /** Deterministic within-batch dedup: two incoming rows with the same
-    * (series, event_id) key resolve by (ts_us, cents) max — NOT by
+    * (series, event_id) key resolve by lexicographic max over the full
+    * carried tuple (ts_us, cents, dt, evolved extras…) — NOT by
     * arrival order, which would make the merged store depend on shuffle
-    * nondeterminism (ADVICE r3 #2). */
-  private def dedupeBatch(incoming: DataFrame): DataFrame =
+    * nondeterminism (ADVICE r3 #2; the full-tuple key also keeps the
+    * pick deterministic when evolved columns differ at equal
+    * (ts_us, cents)). */
+  private def dedupeBatch(incoming: DataFrame): DataFrame = {
+    val carry = incoming.columns.filterNot(
+      Set("user_id", "event_type", "event_id").contains)
     incoming
       .groupBy("user_id", "event_type", "event_id")
-      .agg(max_by(struct(col("ts_us"), col("cents"), col("dt")),
-        struct(col("ts_us"), col("cents"))).as("r"))
-      .select(col("user_id"), col("event_type"), col("event_id"),
-        col("r.ts_us").as("ts_us"), col("r.cents").as("cents"), col("r.dt").as("dt"))
+      .agg(max_by(struct(carry.map(col): _*),
+        struct(carry.map(col): _*)).as("r"))
+      .select(col("user_id") +: col("event_type") +: col("event_id") +:
+        carry.map(c => col(s"r.$c").as(c)): _*)
+  }
 
   /** Idempotent re-ingest of late/replayed rows: last write per
     * (series, event_id) wins — offset-addressing upsert semantics as a
@@ -834,48 +1001,64 @@ object TsdbStore {
     require(layout.buckets == 0,
       "upsert writes plain parquet, which would not honor the bucketed " +
         "table's file layout — rewrite the bucketed table via ingest() instead")
-    val existing = readTable(spark, path, layout, "base")
-      .select("user_id", "event_type", "event_id", "ts_us", "cents", "dt")
-    val incoming = dedupeBatch(normalize(newEvents, layout))
-    val merged = existing.withColumn("gen", lit(0))
-      .unionByName(incoming.withColumn("gen", lit(1)))
-      .groupBy("user_id", "event_type", "event_id")
-      .agg(max_by(struct(col("ts_us"), col("cents"), col("dt")), col("gen")).as("r"))
-      .select(col("user_id"), col("event_type"), col("event_id"),
-        col("r.ts_us"), col("r.cents"), col("r.dt"))
     val fs = fsOf(spark, path)
+    def mergedAgainst(existing: DataFrame, extras: Seq[org.apache.spark.sql.types.StructField]): DataFrame = {
+      val incoming = dedupeBatch(normalize(newEvents, layout, extras))
+      val carry = incoming.columns.filterNot(
+        Set("user_id", "event_type", "event_id").contains)
+      existing.withColumn("gen", lit(0))
+        .unionByName(incoming.withColumn("gen", lit(1)))
+        .groupBy("user_id", "event_type", "event_id")
+        .agg(max_by(struct(carry.map(col): _*), col("gen")).as("r"))
+        .select(col("user_id") +: col("event_type") +: col("event_id") +:
+          carry.map(c => col(s"r.$c").as(c)): _*)
+    }
     if (layout.commit == "manifest") {
       // merge + full cascade rebuild into one fresh segment, ONE
       // publish: the rename layout's documented crash window (base
       // swapped, cascades stale) does not exist here — readers see the
-      // old store whole until everything has landed
-      val seg = StoreManifest.newSegId()
-      merged
-        .sortWithinPartitions("dt", "user_id", "event_type", "ts_us")
-        .write.mode(SaveMode.Overwrite).option("compression", "zstd")
-        .partitionBy("dt").parquet(StoreManifest.segTableDir(path, seg, "base"))
-      buildCascades(spark, s"$path/_segs/$seg", layout)
-      val prev = StoreManifest.load(fs, path)
-      val tables = "base" +: layout.steps.flatMap(s =>
-        Seq(s"agg_$s", s"rate_$s") ++
-          (if (layout.quantiles) Seq(s"quant_$s") else Seq.empty))
-      val fresh = tables.flatMap(t =>
-        StoreManifest.segEntries(fs, path, seg, t)).toMap
-      StoreManifest.publish(fs, path, prev.version,
-        prev.entries.filter(_._1._1 == "meta") ++ fresh,
-        prev.stats.view.filterKeys(_._1 == "meta").toMap ++
-          segStats(fs, path, fresh),
-        opProps(prev.props, "upsert"), tornGraceMs(spark))
+      // old store whole until everything has landed. The merge reads
+      // the closure's snapshot, so a conflicting concurrent commit
+      // re-runs it against the new base (never a rebase: the merge's
+      // INPUT is the whole base, so no concurrent data commit is
+      // disjoint from it)
+      StoreManifest.publishOptimistic(fs, path, tornGraceMs(spark),
+          maxCommitAttempts(spark)) { prev =>
+        val extras = declaredExtras(prev, "base")
+        val existing = manifestRead(spark, path, layout, prev, "base")
+          .select(baseCols(extras).map(col): _*)
+        val seg = StoreManifest.newSegId()
+        clusteredByDt(mergedAgainst(existing, extras), "ts_us")
+          .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+          .partitionBy("dt").parquet(StoreManifest.segTableDir(path, seg, "base"))
+        buildCascades(spark, s"$path/_segs/$seg", layout)
+        val tables = "base" +: layout.steps.flatMap(s =>
+          Seq(s"agg_$s", s"rate_$s") ++
+            (if (layout.quantiles) Seq(s"quant_$s") else Seq.empty))
+        val fresh = tables.flatMap(t =>
+          StoreManifest.segEntries(fs, path, seg, t)).toMap
+        val h = segStats(fs, path, fresh)
+        Some(StoreManifest.Mutation(
+          entries = prev.entries.filter(_._1._1 == "meta") ++ fresh,
+          stats = prev.stats.view.filterKeys(_._1 == "meta").toMap ++ h.stats,
+          files = prev.files.view.filterKeys(_._1 == "meta").toMap ++ h.files,
+          schemas = prev.schemas.view.filterKeys(_ == "meta").toMap ++
+            segSchemas(spark, path, fresh),
+          op = "upsert"))
+      }
       touchDataStamp(spark, path)
       return
     }
+    val merged = mergedAgainst(
+      readTable(spark, path, layout, "base")
+        .select("user_id", "event_type", "event_id", "ts_us", "cents", "dt"),
+      Seq.empty)
     // stage fully (this materializes the merge BEFORE base is touched —
     // merged reads base lazily), CLUSTERED like ingest writes it —
-    // without the within-partition (series, ts) sort the swapped-in
-    // base would lose the row-group min/max pruning every read
-    // depends on (review r11 #3) — then swap the whole table
-    merged
-      .sortWithinPartitions("dt", "user_id", "event_type", "ts_us")
+    // without the (series, ts) clustering the swapped-in base would
+    // lose the row-group min/max pruning every read depends on
+    // (review r11 #3) — then swap the whole table
+    clusteredByDt(merged, "ts_us")
       .write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .partitionBy("dt").parquet(s"$path/base_new")
     swapPartitionDir(fs,
@@ -954,198 +1137,229 @@ object TsdbStore {
     // multi-table update atomic to readers — the rename layout exposes
     // each table's swap as it lands
     val manifest = layout.commit == "manifest"
-    val snap =
-      if (manifest) StoreManifest.load(fs, path)
-      else StoreManifest.Snapshot(0L, Map.empty)
-    // exactly-once replay guard: checked BEFORE any Spark job runs, so
-    // a re-delivered batch costs one manifest read, not a recompute.
-    // The skip is LOUD (ADVICE r15 #4): after a crash recovery exactly
-    // one replayed batch should ever land here — a stream whose EVERY
-    // batch skips is a mis-lineaged checkpoint (reset checkpoint dir,
-    // reused store + runNs: fresh batch ids restart at 0 below the
-    // stored mark), which without the log reads as silent data loss
-    streamCommit.foreach { case (ns, batchId) =>
-      val committed = snap.props.get(s"streamhwm:$ns").flatMap(_.toLongOption)
-      if (committed.exists(batchId <= _)) {
-        System.err.println(
-          s"[graft] streaming batch $batchId skipped at high-water mark " +
-            s"${committed.get} (runNs='$ns', store=$path) — expected ONCE " +
-            "after a checkpoint crash recovery; if every batch logs this, " +
-            "the checkpoint lineage and runNs are out of sync (a reset " +
-            "checkpoint reusing a store needs a fresh runNs)")
-        return Seq.empty
-      }
-    }
-    val incoming = dedupeBatch(normalize(newEvents, layout))
-    val touched = incoming.select(col("dt").cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    var work = snap.entries
-    var workStats = snap.stats
-    val seg = StoreManifest.newSegId()
-    def readTbl(table: String): DataFrame =
-      if (manifest) manifestRead(spark, path, layout,
-        StoreManifest.Snapshot(snap.version, work), table)
-      else spark.read.parquet(s"$path/$table")
-    def tblExists(table: String): Boolean =
-      if (manifest) work.keys.exists(_._1 == table)
-      else fs.exists(new Path(s"$path/$table"))
-    def existingDts(table: String): Set[String] =
-      if (manifest) work.keys.collect { case (t, dt) if t == table => dt }.toSet
-      else {
-        val dir = new Path(s"$path/$table")
-        if (!fs.exists(dir)) Set.empty
-        else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-          .filter(_.startsWith("dt=")).map(_.stripPrefix("dt=")).toSet
-      }
     // dt partition values as typed filter literals (DATE or STRING)
     def dtLits(dts: Seq[String]): Seq[Any] =
       if (layout.monthly) dts else dts.map(java.sql.Date.valueOf)
 
-    if (verifyNoPartitionMoves && tblExists("base")) {
-      val moved = readTbl("base")
-        .filter(!col("dt").isin(dtLits(touched): _*))
-        .join(incoming.select("user_id", "event_type", "event_id"),
-          Seq("user_id", "event_type", "event_id"), "left_semi")
-        .limit(1).collect()
-      require(moved.isEmpty,
-        s"incoming event_id ${moved.head.getAs[Long]("event_id")} already exists " +
-          "in an untouched partition (a partition-moving replay) — use upsert()")
-    }
+    var touchedOut: Seq[String] = Seq.empty
 
-    // rename layout: write df (the given dts only) to a staging dir,
-    // then rename each staged dt directory over the live one — the
-    // same swap as [[compactPartition]], one partition at a time.
-    // Manifest layout: write into this mutation's segment and update
-    // `work` (nothing live is touched; the publish below commits).
-    // A recompute that produces NO rows for a dt (e.g. every delta in
-    // it became invalid) legitimately deletes the live partition.
-    def swapIn(table: String, df: DataFrame, dts: Seq[String]): Unit =
-      if (manifest) {
-        df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
-          .partitionBy("dt")
-          .parquet(StoreManifest.segTableDir(path, seg, table))
-        val fresh = StoreManifest.segEntries(fs, path, seg, table)
-        val freshStats = segStats(fs, path, fresh)
-        dts.foreach { dt =>
-          fresh.get((table, dt)) match {
-            case Some(rel) =>
-              work += ((table, dt) -> rel)
-              workStats = workStats ++ freshStats.get((table, dt))
-                .map(((table, dt), _))
-            case None =>
-              work -= ((table, dt))
-              workStats -= ((table, dt))
-          }
+    /** The whole incremental recompute against ONE snapshot — the unit
+      * [[StoreManifest.publishOptimistic]] re-runs on an overlapping
+      * conflict (each attempt writes a fresh segment; abandoned ones
+      * are vacuumable orphans). The rename layout calls it once with
+      * the empty snapshot and commits through partition-dir swaps as
+      * it goes. */
+    def attempt(snap: StoreManifest.Snapshot): Option[StoreManifest.Mutation] = {
+      // exactly-once replay guard: checked BEFORE any Spark job runs,
+      // so a re-delivered batch costs one manifest read, not a
+      // recompute. The skip is LOUD (ADVICE r15 #4): after a crash
+      // recovery exactly one replayed batch should ever land here — a
+      // stream whose EVERY batch skips is a mis-lineaged checkpoint
+      // (reset checkpoint dir, reused store + runNs: fresh batch ids
+      // restart at 0 below the stored mark), which without the log
+      // reads as silent data loss
+      streamCommit.foreach { case (ns, batchId) =>
+        val committed = snap.props.get(s"streamhwm:$ns").flatMap(_.toLongOption)
+        if (committed.exists(batchId <= _)) {
+          System.err.println(
+            s"[graft] streaming batch $batchId skipped at high-water mark " +
+              s"${committed.get} (runNs='$ns', store=$path) — expected ONCE " +
+              "after a checkpoint crash recovery; if every batch logs this, " +
+              "the checkpoint lineage and runNs are out of sync (a reset " +
+              "checkpoint reusing a store needs a fresh runNs)")
+          touchedOut = Seq.empty
+          return None
         }
-      } else {
-        val staged = s"$path/${table}_inc"
-        df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
-          .partitionBy("dt").parquet(staged)
-        dts.foreach { dt =>
-          val st = new Path(s"$staged/dt=$dt")
-          val live = new Path(s"$path/$table/dt=$dt")
-          if (fs.exists(st))
-            swapPartitionDir(fs, st, live, new Path(s"$path/${table}_retired/dt=$dt"))
-          else fs.delete(live, true)
+      }
+      val extras = declaredExtras(snap, "base")
+      val incoming = dedupeBatch(normalize(newEvents, layout, extras))
+      val touched = incoming.select(col("dt").cast("string")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      touchedOut = touched
+      var work = snap.entries
+      var workStats = snap.stats
+      var workFiles = snap.files
+      var workSchemas = snap.schemas
+      val seg = StoreManifest.newSegId()
+      def readTbl(table: String): DataFrame =
+        if (manifest) manifestRead(spark, path, layout,
+          snap.copy(entries = work, schemas = workSchemas), table)
+        else spark.read.parquet(s"$path/$table")
+      def tblExists(table: String): Boolean =
+        if (manifest) work.keys.exists(_._1 == table)
+        else fs.exists(new Path(s"$path/$table"))
+      def existingDts(table: String): Set[String] =
+        if (manifest) work.keys.collect { case (t, dt) if t == table => dt }.toSet
+        else {
+          val dir = new Path(s"$path/$table")
+          if (!fs.exists(dir)) Set.empty
+          else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith("dt=")).map(_.stripPrefix("dt=")).toSet
         }
-        fs.delete(new Path(staged), true)
-        fs.delete(new Path(s"$path/${table}_retired"), true)
+
+      if (verifyNoPartitionMoves && tblExists("base")) {
+        val moved = readTbl("base")
+          .filter(!col("dt").isin(dtLits(touched): _*))
+          .join(incoming.select("user_id", "event_type", "event_id"),
+            Seq("user_id", "event_type", "event_id"), "left_semi")
+          .limit(1).collect()
+        require(moved.isEmpty,
+          s"incoming event_id ${moved.head.getAs[Long]("event_id")} already exists " +
+            "in an untouched partition (a partition-moving replay) — use upsert()")
       }
 
-    // base: last write wins within the touched partitions only
-    // (bootstrap: no base yet ⇒ empty existing side — this makes the
-    // incremental path usable as the streaming ingest sink too)
-    val existing =
-      if (tblExists("base"))
-        readTbl("base")
-          .filter(col("dt").isin(dtLits(touched): _*)) // partition pruning
-          .select("user_id", "event_type", "event_id", "ts_us", "cents", "dt")
-      else incoming.filter(lit(false))
-    val merged = existing.withColumn("gen", lit(0))
-      .unionByName(incoming.withColumn("gen", lit(1)))
-      .groupBy("user_id", "event_type", "event_id")
-      .agg(max_by(struct(col("ts_us"), col("cents"), col("dt")), col("gen")).as("r"))
-      .select(col("user_id"), col("event_type"), col("event_id"),
-        col("r.ts_us").as("ts_us"), col("r.cents").as("cents"), col("r.dt").as("dt"))
-    swapIn("base", merged, touched)
+      // rename layout: write df (the given dts only) to a staging dir,
+      // then rename each staged dt directory over the live one — the
+      // same swap as [[compactPartition]], one partition at a time.
+      // Manifest layout: write into this mutation's segment and update
+      // `work` (nothing live is touched; the publish below commits).
+      // A recompute that produces NO rows for a dt (e.g. every delta in
+      // it became invalid) legitimately deletes the live partition.
+      def swapIn(table: String, df: DataFrame, dts: Seq[String]): Unit =
+        if (manifest) {
+          clusteredByDt(df, timeColOf(table))
+            .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+            .partitionBy("dt")
+            .parquet(StoreManifest.segTableDir(path, seg, table))
+          val fresh = StoreManifest.segEntries(fs, path, seg, table)
+          val h = segStats(fs, path, fresh)
+          if (fresh.nonEmpty)
+            workSchemas = workSchemas ++ segSchemas(spark, path, fresh)
+          dts.foreach { dt =>
+            fresh.get((table, dt)) match {
+              case Some(rel) =>
+                work += ((table, dt) -> rel)
+                workStats = workStats ++ h.stats.get((table, dt))
+                  .map(((table, dt), _))
+                workFiles = workFiles ++ h.files.get((table, dt))
+                  .map(((table, dt), _))
+              case None =>
+                work -= ((table, dt))
+                workStats -= ((table, dt))
+                workFiles -= ((table, dt))
+            }
+          }
+        } else {
+          val staged = s"$path/${table}_inc"
+          clusteredByDt(df, timeColOf(table))
+            .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+            .partitionBy("dt").parquet(staged)
+          dts.foreach { dt =>
+            val st = new Path(s"$staged/dt=$dt")
+            val live = new Path(s"$path/$table/dt=$dt")
+            if (fs.exists(st))
+              swapPartitionDir(fs, st, live, new Path(s"$path/${table}_retired/dt=$dt"))
+            else fs.delete(live, true)
+          }
+          fs.delete(new Path(staged), true)
+          fs.delete(new Path(s"$path/${table}_retired"), true)
+        }
 
-    // value cascade: coarse from fine, touched partitions only
-    val newBase = readTbl("base")
-      .filter(col("dt").isin(dtLits(touched): _*))
-    swapIn(s"agg_${layout.steps.head}",
-      TimeSeriesOps.downsampleWide(newBase, layout.steps.head)
-        .withColumn("dt", dtFromSlot(layout)), touched)
-    layout.steps.sliding(2).foreach {
-      case Seq(fine, coarse) =>
-        val f = readTbl(s"agg_$fine")
-          .filter(col("dt").isin(dtLits(touched): _*))
-        swapIn(s"agg_$coarse",
-          valueAggCoarser(f, coarse).withColumn("dt", dtFromSlot(layout)), touched)
-      case _ => ()
+      // base: last write wins within the touched partitions only
+      // (bootstrap: no base yet ⇒ empty existing side — this makes the
+      // incremental path usable as the streaming ingest sink too)
+      val existing =
+        if (tblExists("base"))
+          readTbl("base")
+            .filter(col("dt").isin(dtLits(touched): _*)) // partition pruning
+            .select(baseCols(extras).map(col): _*)
+        else incoming.filter(lit(false))
+      val carry = incoming.columns.filterNot(
+        Set("user_id", "event_type", "event_id").contains)
+      val merged = existing.withColumn("gen", lit(0))
+        .unionByName(incoming.withColumn("gen", lit(1)))
+        .groupBy("user_id", "event_type", "event_id")
+        .agg(max_by(struct(carry.map(col): _*), col("gen")).as("r"))
+        .select(col("user_id") +: col("event_type") +: col("event_id") +:
+          carry.map(c => col(s"r.$c").as(c)): _*)
+      swapIn("base", merged, touched)
+
+      // value cascade: coarse from fine, touched partitions only
+      val newBase = readTbl("base")
+        .filter(col("dt").isin(dtLits(touched): _*))
+      swapIn(s"agg_${layout.steps.head}",
+        TimeSeriesOps.downsampleWide(newBase, layout.steps.head)
+          .withColumn("dt", dtFromSlot(layout)), touched)
+      layout.steps.sliding(2).foreach {
+        case Seq(fine, coarse) =>
+          val f = readTbl(s"agg_$fine")
+            .filter(col("dt").isin(dtLits(touched): _*))
+          swapIn(s"agg_$coarse",
+            valueAggCoarser(f, coarse).withColumn("dt", dtFromSlot(layout)), touched)
+        case _ => ()
+      }
+
+      // quantile cascade: same touched-partition recompute — every step
+      // divides a day, so sketches never straddle a partition boundary.
+      // Bootstrap ordering matters like the value cascade's: the finest
+      // level is swapped in first, then read back for the coarser merge.
+      if (layout.quantiles) {
+      swapIn(s"quant_${layout.steps.head}",
+        quantAggFromBase(newBase, layout.steps.head)
+          .withColumn("dt", dtFromSlot(layout)), touched)
+      layout.steps.sliding(2).foreach {
+        case Seq(fine, coarse) =>
+          val f = readTbl(s"quant_$fine")
+            .filter(col("dt").isin(dtLits(touched): _*))
+          swapIn(s"quant_$coarse",
+            quantAggCoarser(f, coarse).withColumn("dt", dtFromSlot(layout)), touched)
+        case _ => ()
+      }
+      }
+
+      // rate cascade: the last sample of a touched partition feeds the
+      // FIRST delta of its successor, so successors are recomputed too;
+      // the window reads predecessors for the same reason. All pruned.
+      val baseDts = existingDts("base")
+      val rateTouched = (touched ++ touched.map(nextDt(layout, _)))
+        .distinct.filter(baseDts.contains).sorted
+      val readDts = (rateTouched ++ rateTouched.map(prevDt(layout, _)))
+        .distinct.filter(baseDts.contains).sorted
+      val window = readTbl("base")
+        .filter(col("dt").isin(dtLits(readDts): _*))
+      val deltas = validDeltas(window, layout.heartbeatSec)
+        .filter(col("dt").isin(dtLits(rateTouched): _*)) // sample's own partition
+      // coarser levels chain off the persisted finer recompute (identical
+      // rows to the partitions just swapped in) — a disk re-read would
+      // fail on a store whose rate level is still legitimately empty
+      var fineRate = rateAggFromDeltas(deltas, layout.steps.head).persist()
+      swapIn(s"rate_${layout.steps.head}",
+        fineRate.withColumn("dt", dtFromSlot(layout)), rateTouched)
+      layout.steps.sliding(2).foreach {
+        case Seq(_, coarse) =>
+          val next = rateAggCoarser(fineRate, coarse).persist()
+          swapIn(s"rate_$coarse",
+            next.withColumn("dt", dtFromSlot(layout)), rateTouched)
+          fineRate.unpersist()
+          fineRate = next
+        case _ => ()
+      }
+      fineRate.unpersist()
+      // the manifest layout's single commit point: every table's update
+      // above becomes visible to readers at once, or (on a crash before
+      // the publish) not at all — the segment is vacuumable garbage.
+      // An EMPTY batch leaves the entry set untouched — skip the
+      // publish rather than committing a junk identical snapshot (an
+      // empty STREAMING batch therefore advances no high-water mark,
+      // which is safe: replaying an empty batch is a no-op by itself)
+      if (manifest && work == snap.entries) None
+      else Some(StoreManifest.Mutation(
+        entries = work,
+        stats = workStats,
+        files = workFiles,
+        schemas = workSchemas,
+        op = streamCommit.map(_ => "streamIngest").getOrElse("upsertIncremental"),
+        propSets = streamCommit
+          .map { case (ns, b) => s"streamhwm:$ns" -> b.toString }.toMap))
     }
 
-    // quantile cascade: same touched-partition recompute — every step
-    // divides a day, so sketches never straddle a partition boundary.
-    // Bootstrap ordering matters like the value cascade's: the finest
-    // level is swapped in first, then read back for the coarser merge.
-    if (layout.quantiles) {
-    swapIn(s"quant_${layout.steps.head}",
-      quantAggFromBase(newBase, layout.steps.head)
-        .withColumn("dt", dtFromSlot(layout)), touched)
-    layout.steps.sliding(2).foreach {
-      case Seq(fine, coarse) =>
-        val f = readTbl(s"quant_$fine")
-          .filter(col("dt").isin(dtLits(touched): _*))
-        swapIn(s"quant_$coarse",
-          quantAggCoarser(f, coarse).withColumn("dt", dtFromSlot(layout)), touched)
-      case _ => ()
-    }
-    }
-
-    // rate cascade: the last sample of a touched partition feeds the
-    // FIRST delta of its successor, so successors are recomputed too;
-    // the window reads predecessors for the same reason. All pruned.
-    val baseDts = existingDts("base")
-    val rateTouched = (touched ++ touched.map(nextDt(layout, _)))
-      .distinct.filter(baseDts.contains).sorted
-    val readDts = (rateTouched ++ rateTouched.map(prevDt(layout, _)))
-      .distinct.filter(baseDts.contains).sorted
-    val window = readTbl("base")
-      .filter(col("dt").isin(dtLits(readDts): _*))
-    val deltas = validDeltas(window, layout.heartbeatSec)
-      .filter(col("dt").isin(dtLits(rateTouched): _*)) // sample's own partition
-    // coarser levels chain off the persisted finer recompute (identical
-    // rows to the partitions just swapped in) — a disk re-read would
-    // fail on a store whose rate level is still legitimately empty
-    var fineRate = rateAggFromDeltas(deltas, layout.steps.head).persist()
-    swapIn(s"rate_${layout.steps.head}",
-      fineRate.withColumn("dt", dtFromSlot(layout)), rateTouched)
-    layout.steps.sliding(2).foreach {
-      case Seq(_, coarse) =>
-        val next = rateAggCoarser(fineRate, coarse).persist()
-        swapIn(s"rate_$coarse",
-          next.withColumn("dt", dtFromSlot(layout)), rateTouched)
-        fineRate.unpersist()
-        fineRate = next
-      case _ => ()
-    }
-    fineRate.unpersist()
-    // the manifest layout's single commit point: every table's update
-    // above becomes visible to readers at once, or (on a crash before
-    // this line) not at all — the segment is vacuumable garbage.
-    // An EMPTY batch leaves the entry set untouched — skip the
-    // publish rather than committing a junk identical snapshot (an
-    // empty STREAMING batch therefore advances no high-water mark,
-    // which is safe: replaying an empty batch is a no-op by itself)
-    if (manifest && work != snap.entries)
-      StoreManifest.publish(fs, path, snap.version, work,
-        workStats.view.filterKeys(work.contains).toMap,
-        opProps(snap.props, streamCommit
-            .map(_ => "streamIngest").getOrElse("upsertIncremental")) ++
-          streamCommit.map { case (ns, b) => s"streamhwm:$ns" -> b.toString },
-        tornGraceMs(spark))
+    if (manifest)
+      StoreManifest.publishOptimistic(fs, path, tornGraceMs(spark),
+        maxCommitAttempts(spark))(attempt)
+    else
+      attempt(StoreManifest.Snapshot(0L, Map.empty))
     touchDataStamp(spark, path)
-    touched
+    touchedOut
   }
 
   /** Small-file compaction for one dt partition of one store table:
@@ -1187,43 +1401,48 @@ object TsdbStore {
     import org.apache.hadoop.fs.Path
     val fs = fsOf(spark, path)
     val manifest = layout.commit == "manifest"
-    val snap =
-      if (manifest) StoreManifest.load(fs, path)
-      else StoreManifest.Snapshot(0L, Map.empty)
-    val seg = StoreManifest.newSegId()
-    val staged =
-      if (manifest) s"${StoreManifest.segTableDir(path, seg, table)}/dt=$dt"
-      else s"$path/${table}_compacted/dt=$dt"
-    // fail fast on a typo'd / already-dropped partition — compacting
-    // an empty read would otherwise install an empty junk partition
-    if (manifest)
-      require(snap.entries.contains((table, dt)),
-        s"compactPartition: no such partition dt=$dt under $path/$table")
-    else
-      require(fs.exists(new Path(s"$path/$table/dt=$dt")),
-        s"compactPartition: no such partition dt=$dt under $path/$table")
-    readTable(spark, path, layout, table)
-      .filter(col("dt") ===
-        (if (layout.monthly) lit(dt) else lit(java.sql.Date.valueOf(dt))))
-      .drop("dt") // encoded by the target directory name (hive layout)
-      // range-repartition so multi-file targets stay globally clustered
-      // on (series, ts) — plain round-robin would only cluster within
-      // each file and row-group pruning across files would be lost
-      .repartitionByRange(targetFiles, col("user_id"), col("event_type"), col(timeCol))
-      .sortWithinPartitions("user_id", "event_type", timeCol)
-      .write.mode(SaveMode.Overwrite)
-      .option("compression", "zstd")
-      .parquet(staged)
+    def rewriteTo(snap: StoreManifest.Snapshot, staged: String): Unit =
+      manifestOrDirRead(spark, path, layout, snap, table)
+        .filter(col("dt") ===
+          (if (layout.monthly) lit(dt) else lit(java.sql.Date.valueOf(dt))))
+        .drop("dt") // encoded by the target directory name (hive layout)
+        // range-repartition so multi-file targets stay globally clustered
+        // on (series, ts) — plain round-robin would only cluster within
+        // each file and row-group pruning across files would be lost
+        .repartitionByRange(targetFiles, col("user_id"), col("event_type"), col(timeCol))
+        .sortWithinPartitions("user_id", "event_type", timeCol)
+        .write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd")
+        .parquet(staged)
     if (manifest) {
       // commit = one manifest create pointing the partition at the
-      // compacted copy; the old files become vacuumable garbage
-      val rel = s"_segs/$seg/$table/dt=$dt"
-      StoreManifest.publish(fs, path, snap.version,
-        snap.entries.updated((table, dt), rel),
-        snap.stats.updated((table, dt),
-          StoreManifest.statsOf(fs, path, rel, timeColOf(table))),
-        opProps(snap.props, "compactPartition"), tornGraceMs(spark))
+      // compacted copy; the old files become vacuumable garbage. A
+      // conflicting concurrent commit that did NOT touch this
+      // partition rebases (the compacted files are parent-independent);
+      // one that did re-runs the rewrite against the new snapshot
+      StoreManifest.publishOptimistic(fs, path, tornGraceMs(spark),
+          maxCommitAttempts(spark)) { snap =>
+        // fail fast on a typo'd / already-dropped partition — compacting
+        // an empty read would otherwise install an empty junk partition
+        require(snap.entries.contains((table, dt)),
+          s"compactPartition: no such partition dt=$dt under $path/$table")
+        val seg = StoreManifest.newSegId()
+        val rel = s"_segs/$seg/$table/dt=$dt"
+        rewriteTo(snap, s"$path/$rel")
+        val (es, fls) = StoreManifest.statsOf(fs, path, rel, timeColOf(table))
+        Some(StoreManifest.Mutation(
+          entries = snap.entries.updated((table, dt), rel),
+          stats = snap.stats.updated((table, dt), es),
+          files = if (fls.isEmpty) snap.files - ((table, dt))
+            else snap.files.updated((table, dt), fls),
+          schemas = snap.schemas,
+          op = "compactPartition"))
+      }
     } else {
+      require(fs.exists(new Path(s"$path/$table/dt=$dt")),
+        s"compactPartition: no such partition dt=$dt under $path/$table")
+      val staged = s"$path/${table}_compacted/dt=$dt"
+      rewriteTo(StoreManifest.Snapshot(0L, Map.empty), staged)
       // swap the staged directory into the live partition path so
       // readers of the table actually see the compaction
       swapPartitionDir(fs, new Path(staged),
@@ -1233,6 +1452,19 @@ object TsdbStore {
     }
     touchDataStamp(spark, path)
   }
+
+  /** [[manifestRead]] against the given snapshot on the manifest
+    * layout, a plain directory read otherwise — the shared shape for
+    * maintenance passes that must read THE SNAPSHOT THEY WILL COMMIT
+    * AGAINST (not re-resolve the live one, which an optimistic re-run
+    * may have moved). */
+  private def manifestOrDirRead(spark: SparkSession, path: String,
+                                layout: StoreLayout,
+                                snap: StoreManifest.Snapshot,
+                                table: String): DataFrame =
+    if (layout.commit == "manifest")
+      manifestRead(spark, path, layout, snap, table)
+    else spark.read.parquet(s"$path/$table")
 
   /** Filesystem schemes whose `rename` is an atomic metadata
     * operation — the contract every store commit sequence
@@ -1394,80 +1626,92 @@ object TsdbStore {
         "bucket-file metadata; rewrite the bucketed table via ingest() instead")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest = layout.commit == "manifest"
-    val snap =
-      if (manifest) StoreManifest.load(fs, path)
-      else StoreManifest.Snapshot(0L, Map.empty)
-    var work = snap.entries
-    var workStats = snap.stats
-    val seg = StoreManifest.newSegId()
     def dtLits(dts: Seq[String]): Seq[Any] =
       if (layout.monthly) dts else dts.map(java.sql.Date.valueOf)
     val tables = "base" +: layout.steps.flatMap(s =>
       Seq(s"agg_$s", s"rate_$s", s"quant_$s"))
-    val rewritten = tables.flatMap { table =>
-      val exists =
-        if (manifest) work.keys.exists(_._1 == table)
-        else fs.exists(new Path(s"$path/$table"))
-      if (!exists) None
-      else {
-        val t =
-          if (manifest) manifestRead(spark, path, layout,
-            StoreManifest.Snapshot(snap.version, work), table)
-          else spark.read.parquet(s"$path/$table")
-        val touched = t
-          .filter(col("user_id") === userId && col("event_type") === eventType)
-          .select(col("dt").cast("string")).distinct()
-          .collect().map(_.getString(0)).sorted.toSeq
-        if (touched.isEmpty) Some(table -> Seq.empty[String])
+    var rewritten = Map.empty[String, Seq[String]]
+
+    /** The full multi-table anti-filter rewrite against one snapshot —
+      * re-runnable on an optimistic conflict (fresh segment per
+      * attempt). */
+    def attempt(snap: StoreManifest.Snapshot): Option[StoreManifest.Mutation] = {
+      var work = snap.entries
+      var workStats = snap.stats
+      var workFiles = snap.files
+      val seg = StoreManifest.newSegId()
+      rewritten = tables.flatMap { table =>
+        val exists =
+          if (manifest) work.keys.exists(_._1 == table)
+          else fs.exists(new Path(s"$path/$table"))
+        if (!exists) None
         else {
-          val staged =
-            if (manifest) StoreManifest.segTableDir(path, seg, table)
-            else s"$path/${table}_del"
-          t.filter(col("dt").isin(dtLits(touched): _*))
-            .filter(!(col("user_id") === userId && col("event_type") === eventType))
-            .write.mode(SaveMode.Overwrite).option("compression", "zstd")
-            .partitionBy("dt").parquet(staged)
-          if (manifest) {
-            // nothing live is touched: accumulate the entry updates and
-            // commit ONCE below — readers never see the half-deleted
-            // state the rename layout's crash contract has to document
-            val fresh = StoreManifest.segEntries(fs, path, seg, table)
-            val freshStats = segStats(fs, path, fresh)
-            touched.foreach { dt =>
-              fresh.get((table, dt)) match {
-                case Some(rel) =>
-                  work += ((table, dt) -> rel)
-                  workStats = workStats ++ freshStats.get((table, dt))
-                    .map(((table, dt), _))
-                case None => // series was the partition's only content
-                  work -= ((table, dt))
-                  workStats -= ((table, dt))
+          val t = manifestOrDirRead(spark, path, layout,
+            snap.copy(entries = work), table)
+          val touched = t
+            .filter(col("user_id") === userId && col("event_type") === eventType)
+            .select(col("dt").cast("string")).distinct()
+            .collect().map(_.getString(0)).sorted.toSeq
+          if (touched.isEmpty) Some(table -> Seq.empty[String])
+          else {
+            val staged =
+              if (manifest) StoreManifest.segTableDir(path, seg, table)
+              else s"$path/${table}_del"
+            clusteredByDt(
+              t.filter(col("dt").isin(dtLits(touched): _*))
+                .filter(!(col("user_id") === userId && col("event_type") === eventType)),
+              timeColOf(table))
+              .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+              .partitionBy("dt").parquet(staged)
+            if (manifest) {
+              // nothing live is touched: accumulate the entry updates and
+              // commit ONCE below — readers never see the half-deleted
+              // state the rename layout's crash contract has to document
+              val fresh = StoreManifest.segEntries(fs, path, seg, table)
+              val h = segStats(fs, path, fresh)
+              touched.foreach { dt =>
+                fresh.get((table, dt)) match {
+                  case Some(rel) =>
+                    work += ((table, dt) -> rel)
+                    workStats = workStats ++ h.stats.get((table, dt))
+                      .map(((table, dt), _))
+                    workFiles = workFiles ++ h.files.get((table, dt))
+                      .map(((table, dt), _))
+                  case None => // series was the partition's only content
+                    work -= ((table, dt))
+                    workStats -= ((table, dt))
+                    workFiles -= ((table, dt))
+                }
               }
+            } else {
+              touched.foreach { dt =>
+                val st = new Path(s"$staged/dt=$dt")
+                val live = new Path(s"$path/$table/dt=$dt")
+                if (fs.exists(st))
+                  swapPartitionDir(fs, st, live,
+                    new Path(s"$path/${table}_retired/dt=$dt"), keepRetired = true)
+                else fs.delete(live, true) // the series was the partition's only content
+              }
+              fs.delete(new Path(staged), true)
             }
-          } else {
-            touched.foreach { dt =>
-              val st = new Path(s"$staged/dt=$dt")
-              val live = new Path(s"$path/$table/dt=$dt")
-              if (fs.exists(st))
-                swapPartitionDir(fs, st, live,
-                  new Path(s"$path/${table}_retired/dt=$dt"), keepRetired = true)
-              else fs.delete(live, true) // the series was the partition's only content
-            }
-            fs.delete(new Path(staged), true)
+            Some(table -> touched)
           }
-          Some(table -> touched)
         }
-      }
-    }.toMap
-    if (manifest) {
+      }.toMap
       // the atomic cross-table commit (vs the rename layout's
       // table-by-table visibility): one manifest create — skipped when
       // the series touched nothing (no junk snapshot versions)
-      if (work != snap.entries)
-        StoreManifest.publish(fs, path, snap.version, work,
-          workStats.view.filterKeys(work.contains).toMap,
-          opProps(snap.props, "deleteSeries"), tornGraceMs(spark))
-    } else {
+      if (!manifest || work == snap.entries) None
+      else Some(StoreManifest.Mutation(
+        entries = work, stats = workStats, files = workFiles,
+        schemas = snap.schemas, op = "deleteSeries"))
+    }
+
+    if (manifest)
+      StoreManifest.publishOptimistic(fs, path, tornGraceMs(spark),
+        maxCommitAttempts(spark))(attempt)
+    else {
+      attempt(StoreManifest.Snapshot(0L, Map.empty))
       // only after EVERY table has swapped do the backups go: a crash
       // anywhere above leaves each touched partition either live or
       // retired-but-present, and a re-run repairs the divergence
@@ -1501,16 +1745,27 @@ object TsdbStore {
       .sortWithinPartitions("user_id", "valid_from_us")
     if (layout.commit == "manifest") {
       val fs = fsOf(spark, path)
-      val seg = StoreManifest.newSegId()
-      derived.write.mode(SaveMode.Overwrite).option("compression", "zstd")
-        .parquet(StoreManifest.segTableDir(path, seg, "meta"))
-      val prev = StoreManifest.load(fs, path)
-      val rel = s"_segs/$seg/meta"
-      StoreManifest.publish(fs, path, prev.version,
-        prev.entries.updated(("meta", StoreManifest.NoDt), rel),
-        prev.stats.updated(("meta", StoreManifest.NoDt),
-          StoreManifest.statsOf(fs, path, rel, timeColOf("meta"))),
-        opProps(prev.props, "ingestMetadata"), tornGraceMs(spark))
+      // the sidecar write is snapshot-independent (derived from the
+      // caller's feed alone), so a conflicting concurrent commit only
+      // needs a REBASE unless it also replaced the sidecar — the
+      // already-written segment re-points in both orders
+      StoreManifest.publishOptimistic(fs, path, tornGraceMs(spark),
+          maxCommitAttempts(spark)) { prev =>
+        val seg = StoreManifest.newSegId()
+        derived.write.mode(SaveMode.Overwrite).option("compression", "zstd")
+          .parquet(StoreManifest.segTableDir(path, seg, "meta"))
+        val rel = s"_segs/$seg/meta"
+        val (es, fls) = StoreManifest.statsOf(fs, path, rel, timeColOf("meta"))
+        val key = ("meta", StoreManifest.NoDt)
+        Some(StoreManifest.Mutation(
+          entries = prev.entries.updated(key, rel),
+          stats = prev.stats.updated(key, es),
+          files = if (fls.isEmpty) prev.files - key
+            else prev.files.updated(key, fls),
+          schemas = prev.schemas +
+            ("meta" -> spark.read.parquet(s"$path/$rel").schema.json),
+          op = "ingestMetadata"))
+      }
     } else {
       derived.write.mode(SaveMode.Overwrite).option("compression", "zstd")
         .parquet(s"$path/meta")
@@ -1584,20 +1839,26 @@ object TsdbStore {
       // drop the expired (table, dt) entries from the snapshot in one
       // publish — zero data operations, and the expired files stay
       // until [[vacuum]] reclaims them (in-flight readers finish
-      // against the old snapshot undisturbed)
-      val snap = StoreManifest.load(fs, path)
-      val droppedByTable = tables.map { t =>
-        t -> snap.entries.keys.collect {
-          case (`t`, dt) if wholePartitionBefore(dt) => dt
-        }.toSeq.sorted
-      }.toMap
-      val work = snap.entries.filterNot { case ((t, dt), _) =>
-        droppedByTable.getOrElse(t, Seq.empty).contains(dt)
+      // against the old snapshot undisturbed). Optimistic: recomputing
+      // the drop set against a conflicting commit's snapshot is free
+      var droppedByTable = Map.empty[String, Seq[String]]
+      StoreManifest.publishOptimistic(fs, path, tornGraceMs(spark),
+          maxCommitAttempts(spark)) { snap =>
+        droppedByTable = tables.map { t =>
+          t -> snap.entries.keys.collect {
+            case (`t`, dt) if wholePartitionBefore(dt) => dt
+          }.toSeq.sorted
+        }.toMap
+        val work = snap.entries.filterNot { case ((t, dt), _) =>
+          droppedByTable.getOrElse(t, Seq.empty).contains(dt)
+        }
+        if (work == snap.entries) None
+        else Some(StoreManifest.Mutation(
+          entries = work,
+          stats = snap.stats.view.filterKeys(work.contains).toMap,
+          files = snap.files.view.filterKeys(work.contains).toMap,
+          schemas = snap.schemas, op = "dropBefore"))
       }
-      if (work != snap.entries)
-        StoreManifest.publish(fs, path, snap.version, work,
-          snap.stats.view.filterKeys(work.contains).toMap,
-          opProps(snap.props, "dropBefore"), tornGraceMs(spark))
       touchDataStamp(spark, path)
       return droppedByTable
     }
@@ -1677,7 +1938,8 @@ object TsdbStore {
     require(aggStep == 0L || layout.steps.contains(aggStep), s"no such aggregate: $aggStep")
     if (aggStep == 0L) {
       readTableRange(spark, path, layout, "base",
-          Some((beginSec * 1000000L, endSec * 1000000L)))
+          Some((beginSec * 1000000L, endSec * 1000000L)),
+          series = Some(Seq((Some(userId), Some(eventType)))))
         .filter(dtPrune(layout, beginSec, endSec)) // partition prune
         .filter(col("user_id") === userId && col("event_type") === eventType)
         .filter(col("ts_us") >= beginSec * 1000000L && col("ts_us") < endSec * 1000000L)
@@ -1713,7 +1975,8 @@ object TsdbStore {
     val layout = readLayout(spark, path)
     val t = quantLevelOf(layout, aggStep, q, interp)
     val ms = udaf(new graft.functions.BottomKMergeState)
-    readTableRange(spark, path, layout, s"quant_$t", Some((beginSec, endSec)))
+    readTableRange(spark, path, layout, s"quant_$t", Some((beginSec, endSec)),
+        series = Some(Seq((Some(userId), Some(eventType)))))
       .filter(dtPrune(layout, beginSec, endSec))
       .filter(col("user_id") === userId && col("event_type") === eventType)
       .filter(col("slot_ts") >= beginSec && col("slot_ts") < endSec)
@@ -1739,7 +2002,8 @@ object TsdbStore {
     val layout = readLayout(spark, path)
     val t = quantLevelOf(layout, aggStep, q, interp)
     val ms = udaf(new graft.functions.BottomKMergeState)
-    readTableRange(spark, path, layout, s"quant_$t", Some((beginSec, endSec)))
+    readTableRange(spark, path, layout, s"quant_$t", Some((beginSec, endSec)),
+        series = Some(Seq((None, Some(eventType)))))
       .filter(dtPrune(layout, beginSec, endSec))
       .filter(col("event_type") === eventType)
       .filter(col("slot_ts") >= beginSec && col("slot_ts") < endSec)
@@ -1823,7 +2087,8 @@ object TsdbStore {
     // readTableRange, NOT a direct $path/quant_$t read: the direct
     // read bypassed manifest resolution entirely — on a manifest store
     // this path failed on the missing live directory (round-15 find)
-    readTableRange(spark, path, layout, s"quant_$t", Some((beginSec, endSec)))
+    readTableRange(spark, path, layout, s"quant_$t", Some((beginSec, endSec)),
+        series = Some(series.map { case (u, e) => (Some(u), Some(e)) }))
       .filter(dtPrune(layout, beginSec, endSec))
       .filter(struct(col("user_id"), col("event_type")).isin(keys: _*))
       .filter(col("slot_ts") >= beginSec && col("slot_ts") < endSec)
@@ -1864,7 +2129,8 @@ object TsdbStore {
                        aggStep: Long, cf: String): DataFrame = {
     val (table, cfCol) = cfColumn(cf)
     readTableRange(spark, path, layout, s"${table}_$aggStep",
-        Some((beginSec, endSec)))
+        Some((beginSec, endSec)),
+        series = Some(Seq((Some(userId), Some(eventType)))))
       .filter(dtPrune(layout, beginSec, endSec))
       .filter(col("user_id") === userId && col("event_type") === eventType)
       .filter(col("slot_ts") >= beginSec && col("slot_ts") < endSec)
@@ -1996,9 +2262,10 @@ object TsdbStore {
     val layout = readLayout(spark, path)
     require(aggStep == 0L || layout.steps.contains(aggStep), s"no such aggregate: $aggStep")
     val keys = series.map { case (u, e) => struct(lit(u), lit(e)) }
+    val seriesHint = Some(series.map { case (u, e) => (Some(u), Some(e)) })
     if (aggStep == 0L)
       readTableRange(spark, path, layout, "base",
-          Some((beginSec * 1000000L, endSec * 1000000L)), atVersion)
+          Some((beginSec * 1000000L, endSec * 1000000L)), atVersion, seriesHint)
         .filter(dtPrune(layout, beginSec, endSec)) // partition prune
         .filter(struct(col("user_id"), col("event_type")).isin(keys: _*))
         .filter(col("ts_us") >= beginSec * 1000000L && col("ts_us") < endSec * 1000000L)
@@ -2008,7 +2275,7 @@ object TsdbStore {
     else {
       val (table, cfCol) = cfColumn(cf)
       readTableRange(spark, path, layout, s"${table}_$aggStep",
-          Some((beginSec, endSec)), atVersion)
+          Some((beginSec, endSec)), atVersion, seriesHint)
         .filter(dtPrune(layout, beginSec, endSec)) // partition prune
         .filter(struct(col("user_id"), col("event_type")).isin(keys: _*))
         .filter(col("slot_ts") >= beginSec && col("slot_ts") < endSec)

@@ -39,18 +39,40 @@ object PartitionedRelationBridge {
     * @param dataSchema the file schema (partition columns excluded) */
   def dataFrame(spark: SparkSession, partitionSchema: StructType,
                 parts: Seq[(InternalRow, Path)],
-                dataSchema: StructType): DataFrame = {
+                dataSchema: StructType): DataFrame =
+    dataFrameWithFiles(spark, partitionSchema,
+      parts.map { case (v, d) => (v, d, None) }, dataSchema)
+
+  /** [[dataFrame]] with OPTIONAL explicit per-partition file lists
+    * (round 16 — the manifest's per-file statistics skip): a partition
+    * given `Some(files)` contributes exactly those files as the
+    * index's root paths — no directory listing happens for it at all,
+    * and files the caller's stats provably excluded are never even
+    * seen by the planner; `None` keeps the eager directory listing.
+    * The `PartitionSpec` still maps partition values to DIRECTORIES —
+    * the index attributes each listed leaf file to its parent, which
+    * is the qualified partition dir either way, so dt pruning, filter
+    * pushdown, and codegen behave identically in both modes (this is
+    * the same file-roots construction `spark.read.parquet(file, ...)`
+    * uses). */
+  def dataFrameWithFiles(spark: SparkSession, partitionSchema: StructType,
+                         parts: Seq[(InternalRow, Path, Option[Seq[Path]])],
+                         dataSchema: StructType): DataFrame = {
     val classic = spark.asInstanceOf[ClassicSparkSession]
-    // fully QUALIFY the partition directories (scheme + authority):
-    // the index keys its listed leaf dirs by qualified path, so an
-    // unqualified spec path would match zero files — silently
+    // fully QUALIFY the partition directories and files (scheme +
+    // authority): the index keys its listed leaves by qualified path,
+    // so an unqualified spec path would match zero files — silently
     val hadoopConf = classic.sessionState.newHadoopConf()
-    val qualified = parts.map { case (values, dir) =>
-      (values, dir.getFileSystem(hadoopConf).makeQualified(dir))
+    val qualified = parts.map { case (values, dir, files) =>
+      val fs = dir.getFileSystem(hadoopConf)
+      (values, fs.makeQualified(dir), files.map(_.map(fs.makeQualified)))
     }
     val spec = PartitionSpec(partitionSchema,
-      qualified.map { case (values, dir) => PartitionPath(values, dir) })
-    val index = new InMemoryFileIndex(classic, qualified.map(_._2),
+      qualified.map { case (values, dir, _) => PartitionPath(values, dir) })
+    val roots = qualified.flatMap { case (_, dir, files) =>
+      files.getOrElse(Seq(dir))
+    }
+    val index = new InMemoryFileIndex(classic, roots,
       Map.empty, None, FileStatusCache.getOrCreate(classic), Some(spec), None)
     val relation = HadoopFsRelation(index, partitionSchema, dataSchema,
       None, new ParquetFileFormat, Map.empty)(classic)

@@ -367,7 +367,7 @@ class ManifestCommitSpec extends SparkSpec {
         s"$k bounds [$lo,$hi] escape their dt partition")
     }
     // props survive an unrelated mutation's publish (carried forward)
-    val v2 = StoreManifest.publish(fs, m, snap.version, snap.entries,
+    val v2 = StoreManifest.publish(fs, m, snap, snap.entries,
       snap.stats, snap.props + ("streamhwm:test" -> "41"))
     TsdbStore.compactPartition(spark, m,
       baseKeys.map(_._2).min)
@@ -503,11 +503,14 @@ class ManifestCommitSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val snap = StoreManifest.load(fs, m)
     // a racing writer takes the next version first
-    StoreManifest.publish(fs, m, snap.version, snap.entries)
+    StoreManifest.publish(fs, m, snap, snap.entries)
     val e = intercept[IllegalStateException] {
-      StoreManifest.publish(fs, m, snap.version, snap.entries)
+      StoreManifest.publish(fs, m, snap, snap.entries)
     }
     assert(e.getMessage.contains("commit conflict"), e.getMessage)
+    // ...and the loser's typed conflict is the retryable subclass the
+    // optimistic loop dispatches on
+    assert(e.isInstanceOf[graft.sources.ManifestConflictException])
   }
 
   test("bucketed × manifest: per-snapshot catalog registration serves the bucket spec; mutations still refuse") {
@@ -543,6 +546,297 @@ class ManifestCommitSpec extends SparkSpec {
     assert(name2.endsWith("_v2"), name2)
     assert(!spark.catalog.tableExists(name),
       "stale per-snapshot registration must be dropped at resolve")
+  }
+
+  // ---- round 16: format v3 (manifest list + per-table manifests +
+  //      per-file series-key stats + schema-in-snapshot) and the
+  //      optimistic-concurrency retry loop --------------------------
+
+  /** Root paths the relation's file index was HANDED (dirs or files) —
+    * the skip evidence: what never appears here was never listed,
+    * never opened. */
+  private def scanRoots(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+
+  /** The snapshot file's table-manifest pointers, table → rel. */
+  private def tblPointers(store: String, version: Long): Map[String, String] = {
+    val f = new java.io.File(new java.io.File(store.stripPrefix("rec:")),
+      f"_commits/v$version%019d.mf")
+    Files.readString(f.toPath).linesIterator.collect {
+      case l if l.startsWith("tbl\t") =>
+        val Array(_, t, rel) = l.split("\t", 3); t -> rel
+    }.toMap
+  }
+
+  test("v3: a commit reuses untouched tables' manifests — O(touched), not O(live partitions)") {
+    val m = recRoot()
+    TsdbStore.ingest(spark, events(), m, ManifestLayout)
+    val fs = new org.apache.hadoop.fs.Path(m)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1 = StoreManifest.load(fs, m).version
+    val p1 = tblPointers(m, v1)
+    assert(p1.size >= 7, s"expected a pointer per live table: $p1")
+    // compact ONE base partition: only base's manifest may change
+    val dt = StoreManifest.load(fs, m).entries.keys
+      .collect { case ("base", d) => d }.min
+    TsdbStore.compactPartition(spark, m, dt)
+    val v2 = StoreManifest.load(fs, m).version
+    val p2 = tblPointers(m, v2)
+    assert(p2("base") != p1("base"), "base's manifest must be rewritten")
+    (p1.keySet - "base").foreach { t =>
+      assert(p2(t) == p1(t), s"untouched table $t's manifest must be reused")
+    }
+    // the reused manifests parse identically through both snapshots
+    val s1 = StoreManifest.loadAt(fs, m, v1)
+    val s2 = StoreManifest.loadAt(fs, m, v2)
+    assert(s2.entries.filter(_._1._1 == "agg_86400") ==
+      s1.entries.filter(_._1._1 == "agg_86400"))
+  }
+
+  test("v3 per-file stats: a one-series fetch hands the index FILES, skipping provably-excluded ones") {
+    val m = recRoot()
+    // production-shaped partitions: many files per dt (a day of
+    // microbatches / size-targeted writes). The fixture is too small
+    // for the range exchange to split days naturally (AQE coalesces
+    // it to ~a task), so cap rows per file — the files still carry
+    // tight series ranges because the write is range-clustered
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "8") // ~33 rows/day at sf0.001 ⇒ ~4 files/day
+    try TsdbStore.ingest(spark, events(), m, ManifestLayout)
+    finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    val fs = new org.apache.hadoop.fs.Path(m)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = StoreManifest.load(fs, m)
+    // the fixture must actually have multi-file partitions with
+    // recorded per-file series bounds for the skip to be provable
+    val baseFiles = snap.files.filter(_._1._1 == "base")
+    assert(baseFiles.nonEmpty, "ingest must record per-file stats")
+    val multi = baseFiles.filter(_._2.size > 1)
+    assert(multi.nonEmpty, "range-clustered ingest should split partitions into several files")
+    multi.head._2.foreach { f =>
+      assert(f.uidMin.isDefined && f.etMin.isDefined && f.rows.exists(_ > 0), f.toString)
+    }
+    val twoDays = TsdbStore.fetch(spark, m, 7L, "click", B, B + 2L * 86400L)
+    val roots = scanRoots(twoDays)
+    assert(roots.nonEmpty && roots.forall(_.endsWith(".parquet")),
+      s"series fetch should reach the index with explicit files: $roots")
+    // strictly fewer files than the two partitions hold in total, and
+    // only files whose recorded uid range admits user 7
+    val inRange = baseFiles.filter { case ((_, dt), _) =>
+      dt >= "2024-01-10" && dt <= "2024-01-12" }
+    val totalFiles = inRange.values.map(_.size).sum
+    assert(roots.size < totalFiles,
+      s"no file was skipped: ${roots.size} of $totalFiles reached the index")
+    // ...and the skip is result-invisible vs the dir-listed whole read
+    val whole = TsdbStore.readTable(spark, m, ManifestLayout, "base")
+      .filter(col("user_id") === 7 && col("event_type") === "click")
+      .filter(col("ts_us") >= B * 1000000L && col("ts_us") < (B + 2L * 86400L) * 1000000L)
+      .select(col("ts_us"), (col("cents").cast("double") / 100.0).as("value"))
+    assert(rows(twoDays) == rows(whole.orderBy("ts_us")))
+    // plan-level whole-table reads keep DIRECTORY roots (the shape
+    // RollupSubstitution's live-set-equality guard matches)
+    assert(scanRoots(whole).forall(r => !r.endsWith(".parquet")),
+      "unfiltered reads must keep directory roots")
+  }
+
+  test("optimistic concurrency: disjoint conflict REBASES (no re-run); overlapping conflict re-runs") {
+    val m = recRoot()
+    TsdbStore.ingest(spark, events(), m, ManifestLayout)
+    val fs = new org.apache.hadoop.fs.Path(m)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = StoreManifest.load(fs, m)
+    val dts = base.entries.keys.collect { case ("base", d) => d }.toSeq.sorted
+    assert(dts.size >= 2)
+    // DISJOINT: our mutation drops base dt0; the racer (injected
+    // between our load and our publish) drops agg dt1
+    var runs = 0
+    val v = StoreManifest.publishOptimistic(fs, m, tornGraceMs = 0L) { snap =>
+      runs += 1
+      if (runs == 1) // the racer wins the slot first
+        StoreManifest.publish(fs, m, snap,
+          snap.entries - (("agg_86400", dts(1))),
+          snap.stats, snap.props, snap.files, snap.schemas, tornGraceMs = 0L)
+      Some(StoreManifest.Mutation(
+        entries = snap.entries - (("base", dts(0))),
+        stats = snap.stats, files = snap.files, schemas = snap.schemas,
+        op = "test-disjoint"))
+    }
+    assert(runs == 1, "disjoint conflict must rebase, not re-run the mutation")
+    assert(v.contains(base.version + 2))
+    val merged = StoreManifest.load(fs, m)
+    assert(!merged.entries.contains(("base", dts(0))), "our drop must land")
+    assert(!merged.entries.contains(("agg_86400", dts(1))), "their drop must survive")
+    assert(merged.props.get("op").contains("test-disjoint"))
+    // OVERLAPPING: both mutations touch base dt1 — the closure must
+    // re-run against the racer's snapshot and see its change
+    var runs2 = 0
+    var sawRacersChange = false
+    StoreManifest.publishOptimistic(fs, m, tornGraceMs = 0L) { snap =>
+      runs2 += 1
+      if (runs2 == 1)
+        StoreManifest.publish(fs, m, snap,
+          snap.entries.updated(("base", dts(1)), "_segs/racer/base/dt=" + dts(1)),
+          snap.stats, snap.props, snap.files, snap.schemas, tornGraceMs = 0L)
+      else sawRacersChange =
+        snap.entries.get(("base", dts(1))).contains("_segs/racer/base/dt=" + dts(1))
+      Some(StoreManifest.Mutation(
+        entries = snap.entries - (("base", dts(1))),
+        stats = snap.stats, files = snap.files, schemas = snap.schemas,
+        op = "test-overlap"))
+    }
+    assert(runs2 == 2, "overlapping conflict must re-run the mutation")
+    assert(sawRacersChange, "the re-run must see the racer's committed state")
+    assert(!StoreManifest.load(fs, m).entries.contains(("base", dts(1))))
+  }
+
+  test("optimistic concurrency: two REAL racing upserts on disjoint partitions both commit") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val m = localRoot()
+    TsdbStore.ingest(spark, events(), m, ManifestLayout)
+    val fs = new org.apache.hadoop.fs.Path(m)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v0 = StoreManifest.load(fs, m).version
+    // two replays into DIFFERENT dt windows (their cascade blast radii
+    // are disjoint too: rate touches successor partitions, so leave a
+    // 2-day gap between the windows); all series — the fixture is too
+    // sparse to guarantee one user has samples in both windows
+    def window(lo: String, hi: String) =
+      events().filter(col("event_type") === "click" &&
+          col("ts") >= lit(lo) && col("ts") < lit(hi))
+        .withColumn("value", col("value") + 1.0)
+    val a = Future(TsdbStore.upsertIncremental(spark, window("2024-01-09", "2024-01-10"), m))
+    val b = Future(TsdbStore.upsertIncremental(spark, window("2024-01-13", "2024-01-14"), m))
+    val (ta, tb) = (Await.result(a, 5.minutes), Await.result(b, 5.minutes))
+    assert(ta.nonEmpty && tb.nonEmpty)
+    // BOTH committed (whichever order the race resolved)
+    assert(StoreManifest.load(fs, m).version == v0 + 2)
+    // ...and the store equals sequential application of both replays
+    val twin = localRoot()
+    TsdbStore.ingest(spark, events(), twin, ManifestLayout)
+    TsdbStore.upsertIncremental(spark, window("2024-01-09", "2024-01-10"), twin)
+    TsdbStore.upsertIncremental(spark, window("2024-01-13", "2024-01-14"), twin)
+    for (t <- Seq("base", "agg_86400", "rate_86400", "quant_21600")) {
+      assert(rows(TsdbStore.readTable(spark, m, ManifestLayout, t)) ==
+        rows(TsdbStore.readTable(spark, twin, ManifestLayout, t)), s"table $t diverged")
+    }
+  }
+
+  test("format compat: a hand-written v2 manifest still loads (entries + stats, no files/schemas)") {
+    val m = recRoot()
+    TsdbStore.ingest(spark, events(), m, ManifestLayout)
+    val fs = new org.apache.hadoop.fs.Path(m)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = StoreManifest.load(fs, m)
+    val pre = rows(TsdbStore.fetch(spark, m, 7L, "click", B, E))
+    def fmt(o: Option[Long]) = o.map(_.toString).getOrElse("-")
+    val v2Body = snap.entries.toSeq.sortBy(_._1).map { case ((t, dt), rel) =>
+      val st = snap.stats.getOrElse((t, dt), StoreManifest.EntryStats.unknown)
+      s"$t\t$dt\t$rel\t${fmt(st.tmin)}\t${fmt(st.tmax)}\t${fmt(st.rows)}\t${fmt(st.bytes)}"
+    }
+    val text = ("graft-manifest v2" +: v2Body :+ s"end ${v2Body.size}")
+      .mkString("\n") + "\n"
+    val f = new org.apache.hadoop.fs.Path(
+      s"$m/_commits/v${"%019d".format(snap.version + 1)}.mf")
+    val out = fs.create(f, false)
+    out.write(text.getBytes("UTF-8")); out.close()
+    val v2Snap = StoreManifest.load(fs, m)
+    assert(v2Snap.version == snap.version + 1)
+    assert(v2Snap.entries == snap.entries)
+    assert(v2Snap.stats == snap.stats)
+    assert(v2Snap.files.isEmpty && v2Snap.schemas.isEmpty)
+    // reads fall back to dir listing + footer inference, same rows
+    assert(rows(TsdbStore.fetch(spark, m, 7L, "click", B, E)) == pre)
+  }
+
+  test("vacuum reclaims table manifests of trimmed snapshots, keeps referenced ones") {
+    val m = recRoot()
+    TsdbStore.ingest(spark, events(), m, ManifestLayout)
+    val fs = new org.apache.hadoop.fs.Path(m)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dt = StoreManifest.load(fs, m).entries.keys
+      .collect { case ("base", d) => d }.min
+    TsdbStore.compactPartition(spark, m, dt) // base's old manifest orphans
+    val live = StoreManifest.load(fs, m)
+    val (deleted, _) = StoreManifest.vacuum(fs, m, keepManifests = 1, tornGraceMs = 0L)
+    val deadTms = deleted.filter(_.startsWith("_commits/t/"))
+    assert(deadTms.nonEmpty, "the replaced base manifest must be reclaimed")
+    live.tableManifests.values.foreach { rel =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$m/$rel")),
+        s"vacuum deleted a LIVE table manifest: $rel")
+    }
+    assert(rows(TsdbStore.fetch(spark, m, 7L, "click", B, E)).nonEmpty)
+  }
+
+  test("schema evolution: addColumn is metadata-only; old rows null-complete; new writes carry it") {
+    val m = localRoot()
+    TsdbStore.ingest(spark, events(), m, ManifestLayout)
+    val fs = new org.apache.hadoop.fs.Path(m)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val preSnap = StoreManifest.load(fs, m)
+    val preRows = TsdbStore.readTable(spark, m, ManifestLayout, "base").count()
+    TsdbStore.addColumn(spark, m, "base",
+      org.apache.spark.sql.types.StructField("quality",
+        org.apache.spark.sql.types.DoubleType))
+    val evolved = StoreManifest.load(fs, m)
+    // pure metadata commit: every table manifest reused, entries equal
+    assert(evolved.version == preSnap.version + 1)
+    assert(evolved.tableManifests == preSnap.tableManifests,
+      "addColumn must not rewrite any table manifest")
+    assert(evolved.props.get("op").contains("addColumn"))
+    // old segments null-complete under the widened declared schema
+    val widened = TsdbStore.readTable(spark, m, ManifestLayout, "base")
+    assert(widened.columns.contains("quality"))
+    assert(widened.count() == preRows)
+    assert(widened.filter(col("quality").isNotNull).count() == 0)
+    // an upsert whose feed carries the column writes it; rows without stay null
+    val replayQ = replay().withColumn("quality", col("user_id").cast("double") + 0.5)
+    TsdbStore.upsertIncremental(spark, replayQ, m)
+    val after = TsdbStore.readTable(spark, m, ManifestLayout, "base")
+    val withQ = after.filter(col("quality").isNotNull)
+    assert(withQ.count() > 0, "upserted rows must carry the evolved column")
+    assert(rows(withQ.select("quality").distinct()) ==
+      Seq("[7.5]"), "quality must equal the feed's expression")
+    assert(after.filter(col("quality").isNull).count() ==
+      after.count() - withQ.count())
+    // cascades keep their contract shapes (the column is non-cascaded)
+    assert(!TsdbStore.readTable(spark, m, ManifestLayout, "agg_86400")
+      .columns.contains("quality"))
+    // fetch parity with a rename-layout twin fed the same mutations —
+    // evolution must not disturb the numeric surface
+    val r = localRoot()
+    TsdbStore.ingest(spark, events(), r, StoreLayout())
+    TsdbStore.upsertIncremental(spark, replay(), r)
+    assert(rows(TsdbStore.fetch(spark, m, 7L, "click", B, E)) ==
+      rows(TsdbStore.fetch(spark, r, 7L, "click", B, E)))
+    assert(rows(TsdbStore.fetch(spark, m, 7L, "click", B, E, 86400L, "average")) ==
+      rows(TsdbStore.fetch(spark, r, 7L, "click", B, E, 86400L, "average")))
+    // pre-evolution feeds keep working (extras null-completed)
+    TsdbStore.upsertIncremental(spark,
+      replay().withColumn("value", col("value") + 1.0), m)
+    assert(TsdbStore.readTable(spark, m, ManifestLayout, "base")
+      .filter(col("quality").isNotNull).count() == 0,
+      "a later extras-less replay overwrites with null quality (last write wins)")
+    // guards: rename layout and non-nullable additions are refused
+    val e1 = intercept[IllegalArgumentException] {
+      TsdbStore.addColumn(spark, r, "base",
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType))
+    }
+    assert(e1.getMessage.contains("manifest"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      TsdbStore.addColumn(spark, m, "base",
+        org.apache.spark.sql.types.StructField("y",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    }
+    assert(e2.getMessage.contains("nullable"), e2.getMessage)
   }
 
   private def manifestCount(store: String): Int =
