@@ -102,6 +102,17 @@ object ScaleStress {
     // should scale with |series|·slots, never with raw sample count
     "q_store_rollup_m4", "q_store_rollup_quantile_approx")
 
+  /** Manifest-layout family (`mode = manifest`, round 16 — VERDICT r15
+    * missing #4): the same factor-invariance question as `store`, asked
+    * of the SNAPSHOT-resolved read path — manifest load, per-file
+    * series-key skip, single-relation construction — plus the path's
+    * only O(store-size) driver-side work, snapshot RESOLUTION itself
+    * (measured separately as plan-construction time, no execution). */
+  private val Manifest = Seq(
+    "q_store_manifest_fetch", "q_store_manifest_bulk",
+    "q_store_manifest_rollup", "q_store_manifest_rollup_raw",
+    "q_store_manifest_asof", "q_store_manifest_evolve")
+
   /** Series-LENGTH direction (`mode = long`, round 10): same series
     * keys, `factor`× MORE samples per series (replicas shift TIME by
     * k·span, ids offset for uniqueness). This is the axis the
@@ -135,9 +146,10 @@ object ScaleStress {
     val work = if (args.length > 2) args(2) else "/tmp/graft_scale"
     val storeOnly = args.length > 3 && args(3) == "store"
     val longOnly = args.length > 3 && args(3) == "long"
+    val manifestOnly = args.length > 3 && args(3) == "manifest"
     // the Caesar decorrelation is alphabet-bound (26 shifts); events
     // replicate by id offset only, so store/long modes reach 100×+
-    val maxFactor = if (storeOnly || longOnly) 128 else 26
+    val maxFactor = if (storeOnly || longOnly || manifestOnly) 128 else 26
     require(factor >= 2 && factor <= maxFactor,
       s"factor must be in [2, $maxFactor]${if (storeOnly) " (store mode)" else ""}: $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -154,7 +166,8 @@ object ScaleStress {
 
     val big = s"$work/x$factor"
     if (longOnly) buildLongCorpus(spark, sfDir, big, factor)
-    else buildCorpus(spark, sfDir, big, factor, eventsOnly = storeOnly)
+    else buildCorpus(spark, sfDir, big, factor,
+      eventsOnly = storeOnly || manifestOnly)
 
     val metrics = new MetricsListener
     spark.sparkContext.addSparkListener(metrics)
@@ -197,6 +210,63 @@ object ScaleStress {
       val worst = rows.maxBy(_._4)
       val sum1 = rows.map(_._2).sum; val sumN = rows.map(_._3).sum
       println(f"""{"metric":"scale_stress_long","factor":$factor,"sum_1x_sec":$sum1%.3f,"sum_${factor}x_sec":$sumN%.3f,"sum_ratio":${sumN / sum1}%.2f,"worst":"${worst._1}","worst_ratio":${worst._4}%.2f,"max_peak_task_mb":${mb(rows.map(_._5).max)}}""")
+      spark.stop()
+      return
+    }
+
+    if (manifestOnly) {
+      // ingest under the snapshot-commit protocol at both scales
+      def timeIngestM(dir: String, tgt: String): (Double, Long, Long, Long) = {
+        drain(); metrics.reset()
+        val t0 = System.nanoTime()
+        graft.sources.TsdbStore.ingest(spark, Tables.events(spark, dir), tgt,
+          graft.sources.StoreLayout(commit = "manifest"))
+        val sec = (System.nanoTime() - t0) / 1e9
+        drain()
+        (sec, metrics.memSpill, metrics.diskSpill, metrics.peakExecMem)
+      }
+      def spillJson(m: Long, d: Long, p: Long): String =
+        s""""spill_mem_mb":${m >> 20},"spill_disk_mb":${d >> 20},"peak_task_mem_mb":${p >> 20}"""
+      val (ing1, _, _, _) = timeIngestM(sfDir, s"$work/mstore_1x")
+      val (ingN, imN, idN, ipN) = timeIngestM(big, s"$work/mstore_${factor}x")
+      println(f"""{"query":"manifest_ingest","sec_1x":$ing1%.3f,"sec_${factor}x":$ingN%.3f,"ratio":${ingN / ing1}%.2f,${spillJson(imN, idN, ipN)}}""")
+      // declared-query fixtures build untimed (full mutation lifecycle)
+      graft.sources.StoreFixture.manifestStore(spark, sfDir)
+      graft.sources.StoreFixture.manifestStore(spark, big)
+      graft.sources.StoreFixture.manifestStoreEvolved(spark, sfDir)
+      graft.sources.StoreFixture.manifestStoreEvolved(spark, big)
+      val rows = Manifest.map { name =>
+        val t1 = time(name, sfDir)
+        val (tN, qm, qd, qp) = timed(name, big)
+        println(f"""{"query":"$name","sec_1x":$t1%.3f,"sec_${factor}x":$tN%.3f,"ratio":${tN / t1}%.2f,${spillJson(qm, qd, qp)}}""")
+        (name, t1, tN, tN / t1)
+      }
+      // snapshot RESOLUTION cost, isolated: construct the flagship
+      // fetch's DataFrame (manifest-list read → table-manifest parse →
+      // entry/file pruning → explicit-file index) WITHOUT executing
+      // it — the driver-side work that scales with store size, and the
+      // piece a 1000-executor cluster serializes through the driver
+      def resolveSec(dir: String): Double = {
+        val store = graft.sources.StoreFixture.manifestStore(spark, dir)
+        // warm (fs metadata cache, first manifest parse)
+        graft.sources.TsdbStore.fetch(spark, store, 7L, "click",
+          1704844800L, 1705708800L)
+        val reps = 20
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < reps) {
+          graft.sources.TsdbStore.fetch(spark, store, 7L, "click",
+            1704844800L, 1705708800L)
+          i += 1
+        }
+        (System.nanoTime() - t0) / 1e9 / reps
+      }
+      val r1 = resolveSec(sfDir)
+      val rN = resolveSec(big)
+      println(f"""{"query":"manifest_resolve_plan","sec_1x":$r1%.4f,"sec_${factor}x":$rN%.4f,"ratio":${rN / r1}%.2f}""")
+      val mSum1 = ing1 + rows.map(_._2).sum
+      val mSumN = ingN + rows.map(_._3).sum
+      println(f"""{"metric":"scale_stress_manifest","factor":$factor,"sum_1x_sec":$mSum1%.3f,"sum_${factor}x_sec":$mSumN%.3f,"sum_ratio":${mSumN / mSum1}%.2f,"resolve_ratio":${rN / r1}%.2f,${spillJson(imN, idN, ipN)}}""")
       spark.stop()
       return
     }

@@ -159,6 +159,35 @@ object StoreFixture {
     tgt
   }
 
+  /** An EVOLVED manifest store (round 16, VERDICT r15 missing #3):
+    * ingest, then `addColumn(base, quality DOUBLE)` — a pure metadata
+    * commit — then an incremental upsert whose feed CARRIES the new
+    * column (user 7's clicks over [2024-01-09, 2024-01-13), values
+    * shifted +1.0, quality = shifted value × 2). The store then holds
+    * MIXED base segments: pre-evolution files without the column
+    * (null-completed at read under the snapshot's declared schema) and
+    * post-evolution files with it. `q_store_manifest_evolve` reads the
+    * mixed table and hash-matches a raw-events oracle, putting
+    * additive schema evolution under the driver's gate. */
+  def manifestStoreEvolved(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val tgt = s"/tmp/graft_store_manifest_evolved/${new File(sfDir).getName}"
+    buildOnce(new File(s"$sfDir/events.parquet"), tgt) {
+      val ev = Tables.events(spark, sfDir)
+      TsdbStore.ingest(spark, ev, tgt, StoreLayout(commit = "manifest"))
+      TsdbStore.addColumn(spark, tgt, "base",
+        org.apache.spark.sql.types.StructField("quality",
+          org.apache.spark.sql.types.DoubleType))
+      TsdbStore.upsertIncremental(spark,
+        ev.filter(col("user_id") === 7 && col("event_type") === "click" &&
+            col("ts") >= lit("2024-01-09") && col("ts") < lit("2024-01-13"))
+          .withColumn("value", col("value") + 1.0)
+          .withColumn("quality", col("value") * 2.0), // post-shift value
+        tgt)
+    }
+    tgt
+  }
+
   /** PRISTINE manifest-layout twin of [[store]] (ingest only, no
     * mutations) — content-identical to the rename-layout fixture, so
     * every oracle template written against raw `events` holds
