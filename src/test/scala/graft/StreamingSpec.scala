@@ -1014,4 +1014,79 @@ class StreamingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("manifest"), e.getMessage)
   }
+
+  test("store-tail CDF source: snapshot versions are offsets, each new segment's rows emit exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-store-tail").toString
+    val layout = graft.sources.StoreLayout(commit = "manifest")
+    graft.sources.TsdbStore.ingest(spark, Tables.events(spark, Sf), store, layout)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-store-tail-ckpt").toString
+    // foreachBatch, not the memory sink: the tail must RESUME from its
+    // checkpoint across triggers (the consumer-lag semantics under
+    // test), which the memory sink refuses
+    def runTail(): org.apache.spark.sql.DataFrame = {
+      val sink = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]
+      val q = spark.readStream
+        .format(classOf[graft.sources.StoreTailSource].getName)
+        .option("path", store)
+        .load()
+        .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(sink.add): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val schema = graft.sources.StoreTailSource.tailSchema(
+        graft.sources.StoreTailSource.resolveDataSchema(store, "base"))
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(
+          sink.toArray(Array.empty[org.apache.spark.sql.Row]): _*)), schema)
+    }
+    // batch 1 (offsets 0 → v1): the whole live base, version-tagged
+    val t1 = runTail()
+    val base = graft.sources.TsdbStore.readTable(spark, store, layout, "base")
+    assert(t1.count() == base.count())
+    assert(t1.select("_version").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(t1.select("user_id", "event_type", "event_id", "ts_us", "cents")
+      .exceptAll(base.select("user_id", "event_type", "event_id", "ts_us", "cents"))
+      .isEmpty)
+    // no new snapshot ⇒ an idle re-trigger emits NOTHING (offset log)
+    assert(runTail().count() == 0)
+    // an incremental upsert commits v2; the tail emits exactly the
+    // partitions v2 newly references — their full new content, once
+    val replayed = Tables.events(spark, Sf)
+      .filter(col("event_type") === "click" &&
+        col("ts") >= lit("2024-01-09") && col("ts") < lit("2024-01-11"))
+      .withColumn("value", col("value") + 1.0)
+    val touched = graft.sources.TsdbStore.upsertIncremental(spark, replayed, store)
+    val t3 = runTail()
+    assert(t3.select("_version").distinct().collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(t3.select("dt").distinct().collect().map(_.getString(0)).sorted.toSeq ==
+      touched.sorted)
+    val expect = graft.sources.TsdbStore.readTable(spark, store, layout, "base")
+      .filter(col("dt").cast("string").isin(touched: _*))
+      .select("user_id", "event_type", "event_id", "ts_us", "cents")
+    assert(t3.count() == expect.count())
+    assert(t3.select("user_id", "event_type", "event_id", "ts_us", "cents")
+      .exceptAll(expect).isEmpty)
+    // a PURE-METADATA commit (retention drop of nothing... use
+    // addColumn) emits no rows but advances the offset cleanly
+    graft.sources.TsdbStore.addColumn(spark, store, "base",
+      org.apache.spark.sql.types.StructField("quality",
+        org.apache.spark.sql.types.DoubleType))
+    assert(runTail().count() == 0)
+    // retention contract: a tail whose resume point was vacuumed away
+    // fails LOUDLY at plan time, never silently skips
+    graft.sources.TsdbStore.upsertIncremental(spark,
+      replayed.withColumn("value", col("value") + 1.0), store)
+    graft.sources.TsdbStore.vacuum(spark, store, keepManifests = 1)
+    val err = intercept[Exception] { runTail() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(err).exists(c => String.valueOf(c.getMessage)
+      .contains("vacuumed or never committed")), err.getMessage)
+  }
 }
