@@ -45,6 +45,13 @@ object Bench {
       // lifecycle (ingest + incremental upsert + compaction + series
       // delete + vacuum) — far heavier than its two timed READS
       graft.sources.StoreFixture.manifestStore(spark, sfDir)
+      // round 16: the pristine twin (q_stream_store_tail), the evolved
+      // store (q_store_manifest_evolve), and the bucketed-manifest
+      // store (q_join_bucketed_manifest) — each a full ingest a cold
+      // /tmp would otherwise charge to the first timed read
+      graft.sources.StoreFixture.manifestStorePristine(spark, sfDir)
+      graft.sources.StoreFixture.manifestStoreEvolved(spark, sfDir)
+      graft.sources.StoreFixture.bucketedManifestStore(spark, sfDir)
       // the bucketed fixture was the one derived store missing here —
       // on a cold /tmp its build landed in q_join_bucketed's timing
       graft.sources.StoreFixture.bucketedStore(spark, sfDir)
