@@ -589,13 +589,19 @@ object StoreManifest {
       if (ageMs >= tornGraceMs)
         fs.delete(target, false)
       else
-        throw new IllegalStateException(
+        // RETRYABLE: the usual cause is an in-flight concurrent
+        // publish observed in its milliseconds-wide create→terminator
+        // window (deleting its file would silently lose that commit) —
+        // publishOptimistic reloads and waits for the winner's
+        // terminator to land; a writer that actually CRASHED in the
+        // last tornGraceMs never completes, and the retry loop then
+        // fails loudly after its bounded wait
+        throw new ManifestConflictException(
           s"manifest commit conflict at $target — a torn (unterminated) " +
-            s"file ${ageMs}ms old occupies this version; it is either an " +
-            "IN-FLIGHT concurrent publish (deleting it would silently " +
-            "lose that commit) or a crash within the last " +
-            s"${tornGraceMs}ms. Retry after the grace, or run vacuum " +
-            "from the sole writer to clear it")
+            s"file ${ageMs}ms old occupies this version: an IN-FLIGHT " +
+            "concurrent publish mid-write, or a crash within the last " +
+            s"${tornGraceMs}ms (cleared after the grace, or by vacuum " +
+            "from a quiesced writer)")
     }
     val out =
       try fs.create(target, false)
@@ -665,8 +671,10 @@ object StoreManifest {
           if (live.version <= base.version)
             throw new IllegalStateException(
               s"manifest commit at $path lost the version race but no " +
-                "newer complete snapshot appeared — the winner crashed " +
-                "mid-publish; its torn file clears after the torn grace", e)
+                "newer complete snapshot appeared — the winning writer " +
+                "crashed mid-publish, leaving a torn manifest at the " +
+                "slot; it clears after the torn grace (or vacuum from a " +
+                "quiesced writer), then a re-run commits", e)
           rebase(base, live, mut) match {
             case Some(m2) => mut = m2 // disjoint: re-point, no re-run
             case None => mut = run(live).getOrElse(return None)

@@ -1018,10 +1018,11 @@ object TsdbStore {
       // publish: the rename layout's documented crash window (base
       // swapped, cascades stale) does not exist here — readers see the
       // old store whole until everything has landed. The merge reads
-      // the closure's snapshot, so a conflicting concurrent commit
-      // re-runs it against the new base (never a rebase: the merge's
-      // INPUT is the whole base, so no concurrent data commit is
-      // disjoint from it)
+      // the closure's snapshot, so a conflicting concurrent DATA
+      // commit re-runs it against the new base (the merge's input is
+      // the whole base — every data key overlaps); only a concurrent
+      // metadata/sidecar commit (ingestMetadata, addColumn) is
+      // disjoint enough to rebase, which is safe in either order
       StoreManifest.publishOptimistic(fs, path, tornGraceMs(spark),
           maxCommitAttempts(spark)) { prev =>
         val extras = declaredExtras(prev, "base")
