@@ -89,7 +89,9 @@ object PlanDump extends App {
     "q_vec_centroid" -> "per-label centroid (round 10): posexplode then ONE partial+final HashAggregate - the exchange carries (label, dim, partial-sum) triples, never whole vectors; integer micro-unit sums make the distributed order irrelevant",
     "q_window_median" -> "exact rolling median (round 10): one series-partitioned window exchange serves the bounded 5-row frame collect; the sort + middle read are per-row Projects over a <=5-element array - state is O(frame), never O(partition)",
     "q_stream_dedup" -> "streaming idempotent ingest, batch twin (round 10): the redelivery union is scan-local (two reads of the same file, no shuffle to build duplicates) and the within-watermark dedup lowers to a HashAggregate on the delivery key before the final per-type agg",
-    "q_store_manifest_fetch" -> "manifest-store raw fetch (round 15 single-relation form): ONE FileScan over the snapshot's live segment dirs via explicit PartitionSpec - PartitionFilters on dt, PushedFilters on ts_us/series, and the v2 entry stats already dropped out-of-range partitions BEFORE the file index was built (driver-side manifest skip)",
+    "q_store_manifest_fetch" -> "manifest-store raw fetch (round 15 single-relation form; round 16 per-FILE skip): ONE FileScan via explicit PartitionSpec - PartitionFilters on dt, PushedFilters on ts_us/series, the entry stats dropped out-of-range partitions BEFORE the file index was built, and since format v3 the index is handed the SURVIVING FILES themselves (per-file time + user_id/event_type bounds from the manifest; no directory listing, provably-excluded files never opened - the Location line's paths are .parquet files, not dirs)",
+    "q_store_manifest_evolve" -> "additive schema evolution read (round 16): one aggregation over the MIXED-vintage base - pre-evolution segments lack the quality column and null-complete under the snapshot's DECLARED schema (addColumn was a pure metadata commit), post-evolution segments carry it; ReadSchema projects exactly (event_type, cents, quality), so column pruning is schema-evolution-blind",
+    "q_stream_store_tail" -> "change-data-feed drain (round 16): the aggregation runs over the memory-sink table a REAL AvailableNow stream filled - StoreTailSource planned one microbatch per snapshot delta (offsets ARE manifest versions), so the plan's LocalTableScan is the drained feed, and the interesting machinery (version-diff planning, parquet-mr Group decode, exactly-once offsets) lives upstream in the stream, pinned by StreamingSpec",
     "q_store_manifest_rollup" -> "RollupSubstitution ON the manifest layout (round 15): the text aggregates the snapshot-resolved BASE read at day slots, the plan scans agg_86400's live segment dirs (one explicit-PartitionSpec relation, _segs paths) - no base scan anywhere; the substituted cascade resolves under the SAME snapshot protocol, and a time-travel base read declines via live-set equality",
     "q_store_manifest_asof" -> "time-travel fetch (round 15): fetchBulk(atVersion) resolves the RETAINED pre-delete snapshot - same pruned single-relation cascade scan as the live read, just an older (table, dt) -> segment-dir map; the deleted series is served because deletion is logical until vacuum",
     "q_join_bucketed_manifest" -> "bucketed co-location on the manifest layout (round 15): the per-snapshot catalog registration (ADD PARTITION ... LOCATION per live manifest entry) surfaces the bucket spec, so the agg AND the SortMergeJoin both satisfy clustering from the segment-located bucketed scan - ZERO hashpartitioning exchanges before the final sort, identical to the stable-path table's plan")
