@@ -145,11 +145,26 @@ object StoreManifest {
     val unknown: EntryStats = EntryStats(None, None, None, None)
   }
 
+  /** Unsigned UTF-8 byte-order comparison — the ordering parquet's
+    * BinaryStatistics min/max are computed under (ADVICE r16 #2: Java
+    * String comparison orders by UTF-16 code units, which diverges
+    * from UTF-8 byte order for supplementary-plane characters vs
+    * U+E000..U+FFFF — comparing recorded bounds under the WRONG order
+    * could wrongly prune a file that holds the requested event_type,
+    * silently dropping rows). Every string-bound comparison in this
+    * file — the statsOf per-block merge and the mayMatchSeries skip
+    * test — goes through this. */
+  private[graft] def utf8Compare(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
   /** Per-FILE statistics ([[Snapshot.files]]): one data file's time
     * bounds, series-key bounds (user_id / event_type min-max), row
     * count and size. The skip rules are conservative: a file may be
     * dropped only when its RECORDED bounds provably exclude the
-    * request; any unknown bound keeps the file. */
+    * request; any unknown bound keeps the file. String bounds compare
+    * in unsigned UTF-8 byte order ([[utf8Compare]] — parquet's
+    * BinaryStatistics ordering, not Java's UTF-16 order). */
   case class FileStats(name: String,
                        tmin: Option[Long], tmax: Option[Long],
                        uidMin: Option[Long], uidMax: Option[Long],
@@ -167,7 +182,8 @@ object StoreManifest {
         case _ => true
       })
       val etOk = et.forall(e => (etMin, etMax) match {
-        case (Some(a), Some(b)) => e >= a && e <= b
+        case (Some(a), Some(b)) =>
+          utf8Compare(e, a) >= 0 && utf8Compare(e, b) <= 0
         case _ => true
       })
       uidOk && etOk
@@ -195,13 +211,25 @@ object StoreManifest {
     * FULL next state (entries/stats/files/schemas computed against the
     * snapshot the closure received), the committing operation's name,
     * and any explicit property sets (e.g. streaming high-water marks).
-    * Op/timestamp provenance props are stamped by the publisher. */
+    * Op/timestamp provenance props are stamped by the publisher.
+    *
+    * `dtAdjacency = Some((nextDt, prevDt))` declares the store's
+    * partition-successor mapping for conflict classification (ADVICE
+    * r16 #1): the rate cascade derives partition P+1's first delta
+    * from base partition P's last sample, so a mutation that writes
+    * base P conflicts with one that writes rate P+1 even though their
+    * WRITTEN key sets are disjoint — [[rebase]] expands both sides'
+    * touched keys with that closure (base P ⇒ every rate table's P+1;
+    * rate D ⇒ base D−1) and re-runs instead of rebasing on overlap.
+    * Every dt-partitioned data mutation should pass it; pure
+    * metadata/sidecar mutations may omit it. */
   case class Mutation(entries: Map[(String, String), String],
                       stats: Map[(String, String), EntryStats] = Map.empty,
                       files: Map[(String, String), Seq[FileStats]] = Map.empty,
                       schemas: Map[String, String] = Map.empty,
                       op: String = "publish",
-                      propSets: Map[String, String] = Map.empty)
+                      propSets: Map[String, String] = Map.empty,
+                      dtAdjacency: Option[(String => String, String => String)] = None)
 
   /** dt key used for unpartitioned tables (the metadata sidecar). */
   val NoDt = "-"
@@ -693,27 +721,50 @@ object StoreManifest {
     * changes (`base` → `live`) touch disjoint entry keys, schema
     * tables, and property keys; None when they overlap (re-run).
     *
-    * WHY written-key disjointness suffices even though mutations also
-    * READ keys they don't write (the rate recompute reads each touched
-    * partition's predecessor): in this store every derived output
-    * rides WITH the partitions it derives from — an upsert of
-    * partition P writes rate P AND P+1 (the successor rule), so a
-    * concurrent writer whose commit could change what we derived from
-    * P-1 necessarily WROTE rate P, which we also wrote → key overlap →
-    * re-run, never rebase. The one writer that touches a partition
-    * without changing its rows (compaction) is row-preserving by
-    * contract, so anything derived from its pre-image is still
-    * correct. A new mutation kind that rewrites rows WITHOUT touching
-    * its readers' written keys would need to widen this
-    * classification. */
+    * WHY written-key disjointness PLUS the adjacency closure is the
+    * test (ADVICE r16 #1 tightened round 17): mutations also READ keys
+    * they don't write — the rate recompute of partition D reads base
+    * D−1, and an upsert of base P writes rate P+1 ONLY when P+1 is
+    * already live in ITS snapshot (upsertIncremental filters the
+    * successor through baseDts) — so two upserts whose written sets
+    * are disjoint can still be order-dependent: writer A rewrites base
+    * P while writer B CREATES base P+1, deriving rate P+1 from the
+    * pre-A content of P. Raw written-key disjointness would rebase
+    * that pair into a state matching NO serial order. The fix: expand
+    * BOTH sides' touched keys with the declared [[Mutation.dtAdjacency]]
+    * closure — a touched (base, P) also touches every rate table's
+    * (rate_*, P+1), and a touched (rate_*, D) also touches (base, D−1)
+    * — before intersecting; any overlap re-runs. The one writer that
+    * touches a partition without changing its rows (compaction) is
+    * row-preserving by contract, so anything derived from its
+    * pre-image is still correct. A new mutation kind that rewrites
+    * rows WITHOUT touching its readers' written keys would need to
+    * widen this classification. */
   private def rebase(base: Snapshot, live: Snapshot,
                      mut: Mutation): Option[Mutation] = {
     val ourUpserts = mut.entries.filter { case (k, v) =>
       !base.entries.get(k).contains(v) }
     val ourRemoves = base.entries.keySet -- mut.entries.keySet
-    val ourKeys = ourUpserts.keySet ++ ourRemoves
-    val theirKeys = (live.entries.keySet ++ base.entries.keySet)
+    val theirRawKeys = (live.entries.keySet ++ base.entries.keySet)
       .filter(k => live.entries.get(k) != base.entries.get(k))
+    // rate-adjacency closure over a touched key set (see scaladoc):
+    // the rate tables are taken from every snapshot in play, so a
+    // mutation that CREATES the first rate level still expands
+    val rateTables = (live.entries.keySet ++ base.entries.keySet ++
+      mut.entries.keySet).map(_._1).filter(_.startsWith("rate_"))
+    def closure(keys: Set[(String, String)]): Set[(String, String)] =
+      mut.dtAdjacency match {
+        case None => keys
+        case Some((next, prev)) => keys ++ keys.flatMap {
+          case ("base", dt) if dt != NoDt =>
+            rateTables.map(t => (t, next(dt)))
+          case (t, dt) if t.startsWith("rate_") && dt != NoDt =>
+            Set(("base", prev(dt)))
+          case _ => Set.empty[(String, String)]
+        }
+      }
+    val ourKeys = closure(ourUpserts.keySet ++ ourRemoves)
+    val theirKeys = closure(theirRawKeys)
     val ourSchemas = mut.schemas.collect {
       case (t, j) if !base.schemas.get(t).contains(j) => t }.toSet
     val theirSchemas = (live.schemas.keySet ++ base.schemas.keySet)
@@ -817,8 +868,11 @@ object StoreManifest {
           }
           strBounds("event_type") match {
             case Some((lo, hi)) =>
+              // merge in unsigned UTF-8 byte order — the order the
+              // footer's extremes were computed under (ADVICE r16 #2)
               fE = Some(fE.fold((lo, hi)) { p =>
-                (if (p._1 <= lo) p._1 else lo, if (p._2 >= hi) p._2 else hi) })
+                (if (utf8Compare(p._1, lo) <= 0) p._1 else lo,
+                  if (utf8Compare(p._2, hi) >= 0) p._2 else hi) })
             case None => fEOk = false
           }
         }

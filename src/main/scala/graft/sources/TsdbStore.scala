@@ -294,6 +294,15 @@ object TsdbStore {
   private def maxCommitAttempts(spark: SparkSession): Int =
     spark.conf.get("spark.graft.manifest.maxCommitAttempts", "5").toInt
 
+  /** The store's partition-successor mapping, for the optimistic
+    * rebase classifier's rate-adjacency closure
+    * ([[StoreManifest.Mutation.dtAdjacency]], ADVICE r16 #1). Passed
+    * by every dt-partitioned DATA mutation; compaction deliberately
+    * omits it — a row-preserving rewrite changes nothing any neighbor
+    * derives from, so the closure would only force needless re-runs. */
+  private def adjacencyOf(layout: StoreLayout): Option[(String => String, String => String)] =
+    Some((nextDt(layout, _: String), prevDt(layout, _: String)))
+
   /** ADDITIVE schema evolution (round 16, VERDICT r15 missing #3):
     * declare a new NULLABLE column on a manifest-store table as a PURE
     * METADATA commit — the snapshot's declared schema widens, no data
@@ -317,6 +326,13 @@ object TsdbStore {
     require(field.nullable,
       s"added columns must be nullable — existing rows have no value " +
         s"for '${field.name}'")
+    // 'dt' is the hive partition column manifestRead appends at read —
+    // a data column by that name (any case: Spark resolves column
+    // references case-insensitively by default) would make every later
+    // read of the table ambiguous (ADVICE r16 #5)
+    require(!field.name.equalsIgnoreCase("dt"),
+      "'dt' is the store's partition column — a data column by that " +
+        "name would be ambiguous in every read")
     val fs = fsOf(spark, path)
     StoreManifest.publishOptimistic(fs, path, tornGraceMs(spark),
         maxCommitAttempts(spark)) { snap =>
@@ -330,9 +346,10 @@ object TsdbStore {
           val rel = snap.entries.collectFirst { case ((`table`, _), r) => r }.get
           spark.read.parquet(s"$path/$rel").schema
         }
-      require(!cur.fieldNames.contains(field.name),
+      require(!cur.fieldNames.exists(_.equalsIgnoreCase(field.name)),
         s"column '${field.name}' already exists on '$table' " +
-          s"(${cur.fieldNames.mkString(", ")})")
+          s"(case-insensitively — Spark's default column resolution: " +
+          s"${cur.fieldNames.mkString(", ")})")
       Some(StoreManifest.Mutation(
         entries = snap.entries, stats = snap.stats, files = snap.files,
         schemas = snap.schemas.updated(table,
@@ -729,7 +746,6 @@ object TsdbStore {
   def ingest(spark: SparkSession, events: DataFrame, path: String,
              layout: StoreLayout = StoreLayout()): Unit = withRollupRewriteOff(spark) {
     if (layout.commit == "rename") requireAtomicRenameAt(spark, path)
-    val m = normalize(events, layout)
     if (layout.commit == "manifest") {
       // whole-store build into one fresh segment, committed by a single
       // manifest create: readers see the OLD store (or none) until the
@@ -742,6 +758,11 @@ object TsdbStore {
       writeLayout(spark, path, layout)
       StoreManifest.publishOptimistic(fs, path, tornGraceMs(spark),
           maxCommitAttempts(spark)) { prev =>
+        // a RE-ingest of an evolved store keeps the declared evolved
+        // columns (ADVICE r16 #3: normalizing without them silently
+        // reverted addColumn — the column vanished from both schema
+        // and data even when the incoming feed carried it)
+        val m = normalize(events, layout, declaredExtras(prev, "base"))
         val seg = StoreManifest.newSegId()
         val segBase = StoreManifest.segTableDir(path, seg, "base")
         if (layout.buckets > 0) {
@@ -782,11 +803,12 @@ object TsdbStore {
           files = prev.files.view.filterKeys(_._1 == "meta").toMap ++ h.files,
           schemas = prev.schemas.view.filterKeys(_ == "meta").toMap ++
             segSchemas(spark, path, fresh),
-          op = "ingest"))
+          op = "ingest", dtAdjacency = adjacencyOf(layout)))
       }
       touchDataStamp(spark, path)
       return
     }
+    val m = normalize(events, layout) // rename layout: no schema-in-snapshot, no evolution
     if (layout.buckets > 0) {
       // Hive-bucketed layout: per-series windows / joins read
       // pre-clustered buckets (no exchange); the files under
@@ -1045,7 +1067,7 @@ object TsdbStore {
           files = prev.files.view.filterKeys(_._1 == "meta").toMap ++ h.files,
           schemas = prev.schemas.view.filterKeys(_ == "meta").toMap ++
             segSchemas(spark, path, fresh),
-          op = "upsert"))
+          op = "upsert", dtAdjacency = adjacencyOf(layout)))
       }
       touchDataStamp(spark, path)
       return
@@ -1351,7 +1373,8 @@ object TsdbStore {
         schemas = workSchemas,
         op = streamCommit.map(_ => "streamIngest").getOrElse("upsertIncremental"),
         propSets = streamCommit
-          .map { case (ns, b) => s"streamhwm:$ns" -> b.toString }.toMap))
+          .map { case (ns, b) => s"streamhwm:$ns" -> b.toString }.toMap,
+        dtAdjacency = adjacencyOf(layout)))
     }
 
     if (manifest)
@@ -1705,7 +1728,8 @@ object TsdbStore {
       if (!manifest || work == snap.entries) None
       else Some(StoreManifest.Mutation(
         entries = work, stats = workStats, files = workFiles,
-        schemas = snap.schemas, op = "deleteSeries"))
+        schemas = snap.schemas, op = "deleteSeries",
+        dtAdjacency = adjacencyOf(layout)))
     }
 
     if (manifest)
@@ -1858,7 +1882,8 @@ object TsdbStore {
           entries = work,
           stats = snap.stats.view.filterKeys(work.contains).toMap,
           files = snap.files.view.filterKeys(work.contains).toMap,
-          schemas = snap.schemas, op = "dropBefore"))
+          schemas = snap.schemas, op = "dropBefore",
+          dtAdjacency = adjacencyOf(layout)))
       }
       touchDataStamp(spark, path)
       return droppedByTable

@@ -729,6 +729,55 @@ class ManifestCommitSpec extends SparkSpec {
     }
   }
 
+  test("optimistic concurrency: ADJACENT racing upserts (one creating the successor partition) " +
+      "re-run instead of rebasing, and the store matches a serial order (ADVICE r16 #1)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // The silent-wrong-rate shape the rebase classifier must catch:
+    // the store ends at partition P; writer A rewrites base P (its
+    // snapshot has no P+1, so A writes NO rate P+1); writer B CREATES
+    // base P+1 concurrently, deriving rate P+1's first delta from the
+    // PRE-A content of base P. Raw written-key sets are disjoint — a
+    // rebase would merge them into a state matching NO serial order
+    // (B-after-A recomputes rate P+1 from A's new base P). The
+    // dtAdjacency closure forces the loser to RE-RUN, so the result
+    // must equal winner-then-loser sequential application.
+    def seed() = events().filter(col("ts") < lit("2024-01-15"))
+    def winA() = // rewrite the last live partition P = 2024-01-14
+      events().filter(col("ts") >= lit("2024-01-14") && col("ts") < lit("2024-01-15"))
+        .withColumn("value", col("value") + 1.0)
+    def winB() = // create the successor partition P+1 = 2024-01-15
+      events().filter(col("ts") >= lit("2024-01-15") && col("ts") < lit("2024-01-16"))
+    val m = localRoot()
+    TsdbStore.ingest(spark, seed(), m, ManifestLayout)
+    val fs = new org.apache.hadoop.fs.Path(m)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v0 = StoreManifest.load(fs, m).version
+    val fa = Future(TsdbStore.upsertIncremental(spark, winA(), m))
+    val fb = Future(TsdbStore.upsertIncremental(spark, winB(), m))
+    Await.result(fa, 5.minutes); Await.result(fb, 5.minutes)
+    assert(StoreManifest.load(fs, m).version == v0 + 2, "both must commit")
+    // serial twins, both orders — the race may resolve either way
+    def twin(first: () => DataFrame, second: () => DataFrame): String = {
+      val t = localRoot()
+      TsdbStore.ingest(spark, seed(), t, ManifestLayout)
+      TsdbStore.upsertIncremental(spark, first(), t)
+      TsdbStore.upsertIncremental(spark, second(), t)
+      t
+    }
+    val ab = twin(winA _, winB _); val ba = twin(winB _, winA _)
+    val tables = Seq("base", "agg_21600", "agg_86400",
+      "rate_21600", "rate_86400", "quant_21600", "quant_86400")
+    def state(p: String): Seq[Seq[String]] =
+      tables.map(t => rows(TsdbStore.readTable(spark, p, ManifestLayout, t)))
+    val got = state(m)
+    assert(got == state(ab) || got == state(ba),
+      "racing adjacent upserts must equal SOME serial order — a rebase " +
+        "of the disjoint written sets would keep a rate P+1 derived " +
+        "from the pre-race base P")
+  }
+
   test("format compat: a hand-written v2 manifest still loads (entries + stats, no files/schemas)") {
     val m = recRoot()
     TsdbStore.ingest(spark, events(), m, ManifestLayout)
