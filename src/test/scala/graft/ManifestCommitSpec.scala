@@ -778,6 +778,103 @@ class ManifestCommitSpec extends SparkSpec {
         "from the pre-race base P")
   }
 
+  test("merge-on-read deleteRows: metadata-sized commit, read equality with eager " +
+      "deleteSeries, provably-clean keys no-op") {
+    val m = localRoot(); val e = localRoot()
+    TsdbStore.ingest(spark, events(), m, ManifestLayout)
+    TsdbStore.ingest(spark, events(), e, ManifestLayout)
+    val fs = new org.apache.hadoop.fs.Path(m)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def segDirs(p: String): Set[String] = {
+      val d = new java.io.File(p, "_segs")
+      if (!d.exists()) Set.empty else d.listFiles().map(_.getName).toSet
+    }
+    val before = StoreManifest.load(fs, m)
+    val segsBefore = segDirs(m)
+    val attached = TsdbStore.deleteRows(spark, m, Seq((7L, "click")))
+    val after = StoreManifest.load(fs, m)
+    // the metadata-sized-commit claim, mechanically: one new snapshot,
+    // ZERO new data segments, no partition moved
+    assert(after.version == before.version + 1)
+    assert(after.entries == before.entries,
+      "a merge-on-read delete must not rewrite or move any partition")
+    assert(segDirs(m) == segsBefore,
+      "a merge-on-read delete must write no data segment")
+    assert(attached.keySet.contains("base") && after.dels.nonEmpty)
+    // read equality with the eager rewrite path, every table
+    TsdbStore.deleteSeries(spark, e, 7L, "click")
+    val tables = Seq("base", "agg_21600", "agg_86400",
+      "rate_21600", "rate_86400", "quant_21600", "quant_86400")
+    tables.foreach { t =>
+      assert(rows(TsdbStore.readTable(spark, m, ManifestLayout, t)) ==
+        rows(TsdbStore.readTable(spark, e, ManifestLayout, t)),
+        s"merge-on-read vs eager delete diverge on $t")
+    }
+    // the fetch surface flows through the same filter
+    assert(TsdbStore.fetch(spark, m, 7L, "click", B, E, 21600L).isEmpty)
+    // a key every file's stats provably exclude: attach nowhere, no-op
+    // (no junk snapshot version)
+    val att2 = TsdbStore.deleteRows(spark, m, Seq((999999999L, "nosuch")))
+    assert(att2.isEmpty)
+    assert(StoreManifest.load(fs, m).version == after.version,
+      "a provably-clean delete must not commit a snapshot")
+  }
+
+  test("merge-on-read deleteRows: rewrites FOLD deletes (compaction drops the " +
+      "partition's refs, full upsert folds all), vacuum reclaims the delete file") {
+    val m = localRoot()
+    TsdbStore.ingest(spark, events(), m, ManifestLayout)
+    val fs = new org.apache.hadoop.fs.Path(m)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    TsdbStore.deleteRows(spark, m, Seq((7L, "click")))
+    val snap1 = StoreManifest.load(fs, m)
+    val dt = snap1.dels.keys.collect { case ("base", d) => d }.toSeq.sorted.head
+    val preCompact = rows(TsdbStore.readTable(spark, m, ManifestLayout, "base"))
+    TsdbStore.compactPartition(spark, m, dt)
+    val snap2 = StoreManifest.load(fs, m)
+    assert(!snap2.dels.contains(("base", dt)),
+      "compaction reads through the delete filter, so it must drop the folded refs")
+    assert(snap2.dels.exists(_._1._1 == "base"),
+      "untouched partitions keep their refs")
+    assert(rows(TsdbStore.readTable(spark, m, ManifestLayout, "base")) == preCompact,
+      "folding must not change what readers see")
+    // a full upsert rewrites every data partition -> all refs fold away
+    TsdbStore.upsert(spark,
+      events().filter(col("user_id") === 3 && col("event_type") === "view")
+        .withColumn("value", col("value") + 2.0), m)
+    val snap3 = StoreManifest.load(fs, m)
+    assert(snap3.dels.isEmpty, "a full rewrite must fold every delete")
+    assert(TsdbStore.readTable(spark, m, ManifestLayout, "base")
+      .filter(col("user_id") === 7 && col("event_type") === "click").isEmpty,
+      "folded deletes are physical: the rows are gone from the files")
+    // no retained snapshot references the delete file any more ->
+    // vacuum (zero grace) reclaims it
+    StoreManifest.vacuum(fs, m, keepManifests = 1, tornGraceMs = 0L)
+    val ddir = new java.io.File(m, "_commits/d")
+    assert(!ddir.exists() || ddir.listFiles().isEmpty,
+      "vacuum must reclaim a delete file no retained snapshot references")
+  }
+
+  test("merge-on-read deleteRows: broadcast anti-join path (inline cap 0) matches the " +
+      "inline-predicate path; time travel before the delete still sees the rows") {
+    val m = localRoot()
+    TsdbStore.ingest(spark, events(), m, ManifestLayout)
+    val fs = new org.apache.hadoop.fs.Path(m)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v0 = StoreManifest.load(fs, m).version
+    TsdbStore.deleteRows(spark, m, Seq((7L, "click"), (3L, "view")))
+    val inline = rows(TsdbStore.readTable(spark, m, ManifestLayout, "base"))
+    spark.conf.set("spark.graft.store.deleteInlineMax", "0")
+    try {
+      assert(rows(TsdbStore.readTable(spark, m, ManifestLayout, "base")) == inline,
+        "the anti-join and inline-predicate delete paths must agree")
+    } finally spark.conf.unset("spark.graft.store.deleteInlineMax")
+    assert(inline.nonEmpty)
+    assert(!TsdbStore.readTableAt(spark, m, "base", v0)
+      .filter(col("user_id") === 7 && col("event_type") === "click").isEmpty,
+      "a pre-delete snapshot must still serve the rows (erasure completes at vacuum)")
+  }
+
   test("format compat: a hand-written v2 manifest still loads (entries + stats, no files/schemas)") {
     val m = recRoot()
     TsdbStore.ingest(spark, events(), m, ManifestLayout)
