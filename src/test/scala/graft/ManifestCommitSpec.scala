@@ -985,6 +985,85 @@ class ManifestCommitSpec extends SparkSpec {
     assert(e2.getMessage.contains("nullable"), e2.getMessage)
   }
 
+  test("schema evolution: renameColumn/dropColumn are metadata-only; mixed vintages " +
+      "resolve through the name history; the tail decodes every vintage; tombstones " +
+      "block name reuse; time travel serves each snapshot's OWN schema") {
+    import org.apache.spark.sql.types.{DoubleType, StructField}
+    val m = localRoot()
+    TsdbStore.ingest(spark, events(), m, ManifestLayout)
+    val fs = new org.apache.hadoop.fs.Path(m)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    TsdbStore.addColumn(spark, m, "base", StructField("quality", DoubleType))
+    // OLD-NAME vintage: (7, click) over [01-09, 01-13) carries `quality`
+    TsdbStore.upsertIncremental(spark,
+      replay().withColumn("quality", col("user_id").cast("double") + 0.5), m)
+    val preRename = StoreManifest.load(fs, m)
+    val expect = rows(TsdbStore.readTable(spark, m, ManifestLayout, "base")
+      .withColumnRenamed("quality", "quality_score"))
+    TsdbStore.renameColumn(spark, m, "base", "quality", "quality_score")
+    val post = StoreManifest.load(fs, m)
+    // pure metadata: one snapshot, every table manifest reused
+    assert(post.version == preRename.version + 1)
+    assert(post.tableManifests == preRename.tableManifests,
+      "renameColumn must not rewrite any table manifest")
+    val renamedDf = TsdbStore.readTable(spark, m, ManifestLayout, "base")
+    assert(renamedDf.columns.contains("quality_score") &&
+      !renamedDf.columns.contains("quality"))
+    assert(rows(renamedDf) == expect,
+      "old-name segments must resolve through the name history, values intact")
+    // NEW-NAME vintage over a DISJOINT window: three file vintages
+    // (no-column, old-name, new-name) are now live at once
+    TsdbStore.upsertIncremental(spark,
+      events().filter(col("ts") >= lit("2024-01-14") && col("ts") < lit("2024-01-16"))
+        .withColumn("value", col("value") + 1.0)
+        .withColumn("quality_score", lit(3.25)),
+      m)
+    val mixed = TsdbStore.readTable(spark, m, ManifestLayout, "base")
+    assert(rows(mixed.filter(col("quality_score").isNotNull)
+        .select("quality_score").distinct()) == Seq("[3.25]", "[7.5]"),
+      "old-name and new-name vintages must BOTH resolve into the current column")
+    // the CDC tail decodes the old-name vintage under the current name
+    val sink = "rename_tail_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream
+      .format(classOf[graft.sources.StoreTailSource].getName)
+      .option("path", m).load()
+      .writeStream.format("memory").queryName(sink)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    assert(spark.table(sink).columns.contains("quality_score"))
+    assert(spark.table(sink).filter(col("quality_score") === 7.5).count() > 0,
+      "the tail must decode old-name files through the same name history")
+    // time travel serves the pre-rename snapshot under ITS schema
+    val asOf = TsdbStore.readTableAt(spark, m, "base", preRename.version)
+    assert(asOf.columns.contains("quality") && !asOf.columns.contains("quality_score"))
+    // guards: historical names stay reserved; canonical columns immutable
+    val g1 = intercept[IllegalArgumentException] {
+      TsdbStore.renameColumn(spark, m, "base", "quality_score", "quality") }
+    assert(g1.getMessage.contains("in use"), g1.getMessage)
+    val g2 = intercept[IllegalArgumentException] {
+      TsdbStore.renameColumn(spark, m, "base", "user_id", "uid") }
+    assert(g2.getMessage.contains("canonical"), g2.getMessage)
+    // DROP: pure metadata; gone from live reads; name + history tombstoned
+    val preDrop = StoreManifest.load(fs, m)
+    TsdbStore.dropColumn(spark, m, "base", "quality_score")
+    assert(StoreManifest.load(fs, m).tableManifests == preDrop.tableManifests,
+      "dropColumn must not rewrite any table manifest")
+    assert(!TsdbStore.readTable(spark, m, ManifestLayout, "base")
+      .columns.contains("quality_score"))
+    val g3 = intercept[IllegalArgumentException] {
+      TsdbStore.addColumn(spark, m, "base", StructField("quality", DoubleType)) }
+    assert(g3.getMessage.contains("DROPPED"), g3.getMessage)
+    val g4 = intercept[IllegalArgumentException] {
+      TsdbStore.addColumn(spark, m, "base", StructField("quality_score", DoubleType)) }
+    assert(g4.getMessage.contains("DROPPED"), g4.getMessage)
+    // a fresh name is fine, and time travel still serves the dropped column
+    TsdbStore.addColumn(spark, m, "base", StructField("quality2", DoubleType))
+    assert(TsdbStore.readTable(spark, m, ManifestLayout, "base")
+      .columns.contains("quality2"))
+    assert(TsdbStore.readTableAt(spark, m, "base", preDrop.version)
+      .columns.contains("quality_score"))
+  }
+
   private def manifestCount(store: String): Int =
     new java.io.File(new java.io.File(store.stripPrefix("rec:")), "_commits")
       .listFiles().count(_.getName.endsWith(".mf"))
