@@ -252,13 +252,26 @@ object ScaleStress {
       // separately as cold_1 since the cache keys by path)
       val r1 = resolveSec(s"$work/mlstore_1x")
       val rN = resolveSec(s"$work/mlstore_${factor}x")
-      val parts1 = graft.sources.StoreManifest.load(
-        org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration),
-        s"$work/mlstore_1x").entries.size
-      val partsN = graft.sources.StoreManifest.load(
-        org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration),
-        s"$work/mlstore_${factor}x").entries.size
-      println(f"""{"metric":"scale_stress_manifest_long","factor":$factor,"ingest_1x_sec":$ing1%.3f,"ingest_${factor}x_sec":$ingN%.3f,"ingest_ratio":${ingN / ing1}%.2f,"live_entries_1x":$parts1,"live_entries_${factor}x":$partsN,"resolve_1x_sec":$r1%.4f,"resolve_${factor}x_sec":$rN%.4f,"resolve_ratio":${rN / r1}%.2f}""")
+      // COLD per-band parse counts (round 17, v4 banding): how many
+      // band manifests a two-week flagship fetch actually parses from
+      // a cache-less JVM — banded resolution should parse O(bands in
+      // range) no matter how many live bands the factor added
+      def coldParses(store: String): Long = {
+        graft.sources.StoreManifest.clearParseCaches()
+        val p0 = graft.sources.StoreManifest.tmParses
+        graft.sources.TsdbStore.fetch(spark, store, 7L, "click",
+          1704844800L, 1705708800L)
+        graft.sources.StoreManifest.tmParses - p0
+      }
+      val cp1 = coldParses(s"$work/mlstore_1x")
+      val cpN = coldParses(s"$work/mlstore_${factor}x")
+      val lfs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val snap1 = graft.sources.StoreManifest.load(lfs, s"$work/mlstore_1x")
+      val snapN = graft.sources.StoreManifest.load(lfs, s"$work/mlstore_${factor}x")
+      val parts1 = snap1.entries.size
+      val partsN = snapN.entries.size
+      println(f"""{"metric":"scale_stress_manifest_long","factor":$factor,"ingest_1x_sec":$ing1%.3f,"ingest_${factor}x_sec":$ingN%.3f,"ingest_ratio":${ingN / ing1}%.2f,"live_entries_1x":$parts1,"live_entries_${factor}x":$partsN,"live_bands_1x":${snap1.tableManifests.size},"live_bands_${factor}x":${snapN.tableManifests.size},"cold_fetch_band_parses_1x":$cp1,"cold_fetch_band_parses_${factor}x":$cpN,"resolve_1x_sec":$r1%.4f,"resolve_${factor}x_sec":$rN%.4f,"resolve_ratio":${rN / r1}%.2f}""")
       spark.stop()
       return
     }

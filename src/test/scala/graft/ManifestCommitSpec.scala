@@ -565,13 +565,18 @@ class ManifestCommitSpec extends SparkSpec {
         }
     }.flatten
 
-  /** The snapshot file's table-manifest pointers, table → rel. */
+  /** The snapshot file's table-manifest pointers, table → rel —
+    * whole-table `tbl` lines and v4 `band` lines alike (the
+    * single-month fixture yields exactly one band per table, so the
+    * table key stays unique). */
   private def tblPointers(store: String, version: Long): Map[String, String] = {
     val f = new java.io.File(new java.io.File(store.stripPrefix("rec:")),
       f"_commits/v$version%019d.mf")
     Files.readString(f.toPath).linesIterator.collect {
       case l if l.startsWith("tbl\t") =>
         val Array(_, t, rel) = l.split("\t", 3); t -> rel
+      case l if l.startsWith("band\t") =>
+        val Array(_, t, _, rel) = l.split("\t", 4); t -> rel
     }.toMap
   }
 
@@ -1062,6 +1067,53 @@ class ManifestCommitSpec extends SparkSpec {
       .columns.contains("quality2"))
     assert(TsdbStore.readTableAt(spark, m, "base", preDrop.version)
       .columns.contains("quality_score"))
+  }
+
+  test("manifest banding v4: a one-partition commit rewrites ONE band manifest + the " +
+      "list; untouched bands and tables reuse pointers; ranged resolution parses only " +
+      "bands in range") {
+    val m = localRoot()
+    val jan = events()
+    // a second calendar month: same series, ids offset so no key collides
+    val feb = jan.withColumn("ts", col("ts") + expr("INTERVAL 31 DAYS"))
+      .withColumn("event_id", col("event_id") + 1000000000L)
+    TsdbStore.ingest(spark, jan.unionByName(feb), m, ManifestLayout)
+    val fs = new org.apache.hadoop.fs.Path(m)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap0 = StoreManifest.load(fs, m)
+    assert(snap0.tableManifests.contains(("base", "2024-01")) &&
+      snap0.tableManifests.contains(("base", "2024-02")),
+      s"expected month bands, got ${snap0.tableManifests.keys.toSeq.sorted}")
+    def tmFiles(): Set[String] =
+      new java.io.File(m, "_commits/t").listFiles().map(_.getName)
+        .filter(_.endsWith(".tm")).toSet
+    val before = tmFiles()
+    val dt = snap0.entries.keys.collect {
+      case ("base", d) if d.startsWith("2024-01") => d }.min
+    TsdbStore.compactPartition(spark, m, dt)
+    val snap1 = StoreManifest.load(fs, m)
+    assert((tmFiles() -- before).size == 1,
+      "a commit touching one partition must write exactly ONE band manifest")
+    assert(snap1.tableManifests(("base", "2024-02")) ==
+      snap0.tableManifests(("base", "2024-02")),
+      "the untouched band's pointer must be reused verbatim")
+    assert(snap1.tableManifests(("base", "2024-01")) !=
+      snap0.tableManifests(("base", "2024-01")))
+    assert(snap1.tableManifests.filter(_._1._1 != "base") ==
+      snap0.tableManifests.filter(_._1._1 != "base"),
+      "untouched tables must re-emit all their pointers")
+    // ranged resolution parses only the bands the range can touch
+    StoreManifest.clearParseCaches()
+    val p0 = StoreManifest.tmParses
+    val febFetch = TsdbStore.fetch(spark, m, 7L, "click",
+      1707436800L, 1707523200L) // [2024-02-09, 2024-02-10) — one replica day
+    val parsed = StoreManifest.tmParses - p0
+    assert(parsed == 1,
+      s"a one-day February base fetch must parse exactly the February base band, parsed $parsed")
+    assert(febFetch.count() > 0, "the February replica must actually serve rows")
+    // a fetch whose range precedes every live band: typed empty, no error
+    assert(TsdbStore.fetch(spark, m, 7L, "click",
+      1672531200L, 1672617600L).isEmpty) // 2023-01-01
   }
 
   private def manifestCount(store: String): Int =
