@@ -645,6 +645,59 @@ object StoreManifest {
     rel
   }
 
+  // ---- vacuum lease (round 17, VERDICT r16 next #6) ------------------
+
+  private def leaseFile(path: String) = new Path(s"$path/_commits/vacuum.lease")
+
+  /** The live vacuum lease's expiry (epoch ms), when one is held and
+    * unexpired. Vacuum was single-writer by CONTRACT only before this:
+    * an in-flight mutation's uncommitted segments are
+    * indistinguishable from crash garbage, so a vacuum racing a
+    * writer could delete the writer's staged files — and the writer's
+    * later commit would then reference deleted data SILENTLY. The
+    * lease turns that race into a LOUD handshake: [[publish]] refuses
+    * to commit while a lease is live, and [[acquireVacuumLease]]
+    * refuses a second vacuum. A crashed vacuum's lease simply
+    * expires. */
+  def vacuumLeaseActive(fs: FileSystem, path: String): Option[Long] =
+    readText(fs, leaseFile(path))
+      .flatMap(_.trim.toLongOption)
+      .filter(_ > System.currentTimeMillis())
+
+  /** Take the store-wide vacuum lease: create-exclusive marker file
+    * holding the expiry. Loud when another unexpired lease exists
+    * (two vacuums racing — the second fails, never deletes under the
+    * first); an EXPIRED lease (crashed vacuum) is replaced. */
+  def acquireVacuumLease(fs: FileSystem, path: String,
+                         leaseMs: Long): Unit = {
+    require(leaseMs > 0, s"leaseMs must be positive: $leaseMs")
+    val f = leaseFile(path)
+    fs.mkdirs(commitsDir(path))
+    var attempt = 0
+    while (true) {
+      vacuumLeaseActive(fs, path).foreach { exp =>
+        throw new IllegalStateException(
+          s"another vacuum holds the lease on $path until epoch-ms $exp " +
+            "— two concurrent vacuums could each treat the other's " +
+            "in-flight work as garbage; rerun after it completes (a " +
+            "crashed vacuum's lease expires on its own)")
+      }
+      if (fs.exists(f)) fs.delete(f, false) // expired leftover
+      try {
+        val out = fs.create(f, false)
+        try out.write(
+          s"${System.currentTimeMillis() + leaseMs}\n".getBytes("UTF-8"))
+        finally out.close()
+        return
+      } catch {
+        case _: java.io.IOException if attempt < 3 => attempt += 1 // lost the create race; re-examine
+      }
+    }
+  }
+
+  def releaseVacuumLease(fs: FileSystem, path: String): Unit =
+    fs.delete(leaseFile(path), false): Unit
+
   /** Write one immutable DELETE FILE (the merge-on-read erasure unit —
     * format doc above) listing series keys whose rows are logically
     * deleted from every partition whose manifest references it.
@@ -752,6 +805,18 @@ object StoreManifest {
     val next = prev.version + 1
     require(!entries.keys.exists(_._1 == "prop"),
       "'prop' is a reserved table name in the manifest format")
+    // vacuum-lease handshake (round 17): committing while a vacuum
+    // resolves garbage could reference segments the vacuum is deleting
+    // — fail LOUDLY (not retryably: vacuums run minutes, the
+    // optimistic loop waits milliseconds); rerunning the mutation
+    // after the vacuum re-stages and commits cleanly
+    vacuumLeaseActive(fs, path).foreach { exp =>
+      throw new IllegalStateException(
+        s"a vacuum holds the lease on $path until epoch-ms $exp — a " +
+          "commit racing its garbage resolution could reference files " +
+          "it deletes; rerun the mutation after the vacuum completes " +
+          "(a crashed vacuum's lease expires on its own)")
+    }
     val propLines = props.toSeq.sorted.map { case (k, v) =>
       require(Seq("\t", "\n", "\r").forall(c => !k.contains(c) && !v.contains(c)),
         s"manifest property must be tab/newline-free: $k=$v")
@@ -868,6 +933,14 @@ object StoreManifest {
                         maxAttempts: Int = 5)
                        (run: Snapshot => Option[Mutation]): Option[Long] = {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    // fail fast before the mutation's (possibly expensive) Spark work:
+    // publish would refuse anyway while a vacuum lease is live
+    vacuumLeaseActive(fs, path).foreach { exp =>
+      throw new IllegalStateException(
+        s"a vacuum holds the lease on $path until epoch-ms $exp — " +
+          "rerun the mutation after it completes (a crashed vacuum's " +
+          "lease expires on its own)")
+    }
     var base = load(fs, path)
     var mut = run(base).getOrElse(return None)
     var attempt = 1

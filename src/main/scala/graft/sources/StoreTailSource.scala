@@ -27,8 +27,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *   .option("path", store)          // manifest-layout store root
   *   .option("table", "base")        // any store table (default base)
   *   .option("startingVersion", "0") // 0 = everything live, then deltas
+  *   .option("maxVersionsPerBatch", "64") // cap catch-up batch spans
   *   .load()
   * }}}
+  *
+  * `maxVersionsPerBatch` (round 17) bounds how many snapshot versions
+  * one microbatch may span: a consumer resuming after a long lag
+  * catches up in bounded increments (bounded planning, bounded
+  * checkpoint delta, bounded re-run on failure) instead of one giant
+  * batch over every missed segment. Default unbounded.
   *
   * OFFSETS ARE SNAPSHOT VERSIONS — the manifest log IS the
   * write-ahead log, so the source needs no files of its own: a
@@ -73,7 +80,10 @@ class StoreTailSource extends TableProvider {
       Option(properties.get("table")).getOrElse("base"),
       Option(properties.get("startingversion")).map(_.toLong)
         .orElse(Option(properties.get("startingVersion")).map(_.toLong))
-        .getOrElse(0L))
+        .getOrElse(0L),
+      Option(properties.get("maxversionsperbatch")).map(_.toLong)
+        .orElse(Option(properties.get("maxVersionsPerBatch")).map(_.toLong))
+        .getOrElse(Long.MaxValue))
 }
 
 object StoreTailSource {
@@ -101,7 +111,8 @@ object StoreTailSource {
 }
 
 private class StoreTailTable(schema0: StructType, path: String,
-                             table: String, startingVersion: Long)
+                             table: String, startingVersion: Long,
+                             maxVersionsPerBatch: Long)
     extends Table with SupportsRead {
   override def name(): String = s"graft-store-tail(`$path`.`$table`)"
   override def capabilities(): util.Set[TableCapability] =
@@ -112,7 +123,8 @@ private class StoreTailTable(schema0: StructType, path: String,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema0
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new StoreTailStream(schema0, path, table, startingVersion)
+          new StoreTailStream(schema0, path, table, startingVersion,
+            maxVersionsPerBatch)
       }
     }
 }
@@ -130,9 +142,13 @@ private case class VersionOffset(version: Long) extends Offset {
 }
 
 private class StoreTailStream(schema: StructType, path: String,
-                              table: String, startingVersion: Long)
+                              table: String, startingVersion: Long,
+                              maxVersionsPerBatch: Long)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  require(maxVersionsPerBatch >= 1,
+    s"maxVersionsPerBatch must be >= 1: $maxVersionsPerBatch")
 
   private val spark = SparkSession.active
   private def fs = new Path(path)
@@ -149,9 +165,20 @@ private class StoreTailStream(schema: StructType, path: String,
     availableNowTarget = Some(liveVersion)
   override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
     org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+  // admission control: cap each microbatch at `maxVersionsPerBatch`
+  // snapshot versions past the start offset (round 17, VERDICT r16
+  // next #4) — a consumer resuming after a long lag catches up in
+  // bounded batches instead of planning every missed segment into one
+  // giant batch (bounded checkpoint deltas, bounded retry cost;
+  // AvailableNow still drains to its pinned target, one capped batch
+  // at a time)
   override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    VersionOffset(availableNowTarget.fold(liveVersion)(math.min(liveVersion, _)))
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[VersionOffset].version
+    val cap = availableNowTarget.fold(liveVersion)(math.min(liveVersion, _))
+    VersionOffset(
+      if (cap - s > maxVersionsPerBatch) s + maxVersionsPerBatch else cap)
+  }
   override def reportLatestOffset(): Offset = VersionOffset(liveVersion)
 
   override def initialOffset(): Offset = VersionOffset(startingVersion)
@@ -211,7 +238,17 @@ private class TailReaderFactory(conf: org.apache.spark.graftshim.SerializableCon
 /** Executor-side parquet-mr Group decode of one partition dir's files
   * into InternalRows shaped (dataSchema…, dt, _version). Columns the
   * file lacks (pre-evolution segments) read as null — the same
-  * null-completion contract as the batch path's declared-schema read. */
+  * null-completion contract as the batch path's declared-schema read;
+  * renamed columns resolve through the declared name history.
+  *
+  * DECODE CAPABILITY MATRIX (round 17 — loud, not silent): supported
+  * are the scalar types any store/evolved column can declare (LONG,
+  * INT, DOUBLE, FLOAT, BOOLEAN, STRING) and one-level ARRAYs of those
+  * scalars (the embedding-column shape, Spark's standard 3-level
+  * parquet list encoding). Nested structs/maps/arrays-of-arrays throw
+  * UnsupportedOperationException at first row, never decode wrongly —
+  * no store table declares them; an evolution that needs one should
+  * extend the matrix here. */
 private class TailReader(p: TailPartition,
                          conf: org.apache.spark.graftshim.SerializableConf)
     extends PartitionReader[InternalRow] {
@@ -280,8 +317,35 @@ private class TailReader(p: TailPartition,
           case FloatType => g.getFloat(idx, 0)
           case BooleanType => g.getBoolean(idx, 0)
           case StringType => UTF8String.fromString(g.getString(idx, 0))
+          case ArrayType(elem, _) =>
+            // Spark's 3-level list: group (LIST) { repeated group list
+            // { optional <elem> element } } — navigate by position (one
+            // field at each level), so legacy element names decode too
+            val lst = g.getGroup(idx, 0)
+            val n = lst.getFieldRepetitionCount(0)
+            val arr = new Array[Any](n)
+            var j = 0
+            while (j < n) {
+              val entry = lst.getGroup(0, j)
+              arr(j) =
+                if (entry.getFieldRepetitionCount(0) == 0) null
+                else elem match {
+                  case LongType => entry.getLong(0, 0)
+                  case IntegerType => entry.getInteger(0, 0)
+                  case DoubleType => entry.getDouble(0, 0)
+                  case FloatType => entry.getFloat(0, 0)
+                  case BooleanType => entry.getBoolean(0, 0)
+                  case StringType => UTF8String.fromString(entry.getString(0, 0))
+                  case other => throw new UnsupportedOperationException(
+                    s"store-tail decode does not support ARRAY<$other> " +
+                      s"(column ${field.name}) — see the capability matrix")
+                }
+              j += 1
+            }
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
           case other => throw new UnsupportedOperationException(
-            s"store-tail decode does not support $other (column ${field.name})")
+            s"store-tail decode does not support $other (column ${field.name}) " +
+              "— see the capability matrix")
         }
       i += 1
     }

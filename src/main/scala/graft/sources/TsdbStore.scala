@@ -2315,8 +2315,38 @@ object TsdbStore {
     require(layout.commit == "manifest",
       s"vacuum is a manifest-layout operation; the store at $path uses " +
         s"commit = '${layout.commit}'")
-    StoreManifest.vacuum(fsOf(spark, path), path, keepManifests,
-      tornGraceMs(spark))
+    val fs = fsOf(spark, path)
+    // LEASE handshake (round 17, VERDICT r16 next #6): vacuum was
+    // single-writer by contract only — a writer racing it could have
+    // its staged (uncommitted) segments deleted and then COMMIT
+    // references to the deleted files silently. The lease closes the
+    // race loudly from both sides: publish refuses while the lease is
+    // live, acquire refuses a second vacuum, and a crashed vacuum's
+    // lease expires on its own. After acquiring, a short grace lets
+    // any publish that passed its lease check milliseconds earlier
+    // finish its single file create; the post-vacuum version check
+    // then PROVES no commit slipped through — if one somehow did, the
+    // error names the possibly-affected commit instead of losing data
+    // silently.
+    val leaseMs = spark.conf
+      .get("spark.graft.store.vacuumLeaseMs", "600000").toLong
+    val graceMs = spark.conf
+      .get("spark.graft.store.vacuumGraceMs", "2000").toLong
+    StoreManifest.acquireVacuumLease(fs, path, leaseMs)
+    try {
+      if (graceMs > 0) Thread.sleep(graceMs)
+      val v0 = StoreManifest.load(fs, path).version
+      val out = StoreManifest.vacuum(fs, path, keepManifests,
+        tornGraceMs(spark))
+      val v1 = StoreManifest.load(fs, path).version
+      if (v1 != v0)
+        throw new IllegalStateException(
+          s"store at $path advanced v$v0 → v$v1 DURING a leased vacuum " +
+            "— a writer bypassed the lease check (direct " +
+            "StoreManifest.publish caller?); treat snapshots ≥ " +
+            s"v$v1 as suspect and verify their segments exist")
+      out
+    } finally StoreManifest.releaseVacuumLease(fs, path)
   }
 
   /** Interchange sink/source: newline-delimited JSON export of any

@@ -1116,6 +1116,46 @@ class ManifestCommitSpec extends SparkSpec {
       1672531200L, 1672617600L).isEmpty) // 2023-01-01
   }
 
+  test("vacuum lease: a mutation racing a leased vacuum fails LOUDLY (never silently " +
+      "loses data); a second vacuum is refused; a crashed vacuum's lease expires") {
+    val m = localRoot()
+    TsdbStore.ingest(spark, events(), m, ManifestLayout)
+    val fs = new org.apache.hadoop.fs.Path(m)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v0 = StoreManifest.load(fs, m).version
+    // a vacuum holds the lease (acquired exactly as TsdbStore.vacuum
+    // does, held open so the race is deterministic)
+    StoreManifest.acquireVacuumLease(fs, m, leaseMs = 60000L)
+    try {
+      val e1 = intercept[IllegalStateException] {
+        TsdbStore.upsertIncremental(spark, replay(), m)
+      }
+      assert(e1.getMessage.contains("vacuum holds the lease"), e1.getMessage)
+      assert(StoreManifest.load(fs, m).version == v0,
+        "the refused mutation must not have committed anything")
+      val e2 = intercept[IllegalStateException] {
+        StoreManifest.acquireVacuumLease(fs, m, leaseMs = 60000L)
+      }
+      assert(e2.getMessage.contains("another vacuum"), e2.getMessage)
+    } finally StoreManifest.releaseVacuumLease(fs, m)
+    // released: the same mutation now commits
+    TsdbStore.upsertIncremental(spark, replay(), m)
+    assert(StoreManifest.load(fs, m).version == v0 + 1)
+    // a crashed vacuum's lease expires on its own — both a fresh
+    // vacuum and ordinary mutations proceed past it
+    val expired = new org.apache.hadoop.fs.Path(s"$m/_commits/vacuum.lease")
+    val out = fs.create(expired, true)
+    try out.write(s"${System.currentTimeMillis() - 1L}\n".getBytes("UTF-8"))
+    finally out.close()
+    spark.conf.set("spark.graft.store.vacuumGraceMs", "0")
+    try TsdbStore.vacuum(spark, m, keepManifests = 2)
+    finally spark.conf.unset("spark.graft.store.vacuumGraceMs")
+    assert(!fs.exists(expired), "vacuum must release its lease")
+    TsdbStore.upsertIncremental(spark,
+      replay().withColumn("value", col("value") + 1.0), m)
+    assert(StoreManifest.load(fs, m).version == v0 + 2)
+  }
+
   private def manifestCount(store: String): Int =
     new java.io.File(new java.io.File(store.stripPrefix("rec:")), "_commits")
       .listFiles().count(_.getName.endsWith(".mf"))

@@ -1089,4 +1089,150 @@ class StreamingSpec extends SparkSpec {
     assert(causes(err).exists(c => String.valueOf(c.getMessage)
       .contains("vacuumed or never committed")), err.getMessage)
   }
+
+  test("store-tail hardening: maxVersionsPerBatch bounds every catch-up batch to one " +
+      "version span; evolved ARRAY (embedding) columns decode") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{ArrayType, FloatType, StructField}
+    val store = java.nio.file.Files.createTempDirectory("graft-tail-hard").toString
+    val layout = graft.sources.StoreLayout(commit = "manifest")
+    graft.sources.TsdbStore.ingest(spark, Tables.events(spark, Sf), store, layout) // v1
+    graft.sources.TsdbStore.addColumn(spark, store, "base",
+      StructField("emb", ArrayType(FloatType)))                                    // v2 (metadata)
+    val withEmb = Tables.events(spark, Sf)
+      .filter(col("event_type") === "click" &&
+        col("ts") >= lit("2024-01-09") && col("ts") < lit("2024-01-11"))
+      .withColumn("value", col("value") + 1.0)
+      .withColumn("emb", array(col("user_id").cast("float"), lit(0.5f),
+        col("value").cast("float")))
+    graft.sources.TsdbStore.upsertIncremental(spark, withEmb, store)               // v3
+    graft.sources.TsdbStore.upsertIncremental(spark,
+      Tables.events(spark, Sf)
+        .filter(col("event_type") === "click" &&
+          col("ts") >= lit("2024-01-11") && col("ts") < lit("2024-01-13"))
+        .withColumn("value", col("value") + 2.0),
+      store)                                                                       // v4 (no emb: nulls)
+    // a LAGGED consumer starting at 0 with maxVersionsPerBatch=1 must
+    // catch up in single-version batches, metadata versions included
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tail-hard-ckpt").toString
+    val batchVersions =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]
+    val q = spark.readStream
+      .format(classOf[graft.sources.StoreTailSource].getName)
+      .option("path", store)
+      .option("maxVersionsPerBatch", "1")
+      .load()
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect()
+        batchVersions.add(rows.map(_.getAs[Long]("_version")).distinct.sorted.toSeq)
+        rows.foreach(sink.add): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val spans = batchVersions.toArray(Array.empty[Seq[Long]]).toSeq
+    assert(spans.count(_.nonEmpty) >= 2, s"expected multiple non-empty batches: $spans")
+    spans.foreach(vs => assert(vs.size <= 1,
+      s"a capped batch must span at most ONE snapshot version, saw $vs"))
+    assert(spans.flatten.toSet == Set(1L, 3L, 4L),
+      s"every data version must arrive exactly once: $spans")
+    // the drained rows equal the live base, arrays included — the
+    // ARRAY decode path produced the same values the batch reader sees
+    val schema = graft.sources.StoreTailSource.tailSchema(
+      graft.sources.StoreTailSource.resolveDataSchema(store, "base"))
+    val drained = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(
+        sink.toArray(Array.empty[org.apache.spark.sql.Row]): _*)), schema)
+    val gotEmb = drained.filter(col("_version") === 3L)
+      .select("event_id", "emb")
+    val wantEmb = graft.sources.TsdbStore.readTableAt(spark, store, "base", 3L)
+      .filter(col("emb").isNotNull).select("event_id", "emb")
+    assert(!wantEmb.isEmpty, "fixture must produce embedding rows")
+    assert(gotEmb.filter(col("emb").isNotNull).exceptAll(wantEmb).isEmpty &&
+      wantEmb.exceptAll(gotEmb.filter(col("emb").isNotNull)).isEmpty,
+      "tail-decoded arrays must equal the batch reader's")
+  }
+
+  test("lambda loop end-to-end: tail of store A → transform → exactly-once ingest into " +
+      "store B across BOTH commit protocols, crash-replayed between B's commit and the " +
+      "checkpoint write; B equals a batch rebuild") {
+    import org.apache.spark.sql.streaming.Trigger
+    val layout = graft.sources.StoreLayout(commit = "manifest")
+    val a = java.nio.file.Files.createTempDirectory("graft-lambda-a").toString
+    val b = java.nio.file.Files.createTempDirectory("graft-lambda-b").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lambda-ckpt").toString
+    graft.sources.TsdbStore.ingest(spark, Tables.events(spark, Sf), a, layout)
+    graft.sources.TsdbStore.initStore(spark, b, layout) // streaming-first downstream
+    // the MATERIALIZED-VIEW transform: doubled values (cents/100 is the
+    // exact stored value, so the rebuild twin can reproduce it exactly)
+    def transform(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(col("user_id"), col("event_type"), col("event_id"),
+        timestamp_micros(col("ts_us")).as("ts"),
+        (col("cents").cast("double") / 100.0 * 2.0).as("value"))
+    val crash = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ns = "lambda"
+    def runPipeline(): Unit = {
+      // maxVersionsPerBatch=1: each microbatch spans ONE upstream
+      // snapshot, so in-batch event_id duplicates across versions
+      // cannot arise and the serial replay order equals A's commit
+      // order — the deterministic lambda shape
+      val q = spark.readStream
+        .format(classOf[graft.sources.StoreTailSource].getName)
+        .option("path", a)
+        .option("maxVersionsPerBatch", "1")
+        .load()
+        .transform(transform)
+        .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.sources.TsdbStore.upsertIncremental(batch.sparkSession, batch, b,
+            streamCommit = Some((ns, id))): Unit
+          // the injected crash window: B's manifest commit (and its
+          // high-water mark) are DURABLE, the checkpoint commit for
+          // this batch never happens — the restart MUST replay it
+          if (crash.getAndSet(false))
+            throw new RuntimeException("injected crash after downstream commit")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        assert(String.valueOf(e.getCause.getMessage).contains("injected crash"), e) }
+      finally q.stop()
+    }
+    runPipeline() // drain the initial snapshot into B
+    // upstream keeps moving: two more commits
+    graft.sources.TsdbStore.upsertIncremental(spark,
+      Tables.events(spark, Sf)
+        .filter(col("event_type") === "click" &&
+          col("ts") >= lit("2024-01-09") && col("ts") < lit("2024-01-11"))
+        .withColumn("value", col("value") + 1.0), a)
+    graft.sources.TsdbStore.upsertIncremental(spark,
+      Tables.events(spark, Sf)
+        .filter(col("event_type") === "purchase" &&
+          col("ts") >= lit("2024-01-11") && col("ts") < lit("2024-01-13"))
+        .withColumn("value", col("value") + 3.0), a)
+    val fsB = new org.apache.hadoop.fs.Path(b)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hwmBefore = graft.sources.StoreManifest.load(fsB, b).props(s"streamhwm:$ns")
+    crash.set(true)
+    runPipeline() // commits the next batch into B, then dies pre-checkpoint
+    val crashedSnap = graft.sources.StoreManifest.load(fsB, b)
+    assert(crashedSnap.props(s"streamhwm:$ns") != hwmBefore,
+      "the crashed run must have committed its batch downstream first")
+    runPipeline() // restart: replays the un-checkpointed batch (hwm no-op), finishes
+    // B equals a from-scratch batch rebuild of the transform over A's LIVE base
+    val c = java.nio.file.Files.createTempDirectory("graft-lambda-c").toString
+    graft.sources.TsdbStore.ingest(spark,
+      transform(graft.sources.TsdbStore.readTable(spark, a, layout, "base")), c, layout)
+    def rows(store: String, t: String): Seq[String] =
+      graft.sources.TsdbStore.readTable(spark, store, layout, t)
+        .collect().map(_.toString).sorted.toSeq
+    Seq("base", "agg_21600", "agg_86400", "rate_21600", "rate_86400",
+        "quant_21600", "quant_86400").foreach { t =>
+      assert(rows(b, t) == rows(c, t),
+        s"lambda-materialized store diverges from the batch rebuild on $t")
+    }
+  }
 }
