@@ -148,10 +148,14 @@ object ScaleStress {
     val longOnly = args.length > 3 && args(3) == "long"
     val manifestOnly = args.length > 3 && args(3) == "manifest"
     val manifestLong = args.length > 3 && args(3) == "manifestlong"
+    val eraseMode = args.length > 3 && args(3) == "erase"
+    val tailMode = args.length > 3 && args(3) == "tail"
     // the Caesar decorrelation is alphabet-bound (26 shifts); events
     // replicate by id offset only, so store/long modes reach 100×+
     val maxFactor =
-      if (storeOnly || longOnly || manifestOnly || manifestLong) 128 else 26
+      if (storeOnly || longOnly || manifestOnly || manifestLong ||
+        eraseMode || tailMode) 128
+      else 26
     require(factor >= 2 && factor <= maxFactor,
       s"factor must be in [2, $maxFactor]${if (storeOnly) " (store mode)" else ""}: $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -167,7 +171,8 @@ object ScaleStress {
     spark.sparkContext.setLogLevel("WARN")
 
     val big = s"$work/x$factor"
-    if (longOnly || manifestLong) buildLongCorpus(spark, sfDir, big, factor)
+    if (longOnly || manifestLong || eraseMode || tailMode)
+      buildLongCorpus(spark, sfDir, big, factor)
     else buildCorpus(spark, sfDir, big, factor,
       eventsOnly = storeOnly || manifestOnly)
 
@@ -272,6 +277,82 @@ object ScaleStress {
       val parts1 = snap1.entries.size
       val partsN = snapN.entries.size
       println(f"""{"metric":"scale_stress_manifest_long","factor":$factor,"ingest_1x_sec":$ing1%.3f,"ingest_${factor}x_sec":$ingN%.3f,"ingest_ratio":${ingN / ing1}%.2f,"live_entries_1x":$parts1,"live_entries_${factor}x":$partsN,"live_bands_1x":${snap1.tableManifests.size},"live_bands_${factor}x":${snapN.tableManifests.size},"cold_fetch_band_parses_1x":$cp1,"cold_fetch_band_parses_${factor}x":$cpN,"resolve_1x_sec":$r1%.4f,"resolve_${factor}x_sec":$rN%.4f,"resolve_ratio":${rN / r1}%.2f}""")
+      spark.stop()
+      return
+    }
+
+    if (eraseMode) {
+      // THE GDPR-ERASURE SHAPE (round 17, VERDICT r16 missing #1): the
+      // time-extended corpus gives a long-lived series factor× dt
+      // partitions at every cascade level. Eager deleteSeries rewrites
+      // them ALL; merge-on-read deleteRows writes one delete file +
+      // band-manifest refs. The result is the ratio pair: eager erase
+      // cost grows with the factor, lazy erase cost stays metadata-
+      // sized — plus the measured read-side cost of fetching THROUGH
+      // the tombstone before any fold.
+      def build(dir: String, tgt: String): Unit =
+        graft.sources.TsdbStore.ingest(spark, Tables.events(spark, dir), tgt,
+          graft.sources.StoreLayout(commit = "manifest"))
+      def secOf(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val B = 1704844800L; val E = 1705708800L
+      def arm(dir: String, tag: String): String = {
+        val e = s"$work/estore_eager_$tag"; val l = s"$work/estore_lazy_$tag"
+        build(dir, e); build(dir, l)
+        var eagerTouched = 0
+        var lazyTouched = 0
+        val fetchPre = secOf {
+          graft.sources.TsdbStore.fetch(spark, l, 3L, "view", B, E).count(): Unit }
+        val eager = secOf {
+          eagerTouched = graft.sources.TsdbStore
+            .deleteSeries(spark, e, 7L, "click").values.map(_.size).sum }
+        val lazyT = secOf {
+          lazyTouched = graft.sources.TsdbStore
+            .deleteRows(spark, l, Seq((7L, "click"))).values.map(_.size).sum }
+        val fetchPost = secOf {
+          graft.sources.TsdbStore.fetch(spark, l, 3L, "view", B, E).count(): Unit }
+        f""""eager_${tag}_sec":$eager%.3f,"lazy_${tag}_sec":$lazyT%.3f,""" +
+          f""""eager_${tag}_partitions":$eagerTouched,"lazy_${tag}_refs":$lazyTouched,""" +
+          f""""fetch_pre_${tag}_sec":$fetchPre%.3f,"fetch_tombstoned_${tag}_sec":$fetchPost%.3f"""
+      }
+      val a1 = arm(sfDir, "1x")
+      val aN = arm(big, s"${factor}x")
+      println(s"""{"metric":"scale_stress_erase","factor":$factor,$a1,$aN}""")
+      spark.stop()
+      return
+    }
+
+    if (tailMode) {
+      // CDC tail DRAIN THROUGHPUT (round 17, VERDICT r16 next #4): a
+      // full AvailableNow drain of the store's change feed through the
+      // parquet-mr Group decoder, measured as rows/sec at both scales —
+      // the number the BASELINE row publishes for the lambda loop's
+      // read half.
+      def build(dir: String, tgt: String): Unit =
+        graft.sources.TsdbStore.ingest(spark, Tables.events(spark, dir), tgt,
+          graft.sources.StoreLayout(commit = "manifest"))
+      def drainOf(store: String): (Long, Double) = {
+        val cnt = new java.util.concurrent.atomic.AtomicLong
+        val t0 = System.nanoTime()
+        val q = spark.readStream
+          .format(classOf[graft.sources.StoreTailSource].getName)
+          .option("path", store).load()
+          .writeStream.foreachBatch {
+            (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              cnt.addAndGet(df.count()): Unit
+          }
+          .option("checkpointLocation", s"$store/_tailckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        (cnt.get(), (System.nanoTime() - t0) / 1e9)
+      }
+      build(sfDir, s"$work/tstore_1x")
+      build(big, s"$work/tstore_${factor}x")
+      val (r1, s1) = drainOf(s"$work/tstore_1x")
+      val (rN, sN) = drainOf(s"$work/tstore_${factor}x")
+      println(f"""{"metric":"scale_stress_tail","factor":$factor,"rows_1x":$r1,"drain_1x_sec":$s1%.3f,"rows_per_sec_1x":${r1 / s1}%.0f,"rows_${factor}x":$rN,"drain_${factor}x_sec":$sN%.3f,"rows_per_sec_${factor}x":${rN / sN}%.0f,"throughput_ratio":${(rN / sN) / (r1 / s1)}%.2f}""")
       spark.stop()
       return
     }
