@@ -750,39 +750,68 @@ object TsdbStore {
     // merge-on-read deletes (round 17): partitions carrying del refs
     // read through the anti-filter — EVERY fetch/maintenance path
     // flows through here, so rewrites fold deletes by construction
-    val delRefs = kept.toSeq.flatMap { case (dt, _) =>
-      snap.dels.getOrElse((table, dt), Seq.empty) }.distinct
-    applyDeleteFilter(spark, path, df, delRefs)
+    val keptDels = kept.toSeq.sortBy(_._1).flatMap { case (dt, _) =>
+      snap.dels.getOrElse((table, dt), Seq.empty).map(_ -> dt) }
+    applyDeleteFilter(spark, path, layout, df, keptDels, kept.map(_._1).toSet)
   }
 
   /** Apply a partition set's merge-on-read delete refs to its scan
     * ([[StoreManifest]] `del` lines): load the referenced delete
     * files' series keys (driver-side, cached — delete sets are
-    * metadata-sized erasure requests) and anti-filter the rows. Small
-    * sets inline as a codegen'd NOT-predicate — it stays inside the
-    * scan's WholeStageCodegen and its user_id bounds push into
-    * parquet row-group pruning, where an anti-join node would not;
-    * past `spark.graft.store.deleteInlineMax` keys (default 256) the
-    * filter becomes a broadcast LEFT ANTI join so a massive takedown
-    * list never builds a megabyte predicate tree. */
+    * metadata-sized erasure requests) and anti-filter the rows.
+    *
+    * Scope is PER-PARTITION, not global (round-17 self-review catch):
+    * a ref deletes keys only from the partitions it is ATTACHED to. A
+    * post-delete upsert that re-adds a deleted key rewrites its
+    * partition through the filter — folding the old rows and dropping
+    * THAT partition's refs — so its new rows must read back even
+    * while other partitions still carry the ref; a filter keyed on
+    * the union of all kept refs would wrongly erase them (the same
+    * hazard Iceberg sequence-numbers its equality deletes for). When
+    * a ref is attached to every kept partition — the
+    * freshly-committed common case — its dt guard drops out entirely.
+    *
+    * Small key sets inline as a codegen'd NOT-predicate — it stays
+    * inside the scan's WholeStageCodegen and its user_id bounds push
+    * into parquet row-group pruning, where an anti-join node would
+    * not; past `spark.graft.store.deleteInlineMax` keys (default 256)
+    * the filter becomes a broadcast LEFT ANTI join on (user_id,
+    * event_type, dt) so a massive takedown list never builds a
+    * megabyte predicate tree. */
   private def applyDeleteFilter(spark: SparkSession, path: String,
-                                df: DataFrame,
-                                delRefs: Seq[String]): DataFrame = {
-    if (delRefs.isEmpty) return df
+                                layout: StoreLayout, df: DataFrame,
+                                refDts: Seq[(String, String)],
+                                keptDts: Set[String]): DataFrame = {
+    if (refDts.isEmpty) return df
     val fs = fsOf(spark, path)
-    val keys = delRefs
-      .flatMap(r => StoreManifest.loadDeleteFile(fs, path, r)).distinct
+    def dtLits(dts: Seq[String]): Seq[Any] =
+      if (layout.monthly) dts else dts.map(java.sql.Date.valueOf)
+    // ref → the kept partitions it attaches to, then per (key, scope)
+    val byRef: Seq[(String, Seq[String])] = refDts.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.sorted).toSeq.sortBy(_._1)
+    val keys: Seq[(Long, String, Seq[String])] = byRef.flatMap {
+      case (r, dts) =>
+        StoreManifest.loadDeleteFile(fs, path, r).map(k => (k._1, k._2, dts))
+    }
     val inlineMax =
       spark.conf.get("spark.graft.store.deleteInlineMax", "256").toInt
-    if (keys.size <= inlineMax)
-      df.filter(!keys.map(k =>
-        col("user_id") === lit(k._1) && col("event_type") === lit(k._2))
-        .reduce(_ || _))
-    else {
+    if (keys.size <= inlineMax) {
+      val pred = keys.map { case (uid, et, dts) =>
+        val keyPred =
+          col("user_id") === lit(uid) && col("event_type") === lit(et)
+        if (dts.toSet == keptDts) keyPred // attached everywhere: no dt guard
+        else keyPred && col("dt").isin(dtLits(dts): _*)
+      }.reduce(_ || _)
+      df.filter(!pred)
+    } else {
       import spark.implicits._
-      df.join(
-        broadcast(keys.toDF("user_id", "event_type")),
-        Seq("user_id", "event_type"), "left_anti")
+      val delDf = keys.flatMap { case (uid, et, dts) =>
+        dts.map(dt => (uid, et, dt)) }.toDF("user_id", "event_type", "_del_dt")
+      df.join(broadcast(delDf),
+        df("user_id") === delDf("user_id") &&
+          df("event_type") === delDf("event_type") &&
+          df("dt").cast("string") === delDf("_del_dt"),
+        "left_anti")
     }
   }
 

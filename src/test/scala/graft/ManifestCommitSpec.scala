@@ -860,6 +860,40 @@ class ManifestCommitSpec extends SparkSpec {
       "vacuum must reclaim a delete file no retained snapshot references")
   }
 
+  test("merge-on-read deleteRows: per-partition scope — a post-delete RE-ADD of the key " +
+      "reads back even while other partitions still carry the ref") {
+    val m = localRoot()
+    TsdbStore.ingest(spark, events(), m, ManifestLayout)
+    val fs = new org.apache.hadoop.fs.Path(m)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    TsdbStore.deleteRows(spark, m, Seq((7L, "click")))
+    // one partition's worth of the key comes BACK (delete-then-add
+    // serial order): the upsert rewrites that partition through the
+    // filter (folding the old rows, dropping ITS refs) and writes the
+    // new rows
+    val readd = events().filter(col("user_id") === 7 &&
+        col("event_type") === "click" &&
+        col("ts") >= lit("2024-01-09") && col("ts") < lit("2024-01-10"))
+      .withColumn("value", col("value") + 5.0)
+    assert(readd.count() > 0, "fixture must have (7, click) rows on 2024-01-09")
+    TsdbStore.upsertIncremental(spark, readd, m)
+    val snap = StoreManifest.load(fs, m)
+    assert(snap.dels.exists(_._1._1 == "base"),
+      "untouched partitions must still carry their refs")
+    assert(!snap.dels.contains(("base", "2024-01-09")))
+    def visible() = TsdbStore.readTable(spark, m, ManifestLayout, "base")
+      .filter(col("user_id") === 7 && col("event_type") === "click")
+    assert(visible().count() == readd.count(),
+      "exactly the re-added partition's rows must be visible — a GLOBAL " +
+        "key filter would erase them under the other partitions' live refs")
+    assert(visible().filter(col("dt").cast("string") =!= "2024-01-09").isEmpty)
+    // the broadcast anti-join path scopes identically
+    spark.conf.set("spark.graft.store.deleteInlineMax", "0")
+    try assert(visible().count() == readd.count(),
+      "the anti-join path must scope per-partition too")
+    finally spark.conf.unset("spark.graft.store.deleteInlineMax")
+  }
+
   test("merge-on-read deleteRows: broadcast anti-join path (inline cap 0) matches the " +
       "inline-predicate path; time travel before the delete still sees the rows") {
     val m = localRoot()
