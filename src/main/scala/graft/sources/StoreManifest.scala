@@ -660,7 +660,10 @@ object StoreManifest {
     * refuses a second vacuum. A crashed vacuum's lease simply
     * expires. */
   def vacuumLeaseActive(fs: FileSystem, path: String): Option[Long] =
-    readText(fs, leaseFile(path))
+    (try readText(fs, leaseFile(path))
+     catch { // released between the exists probe and the open: no lease
+       case _: java.io.FileNotFoundException => None
+     })
       .flatMap(_.trim.toLongOption)
       .filter(_ > System.currentTimeMillis())
 

@@ -139,14 +139,22 @@ class StoreMutationFuzzSpec extends SparkSpec {
             targetFiles = r.nextInt(2) + 1, table = t)
       }
 
-      // occasionally delete a random live series outright — truth
-      // loses every event of that series, both layouts rewrite every
-      // touched partition of every table (one atomic snapshot on the
-      // manifest layout)
+      // occasionally delete a random live series — eagerly (both
+      // layouts: every touched partition rewritten) or, on the
+      // manifest layout half the time, as a round-17 MERGE-ON-READ
+      // tombstone: nothing rewritten, every later table compare reads
+      // THROUGH the delete filter, later upserts/compactions fold it
+      // partition by partition, and a later batch may legitimately
+      // RE-ADD the series (new event ids) into partitions whose refs
+      // fold — the per-partition scope rule under random histories
       if (r.nextInt(3) == 0 && truth.nonEmpty) {
         val all = truth.values.toVector
         val victim = all(r.nextInt(all.size))
-        TsdbStore.deleteSeries(spark, inc, uid(victim), etype(victim))
+        if (commit == "manifest" && r.nextBoolean())
+          TsdbStore.deleteRows(spark, inc,
+            Seq((uid(victim), etype(victim))))
+        else
+          TsdbStore.deleteSeries(spark, inc, uid(victim), etype(victim))
         truth = truth.filterNot { case ((u, et, _), _) =>
           u == uid(victim) && et == etype(victim)
         }
