@@ -27,11 +27,21 @@ object DedupOps {
   def minHashCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     val rows = k / bands
     val sig = minHashSignatures(TextOps.shingles(docs, 3), k)
-    val banded = (0 until bands).map { b =>
-      val cols = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
-      sig.select(col("doc_id"), lit(b).as("band"),
-        xxhash64(cols: _*).as("bucket"))
-    }.reduce(_ unionByName _)
+    // one (band, bucket) row per band via posexplode of an array of
+    // the band-bucket hashes (round 17): ONE generator pass over the
+    // signature aggregate instead of a `bands`-way unionByName — the
+    // union branches mostly dedup at runtime (they re-read the reused
+    // signature exchange) but still each pay a read+project per band
+    // per join side; the generator pays one. Same (doc_id, band,
+    // bucket) rows, same candidates (guide §2.3/§2.4).
+    val bandBuckets = array((0 until bands).map { b =>
+      xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
+    }: _*)
+    // no persist: the signature aggregate ends in an exchange, which
+    // the self-join's two sides REUSE at runtime (AQE stage reuse) — a
+    // cache here measured strictly slower (columnar serialization tax)
+    val banded = sig.select(col("doc_id"),
+        posexplode(bandBuckets).as(Seq("band", "bucket")))
     val a = banded.toDF("a_id", "band", "bucket")
     val b = banded.toDF("b_id", "band", "bucket")
     a.join(b, Seq("band", "bucket"))
@@ -86,6 +96,15 @@ object DedupOps {
     val width = 64 / chunks
     val mask = (1L << width) - 1
     val sig = simHashSignatures(docs)
+    // (round 17 note: a posexplode single-pass banding — 2 signature
+    // evaluations instead of 2×chunks — was tried and REVERTED: the
+    // documents scan is one input split at bench scale, so the
+    // single-pass form runs the whole mapPartitions signature loop in
+    // ONE task while the union's per-chunk branches spread the
+    // redundant passes across chunks× tasks; wall-clock favored the
+    // union on every A/B. At CPU-saturated scale the trade flips, but
+    // there the scan has real split parallelism and the signature pass
+    // is a vanishing fraction of the banded join.)
     val banded = (0 until chunks).map { c =>
       sig.select(col("doc_id"), col("simhash"), lit(c).as("chunk"),
         shiftrightunsigned(col("simhash"), c * width).bitwiseAND(lit(mask)).as("key"))
@@ -132,18 +151,71 @@ object DedupOps {
     *   forces this path for every invocation (round 14 — the
     *   executor-kill harness flips declared queries to it).
     * @return (node, cluster) */
+  /** Edge-count gate for the driver union-find fast path: ≤ this many
+    * surviving near-dup edges (two longs each — ~3 MB at the cap, the
+    * same bounded-driver-read class as the ANN training sample) resolve
+    * on the driver in one pass; past it, the distributed label loop
+    * runs. Dedup edge sets are threshold-filtered SURVIVORS — tiny next
+    * to the corpus — so at bench scale the fast path replaces
+    * ~2×diameter tiny shuffle jobs with one collect; at 100 TB a
+    * web-corpus edge set blows the cap and takes the loop. */
+  val DriverEdgeCap = 200000L
+
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIters: Int = 20,
-                          reliableCheckpoint: Boolean = false): DataFrame = {
+                          reliableCheckpoint: Boolean = false,
+                          driverEdgeCap: Long = DriverEdgeCap): DataFrame = {
     val spark = nodes.sparkSession
     // session-wide escape hatch (round 14, ADVICE r13 #1): declared
     // queries call CC with the default, so a harness that SIGKILLs
     // executors mid-iteration (ChaosVerify) — where executor-local
     // localCheckpoint blocks are unrecoverable and the job aborts
     // instead of retrying — flips every CC invocation to the
-    // cluster-durable path with one conf, no per-query plumbing
+    // cluster-durable path with one conf, no per-query plumbing.
+    // The conf ALSO bypasses the driver fast path below, so the chaos
+    // arms keep exercising the durable iterative protocol they were
+    // built to cover.
     val reliable = reliableCheckpoint ||
       spark.conf.get("spark.graft.reliableCheckpoint", "false").toBoolean
+    // bounded-size fast path (round 17): min-label union-find over the
+    // collected edge list — the FIXPOINT is unique (smallest id per
+    // component), so this is value-identical to the label-propagation
+    // loop by construction (DedupSpec pins equality on a planted graph
+    // both above and below the cap). The collect is ≤ cap rows of two
+    // longs. Labels re-attach to the node frame as a broadcast join;
+    // nodes outside any edge keep cluster = self, exactly as the loop's
+    // union-with-own-label does.
+    import spark.implicits._
+    // ONE evaluation decides the gate AND feeds the fast path: collect
+    // at most cap+1 edges; an overflowing collect falls through to the
+    // loop (which re-evaluates edges — at that scale the candidate
+    // funnel's survivor cache already holds them).
+    val es =
+      if (reliable) Array.empty[(Long, Long)]
+      else edges.select(col("a_id").cast("long"), col("b_id").cast("long"))
+        .as[(Long, Long)].limit((driverEdgeCap + 1).toInt).collect()
+    if (!reliable && es.length <= driverEdgeCap) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { // union by MIN root ⇒ root == smallest id in component
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val labels = parent.keys.map(x => (x, find(x))).toSeq
+      val lblDf =
+        if (labels.isEmpty) spark.emptyDataset[(Long, Long)].toDF("node", "lbl")
+        else spark.createDataset(labels).toDF("node", "lbl")
+      return nodes.join(broadcast(lblDf), Seq("node"), "left")
+        .select(col("node"), coalesce(col("lbl"), col("node")).as("cluster"))
+    }
     if (reliable && spark.sparkContext.getCheckpointDir.isEmpty) {
       require(spark.sparkContext.isLocal,
         "reliableCheckpoint on a cluster requires an explicit cluster-visible " +
@@ -152,9 +224,18 @@ object DedupOps {
       spark.sparkContext.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
     }
+    // LAZY local checkpoint (round 17): every ckpt() call here is
+    // followed by exactly one eager consumer (lblSum for the label
+    // frames, the first round's join for `und`), so the lineage
+    // truncation still happens on the round's first action — but as
+    // part of THAT job instead of a separate eager materialization job
+    // per round. Halves the per-round job count (2 → 1); the reliable
+    // path stays eager — the chaos harness' recovery contract was
+    // pinned against it and an extra job per round is noise next to a
+    // cluster-durable write.
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = true)
-      else df.localCheckpoint(true)
+      else df.localCheckpoint(false)
     val und = ckpt(edges.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionByName(edges.select(col("b_id").as("u"), col("a_id").as("v")))
       .distinct())

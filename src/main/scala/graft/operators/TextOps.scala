@@ -139,18 +139,20 @@ object TextOps {
     // join; the unskewed long tail keeps the replication-free plain
     // join, and the two pair streams union before counting — the pair
     // multiset is identical either way.
+    //
+    // Round-17 persist note: extending the probe branch's shingle
+    // cache to the plain/forceGrid branches was TRIED and measured
+    // SLOWER at every scale the bench exercises (q_dedup_ngram_jaccard
+    // 2.25 s plain recompute vs 2.8-3.9 s cached across A/B sessions):
+    // the apparently-duplicated shingle subtrees in the static plan
+    // dedup at RUNTIME via AQE exchange/broadcast-stage reuse, so the
+    // cache only adds columnar serialization and a storage-memory tax.
+    // The probe branch keeps its persist — there the eager probe
+    // actions genuinely re-execute the subtree before any stage exists
+    // to reuse (ADVICE r3).
     if (forceGrid) finish(gridJoin(sh), sh)
     else if (docs.count() <= HotShingleDocs) finish(plainJoin(sh), sh)
     else {
-      // the probe branch re-reads the shingle set up to five times
-      // (frequency probe, emptiness check, hot join, cold anti-join,
-      // sizes) and shingle generation ends in a distinct() shuffle —
-      // persist it once so the probe doesn't multiply the heaviest
-      // stage (ADVICE r3). The cache is NOT left for eviction pressure
-      // to collect (ADVICE r4): the survivor pairs — tiny next to the
-      // shingle set — are materialized eagerly (this branch already
-      // runs eager actions for the probe), then the shingle blocks are
-      // dropped before returning.
       val shP = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val hot = shP.groupBy("sh").agg(count(lit(1)).as("c"))
@@ -162,8 +164,8 @@ object TextOps {
             val shCold = shP.join(broadcast(hot), Seq("sh"), "left_anti")
             plainJoin(shCold).unionByName(gridJoin(shHot))
           }
-        val out = finish(paired, shP)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = CacheScope.keep(finish(paired, shP)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         out.count() // materialize while the shingle cache is alive
         out
       } finally shP.unpersist()
@@ -200,6 +202,11 @@ object TextOps {
                k1: Double, b: Double, topK: Int): DataFrame = {
     val toks = tokens(docs)
     val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    // (round 17 note: deriving dl from tf — Σ_word tf — was tried and
+    // REVERTED: it removes one tokenize pass but chains tf→dl→stats
+    // into one critical path, and the two independent tokenize
+    // pipelines run concurrently on idle cores; measured +0.4-3 s
+    // against both the baseline and a same-hour control run)
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n"))
     val dfq = tf.groupBy("word").agg(count(lit(1)).as("df"))

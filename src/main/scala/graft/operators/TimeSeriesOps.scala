@@ -92,13 +92,35 @@ object TimeSeriesOps {
     * valid samples — the API's value-per-slot contract. */
   def gapFill(spark: SparkSession, m: DataFrame,
               beginSec: Long, endSec: Long, stepSec: Long): DataFrame = {
-    // dense grid = explode a literal slot sequence per series — a
-    // generator, not a cross join: no broadcast, no BNLJ, and the grid
-    // inherits the series frame's partitioning
-    val series = m.select("user_id", "event_type").distinct()
-    val grid = series.withColumn("slot_ts",
-      explode(sequence(lit(beginSec), lit(endSec - stepSec), lit(stepSec))))
-    grid.join(downsample(m, stepSec), Seq("user_id", "event_type", "slot_ts"), "left")
+    // Round 17 shape: downsample ONCE, fold each series' slot cells
+    // into a per-series map, then explode the dense slot sequence and
+    // look each grid slot up in the map. The former shape read `m`
+    // twice (a distinct-series pass AND the downsample) and re-attached
+    // the grid by a 3-key join; this one scans `m` once and replaces
+    // the join with a generator + map lookup (guide §2.4 — the join and
+    // one full input pass are gone). The series set is IDENTICAL: every
+    // series of `m` owns ≥1 downsample cell, so the map-agg group keys
+    // are exactly `select user_id, event_type distinct`, including
+    // series with no samples inside [begin, end) (their lookups all
+    // miss, reproducing the old all-NULL left-join rows). Missing slots
+    // return a NULL struct → NULL n/sum/min/max, bit-identical to the
+    // left join. Per-series state is one map entry per ACTIVE slot of
+    // that series (bounded by its time span / step — the same class as
+    // any per-series window here), and the output lands partitioned by
+    // (user_id, event_type), which downstream per-series windows reuse
+    // without a new exchange.
+    val cell = struct(col("n"), col("sum_cents"), col("min_cents"), col("max_cents"))
+    downsample(m, stepSec)
+      .groupBy("user_id", "event_type")
+      .agg(map_from_entries(collect_list(struct(col("slot_ts"), cell))).as("slots"))
+      .select(col("user_id"), col("event_type"),
+        explode(sequence(lit(beginSec), lit(endSec - stepSec), lit(stepSec))).as("slot_ts"),
+        col("slots"))
+      .select(col("user_id"), col("event_type"), col("slot_ts"),
+        col("slots")(col("slot_ts")).as("cell"))
+      .select(col("user_id"), col("event_type"), col("slot_ts"),
+        col("cell.n").as("n"), col("cell.sum_cents").as("sum_cents"),
+        col("cell.min_cents").as("min_cents"), col("cell.max_cents").as("max_cents"))
   }
 
   /** Per-series EMA at the last sample WITHOUT a whole-series collect

@@ -88,6 +88,11 @@ object TextQueries {
         |FROM rk WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
       val tok = TextOps.tokens(Tables.documents(s, d))
       val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      // (round 17 note: deriving df from tf — count per word over tf's
+      // distinct (doc, word) rows — was tried and REVERTED: same values
+      // and one fewer tokenize pass, but it serializes the two agg
+      // pipelines that otherwise run concurrently; measured slower
+      // against both the baseline and a same-hour control)
       val df = tok.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
       val nd = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
       val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))
@@ -287,6 +292,11 @@ object TextQueries {
         .select(col("doc_id"), (col("pos0") + 1).cast("bigint").as("pos"),
           col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("cnt_b"))
+      // (round 17 note: deriving cp from cb — Σ_w2 cnt_b — was tried
+      // and REVERTED: same values and one fewer generator pass, but it
+      // chains cb→cp into one critical path where the two independent
+      // count pipelines otherwise run concurrently; measured +0.5 s in
+      // both full-bench A/Bs against a same-hour control)
       val cp = big.groupBy("w1").agg(count(lit(1)).as("cnt_p"))
       big.join(cb, Seq("w1", "w2")).join(cp, Seq("w1"))
         .select(col("doc_id"), col("pos"),

@@ -333,7 +333,15 @@ object TsQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wf = Window.partitionBy("user_id", "event_type").orderBy(col("slot_ts").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      TimeSeriesOps.gapFill(s, Tables.measurements(s, d), GridB, GridE, Step6)
+      // round 17: the pre-sort result is persisted because the final
+      // orderBy's Exchange rangepartitioning SAMPLES its child before
+      // shuffling it — without the cache, the dense-grid DOUBLE-window
+      // tail above (the repo's heaviest post-shuffle tail) executes
+      // twice per run (measured +1.0 s, guide §1/§7.2). The cache is
+      // this query's own output relation (90k narrow rows at sf0.1,
+      // series×slots at any scale — MEMORY_AND_DISK spills, never
+      // OOMs) and is retired at the next declared query (CacheScope).
+      val interp = TimeSeriesOps.gapFill(s, Tables.measurements(s, d), GridB, GridE, Step6)
         .withColumn("slot_val", col("sum_cents").cast("double") / lit(100.0))
         .withColumn("prev_ts",
           max(when(col("slot_val").isNotNull, col("slot_ts"))).over(wp))
@@ -347,6 +355,8 @@ object TsQueries {
             .otherwise(col("prev_val") + (col("next_val") - col("prev_val")) *
               ((col("slot_ts") - col("prev_ts")).cast("double") /
                (col("next_ts") - col("prev_ts")).cast("double"))).as("val"))
+      graft.operators.CacheScope.keep(
+          interp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         .orderBy("user_id", "event_type", "slot_ts")
     },
 

@@ -104,6 +104,25 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("connected components: driver fast path equals the label loop") {
+    import spark.implicits._
+    // round 17: bounded edge sets resolve by driver union-find; the
+    // min-label fixpoint is unique, so fast path and loop must agree
+    // label for label — on a planted mix of chains, a star, singletons,
+    // and a cycle
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (10L, 12L),
+      (10L, 13L), (20L, 21L), (21L, 22L)) ++
+      (30L until 40L).map(i => (i, i + 1))).toDF("a_id", "b_id")
+    val nodes = ((1L to 3L) ++ (10L to 13L) ++ (20L to 22L) ++
+      (30L to 40L) ++ Seq(99L)).toDF("node")
+    val fast = DedupOps.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = DedupOps.connectedComponents(nodes, edges, driverEdgeCap = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == loop, s"fast $fast != loop $loop")
+    assert(fast(99L) == 99L && fast(3L) == 1L && fast(13L) == 10L)
+  }
+
   test("connected components: long path converges within iteration cap") {
     import spark.implicits._
     // a 12-node path: worst case for label propagation depth
@@ -123,7 +142,10 @@ class DedupSpec extends SparkSpec {
       (100L until 149L).map(i => (i, i + 1))).toDF("a_id", "b_id")
     val nodes = ((0L to 49L) ++ (100L to 149L)).toDF("node")
     val e = intercept[IllegalStateException] {
-      DedupOps.connectedComponents(nodes, edges, maxIters = 10)
+      // driverEdgeCap = 0 forces the distributed loop: this test pins
+      // the LOOP's convergence contract (the round-17 driver fast path
+      // would resolve this bounded graph without iterating at all)
+      DedupOps.connectedComponents(nodes, edges, maxIters = 10, driverEdgeCap = 0)
     }
     assert(e.getMessage.contains("did not converge"))
     // with the cap raised — and RELIABLE checkpointing, the 1000-executor
@@ -138,14 +160,14 @@ class DedupSpec extends SparkSpec {
         spark.sparkContext.getCheckpointDir.isEmpty) {
       val guard = intercept[IllegalArgumentException] {
         DedupOps.connectedComponents(nodes, edges, maxIters = 60,
-          reliableCheckpoint = true)
+          reliableCheckpoint = true, driverEdgeCap = 0)
       }
       assert(guard.getMessage.contains("cluster-visible"))
       spark.sparkContext.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft-cc-ckpt-spec").toString)
     }
     val got = DedupOps.connectedComponents(nodes, edges, maxIters = 60,
-      reliableCheckpoint = true)
+      reliableCheckpoint = true, driverEdgeCap = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.values.toSet == Set(0L, 100L), s"got ${got.values.toSet}")
     assert((0L to 49L).forall(got(_) == 0L) && (100L to 149L).forall(got(_) == 100L))
