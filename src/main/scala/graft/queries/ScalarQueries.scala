@@ -45,14 +45,20 @@ object ScalarQueries {
       // temporal outputs as epoch-µs BIGINT (SURVEY.md §7.4): raw
       // TIMESTAMP columns read tz-aware from Spark parquet but naive
       // from DuckDB; DATE columns read as python date vs datetime64
-      Tables.orders(s, d).selectExpr("o_orderkey",
+      // round 18: sort FIRST on the narrow key, derive the seven
+      // temporal columns after — the final Exchange rangepartitioning
+      // samples its child for boundaries, so expressions below the sort
+      // run an extra time per run (guide §1/§2.4); below the sort only
+      // (o_orderkey, o_orderdate) now flow, 16 bytes/row vs 7 outputs
+      Tables.orders(s, d).select("o_orderkey", "o_orderdate")
+        .orderBy("o_orderkey")
+        .selectExpr("o_orderkey",
           "unix_micros(date_trunc('month', o_orderdate)) AS month_start",
           "CAST(year(o_orderdate) AS BIGINT) AS y",
           "CAST(month(o_orderdate) AS BIGINT) AS mo",
           "CAST(weekday(o_orderdate) + 1 AS BIGINT) AS dow",
           "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS BIGINT) AS days_since",
           "unix_micros(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)) AS od")
-        .orderBy("o_orderkey")
     },
 
     QueryDef("q_math_funcs",
@@ -67,7 +73,16 @@ object ScalarQueries {
         |  CAST(l_orderkey % 7 AS BIGINT) AS mod7,
         |  CAST(l_orderkey // 7 AS BIGINT) AS div7
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
-      Tables.lineitem(s, d).selectExpr("l_orderkey", "l_linenumber",
+      // round 18: sort FIRST on the narrow keys, project the nine math
+      // columns after — the final Exchange rangepartitioning samples its
+      // child, so everything below the sort runs an extra time per run
+      // (the driver's 32-core bench read 5.6 s here vs 1.25 at 8; guide
+      // §1/§2.4); below the sort only the six source numerics flow
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice",
+          "l_quantity", "l_discount", "l_tax")
+        .orderBy("l_orderkey", "l_linenumber")
+        .selectExpr("l_orderkey", "l_linenumber",
           "l_extendedprice / l_quantity AS unit_price",
           "abs(l_discount - 0.05) AS disc_dev",
           "round(ln(l_extendedprice), 6) AS ln_price",
@@ -77,7 +92,6 @@ object ScalarQueries {
           "least(l_tax, l_discount) AS min_rate",
           "CAST(l_orderkey % 7 AS BIGINT) AS mod7",
           "CAST(l_orderkey div 7 AS BIGINT) AS div7")
-        .orderBy("l_orderkey", "l_linenumber")
     },
 
     QueryDef("q_array_funcs",
@@ -146,13 +160,20 @@ object ScalarQueries {
       // crash the driver's pandas sort_values; sort removes any
       // engine-specific JSON key-order dependence
       // ONE from_json per row; k/ks/vs all derive from the parsed map
+      // round 18: sort FIRST on the narrow key, parse AFTER — the final
+      // Exchange rangepartitioning samples its child for boundaries, so
+      // from_json used to run an extra time per run over every row (the
+      // single most anti-scaling query in the driver's r17 bench: 15.0 s
+      // at 32 cores vs 1.25 s at 8; guide §1/§2.4). Below the sort only
+      // (event_id, props) flow; the parse runs once, above the sort.
       Tables.events(s, d)
+        .select("event_id", "props")
+        .orderBy("event_id")
         .withColumn("m", expr("from_json(props, 'map<string,bigint>')"))
         .selectExpr("event_id",
           "element_at(m, 'k') AS k",
           "array_join(array_sort(map_keys(m)), ',') AS ks",
           "array_join(array_sort(map_values(m)), ',') AS vs")
-        .orderBy("event_id")
     }
   )
 }

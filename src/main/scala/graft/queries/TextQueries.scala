@@ -320,11 +320,16 @@ object TextQueries {
       // redaction pass (the PII-scrub mechanic): mask every digit run,
       // report how many were masked. Pure per-row regex — embarrassingly
       // parallel, no shuffle beyond the final presentation sort
+      // round 18: sort FIRST, run the two regex passes after — the final
+      // Exchange rangepartitioning samples its child, so the regexes ran
+      // an extra time per run (guide §1/§2.4); the sort carries props,
+      // the same bytes the scrubbed output would have carried
       Tables.events(s, d)
+        .select("event_id", "props")
+        .orderBy("event_id")
         .select(col("event_id"),
           regexp_replace(col("props"), "[0-9]+", "#").as("scrubbed"),
           size(expr("regexp_extract_all(props, '[0-9]+', 0)")).cast("bigint").as("n_redacted"))
-        .orderBy("event_id")
     },
 
     QueryDef("q_text_decontaminate",

@@ -333,15 +333,16 @@ object TsQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wf = Window.partitionBy("user_id", "event_type").orderBy(col("slot_ts").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // round 17: the pre-sort result is persisted because the final
-      // orderBy's Exchange rangepartitioning SAMPLES its child before
-      // shuffling it — without the cache, the dense-grid DOUBLE-window
-      // tail above (the repo's heaviest post-shuffle tail) executes
-      // twice per run (measured +1.0 s, guide §1/§7.2). The cache is
-      // this query's own output relation (90k narrow rows at sf0.1,
-      // series×slots at any scale — MEMORY_AND_DISK spills, never
-      // OOMs) and is retired at the next declared query (CacheScope).
-      val interp = TimeSeriesOps.gapFill(s, Tables.measurements(s, d), GridB, GridE, Step6)
+      // round 18: the round-17 pre-sort persist is GONE. gapFill now
+      // plants RangePartitioning(user_id, event_type) below its map-agg,
+      // which satisfies both the windows' ClusteredDistribution AND the
+      // final orderBy's OrderedDistribution prefix — so the orderBy
+      // plans as a LOCAL sort with no Exchange rangepartitioning above
+      // this tail, and the boundary-sampling pass that used to
+      // re-execute the double-window tail (the reason the persist
+      // existed; it still read 15.7 s on the driver's cold 32-core run)
+      // no longer exists at all. No cache, one fewer exchange.
+      TimeSeriesOps.gapFill(s, Tables.measurements(s, d), GridB, GridE, Step6)
         .withColumn("slot_val", col("sum_cents").cast("double") / lit(100.0))
         .withColumn("prev_ts",
           max(when(col("slot_val").isNotNull, col("slot_ts"))).over(wp))
@@ -355,8 +356,6 @@ object TsQueries {
             .otherwise(col("prev_val") + (col("next_val") - col("prev_val")) *
               ((col("slot_ts") - col("prev_ts")).cast("double") /
                (col("next_ts") - col("prev_ts")).cast("double"))).as("val"))
-      graft.operators.CacheScope.keep(
-          interp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         .orderBy("user_id", "event_type", "slot_ts")
     },
 
@@ -1114,6 +1113,11 @@ object TsQueries {
       // division is the same IEEE op on both sides — bit-equal. Rank
       // beyond the last finite bucket clamps to that boundary (the
       // PromQL convention for +Inf hits).
+      // round 18: the CASE-ladder projection moved ABOVE the final sort
+      // (the Exchange rangepartitioning samples its child, so the ladder
+      // used to evaluate an extra time per run — guide §1/§2.4); the
+      // cumulative le_* counts it reads are the agg's own output columns
+      // and flow through the sort unchanged
       Tables.measurements(s, d)
         .groupBy(col("event_type"),
           (expr("ts_us div 86400000000") * 86400).as("day_ts"))
@@ -1121,10 +1125,10 @@ object TsQueries {
           TsQueries.hqBounds.zipWithIndex.map { case (b, i) =>
             count(when(col("cents") <= b, 1)).as(s"le_${i + 1}")
           }: _*)
+        .orderBy("event_type", "day_ts")
         .withColumn("rnk", expr("0.75 * CAST(n_total AS DOUBLE)"))
         .select(col("event_type"), col("day_ts"), col("n_total"),
           expr(TsQueries.hqLadderSql).as("p75_est"))
-        .orderBy("event_type", "day_ts")
     },
 
     QueryDef("q_ts_holt",

@@ -1,7 +1,8 @@
 import java.nio.file.{Files, Paths}
 
-/** Round-17 optimization evidence: dump `.explain("formatted")` for
-  * declared queries into plans/r17/<query>_<suffix>.txt. Args:
+/** Optimization-round evidence: dump `.explain("formatted")` for
+  * declared queries into $PLAN_DIR/<query>_<suffix>.txt (default
+  * plans/r18). Args:
   *   arg0 = suffix ("before" / "after"), default "before"
   *   arg1 = comma-separated query ids, default ALL declared ids
   * Uses the BENCH session shape (local[4] is plan-equivalent; the
@@ -19,7 +20,8 @@ object PlanDumpFmt extends App {
     .config("spark.sql.shuffle.partitions", "4").getOrCreate()
   spark.sparkContext.setLogLevel("ERROR")
   val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-  Files.createDirectories(Paths.get("plans/r17"))
+  val dir = sys.env.getOrElse("PLAN_DIR", "plans/r18")
+  Files.createDirectories(Paths.get(dir))
   var failed = 0
   val names = graft.SparkEntry.queries.keys.toSeq.sorted
     .filter(n => only.forall(_.contains(n)))
@@ -28,9 +30,9 @@ object PlanDumpFmt extends App {
       try graft.SparkEntry.queries(n)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       catch { case e: Throwable => failed += 1; s"PLAN FAILED: ${e.getMessage}" }
-    Files.writeString(Paths.get(s"plans/r17/${n}_$suffix.txt"), txt)
+    Files.writeString(Paths.get(s"$dir/${n}_$suffix.txt"), txt)
   }
-  println(s"WROTE plans/r17/*_$suffix.txt (${names.size} files, $failed failed)")
+  println(s"WROTE $dir/*_$suffix.txt (${names.size} files, $failed failed)")
   spark.stop()
   if (failed > 0) sys.exit(1)
 }

@@ -25,6 +25,41 @@ class TimeSeriesPropsSpec extends SparkSpec {
     assert(filled.count() == series * ((e - b) / step))
   }
 
+  test("gap fill keeps a series whose samples ALL fall outside the grid " +
+       "(all-NULL rows), and in-grid cells match downsample") {
+    // Pins the round-18 window-bounded map-agg (VERDICT r17 #2): the
+    // when(inGrid, ...) filter must shrink the per-series map WITHOUT
+    // shrinking the series set — a series with zero in-range samples
+    // still groups (empty map) and emits one all-NULL row per slot,
+    // exactly like the old distinct-series × grid left join.
+    import spark.implicits._
+    val b = 1704067200L; val e = b + 4 * 21600L; val step = 21600L
+    val rows = Seq(
+      // series (1, out): both samples BEFORE the grid
+      (1L, "out", 900L, (b - 10 * step) * 1000000L, 100L),
+      (1L, "out", 901L, (b - 9 * step) * 1000000L, 200L),
+      // series (2, in): one sample in slot 0, one AFTER the grid
+      (2L, "in", 902L, b * 1000000L + 5L, 300L),
+      (2L, "in", 903L, (e + step) * 1000000L, 400L))
+      .toDF("user_id", "event_type", "event_id", "ts_us", "cents")
+    val out = TimeSeriesOps.gapFill(spark, rows, b, e, step).cache()
+    try {
+      assert(out.count() == 2 * 4, "2 series x 4 slots")
+      val outSeries = out.filter(col("event_type") === "out")
+      assert(outSeries.count() == 4, "out-of-range series keeps its grid rows")
+      assert(outSeries.filter(col("n").isNotNull || col("sum_cents").isNotNull ||
+        col("min_cents").isNotNull || col("max_cents").isNotNull).count() == 0,
+        "out-of-range series rows are all-NULL")
+      val hit = out.filter(col("event_type") === "in" && col("slot_ts") === b)
+        .select("n", "sum_cents", "min_cents", "max_cents")
+        .as[(Long, Long, Long, Long)].collect()
+      assert(hit.sameElements(Array((1L, 300L, 300L, 300L))))
+      assert(out.filter(col("event_type") === "in" && col("slot_ts") =!= b)
+        .filter(col("n").isNotNull).count() == 0,
+        "the in-series' other slots (incl. the post-grid sample's) are NULL")
+    } finally out.unpersist()
+  }
+
   test("downsample of a constant series is constant") {
     import spark.implicits._
     val const = (0 until 100).map(i => (1L, "g", i.toLong, 1704067200000000L + i * 60000000L, 500L))
