@@ -150,6 +150,10 @@ object DedupOps {
     *   (ADVICE r4). Session conf `spark.graft.reliableCheckpoint=true`
     *   forces this path for every invocation (round 14 — the
     *   executor-kill harness flips declared queries to it).
+    * Precondition: every edge endpoint must appear in `nodes`
+    * (edges ⊆ nodes × nodes) — both code paths assume it, and the
+    * driver fast path diverges from the loop when violated (ADVICE
+    * r17; see the in-body note).
     * @return (node, cluster) */
   /** Edge-count gate for the driver union-find fast path: ≤ this many
     * surviving near-dup edges (two longs each — ~3 MB at the cap, the
@@ -185,14 +189,30 @@ object DedupOps {
     // longs. Labels re-attach to the node frame as a broadcast join;
     // nodes outside any edge keep cluster = self, exactly as the loop's
     // union-with-own-label does.
+    //
+    // PRECONDITION (ADVICE r17): fast path ≡ loop only under
+    // edges ⊆ nodes × nodes. An edge endpoint absent from `nodes` gets
+    // a label row from the fast path but none from the loop (the loop
+    // seeds labels from `nodes` alone), and can relabel a real node
+    // through a phantom smaller id. Every in-repo caller passes the
+    // full id universe as `nodes` (DedupSpec pins fast-path == loop on
+    // that contract); a runtime edges⊆nodes check would cost an extra
+    // distributed job per call, so the contract is documented here
+    // instead of enforced.
     import spark.implicits._
+    require(driverEdgeCap >= 0 && driverEdgeCap < Int.MaxValue,
+      s"driverEdgeCap must fit an Int limit, got $driverEdgeCap") // ADVICE r17: cap+1 overflow
     // ONE evaluation decides the gate AND feeds the fast path: collect
     // at most cap+1 edges; an overflowing collect falls through to the
     // loop (which re-evaluates edges — at that scale the candidate
-    // funnel's survivor cache already holds them).
+    // funnel's survivor cache already holds them). Null-id edges are
+    // excluded up front: the loop's equi-joins silently drop them,
+    // so the fast path must never see them either (the bare (Long,
+    // Long) decode would NPE).
     val es =
       if (reliable) Array.empty[(Long, Long)]
       else edges.select(col("a_id").cast("long"), col("b_id").cast("long"))
+        .filter(col("a_id").isNotNull && col("b_id").isNotNull)
         .as[(Long, Long)].limit((driverEdgeCap + 1).toInt).collect()
     if (!reliable && es.length <= driverEdgeCap) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]

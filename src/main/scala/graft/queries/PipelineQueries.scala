@@ -287,7 +287,18 @@ object PipelineQueries {
       // wide→long reshape via stack (the Generator-based unpivot):
       // one scan, no join — the UNION ALL oracle text is the
       // semantic spec, not the plan
+      // round 18 (guide §2.3/§2.4): range-partition the NARROW scan by
+      // (l_orderkey, l_linenumber) BELOW the stack generator.
+      // RangePartitioning on that prefix satisfies the final ORDER BY
+      // (…, measure) — Generate preserves partitioning — so the sort is
+      // local and the old top Exchange rangepartitioning is gone. That
+      // exchange shuffled the 3x-exploded long rows and its boundary
+      // sampling re-executed scan+stack; now the one exchange carries
+      // 1x rows of 5 narrow columns and sampling re-reads only the scan.
       Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount")
+        .repartitionByRange(col("l_orderkey"), col("l_linenumber"))
         .selectExpr("l_orderkey", "l_linenumber",
           """stack(3, 'quantity', l_quantity,
             |         'extendedprice', l_extendedprice,
