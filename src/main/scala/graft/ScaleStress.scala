@@ -87,7 +87,13 @@ object ScaleStress {
     // state fold, and the single-exchange multi-window shapes — all
     // per-series, so 10× SERIES should fill cores, not queue
     "q_ts_holt", "q_stream_holt", "q_ts_mad", "q_ts_weighted_median",
-    "q_ts_autocorr")
+    "q_ts_autocorr",
+    // round 18 (VERDICT r17 #5): the round-17 dedup kernels at the
+    // scale arm — minhash's no-persist posexplode banding under AQE
+    // stage reuse, simhash's posexplode chunk join at real multi-split
+    // parallelism, and (via q_dedup_cluster above) the CC driver
+    // fast-path cap against a 10x survivor distribution
+    "q_dedup_minhash", "q_dedup_simhash")
 
   /** Store family: `factor`× the series over the same range. The
     * per-series reads (fetch, quantile) should be ~factor-INVARIANT —

@@ -40,10 +40,15 @@ object TsQueries {
     QueryDef("q_source_json",
       """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events
         |ORDER BY event_id""".stripMargin) { (s, d) =>
+      // round 18: sort FIRST on the narrow key, extract the JSON path
+      // after — same rangepartitioning-samples-its-child fix as
+      // q_map_json_funcs (guide §1/§2.4); the parse runs once, not per
+      // boundary-sampling pass
       Tables.events(s, d)
+        .select("event_id", "props")
+        .orderBy("event_id")
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k"))
-        .orderBy("event_id")
     },
 
     // ---- B. filter / project ------------------------------------------
