@@ -157,9 +157,14 @@ object TextQueries {
         |        w -> CAST(length(w) AS BIGINT) * 31 + CAST(ascii(w) AS BIGINT))),
         |    (a, x) -> (a * 131 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // round 18: sort FIRST on doc_id, fold after — the rolling-hash
+      // fold is the heaviest per-row expression in the repo and the
+      // final Exchange rangepartitioning's boundary sampling used to
+      // evaluate it an extra time per run (guide §1/§2.4)
       Tables.documents(s, d)
-        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .select("doc_id", "text")
         .orderBy("doc_id")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
     },
 
     QueryDef("q_text_positions",
@@ -188,12 +193,17 @@ object TextQueries {
       // token counting: whitespace split + BPE-ish regex token classes
       // (simple character-class patterns behave identically in Java
       // regex and RE2 — keep patterns in that common subset)
-      Tables.documents(s, d).selectExpr("doc_id",
+      // round 18: sort FIRST, run the two regex extractions after —
+      // the final Exchange rangepartitioning samples its child, so the
+      // regexes ran an extra time per run (guide §1/§2.4)
+      Tables.documents(s, d)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .selectExpr("doc_id",
           "CAST(size(split(text, ' ')) AS BIGINT) AS ws_tokens",
           "CAST(size(regexp_extract_all(text, '[a-z]+', 0)) AS BIGINT) AS alpha_tokens",
           "CAST(size(regexp_extract_all(text, '[aeiou]+', 0)) AS BIGINT) AS vowel_runs",
           "CAST(length(text) AS BIGINT) - CAST(size(split(text, ' ')) AS BIGINT) + 1 AS n_nonspace")
-        .orderBy("doc_id")
     },
 
     QueryDef("q_dedup_ngram_jaccard", JaccardSql) { (s, d) =>

@@ -146,17 +146,23 @@ object VectorQueries {
       // array HOFs per row, no shuffle; floor(x·127/ma + 0.5) (not
       // round()) so both engines hit the identical IEEE double and
       // floor it exactly; summary columns keep the output scalar
+      // round 18: sort FIRST on vec_id, quantize after — the array HOF
+      // chain below the sort used to run an extra time per run for the
+      // range exchange's boundary sampling (guide §1/§2.4); the sort
+      // carries the raw embedding, the same array the HOFs would have
+      // materialized per sampling pass
       val q = transform(col("v"), x =>
         when(col("ma") === 0.0, lit(0L))
           .otherwise(floor(x * lit(127.0) / col("ma") + lit(0.5)).cast("long")))
       Tables.embeddings(s, d)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
         .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
         .withColumn("ma", array_max(transform(col("v"), x => abs(x))))
         .withColumn("q", q)
         .select(col("vec_id"), col("ma").as("scale"),
           aggregate(col("q"), lit(0L), (a, x) => a + x).as("qsum"),
           array_min(col("q")).as("qmin"), array_max(col("q")).as("qmax"))
-        .orderBy("vec_id")
     },
 
     QueryDef("q_dedup_embed",
